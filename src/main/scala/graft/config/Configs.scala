@@ -1,0 +1,108 @@
+package graft.config
+
+/** Centralized algorithm constants (SURVEY.md §7.5).
+  *
+  * Shapes of the detection formulas follow the public luminol 0.4 library
+  * that the reference delegates to (/root/reference/potoos/client.py:89-95);
+  * constants are re-derived from public knowledge of that library and are
+  * THE defining semantics of this engine (the reference pins luminol>=0.4
+  * at /root/reference/pyproject.toml:31 but contains no formulas itself).
+  */
+object Constants {
+  /** EMA smoothing factor (luminol exp_avg/derivative default). */
+  val DefaultSmoothingFactor = 0.2
+  /** Default anomaly threshold as a fraction of the per-series max score
+    * (/root/reference/potoos/models/config.py:84-85 leaves both thresholds
+    * unset → percent-of-max default applies).
+    */
+  val DefaultScorePercentThreshold = 0.2
+  /** default_detector combination (SURVEY.md §2.4 D5). */
+  val DefaultDetectorEmaSignificant = 0.94
+  val DefaultDetectorEmaWeight = 0.65
+  /** Minimum series cardinality (/root/reference/potoos/client.py:84-85). */
+  val MinPoints = 4
+  /** bitmap_detector defaults (SURVEY.md §2.4 D4). */
+  val BitmapPrecision = 4
+  val BitmapChunkSize = 2
+  val BitmapWindowPct = 0.02
+  val BitmapMinWindow = 10
+  val BitmapMaxWindow = 200
+}
+
+/** Bucket alignment for time-bucketed aggregation —
+  * reference `align: 'start'|'end'|int` (/root/reference/potoos/models/config.py:50).
+  */
+sealed trait Align
+object Align {
+  case object Epoch extends Align // default: buckets aligned to epoch 0
+  case object Start extends Align // align to from_time
+  case object End extends Align // align to to_time
+  final case class At(ms: Long) extends Align
+}
+
+/** Where the reported bucket timestamp sits — reference `bucket_timestamp`
+  * '-'|'+'|'~' (/root/reference/potoos/models/config.py:52).
+  */
+sealed trait BucketTs
+object BucketTs {
+  case object Start extends BucketTs
+  case object End extends BucketTs
+  case object Mid extends BucketTs
+}
+
+/** Mirror of the reference `TimeSeriesConfig`
+  * (/root/reference/potoos/models/config.py:33-55), minus the kwarg-leak
+  * defect (SURVEY.md §2.6.2): dispatch flags never reach the source.
+  * `None` bounds stand in for the '-'/'+' sentinels (config.py:34-35).
+  */
+final case class TsQueryConfig(
+    fromTimeMs: Option[Long] = None,
+    toTimeMs: Option[Long] = None,
+    count: Option[Int] = None,
+    aggregationType: Option[String] = None,
+    bucketSizeMs: Option[Long] = None,
+    filterByTs: Option[Seq[Long]] = None,
+    filterByMinValue: Option[Double] = None,
+    filterByMaxValue: Option[Double] = None,
+    align: Align = Align.Epoch,
+    latest: Boolean = false,
+    bucketTimestamp: BucketTs = BucketTs.Start,
+    reversed: Boolean = false) {
+  // Reference validation: aggregation requires a bucket size and vice versa
+  // (/root/reference/potoos/models/config.py:57-60).
+  require(
+    aggregationType.isEmpty == bucketSizeMs.isEmpty,
+    "aggregation_type and bucket_size_msec must be set together")
+  aggregationType.foreach { a =>
+    require(TsQueryConfig.Aggregators.contains(a), s"unknown aggregator: $a")
+  }
+}
+
+object TsQueryConfig {
+  /** The 12-aggregator vocabulary (/root/reference/potoos/models/config.py:41). */
+  val Aggregators: Set[String] = Set(
+    "avg", "sum", "min", "max", "range", "count",
+    "first", "last", "std.p", "std.s", "var.p", "var.s")
+}
+
+/** Mirror of the reference `AnomalyDetectionConfig`
+  * (/root/reference/potoos/models/config.py:81-90). Default algorithm is
+  * derivative_detector per code (config.py:86; README.md:117 disagrees —
+  * code wins, SURVEY.md §2.6.3).
+  */
+final case class DetectorConfig(
+    algorithmName: String = "derivative_detector",
+    smoothingFactor: Double = Constants.DefaultSmoothingFactor,
+    scoreThreshold: Option[Double] = None,
+    scorePercentThreshold: Option[Double] = None,
+    scoreOnly: Boolean = false,
+    // absolute_threshold params
+    absoluteThresholdUpper: Option[Double] = None,
+    absoluteThresholdLower: Option[Double] = None,
+    // diff_percent_threshold params
+    percentThresholdUpper: Option[Double] = None,
+    percentThresholdLower: Option[Double] = None,
+    // sign_test params
+    signTestWindowPoints: Int = 10,
+    signTestConfidence: Double = 0.75,
+    signTestOffset: Double = 0.0)

@@ -1,0 +1,217 @@
+package graft.detect
+
+import graft.config.{Constants, DetectorConfig}
+import graft.model.TsSample
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The anomaly-detection operator suite (SURVEY.md §2.4).
+  *
+  * Design: the only sequential pieces (EMA recurrences) run in KeyedFold
+  * kernels; everything else — normalization, thresholding, run-length
+  * sessionization, metadata — is relational (window functions + aggregates,
+  * all codegen'd built-ins), so Catalyst plans, pushes down, and scales it.
+  *
+  * Score DataFrame schema: (seriesKey, tsMs, value, score).
+  * Anomaly DataFrame schema: (seriesKey, startTsMs, endTsMs, anomalyScore,
+  * exactTsMs) — reference fields at /root/reference/README.md:78-80.
+  */
+object Detectors {
+
+  private val byKey = Window.partitionBy("seriesKey")
+
+  /** D0 — reject series with < 4 points
+    * (/root/reference/potoos/client.py:84-85). Relational form of the
+    * guard: drop short series rather than raising, so one degenerate key
+    * cannot fail a 100 TB job.
+    */
+  def minPointsGuard(points: Dataset[TsSample], minPoints: Int = Constants.MinPoints): DataFrame =
+    points.toDF
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .where(col("_n") >= minPoints)
+      .drop("_n")
+
+  /** D2 exp_avg: |v − ema| / stddev_pop(values) (signed, un-divided when
+    * the series is constant — faithful to the reference's delegate).
+    */
+  def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
+    val folded = KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF
+    folded
+      .withColumn("_sd", stddev_pop(col("value")).over(byKey))
+      .withColumn("score", when(col("_sd") > 0, abs(col("dev") / col("_sd"))).otherwise(col("dev")))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
+  def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
+    val folded = KeyedFold.fold(points)(() => new DerivativeKernel(alpha)).toDF
+    folded
+      .withColumn("_sd", stddev_pop(col("dev")).over(byKey))
+      .withColumn("score", when(col("_sd") > 0, col("dev") / col("_sd")).otherwise(col("dev")))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D5 default_detector: combine exp_avg and derivative — when the EMA
+    * score is significant take the larger of the two, else damp the EMA
+    * score (SURVEY.md §2.4 D5; constants in Constants).
+    */
+  def defaultScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
+    val e = expAvgScores(points, alpha).withColumnRenamed("score", "emaScore")
+    val d = derivativeScores(points, alpha).select(col("seriesKey"), col("tsMs"), col("score").as("derScore"))
+    e.join(d, Seq("seriesKey", "tsMs"))
+      .withColumn(
+        "score",
+        when(
+          col("emaScore") > Constants.DefaultDetectorEmaSignificant,
+          greatest(col("emaScore"), col("derScore")))
+          .otherwise(col("emaScore") * Constants.DefaultDetectorEmaWeight))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D6 absolute_threshold: score = how far the value sits outside the
+    * [lower, upper] band — a pure codegen'd expression, no state.
+    */
+  def absoluteThresholdScores(points: Dataset[TsSample], upper: Option[Double], lower: Option[Double]): DataFrame = {
+    val over = upper.map(u => col("value") - lit(u)).getOrElse(lit(Double.NegativeInfinity))
+    val under = lower.map(l => lit(l) - col("value")).getOrElse(lit(Double.NegativeInfinity))
+    points.toDF.withColumn("score", greatest(over, under, lit(0.0)))
+  }
+
+  /** D7 diff_percent_threshold: percent deviation vs an aligned baseline
+    * series, scored when beyond the thresholds. Baseline arrives as a
+    * second DataFrame (seriesKey, tsMs, baseline) equi-joined on
+    * (key, ts) — the reference's `baseline_time_series`
+    * (/root/reference/potoos/models/config.py:82) as a distributed join.
+    */
+  def diffPercentScores(
+      points: Dataset[TsSample],
+      baseline: DataFrame, // (seriesKey, tsMs, baseline)
+      thresholdUpper: Option[Double],
+      thresholdLower: Option[Double]): DataFrame = {
+    val diffPct = when(col("baseline") =!= 0.0, lit(100.0) * (col("value") - col("baseline")) / col("baseline"))
+      .otherwise(when(col("value") =!= 0.0, lit(100.0)).otherwise(lit(0.0)))
+    val hotUp = thresholdUpper.map(u => col("diffPct") > lit(u)).getOrElse(lit(false))
+    val hotDown = thresholdLower.map(l => col("diffPct") < lit(-l)).getOrElse(lit(false))
+    points.toDF
+      .join(baseline, Seq("seriesKey", "tsMs"))
+      .withColumn("diffPct", diffPct)
+      .withColumn("score", when(hotUp || hotDown, abs(col("diffPct"))).otherwise(lit(0.0)))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D8 sign_test (windowed comparator vs baseline): over the trailing
+    * `windowPoints` samples, the fraction that sit above baseline·(1+offset)
+    * (resp. below baseline·(1−offset)); score = excess fraction over the
+    * confidence level, scaled to [0,10]. Window frame = rows-based trailing
+    * window per series — a single codegen'd WindowExec, no custom state.
+    */
+  def signTestScores(
+      points: Dataset[TsSample],
+      baseline: DataFrame,
+      windowPoints: Int,
+      confidence: Double,
+      offset: Double): DataFrame = {
+    val w = Window.partitionBy("seriesKey").orderBy("tsMs").rowsBetween(-(windowPoints - 1), 0)
+    val above = when(col("value") > col("baseline") * (1 + offset), 1.0).otherwise(0.0)
+    val below = when(col("value") < col("baseline") * (1 - offset), 1.0).otherwise(0.0)
+    points.toDF
+      .join(baseline, Seq("seriesKey", "tsMs"))
+      .withColumn("_fa", avg(above).over(w))
+      .withColumn("_fb", avg(below).over(w))
+      .withColumn("_f", greatest(col("_fa"), col("_fb")))
+      .withColumn(
+        "score",
+        when(col("_f") >= confidence, (col("_f") - lit(confidence)) / lit(1 - confidence) * 10.0)
+          .otherwise(lit(0.0)))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D11 threshold resolution: absolute `score_threshold` wins, else
+    * `score_percent_threshold · max(score)`, else the 0.2 default
+    * (/root/reference/potoos/models/config.py:84-85). The per-series max
+    * is a window aggregate — no driver-side pass.
+    */
+  def withThreshold(scores: DataFrame, cfg: DetectorConfig): DataFrame = {
+    val thr = cfg.scoreThreshold match {
+      case Some(t) => lit(t)
+      case None =>
+        lit(cfg.scorePercentThreshold.getOrElse(Constants.DefaultScorePercentThreshold)) *
+          max(col("score")).over(byKey)
+    }
+    scores.withColumn("threshold", thr)
+  }
+
+  /** D12 anomaly-window assembly: group CONSECUTIVE above-threshold points
+    * into (start, end, max score, argmax ts) — run-length sessionization
+    * via the lag/cumulative-count window idiom (SURVEY.md §2.4 D12).
+    */
+  def anomalies(scoresWithThreshold: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("seriesKey").orderBy("tsMs")
+    scoresWithThreshold
+      .withColumn("_hot", col("score") > col("threshold"))
+      .withColumn("_grp", sum(when(col("_hot"), 0).otherwise(1)).over(wOrd))
+      .where(col("_hot"))
+      .groupBy(col("seriesKey"), col("_grp"))
+      .agg(
+        min("tsMs").as("startTsMs"),
+        max("tsMs").as("endTsMs"),
+        max("score").as("anomalyScore"),
+        max_by(col("tsMs"), col("score")).as("exactTsMs"))
+      .select("seriesKey", "startTsMs", "endTsMs", "anomalyScore", "exactTsMs")
+  }
+
+  /** Full pipeline for one algorithm: guard → score → threshold →
+    * sessionize (unless score_only, D14).
+    */
+  def detect(points: Dataset[TsSample], cfg: DetectorConfig, baseline: Option[DataFrame] = None): DataFrame = {
+    import points.sparkSession.implicits._
+    val guarded = minPointsGuard(points).as[TsSample]
+    val scores = score(guarded, cfg, baseline)
+    if (cfg.scoreOnly) scores else anomalies(withThreshold(scores, cfg))
+  }
+
+  /** D9 registry: algorithm_name → scoring strategy
+    * (/root/reference/potoos/models/config.py:86,90).
+    */
+  def score(points: Dataset[TsSample], cfg: DetectorConfig, baseline: Option[DataFrame] = None): DataFrame =
+    cfg.algorithmName match {
+      case "exp_avg_detector" => expAvgScores(points, cfg.smoothingFactor)
+      case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor)
+      case "default_detector" => defaultScores(points, cfg.smoothingFactor)
+      case "bitmap_detector" => BitmapDetector.scores(points)
+      case "absolute_threshold" =>
+        absoluteThresholdScores(points, cfg.absoluteThresholdUpper, cfg.absoluteThresholdLower)
+          .select("seriesKey", "tsMs", "value", "score")
+      case "diff_percent_threshold" =>
+        diffPercentScores(points, baselineOrFail(baseline), cfg.percentThresholdUpper, cfg.percentThresholdLower)
+      case "sign_test" =>
+        signTestScores(
+          points, baselineOrFail(baseline),
+          cfg.signTestWindowPoints, cfg.signTestConfidence, cfg.signTestOffset)
+      case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+    }
+
+  private def baselineOrFail(b: Option[DataFrame]): DataFrame =
+    b.getOrElse(throw new IllegalArgumentException("this algorithm requires a baseline series"))
+
+  /** D15 metadata: one aggregate row per series
+    * (/root/reference/potoos/client.py:97-109): points analyzed, anomalies
+    * found, time range, duration.
+    */
+  def metadata(points: Dataset[TsSample], anomalies: DataFrame, algorithm: String): DataFrame = {
+    val base = points.toDF
+      .groupBy("seriesKey")
+      .agg(
+        count(lit(1)).as("dataPointsAnalyzed"),
+        min("tsMs").as("startMs"),
+        max("tsMs").as("endMs"))
+      .withColumn("durationMs", col("endMs") - col("startMs"))
+    val found = anomalies.groupBy("seriesKey").agg(count(lit(1)).as("anomaliesFound"))
+    base
+      .join(found, Seq("seriesKey"), "left")
+      .withColumn("anomaliesFound", coalesce(col("anomaliesFound"), lit(0L)))
+      .withColumn("algorithm", lit(algorithm))
+      .select("seriesKey", "algorithm", "dataPointsAnalyzed", "anomaliesFound", "startMs", "endMs", "durationMs")
+  }
+}

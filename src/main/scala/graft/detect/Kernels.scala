@@ -1,0 +1,69 @@
+package graft.detect
+
+import graft.model.TsSample
+
+/** exp_avg detector, decay form (SURVEY.md §2.4 D2; shape per public
+  * luminol 0.4 exp_avg_detector): ema_0 = v_0,
+  * ema_i = α·v_i + (1−α)·ema_{i−1}; raw dev_i = v_i − ema_i (signed —
+  * normalization divides by the per-series population stddev of the
+  * VALUES and takes |·|, or leaves the signed dev when stddev = 0).
+  */
+final class ExpAvgKernel(alpha: Double) extends SeriesKernel {
+  private var ema = 0.0
+  private var first = true
+
+  override def feed(p: TsSample): Iterator[RawScored] = {
+    ema = if (first) { first = false; p.value }
+    else alpha * p.value + (1 - alpha) * ema
+    Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, p.value - ema))
+  }
+  override def flush(): Iterator[RawScored] = Iterator.empty
+}
+
+/** derivative detector (SURVEY.md §2.4 D3; shape per public luminol 0.4
+  * derivative_detector): d_i = |(v_i − v_{i−1}) / Δt_seconds| for i ≥ 1,
+  * with d_0 := d_1 (first point duplicates the second's derivative);
+  * ema over the d sequence with factor α; raw dev_i = |d_i − ema_i|.
+  * Normalization divides by the per-series population stddev of the devs.
+  * Time is converted ms→s to match the reference boundary
+  * (/root/reference/potoos/client.py:87).
+  *
+  * Needs exactly one point of lookahead (to assign d_0 = d_1) — the first
+  * point is held until the second arrives, keeping state O(1).
+  */
+final class DerivativeKernel(alpha: Double) extends SeriesKernel {
+  private var prevTs = 0L
+  private var prevV = 0.0
+  private var held: TsSample = _ // first point, pending d_1
+  private var ema = 0.0
+  private var n = 0
+
+  override def feed(p: TsSample): Iterator[RawScored] = {
+    n += 1
+    if (n == 1) {
+      held = p; prevTs = p.tsMs; prevV = p.value
+      Iterator.empty
+    } else {
+      val dtS = (p.tsMs - prevTs) / 1000.0
+      val d = math.abs(if (dtS != 0) (p.value - prevV) / dtS else p.value - prevV)
+      prevTs = p.tsMs; prevV = p.value
+      val out = Array.newBuilder[RawScored]
+      if (n == 2) {
+        // d_0 = d_1 ⇒ ema_0 = d, dev_0 = 0; then ema_1 = α·d+(1−α)·d = d.
+        ema = d
+        out += RawScored(held.seriesKey, held.tsMs, held.value, 0.0)
+        held = null
+      }
+      ema = alpha * d + (1 - alpha) * ema
+      out += RawScored(p.seriesKey, p.tsMs, p.value, math.abs(d - ema))
+      out.result().iterator
+    }
+  }
+
+  override def flush(): Iterator[RawScored] =
+    if (held != null) {
+      // single-point series: no derivative exists; dev 0
+      val h = held; held = null
+      Iterator.single(RawScored(h.seriesKey, h.tsMs, h.value, 0.0))
+    } else Iterator.empty
+}

@@ -1,0 +1,86 @@
+package graft.detect
+
+import graft.model.TsSample
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions.col
+
+/** One point scored by a kernel; `dev` is the raw (pre-normalization)
+  * deviation — detector-specific normalization happens relationally
+  * afterwards (Detectors.scala).
+  */
+final case class RawScored(seriesKey: Long, tsMs: Long, value: Double, dev: Double)
+
+/** A per-series streaming kernel. `feed` receives rows in ascending
+  * timestamp order and may buffer a bounded lookahead; `flush` drains it at
+  * series end. State must be bounded (never proportional to series length).
+  */
+trait StreamKernel[I, O] {
+  def feed(i: I): Iterator[O]
+  def flush(): Iterator[O]
+}
+
+/** Kernel over bare samples (EMA-style recurrences). */
+trait SeriesKernel extends StreamKernel[TsSample, RawScored]
+
+/** Secondary-sort fold for sequential recurrences (EMA and friends,
+  * SURVEY.md §4.2, §7.5).
+  *
+  * The reference computes these as single-threaded NumPy loops over one
+  * in-memory series (/root/reference/potoos/client.py:87-95). At 100 TB
+  * that is impossible; here we repartition by series key and sort within
+  * partitions by (key, ts) — the classic secondary-sort pattern — then
+  * stream each partition once. Parallelism is across series keys; memory
+  * is bounded per series (never collect_list / never buffer a series), so
+  * a series longer than executor memory still works: Spark's external
+  * sort spills, the fold streams.
+  */
+object KeyedFold {
+
+  def fold(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] = {
+    import points.sparkSession.implicits._
+    foldOn[TsSample, RawScored](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
+  }
+
+  /** Generic secondary-sort fold over any keyed, time-ordered input. */
+  def foldOn[I, O: Encoder](
+      ds: Dataset[I],
+      keyCol: String,
+      tsCol: String,
+      keyOf: I => Long)(mkKernel: () => StreamKernel[I, O]): Dataset[O] =
+    ds.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { it => run(it, keyOf, mkKernel) }
+
+  /** Streams a sorted (key, ts) iterator through fresh kernels, one per
+    * key run. Pure function of the iterator — unit-testable without Spark.
+    */
+  def run[I, O](it: Iterator[I], keyOf: I => Long, mkKernel: () => StreamKernel[I, O]): Iterator[O] =
+    new Iterator[O] {
+      private var out: Iterator[O] = Iterator.empty
+      private var kernel: StreamKernel[I, O] = _
+      private var curKey: Long = 0L
+
+      private def advance(): Unit =
+        while (!out.hasNext && (it.hasNext || kernel != null)) {
+          if (it.hasNext) {
+            val p = it.next()
+            val k = keyOf(p)
+            if (kernel == null) {
+              kernel = mkKernel(); curKey = k
+              out = kernel.feed(p)
+            } else if (k != curKey) {
+              val tail = kernel.flush()
+              kernel = mkKernel(); curKey = k
+              out = tail ++ kernel.feed(p)
+            } else {
+              out = kernel.feed(p)
+            }
+          } else {
+            out = kernel.flush(); kernel = null
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); out.hasNext }
+      override def next(): O = { advance(); out.next() }
+    }
+}

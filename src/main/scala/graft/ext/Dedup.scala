@@ -1,0 +1,196 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (builder brief).
+  *
+  * Scale design (100 TB): exact dedup is a hash groupBy (one shuffle,
+  * partial-aggregated). Near-dup goes through CANDIDATE GENERATION
+  * (MinHash-LSH banding or SimHash banding — equi-joins on short keys,
+  * never an O(n²) cross join) followed by pairwise VERIFICATION only on
+  * candidates. The exact all-pairs n-gram Jaccard here doubles as the
+  * small-scale oracle for those candidate paths.
+  *
+  * All hashing is md5-based (identical on Spark and DuckDB) so every stage
+  * can be oracle-checked in SQL.
+  */
+object Dedup {
+
+  /** Exact dedup by content: canonical (minimum) id + multiplicity. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cnt"))
+      .select("canonical_id", "cnt")
+
+  /** Distinct word n-gram shingles per document, as an array column. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** Exploded (id, shingle) pairs. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("g"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold τ): intersection via
+    * shingle equi-join + per-doc set sizes. Deterministic, SQL-oracle-able;
+    * at scale, run it only on LSH candidates (`minhashLshPairs`).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  private val HashP = 2147483647L // 2^31 − 1
+
+  /** 32-bit shingle hash: first 4 bytes of md5, big-endian unsigned —
+    * equals DuckDB's `('0x' || substr(md5(g),1,8))::BIGINT` for SQL
+    * cross-checks.
+    */
+  def shingleHash32(md: java.security.MessageDigest, g: String): Long = {
+    val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** MinHash signatures: `perms` universal-hash permutations
+    * h_k(x) = (a_k·x + b_k) mod (2³¹−1) over md5-hashed distinct word
+    * n-gram shingles. Computed in a typed mapPartitions: row-local, no
+    * shuffle, each shingle hashed once (a Catalyst-lambda formulation
+    * inlines the md5 subtree once per permutation per join side — a
+    * measured 100× planning/codegen blowup).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split(" ")
+          val xs = (0 to words.length - n).iterator
+            .map(i => words.slice(i, i + n).mkString(" "))
+            .toSet[String]
+            .map(g => shingleHash32(md, g))
+          val sig = Array.tabulate(perms) { k =>
+            if (xs.isEmpty) 0L
+            else xs.foldLeft(Long.MaxValue)((m, x) => math.min(m, (x * (k * 2 + 3) + (k * 5 + 7)) % HashP))
+          }
+          (id, sig)
+        }
+      }
+      .toDF("id", "sig")
+  }
+
+  /** MinHash-LSH near-dup pairs: band signatures (bands × rowsPerBand =
+    * perms), equi-join per band for candidates, then EXACT Jaccard
+    * verification on the candidate pairs only. This is the 100 TB path:
+    * the only joins are on short band keys.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    val withSig = minhashSignatures(df, idCol, textCol, n, perms)
+      .withColumn(
+        "bandKeys",
+        transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
+    val banded = withSig.select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingle sets
+    val sets = df.select(col(idCol).as("id"), shingleArray(col(textCol), n).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 60-bit token hash: first 15 hex chars of md5 — equals Spark SQL's
+    * `conv(substring(md5(w), 1, 15), 16, 10)` for cross-checks.
+    */
+  def tokenHash60(md: java.security.MessageDigest, w: String): Long = {
+    val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex digits = first 7 bytes + high nibble of byte 8
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** 60-bit SimHash over the token stream (md5-hashed tokens with
+    * multiplicity; majority vote per bit). 60 bits keep the value inside
+    * a signed Long without unsigned tricks on any engine. Typed
+    * mapPartitions for the same reason as minhashSignatures: a
+    * Catalyst-lambda formulation gets its 60-iteration tree inlined per
+    * join side downstream.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](60)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counts, 0)
+          val words = text.split(" ")
+          words.foreach { w =>
+            val h = tokenHash60(md, w)
+            var b = 0
+            while (b < 60) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 60) { if (2 * counts(b) >= words.length) sig |= (1L << b); b += 1 }
+          (id, sig)
+        }
+      }
+      .toDF("id", "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via banded
+    * candidate generation (4 bands × 15 bits; ≤ maxDist < 4·15 bit flips
+    * must leave at least one band intact for maxDist ≤ 3 per band — for
+    * the general bound we verify candidates exactly, accepting banding
+    * recall semantics like every production LSH dedup).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(
+      col("id"), col("simhash"),
+      posexplode(
+        expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 15) & 32767))"))
+        .as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"), col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxDist)
+      .select("da", "db", "hamming")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One decoded media record. */
+final case class MediaMeta(
+    id: Long,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    format: String)
+
+/** Multimodal-column plumbing (builder brief): media as opaque BINARY
+  * columns with typed metadata, batch-decoded executor-side.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE of the decode step; everything
+  * Spark-side — binary column handling, mapPartitions batch shape,
+  * typed output schema, partition parallelism — is the real pipeline a
+  * codec-backed decoder would drop into (swap `decodeStub` for the real
+  * library call; one decoder instance per partition, streaming batches,
+  * no per-row init cost).
+  */
+object Multimodal {
+
+  /** STUB — stands in for e.g. an image header parse. Pure function of the
+    * payload so tests and the SQL oracle can reproduce it exactly.
+    */
+  def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(
+      id = id,
+      n_bytes = n,
+      width = (1 + n % 64).toInt,
+      height = (1 + (n * 7) % 64).toInt,
+      channels = (1 + n % 3).toInt,
+      format = if (n % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Batch "decode" over a binary payload column: one decoder per
+    * partition via mapPartitions (the real-codec batch shape).
+    */
+  def imageMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (real codec handle)
+        rows.map { case (id, payload) => decodeStub(id, payload) }
+      }
+  }
+}

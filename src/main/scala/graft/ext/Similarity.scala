@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (builder brief). Baseline: brute-force cosine top-k (exact, the
+  * oracle). Scale path: random-hyperplane LSH bucketing so the candidate
+  * join is an equi-join on bucket ids instead of an O(n²) cross join.
+  *
+  * All float embeddings are upcast to double before arithmetic so Spark
+  * and the DuckDB oracle compute the identical IEEE sequence.
+  */
+object Similarity {
+
+  /** Index-ordered dot product — same fp evaluation order on both engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (id, vec: array<double>, nrm) view of an embeddings table. */
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val v = col(embCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("vec"))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+  }
+
+  /** Exact brute-force cosine top-k: the query side is broadcast (small by
+    * construction), so the "cross" join is a broadcast nested loop over
+    * one pass of the corpus — embarrassingly parallel, no shuffle of the
+    * big side; the per-query top-k is a bounded window.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, embCol: String, queryPred: Column, k: Int): DataFrame = {
+    val all = prepared(df, idCol, embCol)
+    val q = all.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val scored = all
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Exact cosine near-dup pairs above τ. O(n²) verification — correct as
+    * an oracle / small-corpus path; at scale generate candidates with
+    * `lshBuckets` first.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
+    val all = prepared(df, idCol, embCol)
+    val a = all.select(col("id").as("va"), col("vec").as("veca"), col("nrm").as("nrma"))
+    val b = all.select(col("id").as("vb"), col("vec").as("vecb"), col("nrm").as("nrmb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cosine", dot(col("veca"), col("vecb")) / (col("nrma") * col("nrmb")))
+      .where(col("cosine") >= tau)
+      .select(col("va"), col("vb"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component via an LCG over the
+    * (bit, dim) index — rational arithmetic, reproducible on any engine.
+    */
+  private def lcg01(i: Column): Column =
+    ((lit(1103515245L) * i + lit(12345L)) % lit(2147483648L)).cast("double") / lit(2147483648.0)
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits). */
+  def lshBucket(vec: Column, dims: Int, nBits: Int): Column = {
+    val planes = transform(
+      sequence(lit(0), lit(nBits - 1)),
+      k =>
+        aggregate(
+          zip_with(
+            vec,
+            transform(sequence(lit(0), lit(dims - 1)), d => lcg01(k * dims + d) - 0.5),
+            (x, h) => x * h),
+          lit(0.0),
+          (acc, x) => acc + x))
+    aggregate(
+      zip_with(
+        planes,
+        sequence(lit(0), lit(nBits - 1)),
+        (p, kk) => when(p > 0, pow(lit(2.0), kk).cast("long")).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** ANN top-k: LSH-bucket the corpus, search only within the query's
+    * bucket (equi-join on bucket id — the scale path), exact cosine rank
+    * inside the bucket.
+    */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String, queryPred: Column, k: Int, dims: Int, nBits: Int): DataFrame = {
+    val all = prepared(df, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("vec"), dims, nBits))
+    val q = all.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"), col("bucket"))
+    val scored = all
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

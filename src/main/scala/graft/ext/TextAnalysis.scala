@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (builder brief;
+  * BASELINE.json north-star). All pure `functions._` expressions — no UDFs —
+  * so the whole stage stays inside whole-stage codegen and scales linearly
+  * with no shuffle at all (per-row map over the corpus).
+  *
+  * Tokenization convention shared with the DuckDB oracles: single-space
+  * word split (the corpus is space-separated), so both engines see the
+  * identical token stream.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Must stay in sync with the SQL literals in ExtQueries.
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "zu", "ein")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une")
+  val StopwordsEs: Seq[String] = Seq("el", "los", "las", "y", "es", "un", "una")
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Token counting: whitespace words + a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word — the ~4-chars-per-token rule).
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col(idCol),
+      size(w).as("n_words"),
+      aggregate(transform(w, t => ceil(length(t) / 4.0)), lit(0L), (acc, x) => acc + x)
+        .as("n_subtokens"))
+  }
+
+  /** Quality scoring: length / word stats / stopword density — the
+    * standard cheap quality filters for pretraining corpora.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val sumLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+    val stopHits = size(filter(w, t => t.isInCollection(StopwordsEn)))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nWords.as("n_words"),
+      round(sumLen.cast("double") / nWords, 4).as("avg_word_len"),
+      round(stopHits.cast("double") / nWords, 4).as("stopword_ratio"))
+  }
+
+  /** Language ID by stopword-profile voting with a fixed priority order on
+    * ties (en > de > fr > es). A real deployment would use character
+    * n-gram profiles; the fixed-vocabulary corpus makes stopword votes the
+    * honest deterministic variant of the same heuristic.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    def hits(stop: Seq[String]) = size(filter(w, t => t.isInCollection(stop)))
+    val (en, de, fr, es) = (hits(StopwordsEn), hits(StopwordsDe), hits(StopwordsFr), hits(StopwordsEs))
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    df.select(col(idCol), en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"), pred.as("lang_pred"))
+  }
+
+  /** Document fingerprinting: a whole-text content hash plus the minimum
+    * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
+    * both engines → identical hex, lexicographic min.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val shingleMin = array_min(
+      transform(
+        sequence(lit(0), size(w) - 5),
+        i => md5(concat_ws(" ", slice(w, i + 1, lit(5))))))
+    df.select(
+      col(idCol),
+      md5(col(textCol)).as("fp"),
+      when(size(w) >= 5, shingleMin).otherwise(md5(col(textCol))).as("shingle_min"))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.{Constants, DetectorConfig, TsQueryConfig}
+import graft.detect.Detectors
+import graft.model.TsSample
+import graft.ts.{TsAlgebra, TsCols}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — the anomaly-detection operator suite (D0–D16) on the
+  * `events` table, with DuckDB oracles. The EMA recurrences are verified
+  * against recursive-CTE oracles computing the identical fp sequence.
+  */
+object DetectQueries {
+
+  private val cols = TsCols(key = "user_id", ts = "ts_ms", value = "value", seq = Some("event_id"))
+
+  /** events → guarded Dataset[TsSample] (D0 min-cardinality gate). */
+  private def pts(s: SparkSession, dir: String): Dataset[TsSample] = {
+    import s.implicits._
+    Detectors
+      .minPointsGuard(
+        Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+          .as[TsSample])
+      .as[TsSample]
+  }
+
+  private def asOut(scores: DataFrame): DataFrame =
+    scores.select(
+      col("seriesKey").as("user_id"),
+      col("tsMs").as("ts_ms"),
+      col("value"),
+      round(col("score"), 4).as("score"))
+
+  // ---- shared oracle CTE fragments (must mirror the Scala fp-op order) ----
+
+  /** D0-guarded points. */
+  private val ptsCte =
+    """pts AS (
+      |  SELECT k, ts_ms, v FROM (
+      |    SELECT user_id k, epoch_ms(ts) ts_ms, value v,
+      |           count(*) OVER (PARTITION BY user_id) n
+      |    FROM events)
+      |  WHERE n >= 4),
+      |rpts AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM pts)""".stripMargin
+
+  /** D2 exp_avg: ema recurrence + |v-ema|/stddev_pop(values). */
+  private val escoreCte =
+    """ema AS (
+      |  SELECT k, ts_ms, v, rn, v AS ema FROM rpts WHERE rn = 1
+      |  UNION ALL
+      |  SELECT p.k, p.ts_ms, p.v, p.rn, 0.2*p.v + (1 - 0.2)*e.ema
+      |  FROM rpts p JOIN ema e ON p.k = e.k AND p.rn = e.rn + 1),
+      |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+      |escore AS (
+      |  SELECT e.k, e.ts_ms, e.v,
+      |         CASE WHEN s.sd > 0 THEN abs((e.v - e.ema)/s.sd) ELSE e.v - e.ema END AS score
+      |  FROM ema e JOIN vsd s ON e.k = s.k)""".stripMargin
+
+  /** D3 derivative: |Δv/Δt_s| with d_0 := d_1, ema, |d-ema|/stddev_pop(dev). */
+  private val dscoreCte =
+    """dv AS (
+      |  SELECT k, ts_ms, v, rn,
+      |    CASE WHEN (ts_ms - lag(ts_ms) OVER w) <> 0
+      |         THEN abs((v - lag(v) OVER w) / ((ts_ms - lag(ts_ms) OVER w) / 1000.0))
+      |         ELSE abs(v - lag(v) OVER w) END AS d_raw
+      |  FROM rpts WINDOW w AS (PARTITION BY k ORDER BY rn)),
+      |dfix AS (SELECT k, ts_ms, v, rn,
+      |  CASE WHEN rn = 1 THEN lead(d_raw) OVER (PARTITION BY k ORDER BY rn) ELSE d_raw END AS d
+      |  FROM dv),
+      |dema AS (
+      |  SELECT k, ts_ms, v, rn, d, d AS ema FROM dfix WHERE rn = 1
+      |  UNION ALL
+      |  SELECT p.k, p.ts_ms, p.v, p.rn, p.d, 0.2*p.d + (1 - 0.2)*e.ema
+      |  FROM dfix p JOIN dema e ON p.k = e.k AND p.rn = e.rn + 1),
+      |draw AS (SELECT k, ts_ms, v, abs(d - ema) AS dev FROM dema),
+      |dsd AS (SELECT k, stddev_pop(dev) sd FROM draw GROUP BY k),
+      |dscore AS (SELECT r.k, r.ts_ms, r.v,
+      |  CASE WHEN s.sd > 0 THEN r.dev / s.sd ELSE r.dev END AS score
+      |  FROM draw r JOIN dsd s ON r.k = s.k)""".stripMargin
+
+  /** D11+D12 on derivative scores: percent-of-max threshold + run-length
+    * sessionization.
+    */
+  private val windowsCte =
+    """mx AS (SELECT k, max(score) m FROM dscore GROUP BY k),
+      |hot AS (SELECT s.k, s.ts_ms, s.score, s.score > 0.2 * x.m AS is_hot
+      |        FROM dscore s JOIN mx x ON s.k = x.k),
+      |runs AS (SELECT k, ts_ms, score, is_hot,
+      |         sum(CASE WHEN is_hot THEN 0 ELSE 1 END) OVER (PARTITION BY k ORDER BY ts_ms) grp
+      |         FROM hot),
+      |wins AS (
+      |  SELECT k, grp, min(ts_ms) start_ms, max(ts_ms) end_ms,
+      |         max(score) mscore, arg_max(ts_ms, score) exact_ms
+      |  FROM runs WHERE is_hot GROUP BY k, grp)""".stripMargin
+
+  /** Daily-average series with its one-day-lagged self as baseline (D7/D8
+    * baseline join).
+    */
+  private val dailyCte =
+    """daily AS (SELECT user_id k, epoch_ms(ts) - epoch_ms(ts) % 86400000 tm, avg(value) v
+      |          FROM events GROUP BY 1, 2),
+      |j AS (SELECT c.k, c.tm, c.v, p.v bv
+      |      FROM daily c JOIN daily p ON c.k = p.k AND c.tm = p.tm + 86400000)""".stripMargin
+
+  private def dailyWithBaseline(s: SparkSession, dir: String): (Dataset[TsSample], DataFrame) = {
+    import s.implicits._
+    val daily = TsAlgebra.query(
+      Tables.events(s, dir),
+      TsQueryConfig(aggregationType = Some("avg"), bucketSizeMs = Some(T.Day)),
+      cols)
+    val p = daily
+      .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+      .as[TsSample]
+    val baseline = daily.select(
+      col("user_id").as("seriesKey"),
+      (col("ts_ms") + T.Day).as("tsMs"),
+      col("value").as("baseline"))
+    (p, baseline)
+  }
+
+  val all: Seq[Q] = Seq(
+    // D6 absolute_threshold — pure expression, exact match (no rounding)
+    Q(
+      "anomaly_absolute_threshold",
+      (s, dir) =>
+        Detectors
+          .absoluteThresholdScores(pts(s, dir), upper = Some(150.0), lower = Some(1.0))
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"), col("value"), col("score")),
+      Some(s"""WITH $ptsCte
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       greatest(v - 150.0, 1.0 - v, 0.0) AS score
+              |FROM pts""".stripMargin)
+    ),
+    // D2 exp_avg scores
+    Q(
+      "anomaly_exp_avg_scores",
+      (s, dir) => asOut(Detectors.expAvgScores(pts(s, dir))),
+      Some(s"""WITH RECURSIVE $ptsCte, $escoreCte
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM escore""".stripMargin)
+    ),
+    // D3 derivative scores (the reference default algorithm)
+    Q(
+      "anomaly_derivative_scores",
+      (s, dir) => asOut(Detectors.derivativeScores(pts(s, dir))),
+      Some(s"""WITH RECURSIVE $ptsCte, $dscoreCte
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM dscore""".stripMargin)
+    ),
+    // D5 default_detector: significance-gated combine of D2 + D3
+    Q(
+      "anomaly_default_scores",
+      (s, dir) => asOut(Detectors.defaultScores(pts(s, dir))),
+      Some(
+        s"""WITH RECURSIVE $ptsCte, $escoreCte, $dscoreCte
+           |SELECT e.k AS user_id, e.ts_ms, e.v AS value,
+           |  round(CASE WHEN e.score > 0.94 THEN greatest(e.score, d.score)
+           |             ELSE e.score * 0.65 END, 4) AS score
+           |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
+    ),
+    // D4 bitmap (SAX) scores — not SQL-expressible compactly; rows-only check
+    Q(
+      "anomaly_bitmap_scores",
+      (s, dir) => asOut(graft.detect.BitmapDetector.scores(pts(s, dir))),
+      None),
+    // D7 diff_percent_threshold vs one-day-lagged daily-average baseline
+    Q(
+      "anomaly_diff_percent",
+      (s, dir) => {
+        val (p, baseline) = dailyWithBaseline(s, dir)
+        Detectors
+          .diffPercentScores(p, baseline, thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            round(col("value"), 4).as("value"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH $dailyCte,
+              |d AS (SELECT k, tm, v,
+              |  CASE WHEN bv <> 0 THEN 100.0*(v - bv)/bv
+              |       ELSE CASE WHEN v <> 0 THEN 100.0 ELSE 0.0 END END dp
+              |  FROM j)
+              |SELECT k AS user_id, tm AS ts_ms, round(v, 4) AS value,
+              |       round(CASE WHEN dp > 20.0 OR dp < -20.0 THEN abs(dp) ELSE 0.0 END, 4) AS score
+              |FROM d""".stripMargin)
+    ),
+    // D8 sign_test vs the same baseline: trailing-7 window comparator
+    Q(
+      "anomaly_sign_test",
+      (s, dir) => {
+        val (p, baseline) = dailyWithBaseline(s, dir)
+        Detectors
+          .signTestScores(p, baseline, windowPoints = 7, confidence = 0.6, offset = 0.05)
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            round(col("value"), 4).as("value"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH $dailyCte,
+              |f AS (SELECT k, tm, v,
+              |  greatest(
+              |    avg(CASE WHEN v > bv * (1 + 0.05) THEN 1.0 ELSE 0.0 END)
+              |      OVER (PARTITION BY k ORDER BY tm ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+              |    avg(CASE WHEN v < bv * (1 - 0.05) THEN 1.0 ELSE 0.0 END)
+              |      OVER (PARTITION BY k ORDER BY tm ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) ff
+              |  FROM j)
+              |SELECT k AS user_id, tm AS ts_ms, round(v, 4) AS value,
+              |       round(CASE WHEN ff >= 0.6 THEN (ff - 0.6)/(1 - 0.6)*10.0 ELSE 0.0 END, 4) AS score
+              |FROM f""".stripMargin)
+    ),
+    // D11+D12: threshold at 0.2·max(score) per series, consecutive runs →
+    // anomaly windows (derivative scores)
+    Q(
+      "anomaly_windows",
+      (s, dir) => {
+        val scores = Detectors.derivativeScores(pts(s, dir))
+        Detectors
+          .anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+          .select(
+            col("seriesKey").as("user_id"), col("startTsMs").as("start_ms"),
+            col("endTsMs").as("end_ms"), round(col("anomalyScore"), 4).as("anomaly_score"),
+            col("exactTsMs").as("exact_ms"))
+      },
+      Some(s"""WITH RECURSIVE $ptsCte, $dscoreCte, $windowsCte
+              |SELECT k AS user_id, start_ms, end_ms, round(mscore, 4) AS anomaly_score, exact_ms
+              |FROM wins""".stripMargin)
+    ),
+    // D15 metadata aggregate (+ anomaly counts from the D12 windows)
+    Q(
+      "anomaly_meta",
+      (s, dir) => {
+        val p = pts(s, dir)
+        val scores = Detectors.derivativeScores(p)
+        val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+        Detectors
+          .metadata(p, wins, "derivative_detector")
+          .select(
+            col("seriesKey").as("user_id"), col("algorithm"),
+            col("dataPointsAnalyzed").as("data_points_analyzed"),
+            col("anomaliesFound").as("anomalies_found"),
+            col("startMs").as("start_ms"), col("endMs").as("end_ms"),
+            col("durationMs").as("duration_ms"))
+      },
+      Some(s"""WITH RECURSIVE $ptsCte, $dscoreCte, $windowsCte,
+              |base AS (SELECT k, count(*) n, min(ts_ms) s, max(ts_ms) e FROM pts GROUP BY k),
+              |wc AS (SELECT k, count(*) c FROM wins GROUP BY k)
+              |SELECT b.k AS user_id, 'derivative_detector' AS algorithm,
+              |       b.n AS data_points_analyzed, coalesce(wc.c, 0) AS anomalies_found,
+              |       b.s AS start_ms, b.e AS end_ms, b.e - b.s AS duration_ms
+              |FROM base b LEFT JOIN wc ON b.k = wc.k""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Extension operators for LLM-training-data pipelines (builder brief):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+  * cosine), similarity search (brute-force + LSH), text analysis, and
+  * multimodal-column plumbing. Oracles in DuckDB SQL wherever the op is
+  * SQL-expressible; LSH variants get rows-only checks and are instead
+  * verified against their exact counterparts in ScalaTest.
+  */
+object ExtQueries {
+
+  /** Shared DuckDB CTE: embeddings upcast to double with norms. */
+  private val embCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e)""".stripMargin
+
+  private val stopListSql = "['the','a','of','and','to','in','is','on']"
+
+  val all: Seq[Q] = Seq(
+    // ---- text analysis ----
+    Q(
+      "text_tokens",
+      (s, dir) =>
+        TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("n_words", col("n_words").cast("long")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  CAST(list_sum(list_transform(string_split(text, ' '),
+             |       w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
+             |FROM documents""".stripMargin)
+    ),
+    Q(
+      "text_quality",
+      (s, dir) =>
+        TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("n_chars", col("n_chars").cast("long"))
+          .withColumn("n_words", col("n_words").cast("long")),
+      Some(s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents)
+              |SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars,
+              |  CAST(len(words) AS BIGINT) AS n_words,
+              |  round(CAST(list_sum(list_transform(words, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+              |        / len(words), 4) AS avg_word_len,
+              |  round(CAST(len(list_filter(words, t -> list_contains($stopListSql, t))) AS DOUBLE)
+              |        / len(words), 4) AS stopword_ratio
+              |FROM w""".stripMargin)
+    ),
+    Q(
+      "text_langid",
+      (s, dir) =>
+        TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("s_en", col("s_en").cast("long"))
+          .withColumn("s_de", col("s_de").cast("long"))
+          .withColumn("s_fr", col("s_fr").cast("long"))
+          .withColumn("s_es", col("s_es").cast("long")),
+      Some(
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(len(list_filter(words, t -> list_contains($stopListSql, t))) AS BIGINT) s_en,
+           |  CAST(len(list_filter(words, t -> list_contains(['der','die','das','und','ist','zu','ein'], t))) AS BIGINT) s_de,
+           |  CAST(len(list_filter(words, t -> list_contains(['le','la','les','et','est','un','une'], t))) AS BIGINT) s_fr,
+           |  CAST(len(list_filter(words, t -> list_contains(['el','los','las','y','es','un','una'], t))) AS BIGINT) s_es
+           |  FROM w)
+           |SELECT doc_id, s_en, s_de, s_fr, s_es,
+           |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS lang_pred
+           |FROM sc""".stripMargin)
+    ),
+    Q(
+      "text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents)
+             |SELECT doc_id, md5(text) AS fp,
+             |  CASE WHEN len(words) >= 5
+             |       THEN list_min(list_transform(range(1, len(words) - 3),
+             |            i -> md5(array_to_string(words[i:i+4], ' '))))
+             |       ELSE md5(text) END AS shingle_min
+             |FROM w""".stripMargin)
+    ),
+    // ---- dedup ----
+    Q(
+      "dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text"),
+      Some("SELECT min(doc_id) AS canonical_id, count(*) AS cnt FROM documents GROUP BY text")
+    ),
+    Q(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.3),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+          |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+          |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+          |p AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+          |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |jc AS (SELECT da, db, CAST(i AS DOUBLE) / (na.n + nb.n - i) jaccard
+          |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
+          |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.3""".stripMargin)
+    ),
+    // MinHash-LSH banding + exact verification — the 100 TB dedup path;
+    // recall vs the exact pairs is asserted in ScalaTest (rows-only here).
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3),
+      None),
+    Q(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 10),
+      None),
+    Q(
+      "dedup_embedding",
+      (s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4),
+      Some(s"""WITH $embCte,
+              |p AS (SELECT a.vec_id va, b.vec_id vb,
+              |        list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) cosine
+              |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              |SELECT va, vb, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.4""".stripMargin)
+    ),
+    // ---- similarity search ----
+    Q(
+      "sim_topk",
+      (s, dir) =>
+        Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id query_id, v qv, nrm qnrm FROM n WHERE vec_id < 10),
+              |p AS (SELECT q.query_id, a.vec_id neighbor_id,
+              |        list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm) cosine
+              |      FROM q JOIN n a ON a.vec_id <> q.query_id),
+              |r AS (SELECT query_id, neighbor_id, cosine,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+              |      FROM p)
+              |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin)
+    ),
+    // LSH-bucketed ANN — scale path; recall asserted in ScalaTest
+    Q(
+      "sim_lsh_topk",
+      (s, dir) =>
+        Similarity.lshTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5, dims = 64, nBits = 4)
+          .withColumn("rank", col("rank").cast("long")),
+      None),
+    // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
+    Q(
+      "mm_image_meta",
+      (s, dir) =>
+        Multimodal.imageMeta(
+          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload")
+          .toDF()
+          .select(
+            col("id").as("doc_id"), col("n_bytes"),
+            col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"), col("format")),
+      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  1 + strlen(text) % 64 AS width,
+             |  1 + (strlen(text) * 7) % 64 AS height,
+             |  1 + strlen(text) % 3 AS channels,
+             |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+             |FROM documents""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational coverage on the TPC-H-ish tables: scan-heavy
+  * aggregation, broadcast star joins, distributed top-k, running windows,
+  * anti joins. These are the bench headliners — each plan is shaped for
+  * scale: filters push to parquet, small dimensions broadcast, top-k runs
+  * as TakeOrderedAndProject (no global sort), aggregates partial-combine
+  * before the shuffle.
+  */
+object RelationalQueries {
+
+  private val cutoff = "2000-01-01"
+
+  /** Epoch millis from a (possibly NTZ) timestamp column; session TZ is
+    * UTC, so NTZ wall-clock == UTC instant, matching DuckDB's epoch_ms.
+    */
+  private def epochMs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+
+  val all: Seq[Q] = Seq(
+    // TPC-H Q1-style scan + aggregate; the shipdate filter and 7-column
+    // projection reach the parquet scan (PushedFilters / ReadSchema).
+    Q(
+      "q1_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+              .as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  round(sum(l_quantity), 2) AS sum_qty,
+              |  round(sum(l_extendedprice), 2) AS sum_base_price,
+              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              |  round(avg(l_quantity), 4) AS avg_qty,
+              |  round(avg(l_extendedprice), 4) AS avg_price,
+              |  round(avg(l_discount), 4) AS avg_disc,
+              |  count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff'
+              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    // TPC-H Q3-style: broadcast the filtered customer dim into the
+    // orders⋈lineitem join, top-10 by revenue.
+    Q(
+      "q3_top_orders",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select(col("l_orderkey"), epochMs(col("o_orderdate")).as("o_date_ms"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+    // distributed top-k → TakeOrderedAndProject, unique tie-breaks
+    Q(
+      "q_topk",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)
+    ),
+    // running-window aggregation per supplier (integral quantities → exact)
+    Q(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_suppkey"),
+            epochMs(col("l_shipdate")).as("ship_ms"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            sum("l_quantity").over(w).as("running_qty"))
+      },
+      Some("""SELECT l_suppkey, epoch_ms(l_shipdate) AS ship_ms, l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS running_qty
+             |FROM lineitem""".stripMargin)
+    ),
+    // anti join: customers with no recent order
+    Q(
+      "q_anti_join",
+      (s, dir) => {
+        val recent = Tables.orders(s, dir).where(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+        Tables.customer(s, dir)
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-06-01')""".stripMargin)
+    ),
+    // star-schema revenue rollup: both dims broadcast, one fact shuffle
+    Q(
+      "q_star_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")),
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.{Align, BucketTs, TsQueryConfig}
+import graft.ts.{TsAlgebra, TsCols}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2–2.3 — the `TimeSeriesConfig` range-query algebra
+  * (F1–F7, A1–A12) exercised on the `events` table with DuckDB oracles.
+  */
+object TsQueries {
+
+  private val cols = TsCols(key = "user_id", ts = "ts_ms", value = "value", seq = Some("event_id"))
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Aggregators whose output is a computed double → rounded on both
+    * sides, with scale matched to magnitude so fp algorithm differences
+    * between engines stay far from the rounding boundary (variance ≈ 10³
+    * with ~1e-9 cross-engine error → 2 decimals; the rest → 4).
+    */
+  private val roundedAggs =
+    Map("avg" -> 4, "sum" -> 4, "range" -> 4, "std.p" -> 4, "std.s" -> 4, "var.p" -> 2, "var.s" -> 2)
+
+  private def aggQuery(agg: String)(s: SparkSession, dir: String): DataFrame = {
+    val cfg = TsQueryConfig(aggregationType = Some(agg), bucketSizeMs = Some(T.Day))
+    val out = TsAlgebra.query(ev(s, dir), cfg, cols)
+    roundedAggs.get(agg).map(d => out.withColumn("value", round(col("value"), d))).getOrElse(out)
+  }
+
+  private def aggOracle(aggSql: String): String =
+    s"""SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} AS ts_ms, $aggSql AS value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def varQuery(sample: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val vi = round(col("value") * 100, 0)
+    val denom = if (sample) (col("n") * (col("n") - 1)).cast("double") * 10000.0
+    else (col("n") * col("n")).cast("double") * 10000.0
+    val guard = if (sample) col("n") > 1 else lit(true)
+    ev(s, dir)
+      .groupBy(col("user_id"), (col("ts_ms") - col("ts_ms") % T.Day).as("ts_ms"))
+      .agg(sum(vi).as("s1"), sum(vi * vi).as("s2"), count(lit(1)).as("n"))
+      .select(
+        col("user_id"), col("ts_ms"),
+        when(guard, (col("n") * col("s2") - col("s1") * col("s1")) / denom).as("value"))
+  }
+
+  private def varOracle(sample: Boolean): String = {
+    val denom = if (sample) "(n*(n-1))" else "(n*n)"
+    val guard = if (sample) "CASE WHEN n > 1 THEN" else "CASE WHEN TRUE THEN"
+    s"""WITH g AS (
+       |  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} AS ts_ms,
+       |         sum(round(value*100)) s1, sum(round(value*100)*round(value*100)) s2, count(*) n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, ts_ms, $guard (n*s2 - s1*s1) / (CAST($denom AS DOUBLE) * 10000.0) END AS value
+       |FROM g""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    // F1 time-range + F6 order + F7 projection (TS.RANGE, SURVEY S1/F1)
+    Q(
+      "ts_range",
+      (s, dir) =>
+        TsAlgebra.query(
+          ev(s, dir).where(col("user_id") === 7),
+          TsQueryConfig(fromTimeMs = Some(T.From), toTimeMs = Some(T.To)),
+          cols),
+      Some(s"""SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+              |WHERE user_id = 7 AND epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}""".stripMargin)
+    ),
+    // S2 reverse scan + F4 COUNT limit (TS.REVRANGE ... COUNT 50)
+    Q(
+      "ts_revrange_limit",
+      (s, dir) =>
+        TsAlgebra.query(
+          ev(s, dir).where(col("user_id") === 7),
+          TsQueryConfig(reversed = true, count = Some(50)),
+          cols),
+      Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+             |WHERE user_id = 7 ORDER BY ts_ms DESC LIMIT 50""".stripMargin)
+    ),
+    // F2 timestamp-set filter (FILTER_BY_TS); the set is fixed config — here
+    // the 20 earliest sample times of the series, collected driver-side.
+    Q(
+      "ts_filter_ts_set",
+      (s, dir) => {
+        import s.implicits._
+        val one = ev(s, dir).where(col("user_id") === 7)
+        val tsList = one.orderBy("ts_ms").limit(20).select("ts_ms").as[Long].collect().toSeq
+        TsAlgebra.query(one, TsQueryConfig(filterByTs = Some(tsList)), cols)
+      },
+      Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+             |WHERE user_id = 7 AND epoch_ms(ts) IN
+             |  (SELECT epoch_ms(ts) FROM events WHERE user_id = 7 ORDER BY 1 LIMIT 20)""".stripMargin)
+    ),
+    // F3 value-range filter (FILTER_BY_VALUE), applied pre-aggregation
+    Q(
+      "ts_filter_value",
+      (s, dir) =>
+        TsAlgebra.query(
+          ev(s, dir),
+          TsQueryConfig(
+            fromTimeMs = Some(T.From), toTimeMs = Some(T.To),
+            filterByMinValue = Some(250.0), filterByMaxValue = Some(490.0)),
+          cols),
+      Some(s"""SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+              |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
+              |  AND value >= 250.0 AND value <= 490.0""".stripMargin)
+    ),
+    // F5 latest/dedup per exact timestamp (ingest order = event_id)
+    Q(
+      "ts_latest",
+      (s, dir) => TsAlgebra.query(ev(s, dir), TsQueryConfig(latest = true), cols),
+      Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, arg_max(value, event_id) AS value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+    // A1–A12: time-bucketed aggregation, 1-day buckets, epoch-aligned
+    Q("ts_agg_avg", aggQuery("avg"), Some(aggOracle("round(avg(value), 4)"))),
+    Q("ts_agg_sum", aggQuery("sum"), Some(aggOracle("round(sum(value), 4)"))),
+    Q("ts_agg_min", aggQuery("min"), Some(aggOracle("min(value)"))),
+    Q("ts_agg_max", aggQuery("max"), Some(aggOracle("max(value)"))),
+    Q("ts_agg_range", aggQuery("range"), Some(aggOracle("round(max(value) - min(value), 4)"))),
+    Q("ts_agg_count", aggQuery("count"), Some(aggOracle("count(value)"))),
+    Q("ts_agg_first", aggQuery("first"), Some(aggOracle("arg_min(value, epoch_ms(ts))"))),
+    Q("ts_agg_last", aggQuery("last"), Some(aggOracle("arg_max(value, epoch_ms(ts))"))),
+    Q("ts_agg_std_p", aggQuery("std.p"), Some(aggOracle("round(stddev_pop(value), 4)"))),
+    Q("ts_agg_std_s", aggQuery("std.s"), Some(aggOracle("round(stddev_samp(value), 4)"))),
+    // A11/A12 variance: the source values are exact 2-decimal numbers, so
+    // both sides compute over vi = round(100·v) — integer sums are exact
+    // in IEEE double in ANY summation order, and the single final division
+    // is then bit-identical across engines (no rounding needed at all).
+    // Any rounding scheme over each engine's native variance kernel keeps
+    // straddling grid points: true variances of 2-decimal data with small
+    // bucket counts land exactly on half-way values. TsAlgebra itself maps
+    // var.p/var.s to Spark's var_pop/var_samp (see TsAlgebraSpec).
+    Q("ts_agg_var_p", varQuery(sample = false), Some(varOracle(sample = false))),
+    Q("ts_agg_var_s", varQuery(sample = true), Some(varOracle(sample = true))),
+    // ALIGN + BUCKETTIMESTAMP '~': 6h buckets aligned to 11:00Z, mid label
+    Q(
+      "ts_agg_align",
+      (s, dir) => {
+        val cfg = TsQueryConfig(
+          fromTimeMs = Some(T.From), toTimeMs = Some(T.To),
+          aggregationType = Some("avg"), bucketSizeMs = Some(21600000L),
+          align = Align.At(1704106800000L), bucketTimestamp = BucketTs.Mid)
+        TsAlgebra.query(ev(s, dir), cfg, cols).withColumn("value", round(col("value"), 4))
+      },
+      Some(s"""SELECT user_id,
+              |  epoch_ms(ts) - ((epoch_ms(ts) - 1704106800000) % 21600000) + 10800000 AS ts_ms,
+              |  round(avg(value), 4) AS value
+              |FROM events
+              |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
+              |GROUP BY 1, 2""".stripMargin)
+    )
+  )
+}

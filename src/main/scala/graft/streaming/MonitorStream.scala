@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.config.Constants
+import graft.model.TsSample
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Carried EMA state per series key. */
+final case class EmaState(ema: Double, lastTsMs: Long, lastValue: Double, n: Long)
+
+/** One streaming score record. */
+final case class StreamScore(seriesKey: Long, tsMs: Long, value: Double, ema: Double, dev: Double)
+
+/** Structured-Streaming upgrade of the reference's polling `monitor()`
+  * loop (/root/reference/potoos/client.py:113-139, polled per
+  * /root/reference/README.md:126-129; BASELINE.json sanctions
+  * "Structured Streaming + MLlib").
+  *
+  * The reference re-fetches a range and re-scores it on every poll; here
+  * the series arrives as an unbounded stream, scoring state (the EMA
+  * recurrence) lives per key in the state store, and event-time windows +
+  * watermarks replace re-fetching — each point is scored exactly once.
+  *
+  * Scale: state is O(1) per series key (one EmaState), partitioned by key
+  * across executors by the streaming aggregation — the same
+  * parallelism-by-key design as the batch KeyedFold.
+  */
+object MonitorStream {
+
+  /** Sliding-window bucketed aggregation with watermark — the streaming
+    * form of the A1–A12 bucketed aggregators (processing-time polling →
+    * event-time windows with late-data handling).
+    */
+  def windowedAgg(
+      events: DataFrame, // (seriesKey, ts timestamp, value)
+      bucket: String = "1 minute",
+      slide: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket, slide), col("seriesKey"))
+      .agg(
+        avg("value").as("avg_value"),
+        count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+
+  /** Per-key streaming EMA scoring via mapGroupsWithState: the streaming
+    * twin of ExpAvgKernel. Within each micro-batch the group's rows are
+    * sorted by event time; the EMA carries across batches in the state
+    * store. Emits |v − ema| as the raw deviation; thresholding uses an
+    * absolute `score_threshold` (the percent-of-max form needs the whole
+    * series — documented batch/stream divergence, SURVEY.md §7.5).
+    */
+  def emaScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): Dataset[StreamScore] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[EmaState, StreamScore](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (key: Long, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
+        val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+        var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
+        val out = batch.iterator.flatMap { p =>
+          if (p.tsMs <= st.lastTsMs) Iterator.empty // drop late/dup events
+          else {
+            val ema = if (st.n == 0L) p.value else alpha * p.value + (1 - alpha) * st.ema
+            st = EmaState(ema, p.tsMs, p.value, st.n + 1)
+            Iterator.single(StreamScore(key, p.tsMs, p.value, ema, math.abs(p.value - ema)))
+          }
+        }.toVector
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming anomaly flags with an absolute threshold on the raw EMA
+    * deviation (D6-style in-stream thresholding).
+    */
+  def monitorStream(points: Dataset[TsSample], scoreThreshold: Double, alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
+    emaScores(points, alpha)
+      .toDF()
+      .withColumn("isAnomaly", col("dev") > scoreThreshold)
+}

@@ -1,0 +1,111 @@
+package graft.ts
+
+import graft.config.{Align, BucketTs, TsQueryConfig}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column roles for a time-series DataFrame: a series key, an epoch-millis
+  * timestamp, a value, and optionally a monotone sequence column used to
+  * resolve duplicate timestamps ("latest" semantics, F5).
+  */
+final case class TsCols(
+    key: String = "user_id",
+    ts: String = "ts_ms",
+    value: String = "value",
+    seq: Option[String] = None)
+
+/** The range-query algebra of the reference `TimeSeriesConfig`
+  * (/root/reference/potoos/models/config.py:33-55; dispatch
+  * /root/reference/potoos/client.py:56-59) — SURVEY.md §2.2–2.3, operators
+  * F1–F7 and A1–A12.
+  *
+  * Everything here is composed from Spark built-ins, so the whole pipeline
+  * stays inside Catalyst: the F1–F3 predicates push down to the parquet
+  * scan (row-group pruning), the bucketed aggregation runs as a partial +
+  * final HashAggregate (map-side combine before the shuffle), and
+  * `count` becomes TakeOrderedAndProject (distributed top-k, no full sort
+  * on one node). The reference executes these inside the Redis server;
+  * here Catalyst's pushdown preserves the same "reduce before moving data"
+  * property at cluster scale.
+  *
+  * Order of operations (Redis TS.RANGE semantics, public docs): time-range
+  * and value/ts filters first, then latest-dedup, then bucketed
+  * aggregation, then ordering, then COUNT-limit.
+  */
+object TsAlgebra {
+
+  def query(df: DataFrame, cfg: TsQueryConfig, cols: TsCols = TsCols()): DataFrame = {
+    val key = col(cols.key)
+    val ts = col(cols.ts)
+    val value = col(cols.value)
+
+    // F1 time range (inclusive; None = '-'/'+' unbounded sentinels)
+    var out = df
+    cfg.fromTimeMs.foreach(f => out = out.where(ts >= lit(f)))
+    cfg.toTimeMs.foreach(t => out = out.where(ts <= lit(t)))
+    // F2 timestamp-set filter
+    cfg.filterByTs.foreach(l => out = out.where(ts.isin(l: _*)))
+    // F3 value range (applied BEFORE aggregation, matching Redis)
+    cfg.filterByMinValue.foreach(v => out = out.where(value >= lit(v)))
+    cfg.filterByMaxValue.foreach(v => out = out.where(value <= lit(v)))
+
+    // F5 latest: one sample per exact timestamp; the seq column (ingest
+    // order) picks the latest write, mirroring compaction `LATEST`.
+    if (cfg.latest) {
+      val pick = cols.seq match {
+        case Some(s) => max_by(value, col(s))
+        case None => max(value)
+      }
+      out = out.groupBy(key, ts).agg(pick.as(cols.value))
+    }
+
+    // A1–A12 bucketed aggregation
+    out = cfg.aggregationType match {
+      case Some(aggName) =>
+        val b = cfg.bucketSizeMs.get
+        val alignMs: Long = cfg.align match {
+          case Align.Epoch => 0L
+          case Align.Start => cfg.fromTimeMs.getOrElse(0L)
+          case Align.End => cfg.toTimeMs.getOrElse(0L)
+          case Align.At(ms) => ms
+        }
+        // bucket start: ts - ((ts - align) mod B), half-open [start, start+B)
+        val bucketStart = ts - pmod(ts - lit(alignMs), lit(b))
+        val label = cfg.bucketTimestamp match {
+          case BucketTs.Start => bucketStart
+          case BucketTs.End => bucketStart + lit(b)
+          case BucketTs.Mid => bucketStart + lit(b / 2)
+        }
+        out
+          .groupBy(key.as(cols.key), label.as(cols.ts))
+          .agg(aggExpr(aggName, value, ts).as(cols.value))
+      case None =>
+        out.select(key.as(cols.key), ts.as(cols.ts), value.as(cols.value))
+    }
+
+    // F6 ordering: RANGE asc / REVRANGE desc by timestamp
+    val ordered = out.orderBy(col(cols.key).asc, if (cfg.reversed) col(cols.ts).desc else col(cols.ts).asc)
+    // F4 COUNT limit: first N in scan order per the whole result (the
+    // reference is single-series; for multi-series callers apply a window).
+    cfg.count.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
+    * codegen'd, partial-aggregatable, no UDAF.
+    */
+  def aggExpr(name: String, value: Column, ts: Column): Column = name match {
+    case "avg" => avg(value)
+    case "sum" => sum(value)
+    case "min" => min(value)
+    case "max" => max(value)
+    case "range" => max(value) - min(value)
+    case "count" => count(value)
+    case "first" => min_by(value, ts) // value at lowest ts in bucket
+    case "last" => max_by(value, ts) // value at highest ts in bucket
+    case "std.p" => stddev_pop(value)
+    case "std.s" => stddev_samp(value)
+    case "var.p" => var_pop(value)
+    case "var.s" => var_samp(value)
+    case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
+  }
+}

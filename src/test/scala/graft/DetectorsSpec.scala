@@ -1,0 +1,121 @@
+package graft
+
+import graft.client.Graft
+import graft.config.DetectorConfig
+import graft.detect.Detectors
+import graft.model.TsSample
+import graft.ts.TsCols
+import org.apache.spark.sql.Dataset
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Detection pipeline semantics (SURVEY.md §2.4), including the
+  * reference-suite ports: n<4 guard, ramp+spike anomaly, metadata math,
+  * empty input, score_only.
+  */
+class DetectorsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("detectors-spec")
+  import spark.implicits._
+
+  private def pts(rows: (Long, Long, Double)*): Dataset[TsSample] =
+    rows.map { case (k, t, v) => TsSample(k, t, v) }.toDS()
+
+  // FIXTURES.md ramp + spike (reference tests/test_client.py:146-151)
+  private val rampSpike = pts((1, 1000, 10.0), (1, 2000, 20.0), (1, 3000, 30.0), (1, 4000, 100.0))
+
+  test("min-cardinality guard drops series with < 4 points (D0)") {
+    val mixed = pts((1, 1000, 1.0), (1, 2000, 1.0), (1, 3000, 1.0),
+      (2, 1000, 1.0), (2, 2000, 1.0), (2, 3000, 1.0), (2, 4000, 1.0))
+    val kept = Detectors.minPointsGuard(mixed).select("seriesKey").distinct().as[Long].collect()
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("derivative detector flags the spike; windows + metadata match the reference fixture") {
+    val scores = Detectors.derivativeScores(rampSpike)
+    val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+    val w = wins.collect()
+    assert(w.length == 1)
+    val row = w.head
+    assert(row.getAs[Long]("startTsMs") == 4000L)
+    assert(row.getAs[Long]("endTsMs") == 4000L)
+    assert(row.getAs[Long]("exactTsMs") == 4000L)
+
+    val meta = Detectors.metadata(rampSpike, wins, "derivative_detector").collect().head
+    assert(meta.getAs[Long]("dataPointsAnalyzed") == 4L)
+    assert(meta.getAs[Long]("anomaliesFound") == 1L)
+    assert(meta.getAs[Long]("startMs") == 1000L)
+    assert(meta.getAs[Long]("endMs") == 4000L)
+    assert(meta.getAs[Long]("durationMs") == 3000L)
+  }
+
+  test("flat series produces no anomalies (reference flat-scores path)") {
+    val flat = pts((1, 1000, 5.0), (1, 2000, 5.0), (1, 3000, 5.0), (1, 4000, 5.0))
+    val scores = Detectors.derivativeScores(flat)
+    val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+    assert(wins.count() == 0) // all scores 0 → nothing above 0.2·max(=0)
+  }
+
+  test("empty input yields empty results, not an error (D16)") {
+    val res = Graft.monitor(
+      spark.emptyDataset[TsSample].toDF().withColumnRenamed("seriesKey", "user_id")
+        .withColumnRenamed("tsMs", "ts_ms"),
+      TsCols(key = "user_id", ts = "ts_ms", value = "value"))
+    assert(res.scores.count() == 0 && res.anomalies.count() == 0 && res.metadata.count() == 0)
+  }
+
+  test("score_only skips window assembly (D14)") {
+    val res = Graft.monitor(
+      rampSpike.toDF().withColumnRenamed("seriesKey", "user_id").withColumnRenamed("tsMs", "ts_ms"),
+      TsCols(key = "user_id", ts = "ts_ms", value = "value"),
+      detCfg = DetectorConfig(scoreOnly = true))
+    assert(res.scores.count() == 4 && res.anomalies.count() == 0)
+  }
+
+  test("absolute_threshold scores distance outside the band (D6)") {
+    val s = Detectors
+      .absoluteThresholdScores(rampSpike, upper = Some(35.0), lower = Some(15.0))
+      .collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score"))
+      .toMap
+    assert(s(1000L) == 5.0) // 15 - 10
+    assert(s(2000L) == 0.0)
+    assert(s(3000L) == 0.0)
+    assert(s(4000L) == 65.0) // 100 - 35
+  }
+
+  test("default_detector dampens insignificant EMA scores and maxes significant ones (D5)") {
+    val d = Detectors.defaultScores(rampSpike).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    val e = Detectors.expAvgScores(rampSpike).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    val dv = Detectors.derivativeScores(rampSpike).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    d.foreach { case (ts, score) =>
+      val expect = if (e(ts) > 0.94) math.max(e(ts), dv(ts)) else e(ts) * 0.65
+      assert(math.abs(score - expect) < 1e-12, s"ts=$ts")
+    }
+  }
+
+  test("absolute score_threshold overrides percent-of-max (D11)") {
+    val scores = Detectors.derivativeScores(rampSpike)
+    val wins = Detectors.anomalies(
+      Detectors.withThreshold(scores, DetectorConfig(scoreThreshold = Some(1000.0))))
+    assert(wins.count() == 0)
+  }
+
+  test("baseline detectors: diff_percent and sign_test score vs baseline (D7/D8)") {
+    val cur = pts((1, 1000, 100.0), (1, 2000, 100.0), (1, 3000, 200.0), (1, 4000, 100.0))
+    val baseline = Seq((1L, 1000L, 100.0), (1L, 2000L, 100.0), (1L, 3000L, 100.0), (1L, 4000L, 100.0))
+      .toDF("seriesKey", "tsMs", "baseline")
+    val dp = Detectors
+      .diffPercentScores(cur, baseline, Some(20.0), Some(20.0))
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(dp(1000L) == 0.0 && dp(3000L) == 100.0)
+
+    val st = Detectors
+      .signTestScores(cur, baseline, windowPoints = 2, confidence = 0.5, offset = 0.1)
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    // at ts=3000 one of the trailing 2 points is >10% above baseline → f=0.5 → score 0
+    assert(st(2000L) == 0.0)
+    assert(st(3000L) == 0.0)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension operators: dedup, similarity search, text analysis,
+  * multimodal plumbing. LSH paths are verified against their exact
+  * counterparts here (the oracle-free rows-only queries).
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("ext-spec")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different words about spark catalyst optimizer plans")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("cnt")).toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse
+    assert(out(3L) == 1L && out(4L) == 1L)
+  }
+
+  test("n-gram Jaccard finds exact and near duplicates with sane scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.exists { case ((a, b), _) => b == 4L || a == 4L })
+  }
+
+  test("MinHash-LSH pairs are a subset of exact Jaccard pairs and catch the planted dups") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L))) // identical docs always collide in every band
+  }
+
+  test("MinHash-LSH on the documents table: verified subset of exact pairs, full recall here") {
+    val d = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found none of the exact pairs")
+  }
+
+  test("SimHash: identical docs hash identically; banding surfaces the pair") {
+    val hashes = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Int]("hamming")))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", col("id") === 0, k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k returns valid ranks and decent recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(e, "vec_id", "embedding", col("id") < 5, k = 5, dims = 64, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx.nonEmpty)
+    // same-bucket neighbors are a biased sample; require non-trivial overlap
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("token stats: whitespace words + ceil(len/4) subword estimate") {
+    val out = TextAnalysis.tokenStats(Seq((1L, "aa bb cccc ddddd")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Int]("n_words") == 4)
+    assert(out.getAs[Long]("n_subtokens") == 5L) // 1+1+1+2
+  }
+
+  test("quality metrics are deterministic and bounded") {
+    val out = TextAnalysis.quality(Tables.documents(spark, sf), "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ratio = r.getAs[Double]("stopword_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Double]("avg_word_len") > 0.0)
+    }
+  }
+
+  test("fingerprint: md5 + min-shingle are stable and hex-shaped") {
+    val out = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("fp"), r.getAs[String]("shingle_min"))).toMap
+    assert(byId(1L) == byId(2L)) // identical text → identical fingerprints
+    assert(byId(1L)._1.matches("[0-9a-f]{32}"))
+    assert(byId(1L)._2.matches("[0-9a-f]{32}"))
+  }
+
+  test("multimodal stub decode: deterministic metadata from binary payloads") {
+    val meta = Multimodal.decodeStub(7L, "abcdef".getBytes)
+    assert(meta == graft.ext.MediaMeta(7L, 6L, 7, 43, 1, "png"))
+    val out = Multimodal.imageMeta(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload")
+      .collect()
+    assert(out.length == 4)
+    out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.detect.{ExpAvgKernel, KeyedFold, RawScored}
+import graft.model.TsSample
+import graft.streaming.MonitorStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming monitor: per-key EMA state must carry across
+  * micro-batches and agree with the batch kernel on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("streaming-spec")
+  import spark.implicits._
+
+  test("streaming EMA equals the batch kernel across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .emaScores(mem.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ema_out")
+      .start()
+    try {
+      val batch1 = Seq(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0), TsSample(2, 1000, 5.0))
+      val batch2 = Seq(TsSample(1, 3000, 30.0), TsSample(1, 4000, 100.0), TsSample(2, 2000, 6.0))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val got = spark.table("ema_out").as[graft.streaming.StreamScore].collect()
+        .map(s => (s.seriesKey, s.tsMs) -> s.ema).toMap
+
+      val expected = KeyedFold
+        .run[TsSample, RawScored](
+          (batch1 ++ batch2).sortBy(p => (p.seriesKey, p.tsMs)).iterator,
+          _.seriesKey,
+          () => new ExpAvgKernel(0.2))
+        .toSeq
+      expected.foreach { e =>
+        val ema = e.value - e.dev // kernel dev = v − ema
+        assert(math.abs(got((e.seriesKey, e.tsMs)) - ema) < 1e-12, s"key=${e.seriesKey} ts=${e.tsMs}")
+      }
+      assert(got.size == expected.size)
+    } finally q.stop()
+  }
+
+  test("windowed streaming aggregation over event-time with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "seriesKey", "value")
+    val q = MonitorStream
+      .windowedAgg(df, bucket = "1 minute", slide = "1 minute", watermark = "5 minutes")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (t("2024-01-01 00:00:10"), 1L, 10.0),
+        (t("2024-01-01 00:00:50"), 1L, 30.0),
+        (t("2024-01-01 00:01:10"), 1L, 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.length == 2)
+      val avgs = rows.map(r => r.getAs[Double]("avg_value")).sorted.toSeq
+      assert(avgs == Seq(20.0, 100.0))
+    } finally q.stop()
+  }
+}

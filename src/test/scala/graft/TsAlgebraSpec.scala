@@ -1,0 +1,96 @@
+package graft
+
+import graft.config.{Align, BucketTs, TsQueryConfig}
+import graft.ts.{TsAlgebra, TsCols}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TS range-query algebra semantics, including the reference test-suite
+  * contracts (FIXTURES.md §1: fwd/rev ordering, empty input, latest).
+  */
+class TsAlgebraSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("ts-algebra-spec")
+  import spark.implicits._
+
+  private val cols = TsCols(key = "k", ts = "ts", value = "v", seq = Some("seq"))
+
+  private def df(rows: (Long, Long, Double, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "ts", "v", "seq")
+
+  private val base = df(
+    (1, 1000, 10.0, 1), (1, 2000, 20.0, 2), (1, 3000, 30.0, 3),
+    (1, 4000, 40.0, 4), (1, 5000, 50.0, 5))
+
+  test("forward range scan: inclusive bounds, ascending (reference fwd contract)") {
+    val out = TsAlgebra
+      .query(base, TsQueryConfig(fromTimeMs = Some(2000), toTimeMs = Some(4000)), cols)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2000L, 3000L, 4000L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(20.0, 30.0, 40.0))
+  }
+
+  test("reversed scan returns newest first; count keeps newest N (REVRANGE contract)") {
+    val out = TsAlgebra.query(base, TsQueryConfig(reversed = true, count = Some(2)), cols).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(5000L, 4000L))
+  }
+
+  test("empty input yields empty result, not an error (D16)") {
+    val out = TsAlgebra.query(df(), TsQueryConfig(), cols)
+    assert(out.count() == 0)
+  }
+
+  test("timestamp-set and value filters compose") {
+    val out = TsAlgebra
+      .query(
+        base,
+        TsQueryConfig(filterByTs = Some(Seq(1000L, 3000L, 5000L)), filterByMinValue = Some(25.0)),
+        cols)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3000L, 5000L))
+  }
+
+  test("latest dedups duplicate timestamps by highest seq") {
+    val dup = df((1, 1000, 10.0, 1), (1, 1000, 99.0, 2), (1, 2000, 20.0, 3))
+    val out = TsAlgebra.query(dup, TsQueryConfig(latest = true), cols).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getLong(1) == 1000L).get.getDouble(2) == 99.0)
+  }
+
+  test("bucketed aggregation: avg/first/last/range per half-open bucket") {
+    val d = df((1, 0, 1.0, 1), (1, 500, 3.0, 2), (1, 999, 5.0, 3), (1, 1000, 7.0, 4))
+    def agg(a: String) =
+      TsAlgebra
+        .query(d, TsQueryConfig(aggregationType = Some(a), bucketSizeMs = Some(1000)), cols)
+        .collect()
+        .map(r => r.getLong(1) -> r.get(2))
+        .toMap
+    assert(agg("avg") == Map(0L -> 3.0, 1000L -> 7.0))
+    assert(agg("first") == Map(0L -> 1.0, 1000L -> 7.0))
+    assert(agg("last") == Map(0L -> 5.0, 1000L -> 7.0))
+    assert(agg("range") == Map(0L -> 4.0, 1000L -> 0.0))
+    assert(agg("count") == Map(0L -> 3L, 1000L -> 1L))
+  }
+
+  test("align offset shifts bucket boundaries; bucket_timestamp mid relabels") {
+    val d = df((1, 100, 1.0, 1), (1, 1099, 3.0, 2), (1, 1101, 5.0, 3))
+    val out = TsAlgebra
+      .query(
+        d,
+        TsQueryConfig(
+          aggregationType = Some("avg"), bucketSizeMs = Some(1000),
+          align = Align.At(100), bucketTimestamp = BucketTs.Mid),
+        cols)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+      .toMap
+    // buckets [100,1100) and [1100,2100), labeled at mid (+500)
+    assert(out == Map(600L -> 2.0, 1600L -> 5.0))
+  }
+
+  test("aggregation config validation mirrors the reference rules") {
+    assertThrows[IllegalArgumentException](TsQueryConfig(aggregationType = Some("avg")))
+    assertThrows[IllegalArgumentException](TsQueryConfig(bucketSizeMs = Some(1000)))
+    assertThrows[IllegalArgumentException](
+      TsQueryConfig(aggregationType = Some("p99"), bucketSizeMs = Some(1000)))
+  }
+}
