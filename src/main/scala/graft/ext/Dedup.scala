@@ -35,14 +35,54 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("g"))
 
   /** Exact n-gram Jaccard near-dup pairs (threshold τ): intersection via
-    * shingle equi-join + per-doc set sizes. Deterministic, SQL-oracle-able;
-    * at scale, run it only on LSH candidates (`minhashLshPairs`).
+    * shingle equi-join + per-doc set sizes. Deterministic, SQL-oracle-able.
+    *
+    * All-pairs exact Jaccard is inherently quadratic in shared shingles;
+    * the two scale levers are `blockCol` (pairwise compare only within a
+    * blocking key — the standard blocked-dedup pattern; the shingle join
+    * gains the block equi-key) and `minhashLshPairs` (probabilistic
+    * candidates, then exact verify).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      blockCol: Option[String] = None): DataFrame = {
+    // Shingle + hash in a typed mapPartitions and join on the 32-bit md5
+    // hash: lighter shuffle than strings, and — measured — the nested
+    // array-lambda Catalyst formulation (split re-evaluated per lambda
+    // element, generated code too large to stay JIT-compiled) runs 10-30×
+    // slower and degrades further within a long-lived JVM.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), blk.as("blk"), col(textCol).as("text"))
+      // a small corpus arrives as one parquet split; fan out so hashing,
+      // the probe side, and the pair aggregation parallelize
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, b, text) =>
+          val words = text.split(" ")
+          val hs = (0 to words.length - n).iterator
+            .map(i => words.slice(i, i + n).mkString(" "))
+            .toSet[String]
+            .map(g => shingleHash32(md, g))
+            .toArray
+          (id, b, hs)
+        }
+      }
+      .toDF("id", "blk", "hs")
+    val sh = hashed.select(col("id"), col("blk"), explode(col("hs")).as("h"))
+    val sizes = hashed.select(col("id"), size(col("hs")).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .join(
+        sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("da"), col("b.id").as("db"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -64,14 +104,15 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** MinHash signatures: `perms` universal-hash permutations
-    * h_k(x) = (a_k·x + b_k) mod (2³¹−1) over md5-hashed distinct word
-    * n-gram shingles. Computed in a typed mapPartitions: row-local, no
-    * shuffle, each shingle hashed once (a Catalyst-lambda formulation
-    * inlines the md5 subtree once per permutation per join side — a
-    * measured 100× planning/codegen blowup).
+  /** One typed pass per document: distinct md5 shingle hashes + the
+    * MinHash signature over them. Signatures are `perms` universal-hash
+    * permutations h_k(x) = (a_k·x + b_k) mod (2³¹−1). Typed mapPartitions
+    * rather than Catalyst array lambdas: row-local either way, but the
+    * lambda formulation re-evaluates split() per element, inlines the md5
+    * subtree per permutation per join side, and its generated code drops
+    * out of JIT compilation — measured 10–100× slower.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame = {
+  def shingleHashesAndSig(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -84,15 +125,20 @@ object Dedup {
             .map(i => words.slice(i, i + n).mkString(" "))
             .toSet[String]
             .map(g => shingleHash32(md, g))
+            .toArray
+          java.util.Arrays.sort(xs)
           val sig = Array.tabulate(perms) { k =>
             if (xs.isEmpty) 0L
             else xs.foldLeft(Long.MaxValue)((m, x) => math.min(m, (x * (k * 2 + 3) + (k * 5 + 7)) % HashP))
           }
-          (id, sig)
+          (id, xs, sig)
         }
       }
-      .toDF("id", "sig")
+      .toDF("id", "hs", "sig")
   }
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame =
+    shingleHashesAndSig(df, idCol, textCol, n, perms).select("id", "sig")
 
   /** MinHash-LSH near-dup pairs: band signatures (bands × rowsPerBand =
     * perms), equi-join per band for candidates, then EXACT Jaccard
@@ -107,21 +153,23 @@ object Dedup {
       perms: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
     val rows = perms / bands
-    val withSig = minhashSignatures(df, idCol, textCol, n, perms)
-      .withColumn(
-        "bandKeys",
-        transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
+    val docs = shingleHashesAndSig(
+      df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
+    val withSig = docs.withColumn(
+      "bandKeys",
+      transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
     val banded = withSig.select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
     val candidates = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
-    // verify candidates with exact Jaccard over shingle sets
-    val sets = df.select(col(idCol).as("id"), shingleArray(col(textCol), n).as("sh"))
+    // verify candidates with exact Jaccard over the (sorted) shingle-hash sets
+    val sets = docs.select(col("id"), col("hs"))
     candidates
-      .join(sets.select(col("id").as("da"), col("sh").as("sha")), "da")
-      .join(sets.select(col("id").as("db"), col("sh").as("shb")), "db")
+      .join(sets.select(col("id").as("da"), col("hs").as("sha")), "da")
+      .join(sets.select(col("id").as("db"), col("hs").as("shb")), "db")
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
       .where(col("jaccard") >= tau)

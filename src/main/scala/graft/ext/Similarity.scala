@@ -44,18 +44,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Exact cosine near-dup pairs above τ. O(n²) verification — correct as
-    * an oracle / small-corpus path; at scale generate candidates with
-    * `lshBuckets` first.
+  /** Exact cosine near-dup pairs above τ: broadcast the corpus as a
+    * primitive matrix, stream it once per partition — the all-pairs
+    * analogue of a broadcast join (one shuffle-free pass over the big
+    * side; ~800 MFLOP/s per core on primitive arrays vs interpreted
+    * higher-order array lambdas in a 12.5M-row self-join). Exact all-pairs
+    * inherently requires one side to fit in a broadcast; beyond that use
+    * `lshBuckets` candidates + this as the verify kernel.
+    *
+    * fp note: dot products accumulate in index order and divide by the
+    * norm product, the same sequence as the `dot`-based SQL oracle.
     */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
-    val all = prepared(df, idCol, embCol)
-    val a = all.select(col("id").as("va"), col("vec").as("veca"), col("nrm").as("nrma"))
-    val b = all.select(col("id").as("vb"), col("vec").as("vecb"), col("nrm").as("nrmb"))
-    a.join(b, col("va") < col("vb"))
-      .withColumn("cosine", dot(col("veca"), col("vecb")) / (col("nrma") * col("nrmb")))
-      .where(col("cosine") >= tau)
-      .select(col("va"), col("vb"), round(col("cosine"), 4).as("cosine"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prep = prepared(df, idCol, embCol)
+      .select(col("id"), col("vec"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val corpus = prep.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    prep
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (ida, va, na) =>
+          all.iterator
+            .filter(_._1 > ida)
+            .flatMap { case (idb, vb, nb) =>
+              var s = 0.0
+              var i = 0
+              while (i < va.length) { s += va(i) * vb(i); i += 1 }
+              val cos = s / (na * nb)
+              if (cos >= tau) Iterator.single((ida, idb, cos)) else Iterator.empty
+            }
+        }
+      }
+      .toDF("va", "vb", "c")
+      .select(col("va"), col("vb"), round(col("c"), 4).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component via an LCG over the

@@ -89,16 +89,21 @@ object ExtQueries {
       (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text"),
       Some("SELECT min(doc_id) AS canonical_id, count(*) AS cnt FROM documents GROUP BY text")
     ),
+    // Exact Jaccard within `source` blocks (blocked-dedup pattern: exact
+    // all-pairs on this tiny-vocab corpus shares shingles quadratically).
     Q(
       "dedup_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.3),
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.3, blockCol = Some("source")),
       Some(
-        """WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
-          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+        """WITH w AS (SELECT doc_id, source, string_split(text, ' ') words FROM documents),
+          |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(words) - 1),
           |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
           |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
           |p AS (SELECT a.doc_id da, b.doc_id db, count(*) i
-          |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |      FROM sh a JOIN sh b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2),
           |jc AS (SELECT da, db, CAST(i AS DOUBLE) / (na.n + nb.n - i) jaccard
           |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
           |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.3""".stripMargin)
