@@ -44,7 +44,14 @@ object Graft {
     val scores = Detectors.score(points, detCfg, baseline)
     val anomalies =
       if (detCfg.scoreOnly) spark.emptyDataset[graft.model.Anomaly].toDF()
-      else Detectors.anomalies(Detectors.withThreshold(scores, detCfg))
+      else {
+        val wins = Detectors.anomalies(Detectors.withThreshold(scores, detCfg))
+        detCfg.refineAlgorithmName match {
+          case Some(r) =>
+            Detectors.refineExact(points, wins, detCfg.copy(algorithmName = r, refineAlgorithmName = None))
+          case None => wins
+        }
+      }
     MonitorResult(scores, anomalies, Detectors.metadata(points, anomalies, detCfg.algorithmName))
   }
 }

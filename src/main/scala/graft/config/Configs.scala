@@ -96,6 +96,9 @@ final case class DetectorConfig(
     scoreThreshold: Option[Double] = None,
     scorePercentThreshold: Option[Double] = None,
     scoreOnly: Boolean = false,
+    // D13: optional second algorithm re-scores within each anomaly window
+    // to pin exact_timestamp (/root/reference/potoos/models/config.py:88-89)
+    refineAlgorithmName: Option[String] = None,
     // absolute_threshold params
     absoluteThresholdUpper: Option[Double] = None,
     absoluteThresholdLower: Option[Double] = None,

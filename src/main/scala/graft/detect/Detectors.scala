@@ -161,15 +161,59 @@ object Detectors {
       .select("seriesKey", "startTsMs", "endTsMs", "anomalyScore", "exactTsMs")
   }
 
+  /** D13 refinement: re-score each anomaly window's slice with a second
+    * algorithm and re-pin exact_timestamp at that algorithm's argmax.
+    * Each window becomes its own synthetic series key, so the refine pass
+    * reuses the ordinary scoring kernels and stays fully distributed
+    * (windows are bounded slices — no driver loop, no per-window jobs).
+    */
+  def refineExact(points: Dataset[TsSample], windows: DataFrame, refineCfg: DetectorConfig): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val w = windows.withColumn("wid", monotonically_increasing_id())
+    val sliced = points.toDF
+      .join(
+        w.select(col("wid"), col("seriesKey").as("k"), col("startTsMs"), col("endTsMs")),
+        col("seriesKey") === col("k") && col("tsMs").between(col("startTsMs"), col("endTsMs")))
+    val slicePts = sliced.select(col("wid").as("seriesKey"), col("tsMs"), col("value")).as[TsSample]
+    val rescored = score(slicePts, refineCfg, None)
+    val refined = rescored
+      .groupBy(col("seriesKey").as("wid"))
+      // argmax of refine score; ties resolved to the latest timestamp
+      .agg(max_by(col("tsMs"), struct(col("score"), col("tsMs"))).as("refinedExactTsMs"))
+    w.join(refined, Seq("wid"), "left")
+      .select(
+        col("seriesKey"), col("startTsMs"), col("endTsMs"), col("anomalyScore"),
+        coalesce(col("refinedExactTsMs"), col("exactTsMs")).as("exactTsMs"))
+  }
+
   /** Full pipeline for one algorithm: guard → score → threshold →
-    * sessionize (unless score_only, D14).
+    * sessionize (unless score_only, D14) → refine (D13, if configured).
     */
   def detect(points: Dataset[TsSample], cfg: DetectorConfig, baseline: Option[DataFrame] = None): DataFrame = {
     import points.sparkSession.implicits._
     val guarded = minPointsGuard(points).as[TsSample]
     val scores = score(guarded, cfg, baseline)
-    if (cfg.scoreOnly) scores else anomalies(withThreshold(scores, cfg))
+    if (cfg.scoreOnly) scores
+    else {
+      val wins = anomalies(withThreshold(scores, cfg))
+      cfg.refineAlgorithmName match {
+        case Some(refineName) =>
+          refineExact(guarded, wins, cfg.copy(algorithmName = refineName, refineAlgorithmName = None))
+        case None => wins
+      }
+    }
   }
+
+  /** D9 escape hatch: user-registered scoring strategies, the Spark
+    * analogue of the reference's `algorithm_class`
+    * (/root/reference/potoos/models/config.py:90,99-100). A strategy maps
+    * guarded points (+ optional baseline) to a (seriesKey, tsMs, value,
+    * score) DataFrame.
+    */
+  type Scorer = (Dataset[TsSample], DetectorConfig, Option[DataFrame]) => DataFrame
+  private val customScorers = scala.collection.concurrent.TrieMap.empty[String, Scorer]
+  def register(name: String, scorer: Scorer): Unit = customScorers.put(name, scorer)
 
   /** D9 registry: algorithm_name → scoring strategy
     * (/root/reference/potoos/models/config.py:86,90).
@@ -189,7 +233,11 @@ object Detectors {
         signTestScores(
           points, baselineOrFail(baseline),
           cfg.signTestWindowPoints, cfg.signTestConfidence, cfg.signTestOffset)
-      case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+      case other =>
+        customScorers.get(other) match {
+          case Some(s) => s(points, cfg, baseline)
+          case None => throw new IllegalArgumentException(s"unknown algorithm: $other")
+        }
     }
 
   private def baselineOrFail(b: Option[DataFrame]): DataFrame =

@@ -118,4 +118,27 @@ class DetectorsSpec extends AnyFunSuite {
     assert(st(2000L) == 0.0)
     assert(st(3000L) == 0.0)
   }
+
+  test("refine re-pins exact_timestamp with a second algorithm (D13)") {
+    // window spans two points; absolute-threshold refine prefers the larger value
+    val series = pts((1, 1000, 10.0), (1, 2000, 10.0), (1, 3000, 80.0), (1, 4000, 100.0), (1, 5000, 10.0))
+    val scores = Detectors.derivativeScores(series)
+    val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+    val refined = Detectors.refineExact(
+      series, wins,
+      DetectorConfig(algorithmName = "absolute_threshold", absoluteThresholdUpper = Some(0.0)))
+    val r = refined.collect()
+    assert(r.length == wins.count())
+    r.foreach { row =>
+      val exact = row.getAs[Long]("exactTsMs")
+      assert(exact >= row.getAs[Long]("startTsMs") && exact <= row.getAs[Long]("endTsMs"))
+    }
+  }
+
+  test("custom algorithm registry scores through the same pipeline (D9)") {
+    Detectors.register("always_42", (points, _, _) =>
+      points.toDF.withColumn("score", org.apache.spark.sql.functions.lit(42.0)))
+    val s = Detectors.score(rampSpike, DetectorConfig(algorithmName = "always_42"))
+    assert(s.select("score").distinct().collect().map(_.getDouble(0)).toSeq == Seq(42.0))
+  }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.config.{DetectorConfig, TsQueryConfig}
+import graft.detect._
+import graft.model.TsSample
+import graft.ts.{TsAlgebra, TsCols}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2.3). Kernel properties run
+  * pure (no Spark); Spark-level properties use one session on sampled
+  * inputs.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("properties-spec")
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(30)
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val seriesGen: Gen[List[TsSample]] = for {
+    n <- Gen.chooseNum(1, 60)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+  } yield vals.zipWithIndex.map { case (v, i) => TsSample(1L, 1000L * (i + 1), math.rint(v * 100) / 100) }
+
+  test("property: kernels emit exactly one score per point, in timestamp order") {
+    check(Prop.forAll(seriesGen) { s =>
+      val dv = KeyedFold.run[TsSample, RawScored](s.iterator, _.seriesKey, () => new DerivativeKernel(0.2)).toList
+      val ea = KeyedFold.run[TsSample, RawScored](s.iterator, _.seriesKey, () => new ExpAvgKernel(0.2)).toList
+      dv.size == s.size && ea.size == s.size &&
+      dv.map(_.tsMs) == s.map(_.tsMs) && ea.map(_.tsMs) == s.map(_.tsMs)
+    })
+  }
+
+  test("property: bitmap kernel matches a naive O(n·w) reference implementation") {
+    val gen = for {
+      n <- Gen.chooseNum(5, 80)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0.0, 10.0))
+    } yield vals
+    check(Prop.forAll(gen) { vals =>
+      val n = vals.size
+      val (precision, chunk, minW, maxW, pct) = (4, 2, 3, 10, 0.2)
+      val w = math.max(minW, math.min(maxW, math.round(pct * n).toInt))
+      val vmin = vals.min
+      val vmax = vals.max
+      def sym(v: Double) =
+        if (vmax == vmin) 0 else math.min(precision - 1, ((v - vmin) / (vmax - vmin) * precision).toInt)
+      val syms = vals.map(sym)
+      def freqs(from: Int, to: Int): Map[Seq[Int], Int] =
+        (from until to - chunk + 1).filter(_ >= from).map(i => syms.slice(i, i + chunk))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+      def naive(j: Int): Double =
+        if (j < w || j + w - 1 > n - 1) 0.0
+        else {
+          val a = freqs(j - w, j); val b = freqs(j, j + w)
+          (a.keySet ++ b.keySet).toSeq.map { k =>
+            val d = (a.getOrElse(k, 0) - b.getOrElse(k, 0)).toDouble; d * d
+          }.sum
+        }
+      val in = vals.zipWithIndex.map { case (v, i) => BitmapPoint(1L, 1000L * i, v, n, vmin, vmax) }
+      val got = KeyedFold
+        .run[BitmapPoint, RawScored](in.iterator, _.seriesKey, () => new BitmapKernel(precision, chunk, pct, minW, maxW))
+        .toList
+      got.size == n && got.zipWithIndex.forall { case (s, j) => math.abs(s.dev - naive(j)) < 1e-9 }
+    })
+  }
+
+  private val cols = TsCols(key = "k", ts = "ts", value = "v", seq = None)
+
+  test("property: REVRANGE equals reverse(RANGE); bucketed sums repartition losslessly") {
+    // sampled (not per-generated-case) to keep Spark job count sane
+    val series = seriesGen.sample.get ++ seriesGen.sample.get.map(p => p.copy(seriesKey = 2L))
+    val df = series.map(p => (p.seriesKey, p.tsMs, p.value)).toDF("k", "ts", "v")
+    val fwd = TsAlgebra.query(df, TsQueryConfig(), cols).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rev = TsAlgebra.query(df, TsQueryConfig(reversed = true), cols).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fwd.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap ==
+      rev.groupBy(_._1).view.mapValues(_.map(_._2).reverse.toSeq).toMap)
+
+    val bucketed = TsAlgebra
+      .query(df, TsQueryConfig(aggregationType = Some("sum"), bucketSizeMs = Some(7000)), cols)
+      .collect().map(_.getDouble(2)).sum
+    val total = series.map(_.value).sum
+    assert(math.abs(bucketed - total) < 1e-6)
+
+    val cnt = TsAlgebra
+      .query(df, TsQueryConfig(aggregationType = Some("count"), bucketSizeMs = Some(7000)), cols)
+      .collect().map(_.getLong(2)).sum
+    assert(cnt == series.size)
+  }
+
+  test("property: anomaly windows are disjoint, ordered, within the series range, above threshold") {
+    val rnd = new scala.util.Random(42)
+    val series = (1 to 3).flatMap { k =>
+      (1 to 50).map(i => TsSample(k, 1000L * i, math.rint(rnd.nextGaussian() * 1000) / 100 +
+        (if (i % 17 == 0) 50.0 else 0.0)))
+    }
+    val pts = series.toDS()
+    val scores = Detectors.derivativeScores(pts)
+    val thr = Detectors.withThreshold(scores, DetectorConfig())
+    val wins = Detectors.anomalies(thr).collect()
+    val byKey = wins.groupBy(_.getAs[Long]("seriesKey"))
+    byKey.foreach { case (k, ws) =>
+      val sorted = ws.sortBy(_.getAs[Long]("startTsMs"))
+      sorted.foreach { w =>
+        assert(w.getAs[Long]("startTsMs") <= w.getAs[Long]("endTsMs"))
+        assert(w.getAs[Long]("startTsMs") >= 1000L && w.getAs[Long]("endTsMs") <= 50000L)
+        val e = w.getAs[Long]("exactTsMs")
+        assert(e >= w.getAs[Long]("startTsMs") && e <= w.getAs[Long]("endTsMs"))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("endTsMs") < b.getAs[Long]("startTsMs"))
+        case _ =>
+      }
+      // every window's peak is strictly above the per-key threshold
+      val thrK = thr.where(s"seriesKey = $k").select("threshold").head().getDouble(0)
+      sorted.foreach(w => assert(w.getAs[Double]("anomalyScore") > thrK))
+    }
+    assert(wins.nonEmpty)
+  }
+}
