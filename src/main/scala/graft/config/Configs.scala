@@ -11,6 +11,12 @@ package graft.config
 object Constants {
   /** EMA smoothing factor (luminol exp_avg/derivative default). */
   val DefaultSmoothingFactor = 0.2
+  /** exp_avg lag-window size as a fraction of series length, and the
+    * bounded-state clamp (the clamp is ours — kernel state must stay O(1)
+    * at 100 TB; divergence documented in Detectors.expAvgLagScores).
+    */
+  val DefaultEmaLagWindowPct = 0.2
+  val DefaultEmaLagWindowMax = 200
   /** Default anomaly threshold as a fraction of the per-series max score
     * (/root/reference/potoos/models/config.py:84-85 leaves both thresholds
     * unset → percent-of-max default applies).
@@ -99,6 +105,8 @@ final case class DetectorConfig(
     // D13: optional second algorithm re-scores within each anomaly window
     // to pin exact_timestamp (/root/reference/potoos/models/config.py:88-89)
     refineAlgorithmName: Option[String] = None,
+    // exp_avg lag-window variant (delegate's use_lag_window path)
+    emaUseLagWindow: Boolean = false,
     // absolute_threshold params
     absoluteThresholdUpper: Option[Double] = None,
     absoluteThresholdLower: Option[Double] = None,

@@ -26,20 +26,59 @@ object Detectors {
     * guard: drop short series rather than raising, so one degenerate key
     * cannot fail a 100 TB job.
     */
-  def minPointsGuard(points: Dataset[TsSample], minPoints: Int = Constants.MinPoints): DataFrame =
-    points.toDF
-      .withColumn("_n", count(lit(1)).over(byKey))
+  def minPointsGuard(points: Dataset[TsSample], minPoints: Int = Constants.MinPoints): DataFrame = {
+    // left-semi against the per-key counts: the counts partial-aggregate
+    // map-side and broadcast, so the big side is never shuffled (a window
+    // count would shuffle + sort every row just to drop short series).
+    val keep = points
+      .groupBy("seriesKey")
+      .agg(count(lit(1)).as("_n"))
       .where(col("_n") >= minPoints)
-      .drop("_n")
+      .select("seriesKey")
+    points.toDF.join(keep, Seq("seriesKey"), "left_semi")
+  }
 
   /** D2 exp_avg: |v − ema| / stddev_pop(values) (signed, un-divided when
     * the series is constant — faithful to the reference's delegate).
+    * The per-key stddev is an aggregate of the INPUT, joined onto the
+    * folded stream (AQE broadcasts it when the key count is small) — no
+    * window sort over the scored data.
     */
   def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
     val folded = KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF
+    val stats = points.groupBy("seriesKey").agg(stddev_pop(col("value")).as("_sd"))
     folded
-      .withColumn("_sd", stddev_pop(col("value")).over(byKey))
+      .join(stats, Seq("seriesKey"))
       .withColumn("score", when(col("_sd") > 0, abs(col("dev") / col("_sd"))).otherwise(col("dev")))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** D2 exp_avg, lag-window form (the reference delegate's
+    * use_lag_window path): per point, EMA over the trailing
+    * lag-window slice; score = |v − ema| / stddev_pop(values).
+    * Window size = pct·n clamped to maxLag so kernel state stays bounded
+    * regardless of series length (documented divergence for series with
+    * 0.2·n > maxLag).
+    */
+  def expAvgLagScores(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      lagPct: Double = Constants.DefaultEmaLagWindowPct,
+      maxLag: Int = Constants.DefaultEmaLagWindowMax): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val stats = points
+      .groupBy("seriesKey")
+      .agg(count(lit(1)).as("n"), stddev_pop(col("value")).as("sd"))
+    val enriched = points.toDF
+      .join(stats, Seq("seriesKey"))
+      .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("sd"))
+      .as[CountedPoint]
+    KeyedFold
+      .foldOn[CountedPoint, RawScored](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+        new ExpAvgLagKernel(alpha, lagPct, maxLag))
+      .toDF
+      .withColumnRenamed("dev", "score")
       .select("seriesKey", "tsMs", "value", "score")
   }
 
@@ -220,7 +259,9 @@ object Detectors {
     */
   def score(points: Dataset[TsSample], cfg: DetectorConfig, baseline: Option[DataFrame] = None): DataFrame =
     cfg.algorithmName match {
-      case "exp_avg_detector" => expAvgScores(points, cfg.smoothingFactor)
+      case "exp_avg_detector" =>
+        if (cfg.emaUseLagWindow) expAvgLagScores(points, cfg.smoothingFactor)
+        else expAvgScores(points, cfg.smoothingFactor)
       case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor)
       case "default_detector" => defaultScores(points, cfg.smoothingFactor)
       case "bitmap_detector" => BitmapDetector.scores(points)

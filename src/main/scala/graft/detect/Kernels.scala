@@ -20,6 +20,34 @@ final class ExpAvgKernel(alpha: Double) extends SeriesKernel {
   override def flush(): Iterator[RawScored] = Iterator.empty
 }
 
+/** Sample enriched with per-series count + value stddev (lag-window EMA). */
+final case class CountedPoint(seriesKey: Long, tsMs: Long, value: Double, n: Long, sd: Double)
+
+/** exp_avg detector, lag-window form: per point, EMA over the trailing
+  * min(maxLag, pct·n)+1 values (ring buffer — bounded state), normalized
+  * by the per-series population stddev carried on the input. Emits the
+  * FINAL score in `dev` (unlike the decay kernel, abs is taken before
+  * normalization, matching the delegate's lag path).
+  */
+final class ExpAvgLagKernel(alpha: Double, lagPct: Double, maxLag: Int)
+    extends StreamKernel[CountedPoint, RawScored] {
+  private var lag = -1
+  private val buf = scala.collection.mutable.ArrayDeque.empty[Double]
+
+  override def feed(p: CountedPoint): Iterator[RawScored] = {
+    if (lag < 0) lag = math.min(maxLag, (p.n * lagPct).toInt)
+    buf.append(p.value)
+    if (buf.size > lag + 1) buf.removeHead()
+    var ema = buf.head
+    var i = 1
+    while (i < buf.size) { ema = alpha * buf(i) + (1 - alpha) * ema; i += 1 }
+    val dev = math.abs(p.value - ema)
+    val score = if (p.sd > 0) dev / p.sd else dev
+    Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, score))
+  }
+  override def flush(): Iterator[RawScored] = { lag = -1; buf.clear(); Iterator.empty }
+}
+
 /** derivative detector (SURVEY.md §2.4 D3; shape per public luminol 0.4
   * derivative_detector): d_i = |(v_i − v_{i−1}) / Δt_seconds| for i ≥ 1,
   * with d_0 := d_1 (first point duplicates the second's derivative);

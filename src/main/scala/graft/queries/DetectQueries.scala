@@ -160,6 +160,13 @@ object DetectQueries {
            |             ELSE e.score * 0.65 END, 4) AS score
            |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
     ),
+    // D2 exp_avg lag-window variant — per-point windowed EMA recompute is
+    // not SQL-expressible compactly (rows-only; kernel property-tested
+    // against a naive reference in PropertiesSpec)
+    Q(
+      "anomaly_exp_avg_lag_scores",
+      (s, dir) => asOut(Detectors.expAvgLagScores(pts(s, dir))),
+      None),
     // D4 bitmap (SAX) scores — not SQL-expressible compactly; rows-only check
     Q(
       "anomaly_bitmap_scores",

@@ -76,6 +76,42 @@ object MonitorStream {
       }
   }
 
+  /** Streaming derivative scoring: carries (prev point, derivative EMA)
+    * per key across micro-batches — the streaming twin of
+    * DerivativeKernel. Emits the raw |d − ema(d)| deviation (the batch
+    * path's stddev normalization needs the whole series; streaming users
+    * threshold the raw dev absolutely).
+    */
+  def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): Dataset[StreamScore] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[EmaState, StreamScore](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (key: Long, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
+        val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+        var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
+        val out = batch.iterator.flatMap { p =>
+          if (p.tsMs <= st.lastTsMs) Iterator.empty // drop late/dup events
+          else if (st.n == 0L) {
+            // first point: derivative undefined until the second arrives;
+            // streaming emits dev 0 immediately (cannot hold lookahead)
+            st = EmaState(0.0, p.tsMs, p.value, 1L)
+            Iterator.single(StreamScore(key, p.tsMs, p.value, 0.0, 0.0))
+          } else {
+            val dtS = (p.tsMs - st.lastTsMs) / 1000.0
+            val d = math.abs(if (dtS != 0) (p.value - st.lastValue) / dtS else p.value - st.lastValue)
+            val ema = if (st.n == 1L) d else alpha * d + (1 - alpha) * st.ema
+            st = EmaState(ema, p.tsMs, p.value, st.n + 1)
+            Iterator.single(StreamScore(key, p.tsMs, p.value, ema, math.abs(d - ema)))
+          }
+        }.toVector
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Streaming anomaly flags with an absolute threshold on the raw EMA
     * deviation (D6-style in-stream thresholding).
     */

@@ -2,6 +2,7 @@ package graft
 
 import graft.config.{DetectorConfig, TsQueryConfig}
 import graft.detect._
+import graft.detect.{CountedPoint, ExpAvgLagKernel}
 import graft.model.TsSample
 import graft.ts.{TsAlgebra, TsCols}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -119,5 +120,31 @@ class PropertiesSpec extends AnyFunSuite {
       sorted.foreach(w => assert(w.getAs[Double]("anomalyScore") > thrK))
     }
     assert(wins.nonEmpty)
+  }
+
+  test("property: lag-window exp_avg kernel matches a naive reference") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50.0, 50.0))
+    } yield vals
+    check(Prop.forAll(gen) { vals =>
+      val n = vals.size
+      val (alpha, pct, maxLag) = (0.2, 0.2, 8)
+      val lag = math.min(maxLag, (n * pct).toInt)
+      val mean = vals.sum / n
+      val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / n)
+      def emaLast(slice: Seq[Double]): Double =
+        slice.tail.foldLeft(slice.head)((e, v) => alpha * v + (1 - alpha) * e)
+      def naive(i: Int): Double = {
+        val slice = vals.slice(math.max(0, i - lag), i + 1)
+        val dev = math.abs(vals(i) - emaLast(slice))
+        if (sd > 0) dev / sd else dev
+      }
+      val in = vals.zipWithIndex.map { case (v, i) => CountedPoint(1L, 1000L * i, v, n, sd) }
+      val got = KeyedFold
+        .run[CountedPoint, RawScored](in.iterator, _.seriesKey, () => new ExpAvgLagKernel(alpha, pct, maxLag))
+        .toList
+      got.size == n && got.zipWithIndex.forall { case (s, i) => math.abs(s.dev - naive(i)) < 1e-9 }
+    })
   }
 }

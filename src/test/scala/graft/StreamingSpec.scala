@@ -72,4 +72,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(avgs == Seq(20.0, 100.0))
     } finally q.stop()
   }
+
+  test("streaming derivative dev matches the batch kernel from the second point on") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .derivativeScores(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("deriv_out").start()
+    try {
+      val batch1 = Seq(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0))
+      val batch2 = Seq(TsSample(1, 3000, 30.0), TsSample(1, 4000, 100.0))
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("deriv_out").as[graft.streaming.StreamScore].collect()
+        .map(s => s.tsMs -> s.dev).toMap
+      val batchDevs = KeyedFold
+        .run[TsSample, RawScored]((batch1 ++ batch2).iterator, _.seriesKey,
+          () => new graft.detect.DerivativeKernel(0.2))
+        .map(s => s.tsMs -> s.dev).toMap
+      // streaming cannot apply the d0 := d1 retro-assignment to the first
+      // point (no lookahead); all later points agree exactly
+      (2 to 4).foreach(i => assert(math.abs(got(i * 1000L) - batchDevs(i * 1000L)) < 1e-12))
+      assert(got(1000L) == 0.0)
+    } finally q.stop()
+  }
 }
