@@ -16,6 +16,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** S3 capability check — the Spark analogue of the reference's eager
+    * `MODULE LIST` probe (/root/reference/potoos/client.py:22-35): fail
+    * fast at construction time if a required source is absent, instead of
+    * failing mid-job on an executor.
+    */
+  def requireTables(dir: String, names: Seq[String]): Unit = {
+    val missing = names.filterNot(n => new java.io.File(s"$dir/$n.parquet").exists())
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"required source tables missing under $dir: ${missing.mkString(", ")}")
+  }
+
   /** `events` with a normalized `ts_ms: Long` (epoch millis, UTC) column.
     *
     * The reference models a time series as (timestamp_ms: int64, value:

@@ -52,4 +52,36 @@ object Multimodal {
         rows.map { case (id, payload) => decodeStub(id, payload) }
       }
   }
+
+  /** "Video" frame sampling: every `everyN`-th frame of the payload's
+    * frame count (STUB: frame count = 1 + n_bytes/256, offsets at 256-byte
+    * strides — a real demuxer drops in at the same seam). One row per
+    * sampled frame via explode — the 1→N row shape a frame extractor
+    * needs; downstream per-frame decode batches with `imageMeta`.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String, everyN: Int): DataFrame = {
+    val nBytes = length(col(payloadCol).cast("binary")).cast("long")
+    val nFrames = lit(1L) + (nBytes / 256L).cast("long")
+    df.select(
+      col(idCol).cast("long").as("id"),
+      nBytes.as("n_bytes"),
+      nFrames.as("n_frames"),
+      explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * 256L)
+  }
+
+  /** "Resize" metadata transform (STUB: aspect-preserving target fit —
+    * the arithmetic a real resize plans with; the pixel op would run in
+    * the imageMeta decode seam).
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+      (m.id, m.width, m.height,
+        math.max(1, math.round(m.width * scale).toInt),
+        math.max(1, math.round(m.height * scale).toInt))
+    }.toDF("id", "width", "height", "out_width", "out_height")
+  }
 }

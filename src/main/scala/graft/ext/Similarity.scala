@@ -109,6 +109,53 @@ object Similarity {
       (acc, x) => acc + x)
   }
 
+  /** IVF ANN top-k: MLlib KMeans coarse quantizer (deterministic seed)
+    * partitions the corpus into nlist cells; each query searches only the
+    * nprobe nearest cells. The candidate join is an equi-join on cell id —
+    * at 100 TB the corpus is bucketed/partitioned by cell on disk and a
+    * probe touches nprobe/nlist of the data. Exact cosine ranks inside
+    * the probed cells.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(all)
+    val assigned = model.transform(all).select("id", "vec", "nrm", "cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cid", "cvec")
+    // nprobe nearest centroids per query (tiny cross: queries × nlist)
+    val q = assigned.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn(
+        "dist",
+        aggregate(zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
+      .withColumn("r", row_number().over(wq))
+      .where(col("r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    assigned
+      .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** ANN top-k: LSH-bucket the corpus, search only within the query's
     * bucket (equi-join on bucket id — the scale path), exact cosine rank
     * inside the bucket.

@@ -143,6 +143,15 @@ object ExtQueries {
               |      FROM p)
               |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin)
     ),
+    // IVF ANN (KMeans coarse quantizer, deterministic seed) — scale path;
+    // recall vs brute force asserted in ScalaTest
+    Q(
+      "sim_ivf_topk",
+      (s, dir) =>
+        Similarity.ivfTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long")),
+      None),
     // LSH-bucketed ANN — scale path; recall asserted in ScalaTest
     Q(
       "sim_lsh_topk",
@@ -152,6 +161,18 @@ object ExtQueries {
           .withColumn("rank", col("rank").cast("long")),
       None),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
+    Q(
+      "mm_frame_sample",
+      (s, dir) =>
+        Multimodal.frameSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", everyN = 3)
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH f AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  CAST(1 + strlen(text)//256 AS BIGINT) AS n_frames FROM documents)
+             |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx*256 AS byte_offset
+             |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM f)""".stripMargin)
+    ),
     Q(
       "mm_image_meta",
       (s, dir) =>

@@ -121,4 +121,42 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 4)
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
+
+  test("IVF top-k: valid ranks, strong recall vs brute force (deterministic seed)") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("id") < 5, k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
+    val fs = Multimodal.frameSample(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload", everyN = 2)
+      .collect()
+    assert(fs.nonEmpty)
+    fs.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 2 == 0)
+      assert(r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 256)
+      assert(r.getAs[Long]("frame_idx") < r.getAs[Long]("n_frames"))
+    }
+    val rp = Multimodal.resizePlan(
+      Multimodal.imageMeta(docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload"), maxSide = 16).collect()
+    rp.foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 16 && r.getAs[Int]("out_height") <= 16)
+      assert(r.getAs[Int]("out_width") >= 1 && r.getAs[Int]("out_height") >= 1)
+    }
+  }
+
+  test("source-availability check fails fast on missing tables (S3/EP1)") {
+    Tables.requireTables(sf, Seq("events", "documents")) // present: no throw
+    val ex = intercept[IllegalStateException] {
+      Tables.requireTables(sf, Seq("events", "no_such_table"))
+    }
+    assert(ex.getMessage.contains("no_such_table"))
+  }
 }
