@@ -1,0 +1,12 @@
+package graft.bridge
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Public-side alias of the spark-namespace bridge. */
+object SqlBridge {
+  def column(e: Expression): Column = org.apache.spark.sql.graft.SqlBridgeImpl.column(e)
+  def expression(c: Column): Expression = org.apache.spark.sql.graft.SqlBridgeImpl.expression(c)
+  def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.graft.SqlBridgeImpl.registerFunction(spark, name, builder)
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Bridge into Spark's private[sql] Column/Expression plumbing — the
+  * narrow way to expose a native Catalyst Expression through the public
+  * Column API without a build-time SparkSessionExtensions hook. Lives in
+  * the org.apache.spark.sql namespace solely for private[sql] access;
+  * contains no Spark code.
+  */
+object SqlBridgeImpl {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

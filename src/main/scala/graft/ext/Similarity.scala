@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.cosine_sim
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (builder brief). Baseline: brute-force cosine top-k (exact, the
@@ -36,7 +37,7 @@ object Similarity {
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = all
       .join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -150,7 +151,7 @@ object Similarity {
     val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     assigned
       .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(wk))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
@@ -168,7 +169,7 @@ object Similarity {
     val scored = all
       .join(broadcast(q), Seq("bucket"))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -159,4 +159,20 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no_such_table"))
   }
+
+  test("native cosine_sim expression matches the lambda formulation bit-for-bit, incl. SQL form") {
+    import graft.functions.GraftFunctions
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding").limit(50)
+    val a = e.select(col("id"), col("vec"), col("nrm"))
+    val pairs = a.as("x").crossJoin(a.as("y")).where(col("x.id") < col("y.id"))
+      .withColumn("c_expr", GraftFunctions.cosine_sim(col("x.vec"), col("y.vec")))
+      .withColumn("c_lambda", Similarity.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
+    val diffs = pairs.where(col("c_expr") =!= col("c_lambda")).count()
+    assert(diffs == 0, s"$diffs pairs differ between expression and lambda cosine")
+
+    GraftFunctions.register(spark)
+    e.select(col("vec").as("v")).createOrReplaceTempView("cosine_probe")
+    val n = spark.sql("SELECT cosine_sim(a.v, b.v) c FROM cosine_probe a, cosine_probe b").count()
+    assert(n == 2500)
+  }
 }
