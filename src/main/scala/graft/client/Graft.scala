@@ -23,6 +23,24 @@ final case class MonitorResult(scores: DataFrame, anomalies: DataFrame, metadata
   * series shorter than 4 points are dropped by the guard (D0, relational
   * form of the reference's ValueError).
   */
+/** Stateful client mirroring the reference's constructor-defaults +
+  * per-call-override shape (EP2: ts_config resolution at
+  * /root/reference/potoos/client.py:130; tested by the reference's
+  * config-override cases, tests/test_client.py:205-267).
+  */
+final class GraftClient(
+    val defaultTsCfg: TsQueryConfig = TsQueryConfig(),
+    val defaultDetCfg: DetectorConfig = DetectorConfig()) {
+
+  def monitor(
+      df: DataFrame,
+      cols: TsCols = TsCols(),
+      tsCfg: Option[TsQueryConfig] = None,
+      detCfg: Option[DetectorConfig] = None,
+      baseline: Option[DataFrame] = None): MonitorResult =
+    Graft.monitor(df, cols, tsCfg.getOrElse(defaultTsCfg), detCfg.getOrElse(defaultDetCfg), baseline)
+}
+
 object Graft {
 
   def monitor(

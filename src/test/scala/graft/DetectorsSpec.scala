@@ -141,4 +141,16 @@ class DetectorsSpec extends AnyFunSuite {
     val s = Detectors.score(rampSpike, DetectorConfig(algorithmName = "always_42"))
     assert(s.select("score").distinct().collect().map(_.getDouble(0)).toSeq == Seq(42.0))
   }
+
+  test("client defaults apply; per-call config overrides them (EP2 contract)") {
+    import graft.client.GraftClient
+    import graft.config.TsQueryConfig
+    val client = new GraftClient(defaultTsCfg = TsQueryConfig(toTimeMs = Some(2000L)))
+    val df = rampSpike.toDF().withColumnRenamed("seriesKey", "user_id").withColumnRenamed("tsMs", "ts_ms")
+    val tsCols = TsCols(key = "user_id", ts = "ts_ms", value = "value")
+    // default clips to ts <= 2000 -> only 2 points per series -> guard drops all
+    assert(client.monitor(df, tsCols).scores.count() == 0)
+    // per-call override widens the range -> full series scored
+    assert(client.monitor(df, tsCols, tsCfg = Some(TsQueryConfig())).scores.count() == 4)
+  }
 }
