@@ -127,13 +127,22 @@ object Detectors {
       points: Dataset[TsSample],
       baseline: DataFrame, // (seriesKey, tsMs, baseline)
       thresholdUpper: Option[Double],
+      thresholdLower: Option[Double]): DataFrame =
+    diffPercentFromJoined(points.toDF.join(baseline, Seq("seriesKey", "tsMs")), thresholdUpper, thresholdLower)
+
+  /** D7 scoring over an already-joined (value, baseline) frame — shared by
+    * the aligned equi-join path above and the as-of-join path
+    * (graft.ts.AsOfJoin) for irregular baselines.
+    */
+  def diffPercentFromJoined(
+      joined: DataFrame, // (seriesKey, tsMs, value, baseline, ...)
+      thresholdUpper: Option[Double],
       thresholdLower: Option[Double]): DataFrame = {
     val diffPct = when(col("baseline") =!= 0.0, lit(100.0) * (col("value") - col("baseline")) / col("baseline"))
       .otherwise(when(col("value") =!= 0.0, lit(100.0)).otherwise(lit(0.0)))
     val hotUp = thresholdUpper.map(u => col("diffPct") > lit(u)).getOrElse(lit(false))
     val hotDown = thresholdLower.map(l => col("diffPct") < lit(-l)).getOrElse(lit(false))
-    points.toDF
-      .join(baseline, Seq("seriesKey", "tsMs"))
+    joined
       .withColumn("diffPct", diffPct)
       .withColumn("score", when(hotUp || hotDown, abs(col("diffPct"))).otherwise(lit(0.0)))
       .select("seriesKey", "tsMs", "value", "score")

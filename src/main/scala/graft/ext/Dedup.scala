@@ -152,7 +152,8 @@ object Dedup {
       n: Int = 3,
       perms: Int = 16,
       bands: Int = 4,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
     val spark = df.sparkSession
     val rows = perms / bands
     val docs = shingleHashesAndSig(
@@ -161,8 +162,19 @@ object Dedup {
       "bandKeys",
       transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
     val banded = withSig.select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+    // frequent-bucket skip: a band bucket holding > maxBucket docs is a
+    // collision artifact and would contribute O(bucket²) candidate pairs —
+    // dropping such buckets bounds the candidate join at ANY corpus size
+    // (standard LSH fan-out protection; exact duplicates that large are
+    // `exact` dedup's job).
+    val smallBuckets = banded
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("_c"))
+      .where(col("_c") <= maxBucket && col("_c") > 1)
+      .select("band", "key")
+    val kept = banded.join(smallBuckets, Seq("band", "key"), "left_semi")
+    val candidates = kept.as("a")
+      .join(kept.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
     // verify candidates with exact Jaccard over the (sorted) shingle-hash sets

@@ -192,6 +192,45 @@ object DetectQueries {
               |       round(CASE WHEN dp > 20.0 OR dp < -20.0 THEN abs(dp) ELSE 0.0 END, 4) AS score
               |FROM d""".stripMargin)
     ),
+    // D7 via AS-OF JOIN: every raw point scored against the most recent
+    // prior daily average (a step-function baseline) — oracled against
+    // DuckDB's native ASOF JOIN
+    Q(
+      "anomaly_diff_percent_asof",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+        val daily = TsAlgebra.query(
+          Tables.events(s, dir),
+          TsQueryConfig(aggregationType = Some("avg"), bucketSizeMs = Some(T.Day)),
+          cols)
+        // daily avg becomes valid at the END of its day
+        val baseline = daily.select(
+          col("user_id").as("seriesKey"),
+          (col("ts_ms") + T.Day).as("tsMs"),
+          col("value").as("baseline"))
+        Detectors
+          .diffPercentFromJoined(
+            graft.ts.AsOfJoin.join(raw, baseline),
+            thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm, avg(value) bv
+              |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
+              |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
+              |j AS (SELECT p.k, p.ts_ms, p.v, d.bv
+              |      FROM pts p ASOF JOIN daily d ON p.k = d.k AND p.ts_ms >= d.tm),
+              |s AS (SELECT k, ts_ms, v,
+              |  CASE WHEN bv <> 0 THEN 100.0*(v - bv)/bv
+              |       ELSE CASE WHEN v <> 0 THEN 100.0 ELSE 0.0 END END dp
+              |  FROM j)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       round(CASE WHEN dp > 20.0 OR dp < -20.0 THEN abs(dp) ELSE 0.0 END, 4) AS score
+              |FROM s""".stripMargin)
+    ),
     // D8 sign_test vs the same baseline: trailing-7 window comparator
     Q(
       "anomaly_sign_test",

@@ -93,4 +93,18 @@ class TsAlgebraSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TsQueryConfig(aggregationType = Some("p99"), bucketSizeMs = Some(1000)))
   }
+
+  test("as-of join picks the most recent baseline at or before each point (inclusive), inner") {
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((1L, 1000L, 10.0), (1L, 2500L, 20.0), (1L, 3000L, 30.0), (2L, 500L, 5.0))
+      .toDF("seriesKey", "tsMs", "value")
+    val base = Seq((1L, 1000L, 100.0), (1L, 2000L, 200.0), (2L, 600L, 50.0))
+      .toDF("seriesKey", "tsMs", "baseline")
+    val out = graft.ts.AsOfJoin.join(pts, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 1000L)) == 100.0) // inclusive tie
+    assert(out((1L, 2500L)) == 200.0)
+    assert(out((1L, 3000L)) == 200.0)
+    assert(!out.contains((2L, 500L))) // no baseline at or before -> dropped (inner)
+  }
 }
