@@ -65,6 +65,10 @@ final case class TsQueryConfig(
     fromTimeMs: Option[Long] = None,
     toTimeMs: Option[Long] = None,
     count: Option[Int] = None,
+    // multi-series generalization of COUNT: first N samples in scan order
+    // PER SERIES (the reference is single-series, so its COUNT and this
+    // coincide there)
+    countPerKey: Option[Int] = None,
     aggregationType: Option[String] = None,
     bucketSizeMs: Option[Long] = None,
     filterByTs: Option[Seq[Long]] = None,

@@ -115,6 +115,16 @@ object TsQueries {
       Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, arg_max(value, event_id) AS value
              |FROM events GROUP BY 1, 2""".stripMargin)
     ),
+    // F4 multi-series form: newest 5 samples of EVERY series in one pass
+    Q(
+      "ts_topk_per_series",
+      (s, dir) =>
+        TsAlgebra.query(ev(s, dir), TsQueryConfig(reversed = true, countPerKey = Some(5)), cols),
+      Some("""SELECT user_id, ts_ms, value FROM (
+             |  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC) rn
+             |  FROM events) WHERE rn <= 5""".stripMargin)
+    ),
     // A1–A12: time-bucketed aggregation, 1-day buckets, epoch-aligned
     Q("ts_agg_avg", aggQuery("avg"), Some(aggOracle("round(avg(value), 4)"))),
     Q("ts_agg_sum", aggQuery("sum"), Some(aggOracle("round(sum(value), 4)"))),

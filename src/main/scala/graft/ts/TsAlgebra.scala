@@ -83,10 +83,21 @@ object TsAlgebra {
         out.select(key.as(cols.key), ts.as(cols.ts), value.as(cols.value))
     }
 
+    // F4 per-series COUNT: bounded row_number window (one partition-by-key
+    // pass; never a global sort)
+    cfg.countPerKey.foreach { n =>
+      val ord = if (cfg.reversed) col(cols.ts).desc else col(cols.ts).asc
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(cols.key)).orderBy(ord)
+      out = out
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= n)
+        .drop("_rn")
+    }
+
     // F6 ordering: RANGE asc / REVRANGE desc by timestamp
     val ordered = out.orderBy(col(cols.key).asc, if (cfg.reversed) col(cols.ts).desc else col(cols.ts).asc)
-    // F4 COUNT limit: first N in scan order per the whole result (the
-    // reference is single-series; for multi-series callers apply a window).
+    // F4 COUNT limit: first N in scan order (single-series semantics —
+    // becomes TakeOrderedAndProject, the distributed top-k)
     cfg.count.map(ordered.limit).getOrElse(ordered)
   }
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties the README promises
+  * (pushdown reaches the scan, dims broadcast, top-k avoids a global
+  * sort, detector pipeline keeps its exchange budget) are pinned here so
+  * a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("plan-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double"), "projection should prune to needed columns")
+  }
+
+  test("q3_top_orders: customer dim joins via broadcast, top-10 via TakeOrderedAndProject") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_topk: distributed top-k, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "must not globally range-sort for a limit")
+  }
+
+  test("anomaly_derivative_scores: guard is a broadcast semi-join; bounded exchanges") {
+    val p = plan("anomaly_derivative_scores")
+    assert(p.contains("BroadcastHashJoin LeftSemi") || p.contains("LeftSemi"))
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    // fold repartition + post-fold stats join/window (+ tiny agg exchange)
+    assert(exchanges <= 4, s"detector pipeline grew to $exchanges shuffles:\n$p")
+  }
+
+  test("anomaly_windows: the three window passes share one exchange over the scored data") {
+    val p = plan("anomaly_windows")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 4, s"window pipeline grew to $exchanges shuffles")
+  }
+
+  test("dedup_embedding: no shuffle at all (broadcast-matrix pass)") {
+    val p = plan("dedup_embedding")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"cosine pairs should be a single scan pass, saw $exchanges shuffles")
+  }
+}
