@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen'd queries in one JVM overflow the default 240 MB
+  // JIT code cache, after which generated code runs interpreted (measured
+  // 3-10x slowdowns late in a Bench run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -156,8 +156,12 @@ object Dedup {
       maxBucket: Int = 100): DataFrame = {
     val spark = df.sparkSession
     val rows = perms / bands
+    // the signature table (id + hashes + sig, ~1 KB/doc at any scale) is
+    // consumed four times below (bucket sizes, both candidate sides, the
+    // verify sets) — materialize it once, the standard minhash practice
     val docs = shingleHashesAndSig(
       df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = docs.withColumn(
       "bandKeys",
       transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
