@@ -167,11 +167,43 @@ object DetectQueries {
       "anomaly_exp_avg_lag_scores",
       (s, dir) => asOut(Detectors.expAvgLagScores(pts(s, dir))),
       None),
-    // D4 bitmap (SAX) scores — not SQL-expressible compactly; rows-only check
+    // D4 bitmap (SAX) scores — oracled as an O(n·w) window/self-join: the
+    // chunk-frequency SSD is exact integer arithmetic, so the only fp ops
+    // (the shared quantization expression) are identical on both engines.
+    // Constants mirrored from config.Constants: precision 4, chunk 2,
+    // w = clamp(round(0.02·n), 10, 200).
     Q(
       "anomaly_bitmap_scores",
       (s, dir) => asOut(graft.detect.BitmapDetector.scores(pts(s, dir))),
-      None),
+      Some(s"""WITH $ptsCte,
+              |st AS (SELECT k, count(*) n, min(v) vmin, max(v) vmax,
+              |         CAST(least(greatest(floor(0.02*count(*) + 0.5), 10), 200) AS BIGINT) w
+              |       FROM pts GROUP BY k),
+              |syms AS (SELECT p.k, p.ts_ms, p.v, s.w, s.n,
+              |           row_number() OVER (PARTITION BY p.k ORDER BY p.ts_ms) rn,
+              |           CASE WHEN s.vmax = s.vmin THEN 0
+              |                ELSE least(3, CAST(trunc((p.v - s.vmin)/(s.vmax - s.vmin)*4) AS INT)) END sym
+              |         FROM pts p JOIN st s ON p.k = s.k),
+              |chunks AS (SELECT k, rn, sym*4 + lead(sym) OVER (PARTITION BY k ORDER BY rn) chunk
+              |           FROM syms),
+              |pairs AS (
+              |  SELECT s.k, s.rn j,
+              |         CASE WHEN c.rn <= s.rn - 2 THEN 0 ELSE 1 END side, c.chunk
+              |  FROM syms s JOIN chunks c
+              |    ON s.k = c.k AND c.rn >= s.rn - s.w AND c.rn <= s.rn + s.w - 2
+              |  WHERE c.chunk IS NOT NULL
+              |    AND s.rn >= s.w + 1 AND s.rn + s.w - 1 <= s.n
+              |    AND (c.rn <= s.rn - 2 OR c.rn >= s.rn)),
+              |freq AS (SELECT k, j, chunk,
+              |           sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) cl,
+              |           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) cf
+              |         FROM pairs GROUP BY 1, 2, 3),
+              |ssd AS (SELECT k, j, sum(CAST((cl - cf)*(cl - cf) AS DOUBLE)) score
+              |        FROM freq GROUP BY 1, 2)
+              |SELECT s.k AS user_id, s.ts_ms, s.v AS value,
+              |       round(coalesce(d.score, 0.0), 4) AS score
+              |FROM syms s LEFT JOIN ssd d ON s.k = d.k AND s.rn = d.j""".stripMargin)
+    ),
     // D7 diff_percent_threshold vs one-day-lagged daily-average baseline
     Q(
       "anomaly_diff_percent",
