@@ -160,13 +160,31 @@ object DetectQueries {
            |             ELSE e.score * 0.65 END, 4) AS score
            |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
     ),
-    // D2 exp_avg lag-window variant — per-point windowed EMA recompute is
-    // not SQL-expressible compactly (rows-only; kernel property-tested
-    // against a naive reference in PropertiesSpec)
+    // D2 exp_avg lag-window variant — oracled via the closed form of the
+    // windowed EMA fold: ema_last([s..j]) = v_s·β^(j−s) + Σ α·v_i·β^(j−i)
+    // (β = 1−α); the weighted sum differs from the fold only at ulp level,
+    // far inside the round(4). lag = min(200, trunc(0.2·n)) mirrors the
+    // kernel clamp. (Kernel additionally property-tested in PropertiesSpec.)
     Q(
       "anomaly_exp_avg_lag_scores",
       (s, dir) => asOut(Detectors.expAvgLagScores(pts(s, dir))),
-      None),
+      Some(s"""WITH $ptsCte,
+              |st AS (SELECT k, count(*) n, stddev_pop(v) sd,
+              |         least(CAST(trunc(count(*)*0.2) AS BIGINT), 200) lag
+              |       FROM pts GROUP BY k),
+              |e AS (
+              |  SELECT p.k, p.rn, p.ts_ms, p.v, s.sd,
+              |    sum(CASE WHEN q.rn = greatest(1, p.rn - s.lag)
+              |             THEN q.v * pow(1 - 0.2, p.rn - q.rn)
+              |             ELSE 0.2 * q.v * pow(1 - 0.2, p.rn - q.rn) END) AS ema
+              |  FROM rpts p
+              |  JOIN st s ON p.k = s.k
+              |  JOIN rpts q ON q.k = p.k AND q.rn BETWEEN greatest(1, p.rn - s.lag) AND p.rn
+              |  GROUP BY p.k, p.rn, p.ts_ms, p.v, s.sd)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       round(CASE WHEN sd > 0 THEN abs(v - ema)/sd ELSE abs(v - ema) END, 4) AS score
+              |FROM e""".stripMargin)
+    ),
     // D4 bitmap (SAX) scores — oracled as an O(n·w) window/self-join: the
     // chunk-frequency SSD is exact integer arithmetic, so the only fp ops
     // (the shared quantization expression) are identical on both engines.
