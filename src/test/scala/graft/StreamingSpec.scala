@@ -96,4 +96,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(1000L) == 0.0)
     } finally q.stop()
   }
+
+  test("EMA state survives a query restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val mem = MemoryStream[TsSample]
+    // memory sink is not fault-tolerant; recovery needs a file sink
+    def start() = MonitorStream
+      .emaScores(mem.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    mem.addData(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same checkpoint -> state restored
+    mem.addData(TsSample(1, 3000, 30.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).as[graft.streaming.StreamScore].collect()
+      .map(s => s.tsMs -> s.ema).toMap
+    // ema(3000) must continue from the pre-restart state:
+    // ema = 0.2*30 + 0.8*(0.2*20 + 0.8*10) = 0.2*30 + 0.8*12 = 15.6
+    assert(math.abs(got(3000L) - 15.6) < 1e-12,
+      s"state lost across restart: got ${got.get(3000L)}")
+  }
 }
