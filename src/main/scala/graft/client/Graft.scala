@@ -54,8 +54,10 @@ object Graft {
     val queried = TsAlgebra.query(df, tsCfg, cols)
     val points = Detectors
       .minPointsGuard(
+        // any key type (Redis-style `host:metric` strings, numeric ids)
+        // casts losslessly to the engine's string series key
         queried.select(
-          col(cols.key).cast("long").as("seriesKey"),
+          col(cols.key).cast("string").as("seriesKey"),
           col(cols.ts).cast("long").as("tsMs"),
           col(cols.value).cast("double").as("value")).as[TsSample])
       .as[TsSample]

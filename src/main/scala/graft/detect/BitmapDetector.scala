@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Sample enriched with the per-series stats the SAX quantizer needs. */
-final case class BitmapPoint(seriesKey: Long, tsMs: Long, value: Double, n: Long, vmin: Double, vmax: Double)
+final case class BitmapPoint(seriesKey: String, tsMs: Long, value: Double, n: Long, vmin: Double, vmax: Double)
 
 /** D4 bitmap_detector (SURVEY.md §2.4 D4) — SAX-bitmap anomaly scoring,
   * shape per the public luminol 0.4 bitmap detector:
@@ -45,7 +45,7 @@ object BitmapDetector {
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("vmin"), col("vmax"))
       .as[BitmapPoint]
     KeyedFold
-      .foldOn[BitmapPoint, RawScored](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+      .foldOn[BitmapPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new BitmapKernel(precision, chunkSize, windowPct, minWindow, maxWindow))
       .toDF
       .withColumnRenamed("dev", "score")
@@ -60,7 +60,7 @@ final class BitmapKernel(precision: Int, chunkSize: Int, windowPct: Double, minW
     extends StreamKernel[BitmapPoint, RawScored] {
 
   private var w = -1
-  private var curKey = 0L
+  private var curKey: String = ""
   // absolute index of the first retained buffer entry
   private var base = 0L
   private var nextEmit = 0L
@@ -97,7 +97,7 @@ final class BitmapKernel(precision: Int, chunkSize: Int, windowPct: Double, minW
     out.result().iterator
   }
 
-  private def emit(key: Long, j: Long, complete: Boolean): RawScored = {
+  private def emit(key: String, j: Long, complete: Boolean): RawScored = {
     val (ts, v, _) = buf((j - base).toInt)
     val score =
       if (!complete || j < w) 0.0

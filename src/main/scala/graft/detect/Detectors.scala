@@ -75,7 +75,7 @@ object Detectors {
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("sd"))
       .as[CountedPoint]
     KeyedFold
-      .foldOn[CountedPoint, RawScored](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+      .foldOn[CountedPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new ExpAvgLagKernel(alpha, lagPct, maxLag))
       .toDF
       .withColumnRenamed("dev", "score")
@@ -218,7 +218,14 @@ object Detectors {
   def refineExact(points: Dataset[TsSample], windows: DataFrame, refineCfg: DetectorConfig): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val w = windows.withColumn("wid", monotonically_increasing_id())
+    // Deterministic synthetic key: windows within a series are disjoint, so
+    // (seriesKey, startTsMs) identifies one uniquely; base64 the key so the
+    // '#' separator cannot be forged by a key containing '#'. Unlike
+    // monotonically_increasing_id, re-evaluation under AQE re-planning or
+    // task retry always reproduces the same id — `w` is consumed twice below.
+    val w = windows.withColumn(
+      "wid",
+      concat_ws("#", base64(col("seriesKey").cast("binary")), col("startTsMs")))
     val sliced = points.toDF
       .join(
         w.select(col("wid"), col("seriesKey").as("k"), col("startTsMs"), col("endTsMs")),

@@ -21,7 +21,7 @@ final class ExpAvgKernel(alpha: Double) extends SeriesKernel {
 }
 
 /** Sample enriched with per-series count + value stddev (lag-window EMA). */
-final case class CountedPoint(seriesKey: Long, tsMs: Long, value: Double, n: Long, sd: Double)
+final case class CountedPoint(seriesKey: String, tsMs: Long, value: Double, n: Long, sd: Double)
 
 /** exp_avg detector, lag-window form: per point, EMA over the trailing
   * min(maxLag, pct·n)+1 values (ring buffer — bounded state), normalized

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
   * deviation — detector-specific normalization happens relationally
   * afterwards (Detectors.scala).
   */
-final case class RawScored(seriesKey: Long, tsMs: Long, value: Double, dev: Double)
+final case class RawScored(seriesKey: String, tsMs: Long, value: Double, dev: Double)
 
 /** A per-series streaming kernel. `feed` receives rows in ascending
   * timestamp order and may buffer a bounded lookahead; `flush` drains it at
@@ -38,15 +38,17 @@ object KeyedFold {
 
   def fold(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] = {
     import points.sparkSession.implicits._
-    foldOn[TsSample, RawScored](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
+    foldOn[TsSample, RawScored, String](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
   }
 
-  /** Generic secondary-sort fold over any keyed, time-ordered input. */
-  def foldOn[I, O: Encoder](
+  /** Generic secondary-sort fold over any keyed, time-ordered input.
+    * The key type K is opaque — only equality of consecutive keys is used.
+    */
+  def foldOn[I, O: Encoder, K](
       ds: Dataset[I],
       keyCol: String,
       tsCol: String,
-      keyOf: I => Long)(mkKernel: () => StreamKernel[I, O]): Dataset[O] =
+      keyOf: I => K)(mkKernel: () => StreamKernel[I, O]): Dataset[O] =
     ds.repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .mapPartitions { it => run(it, keyOf, mkKernel) }
@@ -54,11 +56,11 @@ object KeyedFold {
   /** Streams a sorted (key, ts) iterator through fresh kernels, one per
     * key run. Pure function of the iterator — unit-testable without Spark.
     */
-  def run[I, O](it: Iterator[I], keyOf: I => Long, mkKernel: () => StreamKernel[I, O]): Iterator[O] =
+  def run[I, O, K](it: Iterator[I], keyOf: I => K, mkKernel: () => StreamKernel[I, O]): Iterator[O] =
     new Iterator[O] {
       private var out: Iterator[O] = Iterator.empty
       private var kernel: StreamKernel[I, O] = _
-      private var curKey: Long = 0L
+      private var curKey: K = _
 
       private def advance(): Unit =
         while (!out.hasNext && (it.hasNext || kernel != null)) {

@@ -162,6 +162,10 @@ object Dedup {
     val docs = shingleHashesAndSig(
       df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Force the persist before the fan-out: otherwise the four consumers
+    // race to compute the same partitions concurrently (observed as
+    // "Block rdd_* already exists" churn and a >10× wall-time blowup).
+    docs.count()
     val withSig = docs.withColumn(
       "bandKeys",
       transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))

@@ -6,14 +6,20 @@ package graft.model
   * (timestamp_ms, value) samples (/root/reference/potoos/models/anomaly.py:7-12).
   * Here a series key column generalizes that to many series per Dataset —
   * at 100 TB the key is the unit of parallelism.
+  *
+  * The key is a STRING, matching the reference's Redis key strings
+  * (/root/reference/potoos/client.py:39,115 — `host:metric`-style keys).
+  * Numeric keys cast losslessly at the boundary (client.Graft casts any
+  * input key column to string); the key participates only in hash
+  * partitioning and per-partition sorts, never in arithmetic.
   */
-final case class TsSample(seriesKey: Long, tsMs: Long, value: Double)
+final case class TsSample(seriesKey: String, tsMs: Long, value: Double)
 
 /** Anomaly window — reference: luminol Anomaly consumed at
   * /root/reference/potoos/client.py:93 and fields at README.md:78-80.
   */
 final case class Anomaly(
-    seriesKey: Long,
+    seriesKey: String,
     startTsMs: Long,
     endTsMs: Long,
     anomalyScore: Double,
@@ -26,7 +32,7 @@ final case class TimeRange(startMs: Long, endMs: Long, durationMs: Long)
   * client.py:100-109.
   */
 final case class MetaData(
-    seriesKey: Long,
+    seriesKey: String,
     algorithm: String,
     dataPointsAnalyzed: Long,
     anomaliesFound: Long,

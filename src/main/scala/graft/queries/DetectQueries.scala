@@ -16,20 +16,28 @@ object DetectQueries {
 
   private val cols = TsCols(key = "user_id", ts = "ts_ms", value = "value", seq = Some("event_id"))
 
-  /** events → guarded Dataset[TsSample] (D0 min-cardinality gate). */
+  /** events → guarded Dataset[TsSample] (D0 min-cardinality gate).
+    * The engine's series key is a string (reference keys are Redis key
+    * strings); events.user_id enters as its string form and leaves via
+    * `keyAsLong` so oracle schemas keep the table's BIGINT type.
+    */
   private def pts(s: SparkSession, dir: String): Dataset[TsSample] = {
     import s.implicits._
     Detectors
       .minPointsGuard(
         Tables.events(s, dir)
-          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+          .select(
+            col("user_id").cast("string").as("seriesKey"),
+            col("ts_ms").as("tsMs"), col("value"))
           .as[TsSample])
       .as[TsSample]
   }
 
+  private def keyAsLong = col("seriesKey").cast("long")
+
   private def asOut(scores: DataFrame): DataFrame =
     scores.select(
-      col("seriesKey").as("user_id"),
+      keyAsLong.as("user_id"),
       col("tsMs").as("ts_ms"),
       col("value"),
       round(col("score"), 4).as("score"))
@@ -112,10 +120,10 @@ object DetectQueries {
       TsQueryConfig(aggregationType = Some("avg"), bucketSizeMs = Some(T.Day)),
       cols)
     val p = daily
-      .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+      .select(col("user_id").cast("string").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
       .as[TsSample]
     val baseline = daily.select(
-      col("user_id").as("seriesKey"),
+      col("user_id").cast("string").as("seriesKey"),
       (col("ts_ms") + T.Day).as("tsMs"),
       col("value").as("baseline"))
     (p, baseline)
@@ -129,7 +137,7 @@ object DetectQueries {
         Detectors
           .absoluteThresholdScores(pts(s, dir), upper = Some(150.0), lower = Some(1.0))
           .select(
-            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"), col("value"), col("score")),
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"), col("score")),
       Some(s"""WITH $ptsCte
               |SELECT k AS user_id, ts_ms, v AS value,
               |       greatest(v - 150.0, 1.0 - v, 0.0) AS score
@@ -230,7 +238,7 @@ object DetectQueries {
         Detectors
           .diffPercentScores(p, baseline, thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
           .select(
-            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"),
             round(col("value"), 4).as("value"), round(col("score"), 4).as("score"))
       },
       Some(s"""WITH $dailyCte,
@@ -289,7 +297,7 @@ object DetectQueries {
         Detectors
           .signTestScores(p, baseline, windowPoints = 7, confidence = 0.6, offset = 0.05)
           .select(
-            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"),
             round(col("value"), 4).as("value"), round(col("score"), 4).as("score"))
       },
       Some(s"""WITH $dailyCte,
@@ -313,7 +321,7 @@ object DetectQueries {
         Detectors
           .anomalies(Detectors.withThreshold(scores, DetectorConfig()))
           .select(
-            col("seriesKey").as("user_id"), col("startTsMs").as("start_ms"),
+            keyAsLong.as("user_id"), col("startTsMs").as("start_ms"),
             col("endTsMs").as("end_ms"), round(col("anomalyScore"), 4).as("anomaly_score"),
             col("exactTsMs").as("exact_ms"))
       },
@@ -331,7 +339,7 @@ object DetectQueries {
         Detectors
           .metadata(p, wins, "derivative_detector")
           .select(
-            col("seriesKey").as("user_id"), col("algorithm"),
+            keyAsLong.as("user_id"), col("algorithm"),
             col("dataPointsAnalyzed").as("data_points_analyzed"),
             col("anomaliesFound").as("anomalies_found"),
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class EmaState(ema: Double, lastTsMs: Long, lastValue: Double, n: Long)
 
 /** One streaming score record. */
-final case class StreamScore(seriesKey: Long, tsMs: Long, value: Double, ema: Double, dev: Double)
+final case class StreamScore(seriesKey: String, tsMs: Long, value: Double, ema: Double, dev: Double)
 
 /** Structured-Streaming upgrade of the reference's polling `monitor()`
   * loop (/root/reference/potoos/client.py:113-139, polled per
@@ -60,7 +60,7 @@ object MonitorStream {
       .groupByKey(_.seriesKey)
       .flatMapGroupsWithState[EmaState, StreamScore](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (key: Long, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
+        GroupStateTimeout.NoTimeout) { (key: String, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
         val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
         var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
         val out = batch.iterator.flatMap { p =>
@@ -89,7 +89,7 @@ object MonitorStream {
       .groupByKey(_.seriesKey)
       .flatMapGroupsWithState[EmaState, StreamScore](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (key: Long, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
+        GroupStateTimeout.NoTimeout) { (key: String, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
         val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
         var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
         val out = batch.iterator.flatMap { p =>

@@ -17,7 +17,7 @@ class DetectorsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def pts(rows: (Long, Long, Double)*): Dataset[TsSample] =
-    rows.map { case (k, t, v) => TsSample(k, t, v) }.toDS()
+    rows.map { case (k, t, v) => TsSample(k.toString, t, v) }.toDS()
 
   // FIXTURES.md ramp + spike (reference tests/test_client.py:146-151)
   private val rampSpike = pts((1, 1000, 10.0), (1, 2000, 20.0), (1, 3000, 30.0), (1, 4000, 100.0))
@@ -25,8 +25,8 @@ class DetectorsSpec extends AnyFunSuite {
   test("min-cardinality guard drops series with < 4 points (D0)") {
     val mixed = pts((1, 1000, 1.0), (1, 2000, 1.0), (1, 3000, 1.0),
       (2, 1000, 1.0), (2, 2000, 1.0), (2, 3000, 1.0), (2, 4000, 1.0))
-    val kept = Detectors.minPointsGuard(mixed).select("seriesKey").distinct().as[Long].collect()
-    assert(kept.toSeq == Seq(2L))
+    val kept = Detectors.minPointsGuard(mixed).select("seriesKey").distinct().as[String].collect()
+    assert(kept.toSeq == Seq("2"))
   }
 
   test("derivative detector flags the spike; windows + metadata match the reference fixture") {
@@ -104,7 +104,7 @@ class DetectorsSpec extends AnyFunSuite {
 
   test("baseline detectors: diff_percent and sign_test score vs baseline (D7/D8)") {
     val cur = pts((1, 1000, 100.0), (1, 2000, 100.0), (1, 3000, 200.0), (1, 4000, 100.0))
-    val baseline = Seq((1L, 1000L, 100.0), (1L, 2000L, 100.0), (1L, 3000L, 100.0), (1L, 4000L, 100.0))
+    val baseline = Seq(("1", 1000L, 100.0), ("1", 2000L, 100.0), ("1", 3000L, 100.0), ("1", 4000L, 100.0))
       .toDF("seriesKey", "tsMs", "baseline")
     val dp = Detectors
       .diffPercentScores(cur, baseline, Some(20.0), Some(20.0))
@@ -133,6 +133,35 @@ class DetectorsSpec extends AnyFunSuite {
       val exact = row.getAs[Long]("exactTsMs")
       assert(exact >= row.getAs[Long]("startTsMs") && exact <= row.getAs[Long]("endTsMs"))
     }
+  }
+
+  test("refine is deterministic: two evaluations produce identical rows (D13)") {
+    // the window frame is consumed twice inside refineExact (slice join +
+    // final join); a nondeterministic wid would silently mispair them
+    val series = pts(
+      (1, 1000, 10.0), (1, 2000, 10.0), (1, 3000, 80.0), (1, 4000, 100.0), (1, 5000, 10.0),
+      (2, 1000, 1.0), (2, 2000, 1.0), (2, 3000, 50.0), (2, 4000, 1.0), (2, 5000, 1.0))
+    val scores = Detectors.derivativeScores(series)
+    val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+    val cfg = DetectorConfig(algorithmName = "absolute_threshold", absoluteThresholdUpper = Some(0.0))
+    val a = Detectors.refineExact(series, wins, cfg).collect().map(_.toString).sorted.toSeq
+    val b = Detectors.refineExact(series, wins, cfg).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("string series keys (host:metric style) run the full monitor pipeline") {
+    val df = Seq(
+      ("web1:cpu", 1000L, 10.0), ("web1:cpu", 2000L, 20.0),
+      ("web1:cpu", 3000L, 30.0), ("web1:cpu", 4000L, 100.0),
+      ("db#2:mem", 1000L, 5.0), ("db#2:mem", 2000L, 5.0),
+      ("db#2:mem", 3000L, 5.0), ("db#2:mem", 4000L, 5.0))
+      .toDF("series", "ts_ms", "value")
+    val res = Graft.monitor(df, TsCols(key = "series", ts = "ts_ms", value = "value"))
+    assert(res.scores.count() == 8)
+    assert(res.anomalies.collect().map(_.getAs[String]("seriesKey")).toSet == Set("web1:cpu"))
+    val meta = res.metadata.collect()
+      .map(r => r.getAs[String]("seriesKey") -> r.getAs[Long]("dataPointsAnalyzed")).toMap
+    assert(meta == Map("web1:cpu" -> 4L, "db#2:mem" -> 4L))
   }
 
   test("custom algorithm registry scores through the same pipeline (D9)") {

@@ -25,12 +25,12 @@ class PropertiesSpec extends AnyFunSuite {
   private val seriesGen: Gen[List[TsSample]] = for {
     n <- Gen.chooseNum(1, 60)
     vals <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
-  } yield vals.zipWithIndex.map { case (v, i) => TsSample(1L, 1000L * (i + 1), math.rint(v * 100) / 100) }
+  } yield vals.zipWithIndex.map { case (v, i) => TsSample("1", 1000L * (i + 1), math.rint(v * 100) / 100) }
 
   test("property: kernels emit exactly one score per point, in timestamp order") {
     check(Prop.forAll(seriesGen) { s =>
-      val dv = KeyedFold.run[TsSample, RawScored](s.iterator, _.seriesKey, () => new DerivativeKernel(0.2)).toList
-      val ea = KeyedFold.run[TsSample, RawScored](s.iterator, _.seriesKey, () => new ExpAvgKernel(0.2)).toList
+      val dv = KeyedFold.run[TsSample, RawScored, String](s.iterator, _.seriesKey, () => new DerivativeKernel(0.2)).toList
+      val ea = KeyedFold.run[TsSample, RawScored, String](s.iterator, _.seriesKey, () => new ExpAvgKernel(0.2)).toList
       dv.size == s.size && ea.size == s.size &&
       dv.map(_.tsMs) == s.map(_.tsMs) && ea.map(_.tsMs) == s.map(_.tsMs)
     })
@@ -61,9 +61,9 @@ class PropertiesSpec extends AnyFunSuite {
             val d = (a.getOrElse(k, 0) - b.getOrElse(k, 0)).toDouble; d * d
           }.sum
         }
-      val in = vals.zipWithIndex.map { case (v, i) => BitmapPoint(1L, 1000L * i, v, n, vmin, vmax) }
+      val in = vals.zipWithIndex.map { case (v, i) => BitmapPoint("1", 1000L * i, v, n, vmin, vmax) }
       val got = KeyedFold
-        .run[BitmapPoint, RawScored](in.iterator, _.seriesKey, () => new BitmapKernel(precision, chunk, pct, minW, maxW))
+        .run[BitmapPoint, RawScored, String](in.iterator, _.seriesKey, () => new BitmapKernel(precision, chunk, pct, minW, maxW))
         .toList
       got.size == n && got.zipWithIndex.forall { case (s, j) => math.abs(s.dev - naive(j)) < 1e-9 }
     })
@@ -73,10 +73,10 @@ class PropertiesSpec extends AnyFunSuite {
 
   test("property: REVRANGE equals reverse(RANGE); bucketed sums repartition losslessly") {
     // sampled (not per-generated-case) to keep Spark job count sane
-    val series = seriesGen.sample.get ++ seriesGen.sample.get.map(p => p.copy(seriesKey = 2L))
+    val series = seriesGen.sample.get ++ seriesGen.sample.get.map(p => p.copy(seriesKey = "2"))
     val df = series.map(p => (p.seriesKey, p.tsMs, p.value)).toDF("k", "ts", "v")
-    val fwd = TsAlgebra.query(df, TsQueryConfig(), cols).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val rev = TsAlgebra.query(df, TsQueryConfig(reversed = true), cols).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fwd = TsAlgebra.query(df, TsQueryConfig(), cols).collect().map(r => (r.getString(0), r.getLong(1)))
+    val rev = TsAlgebra.query(df, TsQueryConfig(reversed = true), cols).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(fwd.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap ==
       rev.groupBy(_._1).view.mapValues(_.map(_._2).reverse.toSeq).toMap)
 
@@ -95,14 +95,14 @@ class PropertiesSpec extends AnyFunSuite {
   test("property: anomaly windows are disjoint, ordered, within the series range, above threshold") {
     val rnd = new scala.util.Random(42)
     val series = (1 to 3).flatMap { k =>
-      (1 to 50).map(i => TsSample(k, 1000L * i, math.rint(rnd.nextGaussian() * 1000) / 100 +
+      (1 to 50).map(i => TsSample(k.toString, 1000L * i, math.rint(rnd.nextGaussian() * 1000) / 100 +
         (if (i % 17 == 0) 50.0 else 0.0)))
     }
     val pts = series.toDS()
     val scores = Detectors.derivativeScores(pts)
     val thr = Detectors.withThreshold(scores, DetectorConfig())
     val wins = Detectors.anomalies(thr).collect()
-    val byKey = wins.groupBy(_.getAs[Long]("seriesKey"))
+    val byKey = wins.groupBy(_.getAs[String]("seriesKey"))
     byKey.foreach { case (k, ws) =>
       val sorted = ws.sortBy(_.getAs[Long]("startTsMs"))
       sorted.foreach { w =>
@@ -116,7 +116,7 @@ class PropertiesSpec extends AnyFunSuite {
         case _ =>
       }
       // every window's peak is strictly above the per-key threshold
-      val thrK = thr.where(s"seriesKey = $k").select("threshold").head().getDouble(0)
+      val thrK = thr.where(s"seriesKey = '$k'").select("threshold").head().getDouble(0)
       sorted.foreach(w => assert(w.getAs[Double]("anomalyScore") > thrK))
     }
     assert(wins.nonEmpty)
@@ -140,9 +140,9 @@ class PropertiesSpec extends AnyFunSuite {
         val dev = math.abs(vals(i) - emaLast(slice))
         if (sd > 0) dev / sd else dev
       }
-      val in = vals.zipWithIndex.map { case (v, i) => CountedPoint(1L, 1000L * i, v, n, sd) }
+      val in = vals.zipWithIndex.map { case (v, i) => CountedPoint("1", 1000L * i, v, n, sd) }
       val got = KeyedFold
-        .run[CountedPoint, RawScored](in.iterator, _.seriesKey, () => new ExpAvgLagKernel(alpha, pct, maxLag))
+        .run[CountedPoint, RawScored, String](in.iterator, _.seriesKey, () => new ExpAvgLagKernel(alpha, pct, maxLag))
         .toList
       got.size == n && got.zipWithIndex.forall { case (s, i) => math.abs(s.dev - naive(i)) < 1e-9 }
     })

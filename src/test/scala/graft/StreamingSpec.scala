@@ -24,8 +24,8 @@ class StreamingSpec extends AnyFunSuite {
       .queryName("ema_out")
       .start()
     try {
-      val batch1 = Seq(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0), TsSample(2, 1000, 5.0))
-      val batch2 = Seq(TsSample(1, 3000, 30.0), TsSample(1, 4000, 100.0), TsSample(2, 2000, 6.0))
+      val batch1 = Seq(TsSample("1", 1000, 10.0), TsSample("1", 2000, 20.0), TsSample("2", 1000, 5.0))
+      val batch2 = Seq(TsSample("1", 3000, 30.0), TsSample("1", 4000, 100.0), TsSample("2", 2000, 6.0))
       mem.addData(batch1: _*)
       q.processAllAvailable()
       mem.addData(batch2: _*)
@@ -35,7 +35,7 @@ class StreamingSpec extends AnyFunSuite {
         .map(s => (s.seriesKey, s.tsMs) -> s.ema).toMap
 
       val expected = KeyedFold
-        .run[TsSample, RawScored](
+        .run[TsSample, RawScored, String](
           (batch1 ++ batch2).sortBy(p => (p.seriesKey, p.tsMs)).iterator,
           _.seriesKey,
           () => new ExpAvgKernel(0.2))
@@ -80,14 +80,14 @@ class StreamingSpec extends AnyFunSuite {
       .derivativeScores(mem.toDS())
       .writeStream.outputMode("append").format("memory").queryName("deriv_out").start()
     try {
-      val batch1 = Seq(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0))
-      val batch2 = Seq(TsSample(1, 3000, 30.0), TsSample(1, 4000, 100.0))
+      val batch1 = Seq(TsSample("1", 1000, 10.0), TsSample("1", 2000, 20.0))
+      val batch2 = Seq(TsSample("1", 3000, 30.0), TsSample("1", 4000, 100.0))
       mem.addData(batch1: _*); q.processAllAvailable()
       mem.addData(batch2: _*); q.processAllAvailable()
       val got = spark.table("deriv_out").as[graft.streaming.StreamScore].collect()
         .map(s => s.tsMs -> s.dev).toMap
       val batchDevs = KeyedFold
-        .run[TsSample, RawScored]((batch1 ++ batch2).iterator, _.seriesKey,
+        .run[TsSample, RawScored, String]((batch1 ++ batch2).iterator, _.seriesKey,
           () => new graft.detect.DerivativeKernel(0.2))
         .map(s => s.tsMs -> s.dev).toMap
       // streaming cannot apply the d0 := d1 retro-assignment to the first
@@ -109,12 +109,12 @@ class StreamingSpec extends AnyFunSuite {
       .option("path", outDir).option("checkpointLocation", ckpt).start()
 
     val q1 = start()
-    mem.addData(TsSample(1, 1000, 10.0), TsSample(1, 2000, 20.0))
+    mem.addData(TsSample("1", 1000, 10.0), TsSample("1", 2000, 20.0))
     q1.processAllAvailable()
     q1.stop()
 
     val q2 = start() // same checkpoint -> state restored
-    mem.addData(TsSample(1, 3000, 30.0))
+    mem.addData(TsSample("1", 3000, 30.0))
     q2.processAllAvailable()
     q2.stop()
     val got = spark.read.parquet(outDir).as[graft.streaming.StreamScore].collect()
