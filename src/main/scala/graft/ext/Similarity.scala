@@ -56,12 +56,30 @@ object Similarity {
     * fp note: dot products accumulate in index order and divide by the
     * norm product, the same sequence as the `dot`-based SQL oracle.
     */
-  def cosinePairs(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
+  /** Hard cap on the corpus size `cosinePairs` will broadcast (~0.5 GB at
+    * 64-dim doubles). Exact all-pairs beyond this must go through LSH
+    * candidates; failing loudly beats a silent driver OOM at scale.
+    */
+  val MaxBroadcastRows: Long = 500000L
+
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val prep = prepared(df, idCol, embCol)
       .select(col("id"), col("vec"), col("nrm"))
       .as[(Long, Array[Double], Double)]
+    val n = prep.count()
+    require(
+      n <= maxBroadcastRows,
+      s"cosinePairs collects and broadcasts the whole corpus ($n rows > limit $maxBroadcastRows): " +
+        "exact all-pairs cosine is a small-corpus verify kernel. For large corpora use " +
+        "Dedup.minhashLshPairs (near-dup pairs) or Similarity.lshTopK / ivfProbe (ANN), " +
+        "then verify only the candidates.")
     val corpus = prep.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
     prep
@@ -89,15 +107,18 @@ object Similarity {
   private def lcg01(i: Column): Column =
     ((lit(1103515245L) * i + lit(12345L)) % lit(2147483648L)).cast("double") / lit(2147483648.0)
 
-  /** Random-hyperplane LSH bucket id (nBits sign bits). */
-  def lshBucket(vec: Column, dims: Int, nBits: Int): Column = {
+  /** Random-hyperplane LSH bucket id (nBits sign bits). `table` offsets the
+    * hyperplane stream so independent hash tables (the OR-construction that
+    * buys recall) draw disjoint pseudo-random planes.
+    */
+  def lshBucket(vec: Column, dims: Int, nBits: Int, table: Int = 0): Column = {
     val planes = transform(
       sequence(lit(0), lit(nBits - 1)),
       k =>
         aggregate(
           zip_with(
             vec,
-            transform(sequence(lit(0), lit(dims - 1)), d => lcg01(k * dims + d) - 0.5),
+            transform(sequence(lit(0), lit(dims - 1)), d => lcg01((k + lit(table * nBits)) * dims + d) - 0.5),
             (x, h) => x * h),
           lit(0.0),
           (acc, x) => acc + x))
@@ -110,12 +131,74 @@ object Similarity {
       (acc, x) => acc + x)
   }
 
-  /** IVF ANN top-k: MLlib KMeans coarse quantizer (deterministic seed)
-    * partitions the corpus into nlist cells; each query searches only the
-    * nprobe nearest cells. The candidate join is an equi-join on cell id —
-    * at 100 TB the corpus is bucketed/partitioned by cell on disk and a
-    * probe touches nprobe/nlist of the data. Exact cosine ranks inside
-    * the probed cells.
+  /** A prebuilt IVF index: the coarse centroids (tiny, broadcastable) and
+    * the cell-assigned corpus. At 100 TB `assigned` is written to storage
+    * partitioned/bucketed by `cell` once, offline; queries only probe it.
+    * The assignment plan is lazy — re-evaluating it applies the ALREADY
+    * TRAINED quantizer (a broadcast-centroid argmin pass), never a refit.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  private val ivfFitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Number of KMeans fits performed so far — lets tests assert the probe
+    * path never trains.
+    */
+  def ivfFits: Long = ivfFitCounter.get
+
+  /** Offline IVF index build: fit the MLlib KMeans coarse quantizer ONCE
+    * (deterministic seed) and derive the cell assignment. Training is the
+    * expensive step and belongs at index-build time, not per query.
+    */
+  def buildIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    ivfFitCounter.incrementAndGet()
+    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(all)
+    val assigned = model.transform(all).select("id", "vec", "nrm", "cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cid", "cvec")
+    IvfIndex(centroids, assigned)
+  }
+
+  /** IVF ANN top-k probe against a prebuilt index: each query searches only
+    * the nprobe nearest cells. The candidate join is an equi-join on cell
+    * id — a probe touches ~nprobe/nlist of the corpus. Exact cosine ranks
+    * inside the probed cells. No training happens here.
+    */
+  def ivfProbe(index: IvfIndex, queryPred: Column, k: Int, nprobe: Int = 4): DataFrame = {
+    // nprobe nearest centroids per query (tiny cross: queries × nlist)
+    val q = index.assigned.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn(
+        "dist",
+        aggregate(zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
+      .withColumn("r", row_number().over(wq))
+      .where(col("r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    index.assigned
+      .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** One-shot convenience: build + probe. Prefer `buildIvfIndex` once +
+    * `ivfProbe` per query batch in any repeated-query setting.
     */
   def ivfTopK(
       df: DataFrame,
@@ -125,51 +208,41 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = df.sparkSession
-    import spark.implicits._
-    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(col("vec")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-      .fit(all)
-    val assigned = model.transform(all).select("id", "vec", "nrm", "cell")
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cid", "cvec")
-    // nprobe nearest centroids per query (tiny cross: queries × nlist)
-    val q = assigned.where(queryPred)
-      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-    val wq = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn(
-        "dist",
-        aggregate(zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
-      .withColumn("r", row_number().over(wq))
-      .where(col("r") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
-    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
-    assigned
-      .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(wk))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
-  }
+      seed: Long = 42L): DataFrame =
+    ivfProbe(buildIvfIndex(df, idCol, embCol, nlist, seed), queryPred, k, nprobe)
 
-  /** ANN top-k: LSH-bucket the corpus, search only within the query's
-    * bucket (equi-join on bucket id — the scale path), exact cosine rank
-    * inside the bucket.
+  /** ANN top-k: LSH-bucket the corpus into `nTables` independent hash
+    * tables (OR-construction: a true neighbor is found if it collides in
+    * ANY table — recall rises with nTables while each table's candidate
+    * set stays an equi-join on a short bucket key). Candidates are the
+    * distinct union over tables; exact cosine ranks them.
     */
-  def lshTopK(df: DataFrame, idCol: String, embCol: String, queryPred: Column, k: Int, dims: Int, nBits: Int): DataFrame = {
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      dims: Int,
+      nBits: Int,
+      nTables: Int = 8): DataFrame = {
     val all = prepared(df, idCol, embCol)
-      .withColumn("bucket", lshBucket(col("vec"), dims, nBits))
-    val q = all.where(queryPred)
+    // one row per (doc, table): bucket keys are table-prefixed so tables
+    // never cross-match; the big side is never shuffled (broadcast probe)
+    val bucketed = all.select(
+      col("id"), col("vec"), col("nrm"),
+      explode(array((0 until nTables).map(t =>
+        concat_ws(":", lit(t), lshBucket(col("vec"), dims, nBits, t))): _*)).as("bucket"))
+    val q = bucketed.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"), col("bucket"))
-    val scored = all
+    val scored = bucketed
       .join(broadcast(q), Seq("bucket"))
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+      // a pair colliding in several tables scores identically each time —
+      // the distinct collapses the union of tables
+      .select(col("query_id"), col("id"), col("cosine"))
+      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))

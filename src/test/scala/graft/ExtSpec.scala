@@ -83,8 +83,29 @@ class ExtSpec extends AnyFunSuite {
     val approx = Similarity.lshTopK(e, "vec_id", "embedding", col("id") < 5, k = 5, dims = 64, nBits = 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(approx.nonEmpty)
-    // same-bucket neighbors are a biased sample; require non-trivial overlap
-    assert((exact intersect approx).nonEmpty)
+    // quantified floor (same bar as the IVF test), not just a non-empty overlap
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("cosinePairs refuses to broadcast a corpus over the row bound") {
+    val e = Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(e, "vec_id", "embedding", tau = 0.4, maxBroadcastRows = 10L).count()
+    }
+    assert(ex.getMessage.contains("minhashLshPairs"))
+    // within the bound the exact kernel still runs
+    assert(Similarity.cosinePairs(e.limit(20), "vec_id", "embedding", tau = -1.0).count() > 0)
+  }
+
+  test("IVF probe never refits the quantizer (index build is the only training step)") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val fitsAfterBuild = Similarity.ivfFits
+    val r1 = Similarity.ivfProbe(idx, col("id") < 5, k = 5, nprobe = 4).collect()
+    val r2 = Similarity.ivfProbe(idx, col("id") >= 5 && col("id") < 8, k = 3, nprobe = 2).collect()
+    assert(r1.nonEmpty && r2.nonEmpty)
+    assert(Similarity.ivfFits == fitsAfterBuild, "probe path triggered a KMeans fit")
   }
 
   test("token stats: whitespace words + ceil(len/4) subword estimate") {
