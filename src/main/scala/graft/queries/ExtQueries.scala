@@ -113,16 +113,59 @@ object ExtQueries {
           |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
           |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.3""".stripMargin)
     ),
-    // MinHash-LSH banding + exact verification — the 100 TB dedup path;
-    // recall vs the exact pairs is asserted in ScalaTest (rows-only here).
+    // MinHash-LSH banding + exact verification — the 100 TB dedup path.
+    // Every stage is md5-based so the whole pipeline (shingle-hash sets →
+    // 16-perm signatures → 4-band bucketing with the >1,≤100 bucket cap →
+    // candidate pairs → exact-Jaccard verify) replays exactly in DuckDB.
+    // Docs with no 3-gram (under 3 words) have all-zero signatures in
+    // Spark but can never emit a pair (empty-set Jaccard is NULL), so the
+    // oracle simply omits them.
     Q(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3),
-      None),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |sz AS (SELECT doc_id, count(*) n FROM hs GROUP BY doc_id),
+             |sigk AS (SELECT doc_id, k.k, min((h * (2*k.k + 3) + (5*k.k + 7)) % 2147483647) m
+             |         FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) k) k GROUP BY 1, 2),
+             |sigs AS (SELECT doc_id, list(m ORDER BY k) sig FROM sigk GROUP BY doc_id),
+             |bk AS (SELECT doc_id, b.b band,
+             |         concat_ws('-', sig[b.b*4+1], sig[b.b*4+2], sig[b.b*4+3], sig[b.b*4+4]) bkey
+             |       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) b) b),
+             |keep AS (SELECT band, bkey FROM (SELECT band, bkey, count(*) c FROM bk GROUP BY 1, 2)
+             |         WHERE c > 1 AND c <= 100),
+             |kept AS (SELECT bk.doc_id, bk.band, bk.bkey FROM bk JOIN keep USING (band, bkey)),
+             |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             |         FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |iv AS (SELECT c.da, c.db, count(*) i
+             |       FROM cand c JOIN hs x ON x.doc_id = c.da JOIN hs y ON y.doc_id = c.db AND y.h = x.h
+             |       GROUP BY 1, 2),
+             |j AS (SELECT iv.da, iv.db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) jaccard
+             |      FROM iv JOIN sz sa ON sa.doc_id = iv.da JOIN sz sb ON sb.doc_id = iv.db)
+             |SELECT da, db, round(jaccard, 4) AS jaccard FROM j WHERE jaccard >= 0.3""".stripMargin)),
+    // SimHash banding — md5 60-bit token hashes, majority-vote bits, 4×15
+    // banding, exact Hamming verify: fully integer, replays in DuckDB.
     Q(
       "dedup_simhash",
-      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 10),
-      None),
+      (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 10)
+          .withColumn("hamming", col("hamming").cast("long")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |tok AS (SELECT doc_id, len(words) nw, unnest(words) tk FROM w),
+             |th AS (SELECT doc_id, nw, ('0x' || substr(md5(tk), 1, 15))::BIGINT h FROM tok),
+             |bits AS (SELECT doc_id, nw, b.b,
+             |           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) c
+             |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) b) b GROUP BY 1, 2, 3),
+             |sig AS (SELECT doc_id, sum(CASE WHEN 2*c >= nw THEN (1::BIGINT << b) ELSE 0::BIGINT END) s
+             |        FROM bits GROUP BY doc_id),
+             |bk AS (SELECT doc_id, s, b.b band, (s >> (b.b * 15)) & 32767 bkey
+             |       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) b) b),
+             |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.s sa, b.s sb
+             |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin)),
     Q(
       "dedup_embedding",
       (s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4),
