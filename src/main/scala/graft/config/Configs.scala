@@ -27,6 +27,11 @@ object Constants {
   val DefaultDetectorEmaWeight = 0.65
   /** Minimum series cardinality (/root/reference/potoos/client.py:84-85). */
   val MinPoints = 4
+  /** Event-time TTL for streaming per-series state: a series quiet this
+    * long is considered dead and its state-store entry is dropped (bounds
+    * state at unbounded key cardinality; a returning key re-seeds).
+    */
+  val DefaultStreamStateTtlMs: Long = 24L * 3600 * 1000
   /** bitmap_detector defaults (SURVEY.md §2.4 D4). */
   val BitmapPrecision = 4
   val BitmapChunkSize = 2

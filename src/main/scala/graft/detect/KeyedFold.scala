@@ -32,7 +32,9 @@ trait SeriesKernel extends StreamKernel[TsSample, RawScored]
   * stream each partition once. Parallelism is across series keys; memory
   * is bounded per series (never collect_list / never buffer a series), so
   * a series longer than executor memory still works: Spark's external
-  * sort spills, the fold streams.
+  * sort spills, the fold streams. The residual bound — ONE series folds on
+  * one task — is removable for linear recurrences via the chunked
+  * parallel-scan schedule in ChunkedEma (ChunkedFold.scala).
   */
 object KeyedFold {
 

@@ -12,6 +12,9 @@ final case class EmaState(ema: Double, lastTsMs: Long, lastValue: Double, n: Lon
 /** One streaming score record. */
 final case class StreamScore(seriesKey: String, tsMs: Long, value: Double, ema: Double, dev: Double)
 
+/** TsSample plus the watermarked event-time column. */
+final case class TimedSample(seriesKey: String, tsMs: Long, value: Double, eventTime: java.sql.Timestamp)
+
 /** Structured-Streaming upgrade of the reference's polling `monitor()`
   * loop (/root/reference/potoos/client.py:113-139, polled per
   * /root/reference/README.md:126-129; BASELINE.json sanctions
@@ -46,71 +49,95 @@ object MonitorStream {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
-  /** Per-key streaming EMA scoring via mapGroupsWithState: the streaming
-    * twin of ExpAvgKernel. Within each micro-batch the group's rows are
-    * sorted by event time; the EMA carries across batches in the state
-    * store. Emits |v − ema| as the raw deviation; thresholding uses an
-    * absolute `score_threshold` (the percent-of-max form needs the whole
-    * series — documented batch/stream divergence, SURVEY.md §7.5).
+  /** Shared stateful-scoring harness: watermarked event time + per-key
+    * EmaState with an EVENT-TIME TTL. At unbounded key cardinality dead
+    * series must leave the state store — each batch re-arms a timeout
+    * `stateTtlMs` past the key's newest event; when the watermark passes it
+    * the state is dropped (a returning key re-seeds from scratch). Within
+    * each micro-batch the group's rows are sorted by event time.
     */
-  def emaScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): Dataset[StreamScore] = {
+  private def statefulScores(
+      points: Dataset[TsSample],
+      watermarkDelay: String,
+      stateTtlMs: Long)(
+      step: (EmaState, TimedSample) => (EmaState, Option[StreamScore])): Dataset[StreamScore] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points
+    points.toDF
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedSample]
       .groupByKey(_.seriesKey)
       .flatMapGroupsWithState[EmaState, StreamScore](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (key: String, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
-        val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
-        var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
-        val out = batch.iterator.flatMap { p =>
-          if (p.tsMs <= st.lastTsMs) Iterator.empty // drop late/dup events
-          else {
-            val ema = if (st.n == 0L) p.value else alpha * p.value + (1 - alpha) * st.ema
-            st = EmaState(ema, p.tsMs, p.value, st.n + 1)
-            Iterator.single(StreamScore(key, p.tsMs, p.value, ema, math.abs(p.value - ema)))
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[TimedSample], state: GroupState[EmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // dead series: free the state store slot
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+            var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
+            val out = batch.iterator.flatMap { p =>
+              if (p.tsMs <= st.lastTsMs) Iterator.empty // drop late/dup events
+              else {
+                val (next, score) = step(st, p)
+                st = next
+                score.iterator
+              }
+            }.toVector
+            state.update(st)
+            // must stay ahead of the watermark or Spark rejects the arm
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
           }
-        }.toVector
-        state.update(st)
-        out.iterator
       }
   }
 
+  /** Per-key streaming EMA scoring: the streaming twin of ExpAvgKernel.
+    * The EMA carries across batches in the state store and expires
+    * `stateTtlMs` of event time after the series goes quiet. Emits
+    * |v − ema| as the raw deviation; thresholding uses an absolute
+    * `score_threshold` (the percent-of-max form needs the whole series —
+    * documented batch/stream divergence, SURVEY.md §7.5).
+    */
+  def emaScores(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[StreamScore] =
+    statefulScores(points, watermarkDelay, stateTtlMs) { (st, p) =>
+      val ema = if (st.n == 0L) p.value else alpha * p.value + (1 - alpha) * st.ema
+      (EmaState(ema, p.tsMs, p.value, st.n + 1),
+        Some(StreamScore(p.seriesKey, p.tsMs, p.value, ema, math.abs(p.value - ema))))
+    }
+
   /** Streaming derivative scoring: carries (prev point, derivative EMA)
     * per key across micro-batches — the streaming twin of
-    * DerivativeKernel. Emits the raw |d − ema(d)| deviation (the batch
-    * path's stddev normalization needs the whole series; streaming users
-    * threshold the raw dev absolutely).
+    * DerivativeKernel, with the same state-expiry hygiene as emaScores.
+    * Emits the raw |d − ema(d)| deviation (the batch path's stddev
+    * normalization needs the whole series; streaming users threshold the
+    * raw dev absolutely).
     */
-  def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): Dataset[StreamScore] = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    points
-      .groupByKey(_.seriesKey)
-      .flatMapGroupsWithState[EmaState, StreamScore](
-        OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (key: String, rows: Iterator[TsSample], state: GroupState[EmaState]) =>
-        val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
-        var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0.0, 0L))
-        val out = batch.iterator.flatMap { p =>
-          if (p.tsMs <= st.lastTsMs) Iterator.empty // drop late/dup events
-          else if (st.n == 0L) {
-            // first point: derivative undefined until the second arrives;
-            // streaming emits dev 0 immediately (cannot hold lookahead)
-            st = EmaState(0.0, p.tsMs, p.value, 1L)
-            Iterator.single(StreamScore(key, p.tsMs, p.value, 0.0, 0.0))
-          } else {
-            val dtS = (p.tsMs - st.lastTsMs) / 1000.0
-            val d = math.abs(if (dtS != 0) (p.value - st.lastValue) / dtS else p.value - st.lastValue)
-            val ema = if (st.n == 1L) d else alpha * d + (1 - alpha) * st.ema
-            st = EmaState(ema, p.tsMs, p.value, st.n + 1)
-            Iterator.single(StreamScore(key, p.tsMs, p.value, ema, math.abs(d - ema)))
-          }
-        }.toVector
-        state.update(st)
-        out.iterator
+  def derivativeScores(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[StreamScore] =
+    statefulScores(points, watermarkDelay, stateTtlMs) { (st, p) =>
+      if (st.n == 0L) {
+        // first point: derivative undefined until the second arrives;
+        // streaming emits dev 0 immediately (cannot hold lookahead)
+        (EmaState(0.0, p.tsMs, p.value, 1L), Some(StreamScore(p.seriesKey, p.tsMs, p.value, 0.0, 0.0)))
+      } else {
+        val dtS = (p.tsMs - st.lastTsMs) / 1000.0
+        val d = math.abs(if (dtS != 0) (p.value - st.lastValue) / dtS else p.value - st.lastValue)
+        val ema = if (st.n == 1L) d else alpha * d + (1 - alpha) * st.ema
+        (EmaState(ema, p.tsMs, p.value, st.n + 1),
+          Some(StreamScore(p.seriesKey, p.tsMs, p.value, ema, math.abs(d - ema))))
       }
-  }
+    }
 
   /** Streaming anomaly flags with an absolute threshold on the raw EMA
     * deviation (D6-style in-stream thresholding).

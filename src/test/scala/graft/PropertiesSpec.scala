@@ -122,6 +122,27 @@ class PropertiesSpec extends AnyFunSuite {
     assert(wins.nonEmpty)
   }
 
+  test("property: chunked EMA fold matches the sequential kernel on one giant multi-chunk series") {
+    // ONE key spanning many chunks: KeyedFold would fold it on a single
+    // task; ChunkedEma folds chunks in parallel and must agree to fp-ulp.
+    val rnd = new scala.util.Random(7)
+    val series = (1 to 5000).map(i =>
+      TsSample("big", 1000L * i, math.rint(rnd.nextGaussian() * 10000) / 100)) ++
+      (1 to 40).map(i => TsSample("small", 1000L * i, i.toDouble)) // a second key must not interfere
+    val sequential = KeyedFold
+      .run[TsSample, RawScored, String](
+        series.sortBy(p => (p.seriesKey, p.tsMs)).iterator, _.seriesKey, () => new ExpAvgKernel(0.2))
+      .map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
+    // 250s chunks → 20 chunks for "big"; input deliberately scattered
+    val got = ChunkedEma.scores(series.toDS().repartition(8), 0.2, chunkMs = 250000L).collect()
+    assert(got.length == sequential.size)
+    got.foreach { s =>
+      val want = sequential((s.seriesKey, s.tsMs))
+      assert(math.abs(s.dev - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+        s"key=${s.seriesKey} ts=${s.tsMs}: chunked=${s.dev} sequential=$want")
+    }
+  }
+
   test("property: lag-window exp_avg kernel matches a naive reference") {
     val gen = for {
       n <- Gen.chooseNum(1, 60)

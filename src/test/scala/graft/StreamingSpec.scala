@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dead series expire from the state store after the event-time TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .emaScores(mem.toDS(), alpha = 0.2, watermarkDelay = "0 seconds", stateTtlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("ttl_out").start()
+    try {
+      // key 1 seeds its EMA, then goes quiet
+      mem.addData(TsSample("1", 1000, 10.0), TsSample("1", 2000, 20.0))
+      q.processAllAvailable()
+      // key 2's much-later events advance the watermark past key 1's TTL;
+      // the timeout fires on the following batch
+      mem.addData(TsSample("2", 100000, 1.0)); q.processAllAvailable()
+      mem.addData(TsSample("2", 110000, 1.0)); q.processAllAvailable()
+      // key 1 returns: its state must be gone, so the EMA re-seeds at the
+      // raw value instead of continuing from 0.2*20 + 0.8*12 = 13.6
+      mem.addData(TsSample("1", 120000, 50.0)); q.processAllAvailable()
+      val got = spark.table("ttl_out").as[graft.streaming.StreamScore].collect()
+        .map(s => (s.seriesKey, s.tsMs) -> s.ema).toMap
+      assert(got(("1", 2000L)) == 12.0) // pre-expiry state was live
+      assert(got(("1", 120000L)) == 50.0, s"state not expired: ${got(("1", 120000L))}")
+    } finally q.stop()
+  }
+
   test("EMA state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
