@@ -44,8 +44,24 @@ object Detectors {
     * folded stream (AQE broadcasts it when the key count is small) — no
     * window sort over the scored data.
     */
-  def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
-    val folded = KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF
+  def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
+    normalizeEmaDevs(KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF, points)
+
+  /** D2 exp_avg via the chunked parallel-scan fold (ChunkedEma): same
+    * scores as expAvgScores to fp-ulp, but one gigantic series no longer
+    * serializes onto a single task — chunks of the same key fold in
+    * parallel. Use when key skew is extreme.
+    */
+  def expAvgScoresChunked(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      chunkMs: Long): DataFrame =
+    normalizeEmaDevs(ChunkedEma.scores(points, alpha, chunkMs).toDF, points)
+
+  /** Shared D2 normalization: |dev| / stddev_pop(values), signed dev when
+    * the series is constant.
+    */
+  private def normalizeEmaDevs(folded: DataFrame, points: Dataset[TsSample]): DataFrame = {
     val stats = points.groupBy("seriesKey").agg(stddev_pop(col("value")).as("_sd"))
     folded
       .join(stats, Seq("seriesKey"))

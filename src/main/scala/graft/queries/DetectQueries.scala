@@ -44,15 +44,19 @@ object DetectQueries {
 
   // ---- shared oracle CTE fragments (must mirror the Scala fp-op order) ----
 
-  /** D0-guarded points. */
-  private val ptsCte =
-    """pts AS (
-      |  SELECT k, ts_ms, v FROM (
-      |    SELECT user_id k, epoch_ms(ts) ts_ms, value v,
-      |           count(*) OVER (PARTITION BY user_id) n
-      |    FROM events)
-      |  WHERE n >= 4),
-      |rpts AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM pts)""".stripMargin
+  /** D0-guarded points, with a pluggable series-key expression (the
+    * string-key query derives `'u' || user_id`).
+    */
+  private def ptsCteFor(keyExpr: String) =
+    s"""pts AS (
+       |  SELECT k, ts_ms, v FROM (
+       |    SELECT $keyExpr k, epoch_ms(ts) ts_ms, value v,
+       |           count(*) OVER (PARTITION BY user_id) n
+       |    FROM events)
+       |  WHERE n >= 4),
+       |rpts AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM pts)""".stripMargin
+
+  private val ptsCte = ptsCteFor("user_id")
 
   /** D2 exp_avg: ema recurrence + |v-ema|/stddev_pop(values). */
   private val escoreCte =
@@ -167,6 +171,38 @@ object DetectQueries {
            |  round(CASE WHEN e.score > 0.94 THEN greatest(e.score, d.score)
            |             ELSE e.score * 0.65 END, 4) AS score
            |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
+    ),
+    // D2 exp_avg over Redis-style STRING series keys, through the full
+    // EP2 monitor facade (range-query algebra → D0 guard → scoring): the
+    // reference's keys are key strings (/root/reference/potoos/client.py:39),
+    // and this query proves them end-to-end at the driver gate.
+    Q(
+      "anomaly_string_key_monitor",
+      (s, dir) => {
+        val df = Tables.events(s, dir).select(
+          concat(lit("u"), col("user_id").cast("string")).as("skey"),
+          col("ts_ms"), col("value"))
+        graft.client.Graft
+          .monitor(
+            df,
+            TsCols(key = "skey", ts = "ts_ms", value = "value", seq = None),
+            detCfg = DetectorConfig(algorithmName = "exp_avg_detector", scoreOnly = true))
+          .scores
+          .select(
+            col("seriesKey").as("series_key"), col("tsMs").as("ts_ms"),
+            col("value"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH RECURSIVE ${ptsCteFor("'u' || CAST(user_id AS VARCHAR)")}, $escoreCte
+              |SELECT k AS series_key, ts_ms, v AS value, round(score, 4) AS score FROM escore""".stripMargin)
+    ),
+    // D2 exp_avg via the chunked parallel-scan fold (skew escape for one
+    // gigantic series, ChunkedFold.scala) — same oracle as the sequential
+    // fold: the composed chunk seeds agree to fp-ulp, far inside round(4).
+    Q(
+      "anomaly_exp_avg_chunked",
+      (s, dir) => asOut(Detectors.expAvgScoresChunked(pts(s, dir), chunkMs = 6L * 3600 * 1000)),
+      Some(s"""WITH RECURSIVE $ptsCte, $escoreCte
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM escore""".stripMargin)
     ),
     // D2 exp_avg lag-window variant — oracled via the closed form of the
     // windowed EMA fold: ema_last([s..j]) = v_s·β^(j−s) + Σ α·v_i·β^(j−i)

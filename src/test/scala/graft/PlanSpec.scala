@@ -51,4 +51,30 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
     assert(exchanges <= 1, s"cosine pairs should be a single scan pass, saw $exchanges shuffles")
   }
+
+  test("sim_lsh_topk: candidates come from a broadcast equi-join on bucket keys, never a cartesian") {
+    val p = plan("sim_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), "query side must broadcast against the bucketed corpus")
+    assert(!p.contains("CartesianProduct"), "LSH must never degrade to all-pairs")
+  }
+
+  test("sim_ivf_topk: probe is broadcast joins only — no cartesian over the corpus, no training stage") {
+    val p = plan("sim_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast against the cell-assigned corpus")
+    // the only cross is queries x nlist centroids (tiny, broadcast)
+    val bigCartesian = p.contains("CartesianProduct")
+    assert(!bigCartesian, "corpus side must join on cell id")
+  }
+
+  test("dedup_minhash_lsh: banded candidates join on short keys; no cartesian anywhere") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH banding must never produce an all-pairs join")
+    assert(p.contains("InMemoryTableScan"), "signature table must be reused from the materialized cache")
+  }
+
+  test("anomaly_exp_avg_chunked: chunk passes hash-partition by (key, chunk) — no single-task stage") {
+    val p = plan("anomaly_exp_avg_chunked")
+    assert(!p.contains("SinglePartition"), s"chunked fold must not serialize onto one partition:\n$p")
+    assert(p.contains("hashpartitioning(seriesKey"), "chunk passes must partition by key+chunk")
+  }
 }
