@@ -204,14 +204,33 @@ object ExtQueries {
           .withColumn("rank", col("rank").cast("long"))
       },
       None),
-    // LSH-bucketed ANN — scale path; recall asserted in ScalaTest
+    // LSH-bucketed ANN — scale path; recall asserted in ScalaTest. The
+    // hyperplanes are a deterministic integer LCG, so the ENTIRE path
+    // (8 tables × 4 sign bits → bucket equi-join → distinct candidates →
+    // exact cosine top-5) replays in DuckDB: approximate ≠ unverifiable.
     Q(
       "sim_lsh_topk",
       (s, dir) =>
         Similarity.lshTopK(
           Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5, dims = 64, nBits = 4)
           .withColumn("rank", col("rank").cast("long")),
-      None),
+      Some(s"""WITH $embCte,
+              |b AS (SELECT vec_id, v, nrm, t.t,
+              |        list_sum(list_transform(range(0, 4), k ->
+              |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+              |                 v[d] * ((((1103515245 * ((k + t.t*4) * 64 + (d-1)) + 12345) % 2147483648)
+              |                          / 2147483648.0) - 0.5))) > 0
+              |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+              |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
+              |q AS (SELECT vec_id query_id, v qv, nrm qnrm, t, bucket FROM b WHERE vec_id < 10),
+              |cand AS (SELECT DISTINCT q.query_id, c.vec_id id,
+              |           list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i])) / (c.nrm * q.qnrm) cosine
+              |         FROM b c JOIN q ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+              |r AS (SELECT query_id, id, cosine,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+              |      FROM cand)
+              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+              |FROM r WHERE rank <= 5""".stripMargin)),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     Q(
       "mm_frame_sample",
