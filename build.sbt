@@ -30,5 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of codegen'd queries in one JVM overflow the default 240 MB
   // JIT code cache, after which generated code runs interpreted (measured
   // 3-10x slowdowns late in a Bench run)
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
 )

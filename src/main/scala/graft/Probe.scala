@@ -1,30 +1,31 @@
 package graft
 
-import graft.ext.Dedup
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for stage bisection. */
+/** Times one named SparkEntry query repeatedly under the bench session
+  * config — for isolating a single query's cost/variance without paying
+  * for the whole bench. Usage: runMain graft.Probe <query> [sfDir] [reps].
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.get("probe")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val df = Tables.documents(spark, dir)
-    def timeIt(name: String)(f: => Long): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val n = fn(spark, sfDir).count()
+      println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      spark.catalog.clearCache(); System.gc()
     }
-    val sh = df.select(
-      col("doc_id").as("id"), col("source").as("blk"),
-      explode(transform(Dedup.shingleArray(col("text"), 3), g => xxhash64(g))).as("h"))
-    timeIt("explode-hash")(sh.count())
-    timeIt("explode-hash-again")(sh.count())
-    val joined = sh.as("a").join(
-      sh.as("b"),
-      col("a.blk") === col("b.blk") && col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-    timeIt("self-join")(joined.count())
-    val grouped = joined.groupBy(col("a.id").as("da"), col("b.id").as("db")).agg(count(lit(1)).as("i"))
-    timeIt("grouped")(grouped.count())
     spark.stop()
   }
 }
