@@ -107,6 +107,10 @@ object Similarity {
   private def lcg01(i: Column): Column =
     ((lit(1103515245L) * i + lit(12345L)) % lit(2147483648L)).cast("double") / lit(2147483648.0)
 
+  /** Scalar twin of lcg01 — identical integer arithmetic. */
+  private def lcg01d(i: Long): Double =
+    ((1103515245L * i + 12345L) % 2147483648L).toDouble / 2147483648.0
+
   /** Random-hyperplane LSH bucket id (nBits sign bits). `table` offsets the
     * hyperplane stream so independent hash tables (the OR-construction that
     * buys recall) draw disjoint pseudo-random planes.
@@ -226,13 +230,37 @@ object Similarity {
       dims: Int,
       nBits: Int,
       nTables: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val all = prepared(df, idCol, embCol)
-    // one row per (doc, table): bucket keys are table-prefixed so tables
-    // never cross-match; the big side is never shuffled (broadcast probe)
-    val bucketed = all.select(
-      col("id"), col("vec"), col("nrm"),
-      explode(array((0 until nTables).map(t =>
-        concat_ws(":", lit(t), lshBucket(col("vec"), dims, nBits, t))): _*)).as("bucket"))
+    // One row per (doc, table): bucket keys are table-prefixed so tables
+    // never cross-match; the big side is never shuffled (broadcast probe).
+    // Bucketing runs in a typed kernel, not Catalyst array lambdas — the
+    // nTables x nBits plane dots inline into pathological generated code
+    // (the measured lambda-JIT cliff, see Dedup) — with the SAME integer
+    // LCG planes, so the SQL oracle replays it exactly.
+    val bucketed = all
+      .select(col("id"), col("vec"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(nTables, nBits, dims)((t, k, d) =>
+          lcg01d((k + t * nBits).toLong * dims + d) - 0.5)
+        it.flatMap { case (id, vec, nrm) =>
+          (0 until nTables).iterator.map { t =>
+            var bucket = 0L
+            var k = 0
+            while (k < nBits) {
+              var s = 0.0
+              var d = 0
+              while (d < dims) { s += vec(d) * planes(t)(k)(d); d += 1 }
+              if (s > 0) bucket |= (1L << k)
+              k += 1
+            }
+            (id, vec, nrm, s"$t:$bucket")
+          }
+        }
+      }
+      .toDF("id", "vec", "nrm", "bucket")
     val q = bucketed.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"), col("bucket"))
     val scored = bucketed

@@ -212,13 +212,13 @@ object ExtQueries {
       "sim_lsh_topk",
       (s, dir) =>
         Similarity.lshTopK(
-          Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5, dims = 64, nBits = 4)
+          Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5, dims = 64, nBits = 6)
           .withColumn("rank", col("rank").cast("long")),
       Some(s"""WITH $embCte,
               |b AS (SELECT vec_id, v, nrm, t.t,
-              |        list_sum(list_transform(range(0, 4), k ->
+              |        list_sum(list_transform(range(0, 6), k ->
               |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
-              |                 v[d] * ((((1103515245 * ((k + t.t*4) * 64 + (d-1)) + 12345) % 2147483648)
+              |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
               |                          / 2147483648.0) - 0.5))) > 0
               |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
               |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
