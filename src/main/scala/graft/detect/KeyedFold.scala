@@ -55,6 +55,29 @@ object KeyedFold {
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .mapPartitions { it => run(it, keyOf, mkKernel) }
 
+  /** Fold assuming the input is ALREADY co-partitioned by the key column —
+    * e.g. read from a table `bucketBy(n, key)` on disk (with bucketed
+    * scans forced via spark.sql.sources.bucketing.autoBucketedScan
+    * .enabled=false, so each bucket arrives as one partition). Skips the
+    * shuffle entirely and only sorts within partitions: at 100 TB this is
+    * the difference between shuffling the whole fact table per run and
+    * ZERO data movement when the layout is bucket-by-key. Correctness
+    * requires every key to live wholly inside one input partition — the
+    * bucketed-layout guarantee; this is not checked at runtime.
+    */
+  def foldOnPrePartitioned[I, O: Encoder, K](
+      ds: Dataset[I],
+      keyCol: String,
+      tsCol: String,
+      keyOf: I => K)(mkKernel: () => StreamKernel[I, O]): Dataset[O] =
+    ds.sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { it => run(it, keyOf, mkKernel) }
+
+  def foldPrePartitioned(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] = {
+    import points.sparkSession.implicits._
+    foldOnPrePartitioned[TsSample, RawScored, String](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
+  }
+
   /** Streams a sorted (key, ts) iterator through fresh kernels, one per
     * key run. Pure function of the iterator — unit-testable without Spark.
     */

@@ -42,4 +42,40 @@ class PartitionedLayoutSpec extends AnyFunSuite {
       .count()
     assert(n > 0)
   }
+
+  test("bucket-by-key layout: the detector fold runs with ZERO shuffle and identical results") {
+    import spark.implicits._
+    import graft.detect.{ExpAvgKernel, KeyedFold}
+    import graft.model.TsSample
+    val warehouse = Files.createTempDirectory("graft_bucketed").toString
+    val pts = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("user_id").cast("string").as("seriesKey"),
+        col("ts_ms").as("tsMs"), col("value"))
+    // the 100 TB layout: fact table bucketed by series key on disk
+    pts.write
+      .option("path", s"$warehouse/events_bucketed")
+      .bucketBy(8, "seriesKey")
+      .mode("overwrite")
+      .saveAsTable("events_bucketed")
+    // force bucket-aware scans even when no join/agg asks for the
+    // distribution (one partition per bucket)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val bucketed = spark.table("events_bucketed").as[TsSample]
+      val folded = KeyedFold.foldPrePartitioned(bucketed)(() => new ExpAvgKernel(0.2))
+      val plan = folded.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed fold must not shuffle:\n$plan")
+
+      // results identical to the shuffling fold over the same data
+      val viaShuffle = KeyedFold.fold(pts.as[TsSample])(() => new ExpAvgKernel(0.2))
+        .collect().map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
+      val viaBuckets = folded.collect().map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
+      assert(viaBuckets == viaShuffle)
+      assert(viaBuckets.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    }
+  }
 }
