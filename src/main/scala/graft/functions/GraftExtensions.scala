@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions injection point — the config-driven way to ship
+  * graft's native expressions into ANY session, including ones the
+  * library never sees constructed (spark-submit, Thrift server, notebook
+  * kernels):
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * or programmatically: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`. Complements GraftFunctions.register, which needs a
+  * live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(
+          classOf[CosineSimilarity].getName,
+          null,
+          "cosine_sim",
+          "cosine_sim(a, b) - cosine similarity of two array<double> vectors, " +
+            "accumulated in index order (codegen'd single fused loop)",
+          ""),
+        exprs => CosineSimilarity(exprs(0), exprs(1))))
+}

@@ -181,6 +181,27 @@ class ExtSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no_such_table"))
   }
 
+  test("cosine_sim injects via SparkSessionExtensions (config-driven registration path)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force the shared context to exist first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // new session object on the same context, extensions applied the way
+      // spark.sql.extensions=graft.functions.GraftExtensions would
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) c").head().getDouble(0)
+      assert(math.abs(got - 1.0) < 1e-15)
+      val desc = s2.sql("DESCRIBE FUNCTION cosine_sim").collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("cosine_sim"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("native cosine_sim expression matches the lambda formulation bit-for-bit, incl. SQL form") {
     import graft.functions.GraftFunctions
     val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding").limit(50)
