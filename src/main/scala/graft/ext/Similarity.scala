@@ -201,6 +201,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Persist an IVF index to storage: centroids as one tiny parquet, the
+    * corpus PARTITIONED BY CELL — the on-disk layout that makes a probe
+    * read only its nprobe cells' directories (partition pruning /
+    * dynamic partition pruning through the broadcast probe join) instead
+    * of the whole corpus. This is the offline index-build step at scale.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.partitionBy("cell").mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Reopen a persisted IVF index; `ivfProbe` works on it unchanged. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+
   /** One-shot convenience: build + probe. Prefer `buildIvfIndex` once +
     * `ivfProbe` per query batch in any repeated-query setting.
     */

@@ -98,6 +98,25 @@ class ExtSpec extends AnyFunSuite {
     assert(Similarity.cosinePairs(e.limit(20), "vec_id", "embedding", tau = -1.0).count() > 0)
   }
 
+  test("persisted IVF index: probe over the cell-partitioned layout matches the in-memory probe") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(idx, dir)
+    val reopened = Similarity.readIvfIndex(spark, dir)
+    val mem = Similarity.ivfProbe(idx, col("id") < 5, k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val disk = Similarity.ivfProbe(reopened, col("id") < 5, k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(disk == mem && disk.nonEmpty)
+    // the probe over the partitioned layout exposes the cell as a
+    // partition column, so the cell equi-join can prune directories
+    val plan = Similarity.ivfProbe(reopened, col("id") < 5, k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"cell-partitioned probe should be prunable:\n$plan")
+  }
+
   test("IVF probe never refits the quantizer (index build is the only training step)") {
     val e = Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
