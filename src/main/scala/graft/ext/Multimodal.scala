@@ -70,6 +70,38 @@ object Multimodal {
       .withColumn("byte_offset", col("frame_idx") * 256L)
   }
 
+  /** STUB feature extraction: a `dims`-dim "embedding" derived from the
+    * payload's md5 bytes, scaled to [0, 1]. Stands in for model inference;
+    * a real encoder drops into the same mapPartitions seam (one model
+    * handle per partition, batched forward passes). Pure function of the
+    * payload so the SQL oracle reproduces it exactly.
+    */
+  def featureStub(md: java.security.MessageDigest, payload: Array[Byte], dims: Int): Array[Double] = {
+    val d = md.digest(payload)
+    Array.tabulate(dims)(i => (d(i % d.length) & 0xff) / 255.0)
+  }
+
+  /** Batch feature extraction over a binary payload column → one row per
+    * (id, dim, value): the media→embedding step of a multimodal pipeline.
+    * The array form for Similarity ops is a `collect_list` over dim away;
+    * the exploded form keeps the oracle on scalar columns.
+    */
+  def features(df: DataFrame, idCol: String, payloadCol: String, dims: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition model handle would init here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          val f = featureStub(md, payload, dims)
+          f.iterator.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
+        }
+      }
+      .toDF("id", "dim", "value")
+  }
+
   /** "Resize" metadata transform (STUB: aspect-preserving target fit —
     * the arithmetic a real resize plans with; the pixel op would run in
     * the imageMeta decode seam).

@@ -244,6 +244,20 @@ object ExtQueries {
              |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx*256 AS byte_offset
              |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM f)""".stripMargin)
     ),
+    // media → embedding (feature-extract stub on the real inference seam):
+    // md5-derived features are content-dependent and replay in SQL
+    Q(
+      "mm_features",
+      (s, dir) =>
+        Multimodal.features(
+          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", dims = 8)
+          .select(
+            col("id").as("doc_id"), col("dim"),
+            round(col("value"), 4).as("value")),
+      Some("""SELECT doc_id, d.d AS dim,
+             |  round(('0x' || substr(md5(text), d.d*2 + 1, 2))::BIGINT / 255.0, 4) AS value
+             |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) d) d""".stripMargin)),
     Q(
       "mm_image_meta",
       (s, dir) =>

@@ -152,6 +152,23 @@ class ExtSpec extends AnyFunSuite {
     assert(byId(1L)._2.matches("[0-9a-f]{32}"))
   }
 
+  test("feature-extract stub: md5-derived embeddings, exploded and composable with ANN ops") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val f = Multimodal.featureStub(md, "abc".getBytes, 8)
+    assert(f.length == 8)
+    assert(math.abs(f(0) - 0x90 / 255.0) < 1e-15) // md5("abc") = 900150...
+    assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    val rows = Multimodal.features(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload")
+      .collect()
+    assert(rows.length == 4 * 8)
+    // identical docs get identical features (dedup-by-embedding works on them)
+    val byDoc = rows.groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("value")).toSeq).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+  }
+
   test("multimodal stub decode: deterministic metadata from binary payloads") {
     val meta = Multimodal.decodeStub(7L, "abcdef".getBytes)
     assert(meta == graft.ext.MediaMeta(7L, 6L, 7, 43, 1, "png"))
