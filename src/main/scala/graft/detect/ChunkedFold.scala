@@ -105,6 +105,10 @@ object ChunkedEma {
         col("seriesKey"), floor(col("tsMs") / chunkMs).cast("long").as("chunk"),
         col("tsMs"), col("value"))
       .as[ChunkPoint]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed by pass 1 AND pass 3 — materialize once or both recompute
+    // the whole upstream scan/guard pipeline
+    chunked.count()
 
     // pass 1 — parallel across (series, chunk)
     val summaries = chunked
