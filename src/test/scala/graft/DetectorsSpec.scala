@@ -149,6 +149,21 @@ class DetectorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("refine with a FOLD-based second algorithm (exp_avg) — synthetic window keys flow through KeyedFold") {
+    val series = pts(
+      (1, 1000, 10.0), (1, 2000, 10.0), (1, 3000, 80.0), (1, 4000, 100.0), (1, 5000, 10.0))
+    val scores = Detectors.derivativeScores(series)
+    val wins = Detectors.anomalies(Detectors.withThreshold(scores, DetectorConfig()))
+    val refined = Detectors.refineExact(
+      series, wins, DetectorConfig(algorithmName = "exp_avg_detector"))
+    val r = refined.collect()
+    assert(r.length == wins.count() && r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("exactTsMs")
+      assert(exact >= row.getAs[Long]("startTsMs") && exact <= row.getAs[Long]("endTsMs"))
+    }
+  }
+
   test("string series keys (host:metric style) run the full monitor pipeline") {
     val df = Seq(
       ("web1:cpu", 1000L, 10.0), ("web1:cpu", 2000L, 20.0),

@@ -133,13 +133,16 @@ class PropertiesSpec extends AnyFunSuite {
       .run[TsSample, RawScored, String](
         series.sortBy(p => (p.seriesKey, p.tsMs)).iterator, _.seriesKey, () => new ExpAvgKernel(0.2))
       .map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
-    // 250s chunks → 20 chunks for "big"; input deliberately scattered
-    val got = ChunkedEma.scores(series.toDS().repartition(8), 0.2, chunkMs = 250000L).collect()
-    assert(got.length == sequential.size)
-    got.foreach { s =>
-      val want = sequential((s.seriesKey, s.tsMs))
-      assert(math.abs(s.dev - want) <= 1e-9 * math.max(1.0, math.abs(want)),
-        s"key=${s.seriesKey} ts=${s.tsMs}: chunked=${s.dev} sequential=$want")
+    // chunk widths from near-single-point chunks to wider-than-the-series
+    // (the latter degenerates to the plain sequential fold)
+    Seq(3000L, 250000L, 10000000L).foreach { chunkMs =>
+      val got = ChunkedEma.scores(series.toDS().repartition(8), 0.2, chunkMs).collect()
+      assert(got.length == sequential.size, s"chunkMs=$chunkMs")
+      got.foreach { s =>
+        val want = sequential((s.seriesKey, s.tsMs))
+        assert(math.abs(s.dev - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+          s"chunkMs=$chunkMs key=${s.seriesKey} ts=${s.tsMs}: chunked=${s.dev} sequential=$want")
+      }
     }
   }
 
