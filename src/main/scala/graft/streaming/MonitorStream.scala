@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.config.Constants
-import graft.model.TsSample
+import graft.model.{Anomaly, TsSample}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -14,6 +14,14 @@ final case class StreamScore(seriesKey: String, tsMs: Long, value: Double, ema: 
 
 /** TsSample plus the watermarked event-time column. */
 final case class TimedSample(seriesKey: String, tsMs: Long, value: Double, eventTime: java.sql.Timestamp)
+
+/** StreamScore plus the watermarked event-time column. */
+final case class TimedScore(
+    seriesKey: String, tsMs: Long, value: Double, ema: Double, dev: Double,
+    eventTime: java.sql.Timestamp)
+
+/** Carried open-window state for streaming sessionization (O(1)). */
+final case class OpenWindow(startTsMs: Long, endTsMs: Long, peak: Double, exactTsMs: Long)
 
 /** Structured-Streaming upgrade of the reference's polling `monitor()`
   * loop (/root/reference/potoos/client.py:113-139, polled per
@@ -146,4 +154,67 @@ object MonitorStream {
     emaScores(points, alpha)
       .toDF()
       .withColumn("isAnomaly", col("dev") > scoreThreshold)
+
+  /** D12 in streaming form: run-length sessionization of above-threshold
+    * scores into anomaly windows. Per-key state carries the OPEN window
+    * (start, end, peak, argmax — O(1)); a window is emitted when a
+    * below-threshold point closes it, or when the state TTL expires a
+    * dead series (flushing its open window rather than dropping it).
+    * Batch uses percent-of-max thresholding (needs the whole series);
+    * streaming thresholds absolutely — the documented divergence.
+    */
+  def anomalyWindows(
+      scores: Dataset[StreamScore],
+      scoreThreshold: Double,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[Anomaly] = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    scores.toDF
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedScore]
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[OpenWindow, Anomaly](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[TimedScore], state: GroupState[OpenWindow]) =>
+          if (state.hasTimedOut) {
+            // dead series: flush the open window instead of losing it
+            val tail = state.getOption.map(w =>
+              Anomaly(key, w.startTsMs, w.endTsMs, w.peak, w.exactTsMs))
+            state.remove()
+            tail.iterator
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.dev))
+            var open = state.getOption
+            var lastTs = open.map(_.endTsMs).getOrElse(Long.MinValue)
+            val out = Vector.newBuilder[Anomaly]
+            batch.foreach { p =>
+              if (p.tsMs > lastTs) {
+                lastTs = p.tsMs
+                if (p.dev > scoreThreshold) {
+                  open = open match {
+                    case Some(w) =>
+                      Some(
+                        if (p.dev > w.peak) OpenWindow(w.startTsMs, p.tsMs, p.dev, p.tsMs)
+                        else OpenWindow(w.startTsMs, p.tsMs, w.peak, w.exactTsMs))
+                    case None => Some(OpenWindow(p.tsMs, p.tsMs, p.dev, p.tsMs))
+                  }
+                } else {
+                  open.foreach(w => out += Anomaly(key, w.startTsMs, w.endTsMs, w.peak, w.exactTsMs))
+                  open = None
+                }
+              }
+            }
+            open match {
+              case Some(w) => state.update(w)
+              case None => if (state.exists) state.remove()
+            }
+            state.setTimeoutTimestamp(
+              math.max(lastTs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -121,6 +121,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming window assembly matches batch sessionization; open windows stay pending") {
+    import graft.streaming.StreamScore
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamScore]
+    val q = MonitorStream.anomalyWindows(mem.toDS(), scoreThreshold = 5.0)
+      .writeStream.outputMode("append").format("memory").queryName("win_assembly").start()
+    try {
+      // hot run 2000-3000 spans a micro-batch boundary; 4000 closes it;
+      // 6000 opens a new run that has no closer yet
+      mem.addData(
+        StreamScore("1", 1000, 0, 0, 1.0), StreamScore("1", 2000, 0, 0, 9.0))
+      q.processAllAvailable()
+      mem.addData(
+        StreamScore("1", 3000, 0, 0, 7.0), StreamScore("1", 4000, 0, 0, 1.0),
+        StreamScore("1", 6000, 0, 0, 8.0))
+      q.processAllAvailable()
+      val got = spark.table("win_assembly").as[graft.model.Anomaly].collect()
+      assert(got.toSeq == Seq(graft.model.Anomaly("1", 2000, 3000, 9.0, 2000)),
+        s"got ${got.toSeq}")
+
+      // batch equivalent over the closed portion agrees
+      val scores = Seq(("1", 1000L, 0.0, 1.0), ("1", 2000L, 0.0, 9.0),
+        ("1", 3000L, 0.0, 7.0), ("1", 4000L, 0.0, 1.0))
+        .toDF("seriesKey", "tsMs", "value", "score")
+      val batch = graft.detect.Detectors
+        .anomalies(graft.detect.Detectors.withThreshold(
+          scores, graft.config.DetectorConfig(scoreThreshold = Some(5.0))))
+        .collect()
+      assert(batch.length == 1)
+      val b = batch.head
+      assert(b.getAs[Long]("startTsMs") == 2000L && b.getAs[Long]("endTsMs") == 3000L &&
+        b.getAs[Double]("anomalyScore") == 9.0 && b.getAs[Long]("exactTsMs") == 2000L)
+    } finally q.stop()
+  }
+
   test("EMA state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
