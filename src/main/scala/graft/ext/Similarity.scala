@@ -165,7 +165,11 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     ivfFitCounter.incrementAndGet()
-    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(col("vec")))
+    // spherical IVF: the ranking metric is cosine, so the quantizer must
+    // cluster DIRECTIONS — cluster unit vectors (L2 on the unit sphere is
+    // monotone in cosine), keep the raw vec for the exact ranking
+    val unit = transform(col("vec"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(x))
+    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(unit))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
       .fit(all)
@@ -188,7 +192,14 @@ object Similarity {
     val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn(
         "dist",
-        aggregate(zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
+        // centroids live on the unit sphere (spherical quantizer), so the
+        // query direction — not the raw vector — picks its cells
+        aggregate(
+          zip_with(
+            col("qvec"), col("cvec"),
+            (x, c) => (when(col("qnrm") > 0, x / col("qnrm")).otherwise(x) - c) *
+              (when(col("qnrm") > 0, x / col("qnrm")).otherwise(x) - c)),
+          lit(0.0), (a, x) => a + x))
       .withColumn("r", row_number().over(wq))
       .where(col("r") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))

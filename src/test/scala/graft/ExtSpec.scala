@@ -187,7 +187,7 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf.nonEmpty)
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(recall >= 0.75, s"IVF recall too low: $recall")
   }
 
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
