@@ -40,14 +40,14 @@ object BitmapDetector {
     val stats = points
       .groupBy("seriesKey")
       .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
-    val enriched = points.toDF
+    val enriched = points.toDF()
       .join(stats, Seq("seriesKey"))
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("vmin"), col("vmax"))
       .as[BitmapPoint]
     KeyedFold
       .foldOn[BitmapPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new BitmapKernel(precision, chunkSize, windowPct, minWindow, maxWindow))
-      .toDF
+      .toDF()
       .withColumnRenamed("dev", "score")
       .select("seriesKey", "tsMs", "value", "score")
   }

@@ -100,7 +100,7 @@ object ChunkedEma {
     import spark.implicits._
     require(chunkMs > 0, "chunkMs must be positive")
 
-    val chunked = points.toDF
+    val chunked = points.toDF()
       .select(
         col("seriesKey"), floor(col("tsMs") / chunkMs).cast("long").as("chunk"),
         col("tsMs"), col("value"))

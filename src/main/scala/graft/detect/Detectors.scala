@@ -35,7 +35,7 @@ object Detectors {
       .agg(count(lit(1)).as("_n"))
       .where(col("_n") >= minPoints)
       .select("seriesKey")
-    points.toDF.join(keep, Seq("seriesKey"), "left_semi")
+    points.toDF().join(keep, Seq("seriesKey"), "left_semi")
   }
 
   /** D2 exp_avg: |v − ema| / stddev_pop(values) (signed, un-divided when
@@ -45,7 +45,7 @@ object Detectors {
     * window sort over the scored data.
     */
   def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
-    normalizeEmaDevs(KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF, points)
+    normalizeEmaDevs(KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF(), points)
 
   /** D2 exp_avg via the chunked parallel-scan fold (ChunkedEma): same
     * scores as expAvgScores to fp-ulp, but one gigantic series no longer
@@ -56,7 +56,7 @@ object Detectors {
       points: Dataset[TsSample],
       alpha: Double = Constants.DefaultSmoothingFactor,
       chunkMs: Long): DataFrame =
-    normalizeEmaDevs(ChunkedEma.scores(points, alpha, chunkMs).toDF, points)
+    normalizeEmaDevs(ChunkedEma.scores(points, alpha, chunkMs).toDF(), points)
 
   /** Shared D2 normalization: |dev| / stddev_pop(values), signed dev when
     * the series is constant.
@@ -86,21 +86,21 @@ object Detectors {
     val stats = points
       .groupBy("seriesKey")
       .agg(count(lit(1)).as("n"), stddev_pop(col("value")).as("sd"))
-    val enriched = points.toDF
+    val enriched = points.toDF()
       .join(stats, Seq("seriesKey"))
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("sd"))
       .as[CountedPoint]
     KeyedFold
       .foldOn[CountedPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new ExpAvgLagKernel(alpha, lagPct, maxLag))
-      .toDF
+      .toDF()
       .withColumnRenamed("dev", "score")
       .select("seriesKey", "tsMs", "value", "score")
   }
 
   /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
   def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
-    val folded = KeyedFold.fold(points)(() => new DerivativeKernel(alpha)).toDF
+    val folded = KeyedFold.fold(points)(() => new DerivativeKernel(alpha)).toDF()
     folded
       .withColumn("_sd", stddev_pop(col("dev")).over(byKey))
       .withColumn("score", when(col("_sd") > 0, col("dev") / col("_sd")).otherwise(col("dev")))
@@ -130,7 +130,7 @@ object Detectors {
   def absoluteThresholdScores(points: Dataset[TsSample], upper: Option[Double], lower: Option[Double]): DataFrame = {
     val over = upper.map(u => col("value") - lit(u)).getOrElse(lit(Double.NegativeInfinity))
     val under = lower.map(l => lit(l) - col("value")).getOrElse(lit(Double.NegativeInfinity))
-    points.toDF.withColumn("score", greatest(over, under, lit(0.0)))
+    points.toDF().withColumn("score", greatest(over, under, lit(0.0)))
   }
 
   /** D7 diff_percent_threshold: percent deviation vs an aligned baseline
@@ -144,7 +144,7 @@ object Detectors {
       baseline: DataFrame, // (seriesKey, tsMs, baseline)
       thresholdUpper: Option[Double],
       thresholdLower: Option[Double]): DataFrame =
-    diffPercentFromJoined(points.toDF.join(baseline, Seq("seriesKey", "tsMs")), thresholdUpper, thresholdLower)
+    diffPercentFromJoined(points.toDF().join(baseline, Seq("seriesKey", "tsMs")), thresholdUpper, thresholdLower)
 
   /** D7 scoring over an already-joined (value, baseline) frame — shared by
     * the aligned equi-join path above and the as-of-join path
@@ -179,7 +179,7 @@ object Detectors {
     val w = Window.partitionBy("seriesKey").orderBy("tsMs").rowsBetween(-(windowPoints - 1), 0)
     val above = when(col("value") > col("baseline") * (1 + offset), 1.0).otherwise(0.0)
     val below = when(col("value") < col("baseline") * (1 - offset), 1.0).otherwise(0.0)
-    points.toDF
+    points.toDF()
       .join(baseline, Seq("seriesKey", "tsMs"))
       .withColumn("_fa", avg(above).over(w))
       .withColumn("_fb", avg(below).over(w))
@@ -248,7 +248,7 @@ object Detectors {
     // consumers below from recomputing the whole upstream scoring
     // pipeline twice.
     w.count()
-    val sliced = points.toDF
+    val sliced = points.toDF()
       .join(
         w.select(col("wid"), col("seriesKey").as("k"), col("startTsMs"), col("endTsMs")),
         col("seriesKey") === col("k") && col("tsMs").between(col("startTsMs"), col("endTsMs")))
@@ -327,7 +327,7 @@ object Detectors {
     * found, time range, duration.
     */
   def metadata(points: Dataset[TsSample], anomalies: DataFrame, algorithm: String): DataFrame = {
-    val base = points.toDF
+    val base = points.toDF()
       .groupBy("seriesKey")
       .agg(
         count(lit(1)).as("dataPointsAnalyzed"),

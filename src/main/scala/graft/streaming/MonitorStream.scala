@@ -71,7 +71,7 @@ object MonitorStream {
       step: (EmaState, TimedSample) => (EmaState, Option[StreamScore])): Dataset[StreamScore] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.toDF
+    points.toDF()
       .withColumn("eventTime", timestamp_millis(col("tsMs")))
       .withWatermark("eventTime", watermarkDelay)
       .as[TimedSample]
@@ -170,7 +170,7 @@ object MonitorStream {
       stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[Anomaly] = {
     val spark = scores.sparkSession
     import spark.implicits._
-    scores.toDF
+    scores.toDF()
       .withColumn("eventTime", timestamp_millis(col("tsMs")))
       .withWatermark("eventTime", watermarkDelay)
       .as[TimedScore]
