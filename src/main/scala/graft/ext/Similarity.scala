@@ -145,38 +145,136 @@ object Similarity {
 
   private val ivfFitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Number of KMeans fits performed so far — lets tests assert the probe
-    * path never trains.
+  /** Number of quantizer fits performed so far — lets tests assert the
+    * probe path never trains.
     */
   def ivfFits: Long = ivfFitCounter.get
 
-  /** Offline IVF index build: fit the MLlib KMeans coarse quantizer ONCE
-    * (deterministic seed) and derive the cell assignment. Training is the
-    * expensive step and belongs at index-build time, not per query.
+  /** Nearest centroid by max dot product over unit directions; `cs` is
+    * sorted by cid ascending, so the first strict max wins ties — the same
+    * ordering as `row_number() OVER (ORDER BY dp DESC, cid)` in the SQL
+    * replay of this quantizer.
+    */
+  private def nearestCell(cs: Array[(Int, Array[Double])], u: Array[Double]): Int = {
+    var best = -1
+    var bd = Double.NegativeInfinity
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)._2
+      var s = 0.0
+      var d = 0
+      while (d < u.length) { s += u(d) * c(d); d += 1 }
+      if (s > bd) { bd = s; best = cs(j)._1 }
+      j += 1
+    }
+    best
+  }
+
+  /** Offline IVF index build: a deterministic spherical Lloyd quantizer.
+    *
+    * The ranking metric is cosine, so the quantizer clusters DIRECTIONS
+    * (unit vectors); the raw vec is kept for the exact ranking. Seeds are
+    * the `nlist` docs with the smallest `md5(id)` — a deterministic
+    * pseudo-random draw any engine can replay. Each Lloyd iteration
+    * reassigns directions to their max-dot centroid and recomputes
+    * centroids from EXACT INTEGER sums of 1e-6-quantized unit components:
+    * integer addition commutes, so the fit is bit-identical at any
+    * partition count, task-retry schedule, or cluster size (an fp-sum
+    * KMeans is not), and the whole build+probe replays in ANSI SQL — the
+    * `sim_ivf_topk` DuckDB oracle runs this exact algorithm. The centroid
+    * reduce is a map-side partial aggregation to nlist×dims longs;
+    * training costs iters+1 corpus passes and belongs at index-build
+    * time, not per query.
     */
   def buildIvfIndex(
       df: DataFrame,
       idCol: String,
       embCol: String,
       nlist: Int = 16,
-      seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      iters: Int = 2): IvfIndex = {
     val spark = df.sparkSession
     import spark.implicits._
     ivfFitCounter.incrementAndGet()
-    // spherical IVF: the ranking metric is cosine, so the quantizer must
-    // cluster DIRECTIONS — cluster unit vectors (L2 on the unit sphere is
-    // monotone in cosine), keep the raw vec for the exact ranking
-    val unit = transform(col("vec"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(x))
-    val all = prepared(df, idCol, embCol).withColumn("features", array_to_vector(unit))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-      .fit(all)
-    val assigned = model.transform(all).select("id", "vec", "nrm", "cell")
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cid", "cvec")
-    IvfIndex(centroids, assigned)
+    val nBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(nlist - 1L).toInt)
+    val unitDs = prepared(df, idCol, embCol)
+      .select(col("id"), col("vec"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v, nr) =>
+          val u = if (nr > 0) v.map(_ / nr) else v
+          val q = u.map(x => math.floor(x * 1e6 + 0.5).toLong)
+          if (planes == null)
+            planes = Array.tabulate(nBits, u.length)((k, d) => lcg01d(k.toLong * u.length + d) - 0.5)
+          var bucket = 0
+          var k = 0
+          while (k < nBits) {
+            var s = 0.0
+            var d = 0
+            while (d < u.length) { s += u(d) * planes(k)(d); d += 1 }
+            if (s > 0) bucket |= (1 << k)
+            k += 1
+          }
+          (id, v, nr, u, q, bucket)
+        }
+      }
+      .toDF("id", "vec", "nrm", "unit", "q", "bucket")
+    unitDs.persist()
+    unitDs.count() // materialize once: seeds + iters passes consume it
+    // seeds: one per occupied LCG-hyperplane bucket (regions of the sphere
+    // → spread-out initial centroids, the deterministic stand-in for
+    // kmeans++ spreading), the doc with the smallest (md5(id), id) in it
+    val wb = Window.partitionBy("bucket").orderBy(col("mk"), col("id"))
+    var centroids: Array[(Int, Array[Double])] = unitDs
+      .withColumn("mk", md5(col("id").cast("string")))
+      .withColumn("r", row_number().over(wb))
+      .where(col("r") === 1)
+      .select(col("bucket"), col("unit"))
+      .collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dims = if (centroids.nonEmpty) centroids(0)._2.length else 0
+    for (_ <- 0 until iters if centroids.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val cellSums = unitDs
+        .select(col("unit"), col("q"))
+        .as[(Array[Double], Array[Long])]
+        .map { case (u, q) => (nearestCell(bc.value, u), q) }
+        .toDF("cell", "q")
+        .select(col("cell"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy("cell", "dim")
+        .agg(sum("qv").as("s"))
+        .collect() // nlist × dims rows — tiny at any corpus size
+      // new centroid = unit direction of the exact integer sum vector;
+      // the norm accumulates in dim order, mirroring the SQL list_sum
+      centroids = cellSums
+        .groupBy(_.getAs[Int]("cell"))
+        .toArray
+        .sortBy(_._1)
+        .map { case (cid, rows) =>
+          val sd = new Array[Double](dims)
+          rows.foreach(r => sd(r.getAs[Int]("dim")) = r.getAs[Long]("s").toDouble)
+          var n2 = 0.0
+          var i = 0
+          while (i < dims) { n2 += sd(i) * sd(i); i += 1 }
+          val nr = math.sqrt(n2)
+          (cid, if (nr > 0) sd.map(_ / nr) else sd)
+        }
+    }
+    val centroidsDf = centroids.toIndexedSeq.toDF("cid", "cvec")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = unitDs
+      .select(col("id"), col("vec"), col("nrm"), col("unit"))
+      .as[(Long, Array[Double], Double, Array[Double])]
+      .map { case (id, v, nr, u) => (id, v, nr, nearestCell(bc.value, u)) }
+      .toDF("id", "vec", "nrm", "cell")
+    // materialize the assignment as part of the (offline) build: a probe
+    // consumes `assigned` twice (query side + corpus side) and must never
+    // recompute the quantizer pass per evaluation
+    assigned.persist()
+    assigned.count()
+    unitDs.unpersist(blocking = false)
+    IvfIndex(centroidsDf, assigned)
   }
 
   /** IVF ANN top-k probe against a prebuilt index: each query searches only
@@ -240,8 +338,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame =
-    ivfProbe(buildIvfIndex(df, idCol, embCol, nlist, seed), queryPred, k, nprobe)
+      iters: Int = 2): DataFrame =
+    ivfProbe(buildIvfIndex(df, idCol, embCol, nlist, iters), queryPred, k, nprobe)
 
   /** ANN top-k: LSH-bucket the corpus into `nTables` independent hash
     * tables (OR-construction: a true neighbor is found if it collides in

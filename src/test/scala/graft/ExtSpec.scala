@@ -179,15 +179,35 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
-  test("IVF top-k: valid ranks, strong recall vs brute force (deterministic seed)") {
+  test("IVF top-k: valid ranks, quantified recall vs brute force (deterministic quantizer)") {
+    // The test embeddings are uniform random on the 64-sphere (no planted
+    // cluster structure — verified: within-label avg cosine equals the
+    // across-label avg), so recall is bounded by the probed corpus
+    // fraction; nprobe=6 of nlist=8 probes ~3/4 and clears 0.75. The
+    // earlier MLlib-KMeans quantizer scored 0.92 at nprobe=4 only via
+    // DEGENERATE cells (two singletons + a 129/500 giant — i.e. no real
+    // pruning); the balance test below is the guard against regressing to
+    // that.
     val e = Tables.embeddings(spark, sf)
     val exact = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("id") < 5, k = 5, nlist = 8, nprobe = 4)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("id") < 5, k = 5, nlist = 8, nprobe = 6)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf.nonEmpty)
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.75, s"IVF recall too low: $recall")
+  }
+
+  test("IVF cells are balanced — the quantizer actually prunes (no degenerate giant/singleton cells)") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val sizes = idx.assigned.groupBy("cell").count().collect().map(_.getAs[Long]("count"))
+    val n = sizes.sum.toDouble
+    assert(sizes.length == 8, s"expected 8 occupied cells, got ${sizes.length}")
+    // a probe of nprobe cells must touch ~nprobe/nlist of the corpus, so no
+    // cell may dominate: cap every cell at 2x its fair share
+    assert(sizes.max <= 2 * n / 8, s"degenerate giant cell: ${sizes.mkString(",")}")
+    assert(sizes.min >= n / 32, s"near-empty cell wastes a probe: ${sizes.mkString(",")}")
   }
 
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
