@@ -191,10 +191,15 @@ object ExtQueries {
               |      FROM p)
               |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin)
     ),
-    // IVF ANN (KMeans coarse quantizer, deterministic seed) — scale path;
-    // recall vs brute force asserted in ScalaTest. The index is built once
-    // per table (the offline step at scale) and every invocation only
-    // probes it — repeated queries never refit the quantizer.
+    // IVF ANN (deterministic spherical Lloyd coarse quantizer) — scale
+    // path; recall vs brute force asserted in ScalaTest. The index is
+    // built once per table (the offline step at scale) and every
+    // invocation only probes it — repeated queries never refit the
+    // quantizer. Because the quantizer seeds from md5(id) per LCG-bucket
+    // and iterates on EXACT 1e-6-quantized integer sums, the whole
+    // build+probe replays in ANSI SQL: the oracle below runs the same
+    // algorithm (seeds → 2 Lloyd iterations → assign → nprobe=4 probe →
+    // exact cosine top-5) step for step.
     Q(
       "sim_ivf_topk",
       (s, dir) => {
@@ -203,7 +208,59 @@ object ExtQueries {
         Similarity.ivfProbe(idx, col("id") < 10, k = 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+             |u AS (SELECT vec_id id, v, nrm,
+             |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm) ELSE v END uv FROM n),
+             |uq AS (SELECT id, v, nrm, uv,
+             |        list_transform(uv, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) q,
+             |        list_sum(list_transform(range(0, 4), k ->
+             |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+             |                 uv[d] * ((((1103515245 * (k*64 + (d-1)) + 12345) % 2147483648) / 2147483648.0) - 0.5))) > 0
+             |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+             |       FROM u),
+             |seeds AS (SELECT bucket cid, uv cvec FROM (
+             |            SELECT bucket, uv, row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(id AS VARCHAR)), id) r
+             |            FROM uq) WHERE r = 1),
+             |a1 AS (SELECT id, q, cid FROM (
+             |         SELECT uq.id, uq.q, s.cid,
+             |                row_number() OVER (PARTITION BY uq.id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*s.cvec[i])) DESC, s.cid) r
+             |         FROM uq CROSS JOIN seeds s) WHERE r = 1),
+             |s1 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
+             |       FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
+             |c1 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
+             |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
+             |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s1 GROUP BY cid))),
+             |a2 AS (SELECT id, q, cid FROM (
+             |         SELECT uq.id, uq.q, c.cid,
+             |                row_number() OVER (PARTITION BY uq.id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
+             |         FROM uq CROSS JOIN c1 c) WHERE r = 1),
+             |s2 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
+             |       FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
+             |c2 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
+             |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
+             |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s2 GROUP BY cid))),
+             |af AS (SELECT id, cell FROM (
+             |         SELECT uq.id, c.cid cell,
+             |                row_number() OVER (PARTITION BY uq.id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
+             |         FROM uq CROSS JOIN c2 c) WHERE r = 1),
+             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+             |pr AS (SELECT query_id, qv, qnrm, cid FROM (
+             |         SELECT q.query_id, q.qv, q.qnrm, c.cid,
+             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+             |cand AS (SELECT p.query_id, uq.id,
+             |           list_sum(list_transform(range(1, 65), i -> uq.v[i]*p.qv[i])) / (uq.nrm * p.qnrm) cosine
+             |         FROM pr p JOIN af a ON a.cell = p.cid JOIN uq ON uq.id = a.id AND uq.id <> p.query_id),
+             |r AS (SELECT query_id, id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+             |      FROM cand)
+             |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+             |FROM r WHERE rank <= 5""".stripMargin)),
     // LSH-bucketed ANN — scale path; recall asserted in ScalaTest. The
     // hyperplanes are a deterministic integer LCG, so the ENTIRE path
     // (8 tables × 4 sign bits → bucket equi-join → distinct candidates →
