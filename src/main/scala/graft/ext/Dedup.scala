@@ -196,6 +196,75 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Duplicate-cluster assembly: connected components over an undirected
+    * near-dup pair graph (the output of `minhashLshPairs` / `simhashPairs`
+    * / `ngramJaccardPairs`), labeling every member with the cluster's
+    * minimum doc id — the canonical document a dedup pipeline keeps.
+    *
+    * Algorithm: iterative min-label propagation with a path-halving
+    * shortcut (each round, a node takes the min of its own label, its
+    * neighbors' labels, and its label's label). Everything is an
+    * equi-join shuffle on the pair list — never adjacency
+    * materialization beyond the input edges — and the shortcut makes the
+    * round count ~log(component diameter), so a 100 TB corpus with
+    * million-member duplicate clusters converges in a handful of rounds.
+    * Labels only decrease, so the fixpoint (and hence the result) is
+    * deterministic at any partitioning, retry schedule, or cluster size.
+    * Each round materializes its label table and drops the previous one:
+    * lineage stays O(1) deep.
+    *
+    * Returns (doc_id, canonical_id, cluster_size) for every doc that
+    * appears in a pair (singletons are trivially their own canonical and
+    * are omitted, matching reference-style dedup output).
+    */
+  def clusters(
+      pairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // consumed every round — materialize once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor minimum: each node offers its label to its neighbors
+      val offered = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNeighbors = labels.select("id", "label").union(offered)
+        .groupBy("id").agg(min("label").as("label"))
+      // path halving: follow one's label to ITS label (labels are node
+      // ids, so this is a self-join; the target's label is always ≤, and
+      // chains collapse exponentially)
+      val next = viaNeighbors.as("x")
+        .join(
+          viaNeighbors.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("lid"),
+          "left")
+        .select(col("x.id").as("id"), coalesce(col("llabel"), col("x.label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")).as("o"), "id")
+        .where(col("label") =!= col("old"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    val out = labels
+      .withColumn("cluster_size", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5 — equals Spark SQL's
     * `conv(substring(md5(w), 1, 15), 16, 10)` for cross-checks.
     */

@@ -25,6 +25,36 @@ object ExtQueries {
 
   private val stopListSql = "['the','a','of','and','to','in','is','on']"
 
+  /** Shared DuckDB CTE chain replaying the full MinHash-LSH pipeline
+    * (shingle-hash sets → 16-perm signatures → 4-band bucketing with the
+    * >1,≤100 bucket cap → candidate pairs → exact-Jaccard verify); ends
+    * with `mh_pairs(da, db, jaccard)` at τ = 0.3. Used by both the
+    * pair query and the cluster query.
+    */
+  private val minhashPairsCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+      |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+      |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+      |sz AS (SELECT doc_id, count(*) n FROM hs GROUP BY doc_id),
+      |sigk AS (SELECT doc_id, k.k, min((h * (2*k.k + 3) + (5*k.k + 7)) % 2147483647) m
+      |         FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) k) k GROUP BY 1, 2),
+      |sigs AS (SELECT doc_id, list(m ORDER BY k) sig FROM sigk GROUP BY doc_id),
+      |bk AS (SELECT doc_id, b.b band,
+      |         concat_ws('-', sig[b.b*4+1], sig[b.b*4+2], sig[b.b*4+3], sig[b.b*4+4]) bkey
+      |       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) b) b),
+      |keep AS (SELECT band, bkey FROM (SELECT band, bkey, count(*) c FROM bk GROUP BY 1, 2)
+      |         WHERE c > 1 AND c <= 100),
+      |kept AS (SELECT bk.doc_id, bk.band, bk.bkey FROM bk JOIN keep USING (band, bkey)),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+      |         FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |iv AS (SELECT c.da, c.db, count(*) i
+      |       FROM cand c JOIN hs x ON x.doc_id = c.da JOIN hs y ON y.doc_id = c.db AND y.h = x.h
+      |       GROUP BY 1, 2),
+      |j AS (SELECT iv.da, iv.db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) jaccard
+      |      FROM iv JOIN sz sa ON sa.doc_id = iv.da JOIN sz sb ON sb.doc_id = iv.db),
+      |mh_pairs AS (SELECT da, db, jaccard FROM j WHERE jaccard >= 0.3)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ---- text analysis ----
     Q(
@@ -123,28 +153,27 @@ object ExtQueries {
     Q(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
-             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
-             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
-             |sz AS (SELECT doc_id, count(*) n FROM hs GROUP BY doc_id),
-             |sigk AS (SELECT doc_id, k.k, min((h * (2*k.k + 3) + (5*k.k + 7)) % 2147483647) m
-             |         FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) k) k GROUP BY 1, 2),
-             |sigs AS (SELECT doc_id, list(m ORDER BY k) sig FROM sigk GROUP BY doc_id),
-             |bk AS (SELECT doc_id, b.b band,
-             |         concat_ws('-', sig[b.b*4+1], sig[b.b*4+2], sig[b.b*4+3], sig[b.b*4+4]) bkey
-             |       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) b) b),
-             |keep AS (SELECT band, bkey FROM (SELECT band, bkey, count(*) c FROM bk GROUP BY 1, 2)
-             |         WHERE c > 1 AND c <= 100),
-             |kept AS (SELECT bk.doc_id, bk.band, bk.bkey FROM bk JOIN keep USING (band, bkey)),
-             |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-             |         FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-             |iv AS (SELECT c.da, c.db, count(*) i
-             |       FROM cand c JOIN hs x ON x.doc_id = c.da JOIN hs y ON y.doc_id = c.db AND y.h = x.h
-             |       GROUP BY 1, 2),
-             |j AS (SELECT iv.da, iv.db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) jaccard
-             |      FROM iv JOIN sz sa ON sa.doc_id = iv.da JOIN sz sb ON sb.doc_id = iv.db)
-             |SELECT da, db, round(jaccard, 4) AS jaccard FROM j WHERE jaccard >= 0.3""".stripMargin)),
+      Some(s"""WITH $minhashPairsCte
+              |SELECT da, db, round(jaccard, 4) AS jaccard FROM mh_pairs""".stripMargin)),
+    // Duplicate-cluster assembly: connected components over the
+    // MinHash-LSH pair graph, every member labeled with the cluster's
+    // min doc id (the canonical doc a dedup pipeline keeps). Spark side
+    // is log-round min-label propagation with path halving; the oracle
+    // computes the same fixpoint by recursive-CTE transitive closure.
+    Q(
+      "dedup_clusters",
+      (s, dir) =>
+        Dedup.clusters(
+          Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)),
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a)
+              |SELECT doc_id, canonical_id,
+              |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |FROM comp""".stripMargin)),
     // SimHash banding — md5 60-bit token hashes, majority-vote bits, 4×15
     // banding, exact Hamming verify: fully integer, replays in DuckDB.
     Q(

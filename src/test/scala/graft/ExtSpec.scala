@@ -55,6 +55,34 @@ class ExtSpec extends AnyFunSuite {
     if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found none of the exact pairs")
   }
 
+  test("clusters: connected components label every member with the component min") {
+    // three components, one of them a 6-node chain (forces >1 round
+    // without the path-halving shortcut collapsing it immediately)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain → canonical 1
+      (10L, 11L),                                       // pair → canonical 10
+      (21L, 20L), (22L, 21L), (20L, 22L)                // triangle → canonical 20
+    ).toDF("da", "db")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out.size == 11)
+    (1L to 6L).foreach(id => assert(out(id) == (1L, 6L)))
+    Seq(10L, 11L).foreach(id => assert(out(id) == (10L, 2L)))
+    Seq(20L, 21L, 22L).foreach(id => assert(out(id) == (20L, 3L)))
+  }
+
+  test("clusters over real MinHash-LSH pairs: both ends of every pair share a canonical") {
+    val d = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.3)
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val ps = pairs.collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) => assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters") }
+    cl.foreach { case (id, c) => assert(c <= id && cl(c) == c, s"canonical $c of $id not a fixpoint") }
+  }
+
   test("SimHash: identical docs hash identically; banding surfaces the pair") {
     val hashes = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
