@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment, and source-weighted data
+  * mixing for training-data pipelines (builder brief).
+  *
+  * Everything keys off a per-row md5 hash of (salt, id) — no RNG state,
+  * no partition sensitivity: the decision for a row is a pure function of
+  * its id, so samples are reproducible across runs, cluster sizes, task
+  * retries, and engines (the DuckDB oracles replay the same md5
+  * arithmetic). That stability is the property a 100 TB pipeline needs:
+  * re-running a stage cannot silently change which rows were kept, and
+  * growing the corpus never reshuffles previously-assigned splits
+  * (per-id hashing, not per-run sorting or `TABLESAMPLE`).
+  *
+  * Scale shape: every operator here is a narrow map/filter — zero
+  * shuffles, fully pushdown-friendly, codegen'd built-ins only.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from the first 4 md5 bytes of "salt:id" — the same
+    * value as DuckDB's `('0x'||substr(md5(salt||':'||id),1,8))::BIGINT /
+    * 4294967296.0`. Exactly representable (k/2³²), so comparisons
+    * against rate thresholds are engine-independent.
+    */
+  def hashFraction(id: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli(rate) sample: keep a row iff its hash
+    * fraction falls below `rate`.
+    */
+  def sampleHash(df: DataFrame, idCol: String, rate: Double, salt: String): DataFrame =
+    df.where(hashFraction(col(idCol), salt) < rate)
+
+  /** Deterministic train/val/test (or any) split assignment: the hash
+    * fraction lands in one of the cumulative-weight intervals. Weights
+    * need not sum to 1 — they are normalized. Adding rows never moves an
+    * existing row's split; changing the salt reshuffles all of them.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    // last split takes the remainder — no fp gap at the top boundary
+    val assigned = splits.zip(bounds).dropRight(1).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), els) => when(col("_frac") < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn("_frac", hashFraction(col(idCol), salt))
+      .withColumn("split", assigned)
+      .drop("_frac")
+  }
+
+  /** Source-weighted mixing: per-group sampling weight w ≥ 0 applied as
+    * floor(w) guaranteed copies plus one more with probability frac(w)
+    * (so w = 2.5 → 2 or 3 copies per row, expectation 2.5). w < 1 is
+    * plain downsampling; w > 1 deterministic upsampling — together they
+    * retarget a corpus's source mixture to training proportions in one
+    * narrow pass (explode of a tiny per-row sequence; no shuffle, no RNG).
+    * Emits a `copy` index (0-based) so downstream shuffles can
+    * de-correlate repeated rows by (id, copy).
+    */
+  def mixWeighted(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      salt: String): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0), "weights must be ≥ 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, wt)) =>
+      when(col(groupCol) === g, lit(wt)).otherwise(acc)
+    }
+    val frac = hashFraction(col(idCol), salt)
+    val copies = (floor(w) + when(frac < w - floor(w), 1).otherwise(0)).cast("int")
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
+}

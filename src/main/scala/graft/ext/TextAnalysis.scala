@@ -68,6 +68,46 @@ object TextAnalysis {
     df.select(col(idCol), en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"), pred.as("lang_pred"))
   }
 
+  /** PII patterns for scrubbing. Conservative ASCII regexes restricted to
+    * syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB, re oracles): character classes, bounded repetition, \b word
+    * boundaries — no backrefs, no lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and phone-shaped
+    * numbers to typed placeholder tokens, and count each redaction class
+    * per document (the audit trail a compliance pipeline keeps). Pure
+    * regexp expressions — codegen'd, shuffle-free, one corpus pass.
+    * Order matters: emails first (an email can contain digits), then
+    * phones, then IPs.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("clean_text"))
+  }
+
+  /** Text normalization: trim, collapse runs of whitespace to single
+    * spaces, strip ASCII control characters, lowercase — the canonical
+    * pre-dedup normalization pass. Pure expressions.
+    */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      lower(trim(regexp_replace(regexp_replace(col(textCol), "[\\x00-\\x1F]", ""), " +", " ")))
+        .as("norm_text"))
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

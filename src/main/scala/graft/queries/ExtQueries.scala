@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -118,6 +118,49 @@ object ExtQueries {
              |       ELSE md5(text) END AS shingle_min
              |FROM w""".stripMargin)
     ),
+    // PII scrubbing on a deterministically PII-augmented corpus (the raw
+    // synthetic text has no emails/IPs/phones, so the query plants one of
+    // each per doc from the doc id — both engines build the identical
+    // string, then redact it with the same RE2-safe regexes).
+    Q(
+      "text_scrub",
+      (s, dir) =>
+        TextAnalysis.scrubPii(
+          Tables.documents(s, dir).withColumn(
+            "aug",
+            concat(
+              col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 call 555-123-4567"))),
+          "doc_id", "aug"),
+      Some("""WITH a AS (SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+             |         || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-4567' t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+             |FROM a""".stripMargin)),
+    // Normalization pass (control-char strip → space collapse → trim →
+    // lower) on a deterministically-dirtied input.
+    Q(
+      "text_normalize",
+      (s, dir) =>
+        TextAnalysis.normalize(
+          Tables.documents(s, dir).withColumn(
+            "aug", concat(lit("  THE\tQuick  "), col("text"), lit("\u0001  "))),
+          "doc_id", "aug"),
+      Some("""WITH a AS (SELECT doc_id,
+             |    '  THE' || chr(9) || 'Quick  ' || text || chr(1) || '  ' t FROM documents)
+             |SELECT doc_id,
+             |  lower(trim(regexp_replace(regexp_replace(t, '[\x00-\x1F]', '', 'g'),
+             |                            ' +', ' ', 'g'))) AS norm_text
+             |FROM a""".stripMargin)),
     // ---- dedup ----
     Q(
       "dedup_exact",
@@ -204,6 +247,52 @@ object ExtQueries {
               |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
               |SELECT va, vb, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.4""".stripMargin)
     ),
+    // ---- deterministic sampling / splits / source mixing ----
+    // All md5-keyed per doc id: reproducible across runs, cluster sizes
+    // and engines; zero shuffles (narrow map/filter).
+    Q(
+      "sample_hash",
+      (s, dir) =>
+        Sampling.sampleHash(Tables.documents(s, dir), "doc_id", rate = 0.25, salt = "s42")
+          .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 < 0.25""".stripMargin)),
+    Q(
+      "sample_split",
+      (s, dir) =>
+        Sampling.assignSplit(
+          Tables.documents(s, dir), "doc_id",
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+          .select(col("doc_id"), col("split")),
+      // bound arithmetic mirrors the Scala scanLeft exactly: b1 = 8/10,
+      // b2 = 8/10 + 1/10 (NOT the decimal 0.9 — fp-identical thresholds)
+      Some("""SELECT doc_id,
+             |  CASE WHEN f < 0.8 THEN 'train'
+             |       WHEN f < 0.8 + 0.1 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        ('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |        / 4294967296.0 f
+             |      FROM documents)""".stripMargin)),
+    Q(
+      "mix_weighted",
+      (s, dir) =>
+        Sampling.mixWeighted(
+          Tables.documents(s, dir), "doc_id", "source",
+          weights = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0),
+          defaultWeight = 1.0, salt = "mx")
+          .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy")),
+      Some("""WITH f AS (SELECT doc_id, source,
+             |    ('0x' || substr(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    / 4294967296.0 fr,
+             |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.0
+             |         ELSE 1.0 END w
+             |  FROM documents),
+             |c AS (SELECT doc_id, source,
+             |        floor(w) + CASE WHEN fr < w - floor(w) THEN 1 ELSE 0 END n FROM f)
+             |SELECT doc_id, source, CAST(unnest(range(0, CAST(n AS BIGINT))) AS BIGINT) AS copy
+             |FROM c WHERE n > 0""".stripMargin)),
     // ---- similarity search ----
     Q(
       "sim_topk",

@@ -83,6 +83,65 @@ class ExtSpec extends AnyFunSuite {
     cl.foreach { case (id, c) => assert(c <= id && cl(c) == c, s"canonical $c of $id not a fixpoint") }
   }
 
+  test("hash sampling is deterministic, id-stable, and near the target rate") {
+    val d = Tables.documents(spark, sf)
+    val s1 = ext.Sampling.sampleHash(d, "doc_id", 0.25, "s42").select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = ext.Sampling.sampleHash(d, "doc_id", 0.25, "s42").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same salt+rate must select identical rows")
+    val n = d.count().toDouble
+    assert(math.abs(s1.size / n - 0.25) < 0.1, s"rate ${s1.size / n} far from 0.25")
+    // rate monotonicity: a bigger rate strictly extends the sample (same salt)
+    val s3 = ext.Sampling.sampleHash(d, "doc_id", 0.5, "s42").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("split assignment partitions every row once with roughly the asked proportions") {
+    val d = Tables.documents(spark, sf)
+    val out = ext.Sampling.assignSplit(d, "doc_id", Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), "sp1")
+    assert(out.count() == d.count())
+    val byS = out.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    val n = d.count().toDouble
+    assert(byS("train") / n > 0.6 && byS("train") / n < 0.95)
+  }
+
+  test("weighted mixing: w>1 upsamples with copy indices, w=0 drops, expectation ≈ weights") {
+    val d = Tables.documents(spark, sf)
+    val out = ext.Sampling.mixWeighted(
+      d, "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), 1.0, "mx")
+    val bySrc = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src2"), "weight 0 must drop the source entirely")
+    val per = d.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") >= 2 * per("src0"), "w=2.5 guarantees ≥2 copies per row")
+    assert(bySrc("src1") <= per("src1"))
+    // copies of one row are distinguishable by the copy index
+    val copies = out.where(col("source") === "src0").groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(copies.forall(c => c == 2 || c == 3))
+  }
+
+  test("PII scrub redacts emails, phones, IPs with per-class counts") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 re a@b.io"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"), r.getAs[String]("clean_text")))
+      .toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 0L, 2L, "server at <IP> and <IP> up")))
+    assert(out(3L) == ((1L, 1L, 0L, "call <PHONE> re <EMAIL>")))
+    assert(out(4L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("normalize strips control chars, collapses spaces, trims, lowercases") {
+    val rows = Seq((1L, "  A\tB  C   D  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(rows, "doc_id", "text").collect().head.getAs[String]("norm_text")
+    assert(out == "ab c d")
+  }
+
   test("SimHash: identical docs hash identically; banding surfaces the pair") {
     val hashes = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
