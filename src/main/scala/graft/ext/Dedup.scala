@@ -222,22 +222,45 @@ object Dedup {
       aCol: String = "da",
       bCol: String = "db",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // consumed every round — materialize once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // Truncate lineage at every materialization point: a persist() alone
+    // keeps the FULL logical plan (the whole MinHash DAG under `pairs`,
+    // plus one join-tree layer per round), and Catalyst re-analyzes and
+    // re-optimizes that ever-deeper tree each round — measured seconds of
+    // driver time per round on a 500-node graph. Rebuilding each round's
+    // result as a fresh DataFrame over its materialized RDD gives every
+    // iteration a flat plan with brand-new attributes (localCheckpoint
+    // alone trips Union constraint rewriting when the same checkpointed
+    // lineage feeds both union branches). On a real cluster swap the
+    // cache for reliable checkpoint() to the cluster FS — same shape.
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val p = materialize(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    val edges = materialize(p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    // exact decimal sum of labels: labels only ever DECREASE, so an
+    // unchanged sum ⇔ a fixpoint — convergence costs one aggregate over
+    // the checkpointed label table instead of a join + count per round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // neighbor minimum: each node offers its label to its neighbors
       val offered = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
-      val viaNeighbors = labels.select("id", "label").union(offered)
-        .groupBy("id").agg(min("label").as("label"))
+      // materialize BEFORE the self-join: flat lineage, and both join
+      // sides read the same cached partitions instead of recomputing the
+      // aggregation twice
+      val viaNeighbors = materialize(
+        labels.select("id", "label").union(offered)
+          .groupBy("id").agg(min("label").as("label")))
       // path halving: follow one's label to ITS label (labels are node
       // ids, so this is a self-join; the target's label is always ≤, and
       // chains collapse exponentially)
@@ -247,22 +270,16 @@ object Dedup {
           col("x.label") === col("lid"),
           "left")
         .select(col("x.id").as("id"), coalesce(col("llabel"), col("x.label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")).as("o"), "id")
-        .where(col("label") =!= col("old"))
-        .count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0L
+      val nextM = materialize(next)
+      val s = labelSum(nextM) // one job: computes, caches, and sums the round
+      labels = nextM
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
-    val out = labels
+    labels
       .withColumn("cluster_size", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
       .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
-    edges.unpersist(blocking = false)
-    out
   }
 
   /** 60-bit token hash: first 15 hex chars of md5 — equals Spark SQL's
