@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -406,6 +406,33 @@ object ExtQueries {
               |      FROM cand)
               |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
               |FROM r WHERE rank <= 5""".stripMargin)),
+    // ---- sessionization (event analytics) ----
+    Q(
+      "sessionize",
+      (s, dir) =>
+        Sessionize.assign(Tables.events(s, dir), "user_id", "ts_ms", "event_id", gapMs = 1800000L)
+          .select(col("event_id"), col("user_id"), col("ts_ms"), col("session_seq")),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events),
+             |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) pts FROM e),
+             |n AS (SELECT *, CASE WHEN pts IS NULL OR ts_ms - pts > 1800000 THEN 1 ELSE 0 END nw FROM l)
+             |SELECT event_id, user_id, ts_ms,
+             |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |FROM n""".stripMargin)),
+    Q(
+      "session_stats",
+      (s, dir) =>
+        Sessionize.stats(Tables.events(s, dir), "user_id", "ts_ms", "event_id", gapMs = 1800000L),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events),
+             |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) pts FROM e),
+             |n AS (SELECT *, CASE WHEN pts IS NULL OR ts_ms - pts > 1800000 THEN 1 ELSE 0 END nw FROM l),
+             |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM n)
+             |SELECT user_id, session_seq,
+             |  min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+             |  max(ts_ms) - min(ts_ms) AS duration_ms,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, session_seq""".stripMargin)),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     Q(
       "mm_frame_sample",
