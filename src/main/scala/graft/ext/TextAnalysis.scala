@@ -108,6 +108,71 @@ object TextAnalysis {
       lower(trim(regexp_replace(regexp_replace(col(textCol), "[\\x00-\\x1F]", ""), " +", " ")))
         .as("norm_text"))
 
+  /** Repetition metrics (the Gopher/MassiveText-style quality filters for
+    * machine-generated or boilerplate text), adapted to a newline-free
+    * token stream:
+    *   - dup_word_ratio: 1 − distinct words / words
+    *   - top_bigram_ratio: occurrences of the most frequent adjacent
+    *     bigram / bigram positions (n−1)
+    *   - dup_trigram_ratio: trigram positions whose trigram occurs ≥2
+    *     times / trigram positions (n−2)
+    * Exact integer numerators are emitted alongside the rounded ratios so
+    * the oracle compare is anchored on integers. One-pass typed kernel per
+    * document (HashMap counting) rather than Catalyst array lambdas — the
+    * nested-lambda formulation re-evaluates the split per element and
+    * falls out of JIT (see Dedup.ngramJaccardPairs) — so this is a
+    * zero-shuffle narrow map: per-doc state only, linear in corpus size,
+    * unchanged at 100 TB.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ints = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ws = text.split(" ")
+          val n = ws.length
+          val distinct = new java.util.HashSet[String]()
+          var i = 0
+          while (i < n) { distinct.add(ws(i)); i += 1 }
+          val bigrams = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < n - 1) {
+            bigrams.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum)
+            i += 1
+          }
+          var topBigram = 0
+          bigrams.values.forEach(c => if (c > topBigram) topBigram = c)
+          val trigrams = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < n - 2) {
+            trigrams.merge(ws(i) + " " + ws(i + 1) + " " + ws(i + 2), 1, Integer.sum)
+            i += 1
+          }
+          var dupTri = 0L
+          trigrams.values.forEach(c => if (c > 1) dupTri += c)
+          (id, n.toLong, distinct.size.toLong, topBigram.toLong, dupTri)
+        }
+      }
+      .toDF(idCol, "n_words", "n_distinct_words", "top_bigram_n", "n_dup_trigrams")
+    ints.select(
+      col(idCol),
+      col("n_words"),
+      col("n_distinct_words"),
+      col("top_bigram_n"),
+      col("n_dup_trigrams"),
+      round(lit(1.0) - col("n_distinct_words") / col("n_words").cast("double"), 4)
+        .as("dup_word_ratio"),
+      when(col("n_words") > 1,
+        round(col("top_bigram_n") / (col("n_words") - 1).cast("double"), 4))
+        .otherwise(0.0).as("top_bigram_ratio"),
+      when(col("n_words") > 2,
+        round(col("n_dup_trigrams") / (col("n_words") - 2).cast("double"), 4))
+        .otherwise(0.0).as("dup_trigram_ratio"))
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

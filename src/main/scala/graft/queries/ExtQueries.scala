@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -106,6 +106,35 @@ object ExtQueries {
            |       WHEN s_fr >= s_es THEN 'fr'
            |       ELSE 'es' END AS lang_pred
            |FROM sc""".stripMargin)
+    ),
+    // Gopher-style repetition metrics on the token stream. DuckDB replays
+    // the identical bigram/trigram counting with unnest+GROUP BY; the
+    // ratio op order (numerator / CAST(denominator AS DOUBLE)) mirrors the
+    // Spark expression for bit-identical doubles on the round(4) grid.
+    Q(
+      "text_repetition",
+      (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |u AS (SELECT doc_id, len(words) n, len(list_distinct(words)) nd FROM w),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+             |         i -> concat_ws(' ', words[i], words[i+1]))) g FROM w),
+             |bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+             |tb AS (SELECT doc_id, max(c) mx FROM bc GROUP BY 1),
+             |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) g FROM w),
+             |tc AS (SELECT doc_id, g, count(*) c FROM tg GROUP BY 1, 2),
+             |dt AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup FROM tc GROUP BY 1)
+             |SELECT u.doc_id,
+             |  n AS n_words,
+             |  nd AS n_distinct_words,
+             |  CAST(coalesce(tb.mx, 0) AS BIGINT) AS top_bigram_n,
+             |  CAST(coalesce(dt.dup, 0) AS BIGINT) AS n_dup_trigrams,
+             |  round(1.0 - nd / CAST(n AS DOUBLE), 4) AS dup_word_ratio,
+             |  CASE WHEN n > 1 THEN round(coalesce(tb.mx, 0) / CAST(n - 1 AS DOUBLE), 4)
+             |       ELSE 0.0 END AS top_bigram_ratio,
+             |  CASE WHEN n > 2 THEN round(coalesce(dt.dup, 0) / CAST(n - 2 AS DOUBLE), 4)
+             |       ELSE 0.0 END AS dup_trigram_ratio
+             |FROM u LEFT JOIN tb USING (doc_id) LEFT JOIN dt USING (doc_id)""".stripMargin)
     ),
     Q(
       "text_fingerprint",
@@ -293,6 +322,37 @@ object ExtQueries {
              |        floor(w) + CASE WHEN fr < w - floor(w) THEN 1 ELSE 0 END n FROM f)
              |SELECT doc_id, source, CAST(unnest(range(0, CAST(n AS BIGINT))) AS BIGINT) AS copy
              |FROM c WHERE n > 0""".stripMargin)),
+    // Sequence packing: next-fit doc→training-sequence assignment per
+    // source at capacity 256 tokens. The oracle replays the identical
+    // sequential recurrence as a recursive CTE over rows ordered by
+    // doc_id within source — all-integer state, so the compare is exact.
+    Q(
+      "pack_greedy",
+      (s, dir) =>
+        Packing.packGreedy(
+          Tables.documents(s, dir)
+            .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+          "doc_id", "source", "n_tokens", capacity = 256L),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) sz,
+             |         row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, source, sz, rn,
+             |         CAST(0 AS BIGINT) seq_idx, CAST(0 AS BIGINT) seq_pos,
+             |         CAST(0 AS BIGINT) seq_off, sz AS fill
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.doc_id, t.source, t.sz, t.rn,
+             |    CASE WHEN p.fill + t.sz <= 256 THEN p.seq_idx ELSE p.seq_idx + 1 END,
+             |    CASE WHEN p.fill + t.sz <= 256 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END,
+             |    CASE WHEN p.fill + t.sz <= 256 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+             |    CASE WHEN p.fill + t.sz <= 256 THEN p.fill + t.sz ELSE t.sz END
+             |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+             |SELECT doc_id, source, sz AS n_tokens, seq_idx, seq_pos, seq_off,
+             |       sz > 256 AS oversize
+             |FROM p""".stripMargin)
+    ),
     // ---- similarity search ----
     Q(
       "sim_topk",

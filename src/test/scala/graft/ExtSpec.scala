@@ -136,6 +136,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L, "nothing sensitive here")))
   }
 
+  test("repetition metrics: hand-computed counts and ratios on known docs") {
+    val rows = Seq(
+      (1L, "a b a b a b"),        // n=6, distinct=2; bigrams: "a b"×3, "b a"×2 → top=3
+                                  // trigrams: "a b a"×2, "b a b"×2 → all 4 positions dup
+      (2L, "x y z w"),            // no repetition at all
+      (3L, "q"),                  // single word: no bigrams/trigrams, ratios 0
+      (4L, "t t")                 // n=2: bigram "t t"×1; no trigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L && r1.getAs[Long]("n_distinct_words") == 2L)
+    assert(r1.getAs[Long]("top_bigram_n") == 3L && r1.getAs[Long]("n_dup_trigrams") == 4L)
+    assert(r1.getAs[Double]("dup_word_ratio") == 0.6667)
+    assert(r1.getAs[Double]("top_bigram_ratio") == 0.6)   // 3 of 5 bigram positions
+    assert(r1.getAs[Double]("dup_trigram_ratio") == 1.0)  // all 4 trigram positions dup
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_word_ratio") == 0.0 && r2.getAs[Long]("top_bigram_n") == 1L)
+    assert(r2.getAs[Long]("n_dup_trigrams") == 0L)
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_words") == 1L && r3.getAs[Long]("top_bigram_n") == 0L)
+    assert(r3.getAs[Double]("top_bigram_ratio") == 0.0 && r3.getAs[Double]("dup_trigram_ratio") == 0.0)
+    val r4 = out(4L)
+    assert(r4.getAs[Double]("dup_word_ratio") == 0.5 && r4.getAs[Double]("dup_trigram_ratio") == 0.0)
+  }
+
   test("normalize strips control chars, collapses spaces, trims, lowercases") {
     val rows = Seq((1L, "  A\tB  C   D  ")).toDF("doc_id", "text")
     val out = TextAnalysis.normalize(rows, "doc_id", "text").collect().head.getAs[String]("norm_text")
