@@ -1,7 +1,8 @@
 package graft.bridge
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Public-side alias of the spark-namespace bridge. */
 object SqlBridge {
@@ -9,4 +10,8 @@ object SqlBridge {
   def expression(c: Column): Expression = org.apache.spark.sql.graft.SqlBridgeImpl.expression(c)
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     org.apache.spark.sql.graft.SqlBridgeImpl.registerFunction(spark, name, builder)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.graft.SqlBridgeImpl.ofRows(spark, plan)
+  def analyzedPlan(df: Dataset[_]): LogicalPlan =
+    org.apache.spark.sql.graft.SqlBridgeImpl.analyzedPlan(df)
 }

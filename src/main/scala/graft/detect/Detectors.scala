@@ -45,7 +45,7 @@ object Detectors {
     * window sort over the scored data.
     */
   def expAvgScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
-    normalizeEmaDevs(KeyedFold.fold(points)(() => new ExpAvgKernel(alpha)).toDF(), points)
+    normalizeEmaDevs(KeyedFold.foldExec(points)(() => new ExpAvgKernel(alpha)).toDF(), points)
 
   /** D2 exp_avg via the chunked parallel-scan fold (ChunkedEma): same
     * scores as expAvgScores to fp-ulp, but one gigantic series no longer
@@ -100,7 +100,7 @@ object Detectors {
 
   /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
   def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
-    val folded = KeyedFold.fold(points)(() => new DerivativeKernel(alpha)).toDF()
+    val folded = KeyedFold.foldExec(points)(() => new DerivativeKernel(alpha)).toDF()
     folded
       .withColumn("_sd", stddev_pop(col("dev")).over(byKey))
       .withColumn("score", when(col("_sd") > 0, col("dev") / col("_sd")).otherwise(col("dev")))

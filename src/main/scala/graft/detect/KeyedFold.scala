@@ -78,6 +78,22 @@ object KeyedFold {
     foldOnPrePartitioned[TsSample, RawScored, String](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
   }
 
+  /** Catalyst-planned fold: emits a custom KeyedFoldNode and lets
+    * EnsureRequirements decide the exchange/sort (elided when the input
+    * is already hash-distributed / sorted — bucketed scans, upstream
+    * aggregations, reused exchanges; see graft.plans.KeyedFoldPlan).
+    * Same kernel semantics as `fold`; only input planning differs.
+    */
+  def foldExec(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] = {
+    import points.sparkSession.implicits._
+    val spark = points.sparkSession
+    graft.plans.KeyedFoldPlan.ensureStrategy(spark)
+    val child = graft.bridge.SqlBridge.analyzedPlan(
+      points.select(col("seriesKey"), col("tsMs"), col("value")))
+    val node = graft.plans.KeyedFoldNode(mkKernel, graft.plans.KeyedFoldPlan.freshOutput(), child)
+    graft.bridge.SqlBridge.ofRows(spark, node).as[RawScored]
+  }
+
   /** Streams a sorted (key, ts) iterator through fresh kernels, one per
     * key run. Pure function of the iterator — unit-testable without Spark.
     */

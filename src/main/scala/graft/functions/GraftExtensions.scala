@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(
       (
         FunctionIdentifier("cosine_sim"),
@@ -28,4 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "accumulated in index order (codegen'd single fused loop)",
           ""),
         exprs => CosineSimilarity(exprs(0), exprs(1))))
+    // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
+    // per-key folds) into its physical operator
+    extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)
+  }
 }

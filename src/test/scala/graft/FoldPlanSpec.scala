@@ -1,0 +1,86 @@
+package graft
+
+import graft.detect.{ExpAvgKernel, KeyedFold}
+import graft.model.TsSample
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom Catalyst fold operator (graft.plans.KeyedFoldPlan):
+  * semantics identical to the composed repartition+sort+mapPartitions
+  * path, but data movement is planned by EnsureRequirements — and elided
+  * when the input already satisfies the distribution/ordering.
+  */
+class FoldPlanSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("fold-plan-spec")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pts: Dataset[TsSample] =
+    Tables.events(spark, sf)
+      .select(
+        col("user_id").cast("string").as("seriesKey"),
+        col("ts_ms").as("tsMs"), col("value"))
+      .as[TsSample]
+
+  private def plan(ds: Dataset[_]): String = ds.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+
+  test("foldExec matches the composed fold bit-for-bit") {
+    val viaExec = KeyedFold.foldExec(pts)(() => new ExpAvgKernel(0.2)).collect()
+      .map(r => (r.seriesKey, r.tsMs) -> (r.value, r.dev)).toMap
+    val viaComposed = KeyedFold.fold(pts)(() => new ExpAvgKernel(0.2)).collect()
+      .map(r => (r.seriesKey, r.tsMs) -> (r.value, r.dev)).toMap
+    assert(viaExec.size == viaComposed.size && viaExec.nonEmpty)
+    assert(viaExec == viaComposed)
+  }
+
+  test("EnsureRequirements inserts exactly one exchange + sort over a raw scan") {
+    val ds = KeyedFold.foldExec(pts)(() => new ExpAvgKernel(0.2))
+    val p = plan(ds)
+    assert(p.contains("KeyedFold "), s"custom operator missing from plan:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 shuffle, got plan:\n$p")
+    assert(p.contains("Sort "), "expected a planner-inserted sort")
+  }
+
+  test("exchange is elided when the input is already hash-distributed on the key") {
+    // the repartition IS the only exchange; the fold's requirement is
+    // satisfied by it, so EnsureRequirements adds nothing
+    val pre = pts.repartition(col("seriesKey"))
+    val ds = KeyedFold.foldExec(pre)(() => new ExpAvgKernel(0.2))
+    val p = plan(ds)
+    assert(p.contains("KeyedFold "))
+    assert(exchanges(p) == 1, s"fold must reuse the existing distribution, plan:\n$p")
+  }
+
+  test("fold after a sort-merge join adds no exchange of its own") {
+    // hash(seriesKey) distribution arrives from upstream operators
+    // (distinct + forced SMJ); the fold only needs a partition-local sort
+    import spark.implicits._
+    val keys = pts.toDF().select("seriesKey").distinct()
+    val joined: Dataset[TsSample] =
+      pts.toDF().join(keys.hint("merge"), "seriesKey")
+        .select(col("seriesKey"), col("tsMs"), col("value")).as[TsSample]
+    val exec = plan(KeyedFold.foldExec(joined)(() => new ExpAvgKernel(0.2)))
+    // distinct: 1 exchange; SMJ probe side: 1 exchange; the fold: none
+    assert(exec.contains("KeyedFold "))
+    assert(exchanges(exec) == 2, s"exec fold must add no exchange over SMJ output:\n$exec")
+  }
+
+  test("fold partitioning propagates downstream; the typed-MapPartitions path erases it") {
+    // this is the structural advantage over the composed fold: a typed
+    // MapPartitions node reports unknown partitioning, so everything
+    // per-key AFTER a composed fold pays a second shuffle — the custom
+    // node re-expresses hash(seriesKey) over its output instead
+    val agg = KeyedFold.foldExec(pts)(() => new ExpAvgKernel(0.2))
+      .groupBy("seriesKey").agg(max("dev").as("mx"))
+    assert(exchanges(plan(agg)) == 1,
+      s"downstream per-key agg must reuse the fold's partitioning:\n${plan(agg)}")
+    val aggComposed = KeyedFold.fold(pts)(() => new ExpAvgKernel(0.2))
+      .groupBy("seriesKey").agg(max("dev").as("mx"))
+    assert(exchanges(plan(aggComposed)) == 2,
+      "composed fold loses partitioning info through the object boundary")
+  }
+}
