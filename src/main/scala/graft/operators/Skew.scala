@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for shuffle joins — the classic salting
+  * rewrite. AQE's skew-join splitting handles a skewed SORT-MERGE join at
+  * runtime, but only that: it cannot help when the join's output must stay
+  * co-partitioned for a downstream stage, when the skew is in a grouping
+  * key, or when the planner picked a shuffled hash join. Salting is the
+  * plan-level fix: spread each hot fact key over `salts` synthetic
+  * sub-keys and replicate the (small, but not broadcast-small) build side
+  * once per sub-key, so the hot key's rows land on `salts` different
+  * reducers instead of one.
+  *
+  * Join semantics are preserved exactly: a fact row matches precisely the
+  * one build-side replica carrying its salt, so the salted join's result
+  * equals the plain join's (the driver oracle for `q_skew_join` is the
+  * PLAIN SQL join — salting must be invisible in results).
+  *
+  * The salt is a deterministic hash of caller-chosen columns (NOT rand()):
+  * retries, re-runs, and AQE re-plans all see the same salt for the same
+  * row. Pick salt columns that vary within the hot key (a line number, a
+  * timestamp) or load is not actually spread.
+  *
+  * Scale: build-side replication costs |dim| × salts rows — choose salts
+  * ≈ (hot-key rows / target-partition rows), typically 8–64 at 100 TB.
+  * Fact side cost is one extra narrow column.
+  */
+object Skew {
+
+  /** Inner equi-join `fact.keyCol = dim.dimKeyCol` with the fact side
+    * salted by `hash(saltFrom) mod salts` and the dim side replicated per
+    * salt value.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      dimKeyCol: String,
+      saltFrom: Seq[Column],
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = fact.withColumn("_fsalt", pmod(hash(saltFrom: _*), lit(salts)))
+    val replicated = dim
+      .withColumn("_dsalt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumnRenamed(dimKeyCol, "_dimkey")
+    salted
+      .join(replicated, col(keyCol) === col("_dimkey") && col("_fsalt") === col("_dsalt"))
+      .drop("_fsalt", "_dsalt", "_dimkey")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Skew
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -136,6 +137,37 @@ object RelationalQueries {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)
+    ),
+    // skewed join, salted: ~80% of fact rows share one synthetic supplier
+    // key; Skew.saltedJoin spreads the hot key over 16 sub-keys and the
+    // merge hint forces the shuffle join that skew actually hurts. The
+    // oracle is the PLAIN join — salting must be invisible in the result.
+    Q(
+      "q_skew_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .withColumn("skew_key",
+            when(col("l_orderkey") % 5 > 0, lit(1L)).otherwise(col("l_suppkey")))
+        val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+        Skew
+          .saltedJoin(li, sup.hint("merge"), "skew_key", "s_suppkey",
+            saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), salts = 16)
+          .groupBy("s_name")
+          // exact integer domain: 2-dec price × 2-dec (1-discount) scaled
+          // to ×10⁴ longs — the hot group sums ~50k values, where a double
+          // sum's fp error can flip the cent rounding between engines
+          .agg(round(
+            sum(round(col("l_extendedprice") * 100).cast("long") *
+              round((lit(1) - col("l_discount")) * 100).cast("long")) / 10000.0, 2)
+            .as("revenue"))
+      },
+      Some("""SELECT s_name,
+             |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |          * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0, 2) AS revenue
+             |FROM lineitem
+             |JOIN supplier
+             |  ON (CASE WHEN l_orderkey % 5 > 0 THEN 1 ELSE l_suppkey END) = s_suppkey
+             |GROUP BY s_name""".stripMargin)
     )
   )
 }
