@@ -57,6 +57,35 @@ object MonitorStream {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
+  /** Streaming twin of the batch gap sessionizer (graft.ext.Sessionize):
+    * Structured Streaming's native session_window aggregation — state is
+    * per OPEN session (merged as events arrive), closed sessions emit in
+    * append mode once the watermark passes their end. Contract vs batch:
+    * `session_start` equals the batch rollup's; session_window's `end` is
+    * lastEvent + gap, so `session_end` here subtracts the gap back and
+    * `duration_ms`/`n_events` match the batch stats exactly for any
+    * session the watermark has closed.
+    */
+  def sessionStats(
+      events: DataFrame, // (seriesKey, ts timestamp, ...)
+      gapMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    // batch keeps events together when diff <= gap; session_window merges
+    // when diff < gap — widen by 1ms so both close sessions identically
+    val g = gapMs + 1
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("seriesKey"), session_window(col("ts"), s"$g milliseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("seriesKey"),
+        unix_millis(col("session_window.start")).as("session_start"),
+        (unix_millis(col("session_window.end")) - g).as("session_end"),
+        (unix_millis(col("session_window.end")) - g -
+          unix_millis(col("session_window.start"))).as("duration_ms"),
+        col("n_events"))
+  }
+
   /** Shared stateful-scoring harness: watermarked event time + per-key
     * EmaState with an EVENT-TIME TTL. At unbounded key cardinality dead
     * series must leave the state store — each batch re-arms a timeout

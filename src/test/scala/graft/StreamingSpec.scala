@@ -156,6 +156,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window stats match batch Sessionize.stats for closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = MonitorStream
+      .sessionStats(
+        mem.toDS().toDF("seriesKey", "ts", "event_id"),
+        gapMs = 10000L, watermark = "5 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // key 1: [1000..11000] one session (diff == gap stays merged),
+      // then 30000 opens another; key 2: single-event session
+      val events = Seq(
+        ("1", 1000L, 1L), ("1", 5000L, 2L), ("1", 11000L, 3L),
+        ("1", 30000L, 4L), ("2", 2000L, 5L))
+      events.foreach { case (k, t, id) => mem.addData((k, ts(t), id)) }
+      // watermark mover: far-future event closes everything before it
+      mem.addData(("9", ts(500000L), 99L))
+      q.processAllAvailable()
+      mem.addData(("9", ts(600000L), 100L)) // second advance: emit what the first closed
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .select("seriesKey", "session_start", "session_end", "duration_ms", "n_events")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 != "9").toSet
+
+      val batch = ext.Sessionize
+        .stats(
+          events.map { case (k, t, id) => (k, t, id) }.toDF("seriesKey", "ts_ms", "event_id"),
+          "seriesKey", "ts_ms", "event_id", gapMs = 10000L)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("duration_ms"), r.getAs[Long]("n_events"))).toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("EMA state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
