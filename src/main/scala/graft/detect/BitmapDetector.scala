@@ -45,7 +45,7 @@ object BitmapDetector {
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("vmin"), col("vmax"))
       .as[BitmapPoint]
     KeyedFold
-      .foldOn[BitmapPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+      .foldOnExec[BitmapPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new BitmapKernel(precision, chunkSize, windowPct, minWindow, maxWindow))
       .toDF()
       .withColumnRenamed("dev", "score")

@@ -91,7 +91,7 @@ object Detectors {
       .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("sd"))
       .as[CountedPoint]
     KeyedFold
-      .foldOn[CountedPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+      .foldOnExec[CountedPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
         new ExpAvgLagKernel(alpha, lagPct, maxLag))
       .toDF()
       .withColumnRenamed("dev", "score")

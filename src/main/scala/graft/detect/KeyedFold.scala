@@ -2,7 +2,10 @@ package graft.detect
 
 import graft.model.TsSample
 import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions.col
+
+import scala.reflect.runtime.universe.TypeTag
 
 /** One point scored by a kernel; `dev` is the raw (pre-normalization)
   * deviation — detector-specific normalization happens relationally
@@ -81,18 +84,33 @@ object KeyedFold {
   /** Catalyst-planned fold: emits a custom KeyedFoldNode and lets
     * EnsureRequirements decide the exchange/sort (elided when the input
     * is already hash-distributed / sorted — bucketed scans, upstream
-    * aggregations, reused exchanges; see graft.plans.KeyedFoldPlan).
-    * Same kernel semantics as `fold`; only input planning differs.
+    * joins/aggregations, reused exchanges; see graft.plans.KeyedFoldPlan).
+    * Same kernel semantics as `foldOn`; only input planning differs.
     */
-  def foldExec(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] = {
-    import points.sparkSession.implicits._
-    val spark = points.sparkSession
+  def foldOnExec[I: TypeTag, O: TypeTag, K](
+      ds: Dataset[I],
+      keyCol: String,
+      tsCol: String,
+      keyOf: I => K)(mkKernel: () => StreamKernel[I, O]): Dataset[O] = {
+    val spark = ds.sparkSession
     graft.plans.KeyedFoldPlan.ensureStrategy(spark)
-    val child = graft.bridge.SqlBridge.analyzedPlan(
-      points.select(col("seriesKey"), col("tsMs"), col("value")))
-    val node = graft.plans.KeyedFoldNode(mkKernel, graft.plans.KeyedFoldPlan.freshOutput(), child)
-    graft.bridge.SqlBridge.ofRows(spark, node).as[RawScored]
+    val inEnc = ExpressionEncoder[I]()
+    val outEnc = ExpressionEncoder[O]()
+    val node = graft.plans.KeyedFoldNode(
+      mkKernel.asInstanceOf[() => StreamKernel[Any, Any]],
+      keyOf.asInstanceOf[Any => Any],
+      inEnc,
+      outEnc,
+      keyCol,
+      tsCol,
+      graft.plans.KeyedFoldPlan.outputFor(outEnc),
+      graft.bridge.SqlBridge.analyzedPlan(ds.toDF()))
+    graft.bridge.SqlBridge.ofRows(spark, node).as[O](outEnc)
   }
+
+  /** Catalyst-planned fold over bare samples (EMA-style recurrences). */
+  def foldExec(points: Dataset[TsSample])(mkKernel: () => SeriesKernel): Dataset[RawScored] =
+    foldOnExec[TsSample, RawScored, String](points, "seriesKey", "tsMs", _.seriesKey)(mkKernel)
 
   /** Streams a sorted (key, ts) iterator through fresh kernels, one per
     * key run. Pure function of the iterator — unit-testable without Spark.

@@ -1,50 +1,44 @@
 package graft.plans
 
-import graft.detect.{KeyedFold, RawScored, SeriesKernel}
-import graft.model.TsSample
+import graft.detect.{KeyedFold, StreamKernel}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-operator Catalyst integration of the keyed sequential fold
-  * (SURVEY §4.2 recurrences: EMA, derivative, …) — the (c)-tier custom
-  * operator from the builder brief: LogicalPlan + SparkStrategy +
-  * SparkPlan, injectable via SparkSessionExtensions.
+  * (SURVEY §4.2 recurrences: EMA, lag-EMA, derivative, bitmap, …) — the
+  * (c)-tier custom operator from the builder brief: LogicalPlan +
+  * SparkStrategy + SparkPlan, injectable via SparkSessionExtensions.
   *
   * Why a physical operator instead of the repartition→sortWithinPartitions
   * →mapPartitions composition (KeyedFold.foldOn): the composition
   * HARD-CODES its data movement — `repartition` always shuffles, even when
   * the input is already hash-distributed on the key (bucketed layout, an
-  * upstream aggregation, a reused exchange). Declaring the requirement
-  * instead (`requiredChildDistribution` = ClusteredDistribution(key),
-  * `requiredChildOrdering` = (key, ts)) hands the decision to
-  * EnsureRequirements: Catalyst inserts the exchange/sort only when the
-  * child does not already satisfy them, reuses exchanges across subtrees,
-  * and AQE can re-plan the inserted exchange at runtime. At 100 TB over a
-  * bucket-by-key table this is the difference between shuffling the fact
-  * table every run and zero data movement — without the caller having to
-  * KNOW the layout (KeyedFold.foldPrePartitioned makes the caller assert
-  * it; this node makes Catalyst PROVE it).
+  * upstream join or aggregation, a reused exchange). Declaring the
+  * requirement instead (`requiredChildDistribution` =
+  * ClusteredDistribution(key), `requiredChildOrdering` = (key, ts)) hands
+  * the decision to EnsureRequirements: Catalyst inserts the exchange/sort
+  * only when the child does not already satisfy them, reuses exchanges
+  * across subtrees, and AQE re-plans the inserted exchange at runtime.
+  * The detectors that join per-key stats BEFORE folding (lag-EMA, bitmap)
+  * get their fold shuffle elided outright — the join already produced the
+  * distribution. And because the node re-expresses hash(key) over its own
+  * output, everything per-key DOWNSTREAM of the fold skips its shuffle
+  * too; a typed MapPartitions erases that information (pinned by
+  * FoldPlanSpec).
   *
   * The fold itself is the same single-pass bounded-state kernel run
   * (KeyedFold.run); only the planning of its input moved into Catalyst.
+  * Kernel in/out types are erased in the node and rebuilt executor-side
+  * from the carried ExpressionEncoders (resolved against the child by
+  * field name — the standard object-boundary mechanics, but with
+  * requirements declared instead of hard-coded).
   */
 object KeyedFoldPlan {
-
-  /** Output schema of the fold: RawScored as attributes. Fresh exprIds per
-    * call — attributes are carried in the node so optimizer copies keep
-    * them stable.
-    */
-  def freshOutput(): Seq[Attribute] = Seq(
-    AttributeReference("seriesKey", StringType, nullable = false)(),
-    AttributeReference("tsMs", LongType, nullable = false)(),
-    AttributeReference("value", DoubleType, nullable = false)(),
-    AttributeReference("dev", DoubleType, nullable = false)())
 
   /** Idempotently install the strategy into a session's runtime planner —
     * works on ANY session (including the driver's vanilla one), no
@@ -56,17 +50,29 @@ object KeyedFoldPlan {
     if (!cur.exists(_.isInstanceOf[KeyedFoldStrategy.type]))
       spark.experimental.extraStrategies = cur :+ KeyedFoldStrategy
   }
+
+  /** Output attributes from an encoder's schema (fresh exprIds, carried in
+    * the node so optimizer copies keep them stable).
+    */
+  def outputFor(enc: ExpressionEncoder[_]): Seq[Attribute] =
+    enc.schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
 }
 
-/** Logical fold node. `child` must produce exactly
-  * (seriesKey: String, tsMs: Long, value: Double) in that order.
+/** Logical fold node. `child` must expose the kernel input type's fields
+  * by name (the in-encoder binds against them); `keyName`/`tsName` are the
+  * clustering / secondary-sort columns.
   */
 final case class KeyedFoldNode(
-    mkKernel: () => SeriesKernel,
+    mkKernel: () => StreamKernel[Any, Any],
+    keyOf: Any => Any,
+    inEnc: ExpressionEncoder[_],
+    outEnc: ExpressionEncoder[_],
+    keyName: String,
+    tsName: String,
     override val output: Seq[Attribute],
     child: LogicalPlan)
   extends UnaryNode {
-  // the fold reads every child column and emits a new attribute set
+  // the fold consumes every child column and emits a new attribute set
   override def references: AttributeSet = child.outputSet
   override def producedAttributes: AttributeSet = outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): KeyedFoldNode =
@@ -77,47 +83,58 @@ final case class KeyedFoldNode(
   * EnsureRequirements plan (or elide) the exchange and sort.
   */
 final case class KeyedFoldExec(
-    mkKernel: () => SeriesKernel,
+    mkKernel: () => StreamKernel[Any, Any],
+    keyOf: Any => Any,
+    inEnc: ExpressionEncoder[_],
+    outEnc: ExpressionEncoder[_],
+    keyName: String,
+    tsName: String,
     override val output: Seq[Attribute],
     child: SparkPlan)
   extends UnaryExecNode {
 
-  private def keyAttr: Attribute = child.output.head
-  private def tsAttr: Attribute = child.output(1)
+  private def childAttr(name: String): Attribute =
+    child.output.find(_.name == name).getOrElse(
+      sys.error(s"KeyedFoldExec: child has no column '$name' in ${child.output}"))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(keyAttr)) :: Nil
+    ClusteredDistribution(Seq(childAttr(keyName))) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(keyAttr, Ascending), SortOrder(tsAttr, Ascending)))
+    Seq(Seq(
+      SortOrder(childAttr(keyName), Ascending),
+      SortOrder(childAttr(tsName), Ascending)))
 
   // one input key-group maps to one output key-group in place: the child's
   // hash distribution on the key survives, re-expressed over our output
   // attribute so downstream per-key operators skip their shuffle too
   override def outputPartitioning: Partitioning = child.outputPartitioning match {
-    case h: HashPartitioning if h.expressions == Seq(keyAttr) =>
-      HashPartitioning(Seq(output.head), h.numPartitions)
+    case h: HashPartitioning if h.expressions == Seq(childAttr(keyName)) =>
+      output.find(_.name == keyName)
+        .map(a => HashPartitioning(Seq(a), h.numPartitions))
+        .getOrElse(child.outputPartitioning)
     case other => other
   }
 
   // rows leave the kernel in (key, ts) order within each partition
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(output.head, Ascending), SortOrder(output(1), Ascending))
+    (output.find(_.name == keyName), output.find(_.name == tsName)) match {
+      case (Some(k), Some(t)) => Seq(SortOrder(k, Ascending), SortOrder(t, Ascending))
+      case _ => Nil
+    }
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val mk = mkKernel
+    val kOf = keyOf
+    val boundIn = inEnc.resolveAndBind(child.output)
+    val serEnc = outEnc.asInstanceOf[ExpressionEncoder[Any]]
     child.execute().mapPartitions({ it =>
-      val proj = UnsafeProjection.create(
-        Array[org.apache.spark.sql.types.DataType](StringType, LongType, DoubleType, DoubleType))
-      val samples = it.map { r =>
-        // getUTF8String points into a reused row buffer; toString copies
-        TsSample(r.getUTF8String(0).toString, r.getLong(1), r.getDouble(2))
-      }
-      KeyedFold.run[TsSample, RawScored, String](samples, _.seriesKey, mk).map { o =>
-        proj(InternalRow(UTF8String.fromString(o.seriesKey), o.tsMs, o.value, o.dev))
-      }
+      val de = boundIn.createDeserializer()
+      val ser = serEnc.createSerializer()
+      val objs = it.map(r => de(r).asInstanceOf[Any])
+      KeyedFold.run[Any, Any, Any](objs, kOf, mk).map(o => ser(o): InternalRow)
     }, preservesPartitioning = true)
   }
 
@@ -128,7 +145,8 @@ final case class KeyedFoldExec(
 /** Planner strategy: KeyedFoldNode → KeyedFoldExec. */
 object KeyedFoldStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case KeyedFoldNode(mk, out, child) => KeyedFoldExec(mk, out, planLater(child)) :: Nil
+    case KeyedFoldNode(mk, keyOf, inEnc, outEnc, keyName, tsName, out, child) =>
+      KeyedFoldExec(mk, keyOf, inEnc, outEnc, keyName, tsName, out, planLater(child)) :: Nil
     case _ => Nil
   }
 }
