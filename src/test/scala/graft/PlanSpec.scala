@@ -77,4 +77,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"chunked fold must not serialize onto one partition:\n$p")
     assert(p.contains("hashpartitioning(seriesKey"), "chunk passes must partition by key+chunk")
   }
+
+  test("text_repetition: zero-shuffle narrow map with pruned scan") {
+    val p = plan("text_repetition")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 0, s"per-doc metrics must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
+  test("pack_greedy: exactly one exchange (cluster by group), fold via the custom node") {
+    val p = plan("pack_greedy")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"packing is one shuffle on the group key:\n$p")
+  }
+
+  test("anomaly_exp_avg_scores / derivative: fold plans through the custom Catalyst node") {
+    assert(plan("anomaly_exp_avg_scores").contains("KeyedFold "),
+      "EMA fold must use the declared-requirements operator")
+    assert(plan("anomaly_derivative_scores").contains("KeyedFold "),
+      "derivative fold must use the declared-requirements operator")
+  }
+
+  test("q_skew_join: shuffles on the salted key, not the bare hot key") {
+    val p = plan("q_skew_join")
+    assert(p.contains("_fsalt"), s"join must be salted:\n$p")
+  }
 }
