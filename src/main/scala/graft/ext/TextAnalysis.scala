@@ -173,6 +173,37 @@ object TextAnalysis {
         .otherwise(0.0).as("dup_trigram_ratio"))
   }
 
+  /** Corpus-rarity quality score (the cheap stand-in for unigram-LM
+    * cross-entropy filtering): average inverse corpus frequency of a
+    * document's tokens. Documents of common boilerplate score low; rare-
+    * token documents score high. Two passes over the corpus:
+    *   1. global token counts (partial-aggregated shuffle, vocab-bounded);
+    *   2. tokens broadcast-joined to counts, per-doc integer sum.
+    * Rarity is computed in EXACT integer domain — pts(w) = (total·10⁶)
+    * div count(w) — so the per-doc sum is order-independent and the
+    * DuckDB oracle hash-matches without fp ceremony; only the final
+    * avg division is floating-point, on the round(4) grid.
+    *
+    * Scale: the broadcast of the counts table assumes a bounded vocab —
+    * at open-vocabulary 100 TB you'd cap to the top-K tokens (OOV tokens
+    * score as the K-th count) before broadcasting; the plan shape is
+    * unchanged.
+    */
+  def rarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("wd"))
+    val counts = toks.groupBy("wd").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    toks
+      .join(broadcast(counts), "wd")
+      .crossJoin(broadcast(total))
+      .withColumn("pts", expr("(t * 1000000) DIV cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("pts").as("sum_rarity_pts"),
+        round((sum("pts") / lit(1000000.0)) / count(lit(1)), 4).as("avg_rarity"))
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

@@ -136,6 +136,21 @@ object ExtQueries {
              |       ELSE 0.0 END AS dup_trigram_ratio
              |FROM u LEFT JOIN tb USING (doc_id) LEFT JOIN dt USING (doc_id)""".stripMargin)
     ),
+    // Corpus-rarity quality score; all-integer rarity points make the
+    // per-doc sums order-independent, so both engines hash-match exactly.
+    Q(
+      "text_rarity",
+      (s, dir) => TextAnalysis.rarity(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents),
+             |c AS (SELECT wd, count(*) cnt FROM w GROUP BY wd),
+             |tot AS (SELECT count(*) t FROM w),
+             |p AS (SELECT doc_id, (t * 1000000) // cnt pts FROM w JOIN c USING (wd) CROSS JOIN tot)
+             |SELECT doc_id,
+             |  count(*) AS n_words,
+             |  CAST(sum(pts) AS BIGINT) AS sum_rarity_pts,
+             |  round((sum(pts) / 1000000.0) / count(*), 4) AS avg_rarity
+             |FROM p GROUP BY doc_id""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),

@@ -162,6 +162,18 @@ class ExtSpec extends AnyFunSuite {
     assert(r4.getAs[Double]("dup_word_ratio") == 0.5 && r4.getAs[Double]("dup_trigram_ratio") == 0.0)
   }
 
+  test("rarity: hand-computed inverse-frequency points") {
+    // corpus: total 6 tokens; counts: a=3, b=2, c=1
+    val rows = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.rarity(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("sum_rarity_pts"), r.getAs[Double]("avg_rarity")))
+      .toMap
+    // pts: a = 6e6/3 = 2e6; b = 6e6/2 = 3e6; c = 6e6/1 = 6e6
+    assert(out(1L) == ((3L, 2000000L + 3000000L + 2000000L, 2.3333)))
+    assert(out(2L) == ((3L, 2000000L + 3000000L + 6000000L, 3.6667)))
+  }
+
   test("normalize strips control chars, collapses spaces, trims, lowercases") {
     val rows = Seq((1L, "  A\tB  C   D  ")).toDF("doc_id", "text")
     val out = TextAnalysis.normalize(rows, "doc_id", "text").collect().head.getAs[String]("norm_text")
