@@ -78,4 +78,39 @@ class PartitionedLayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS events_bucketed")
     }
   }
+
+  test("bucket-by-key layout: the custom fold node gets its shuffle elided BY CATALYST") {
+    import spark.implicits._
+    import graft.detect.{ExpAvgKernel, KeyedFold}
+    import graft.model.TsSample
+    val warehouse = Files.createTempDirectory("graft_bucketed2").toString
+    val pts = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("user_id").cast("string").as("seriesKey"),
+        col("ts_ms").as("tsMs"), col("value"))
+    pts.write
+      .option("path", s"$warehouse/events_bucketed2")
+      .bucketBy(8, "seriesKey")
+      .mode("overwrite")
+      .saveAsTable("events_bucketed2")
+    try {
+      // no conf knobs, no caller assertion: foldExec DECLARES its
+      // distribution need, the bucketed scan provides it, and
+      // EnsureRequirements proves no exchange is required
+      val bucketed = spark.table("events_bucketed2").as[TsSample]
+      val folded = KeyedFold.foldExec(bucketed)(() => new ExpAvgKernel(0.2))
+      val plan = folded.queryExecution.executedPlan.toString
+      assert(plan.contains("KeyedFold "), s"custom node missing:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed fold must not shuffle:\n$plan")
+      assert(plan.contains("Sort "), "partition-local sort is still required")
+
+      val viaShuffle = KeyedFold.fold(pts.as[TsSample])(() => new ExpAvgKernel(0.2))
+        .collect().map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
+      val viaBuckets = folded.collect().map(s => (s.seriesKey, s.tsMs) -> s.dev).toMap
+      assert(viaBuckets == viaShuffle)
+      assert(viaBuckets.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS events_bucketed2")
+    }
+  }
 }
