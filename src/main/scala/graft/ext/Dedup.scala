@@ -332,6 +332,67 @@ object Dedup {
     * the general bound we verify candidates exactly, accepting banding
     * recall semantics like every production LSH dedup).
     */
+  /** Content-defined chunking (CDC): split each document at positions
+    * where a w-char windowed polynomial hash hits a mask — the Rabin/
+    * rsync boundary trick. Unlike fixed-size chunking, an insertion early
+    * in a document shifts at most one chunk's boundaries, so cross-doc
+    * CHUNK-level dedup (group by chunk hash) survives edits — the
+    * sub-document dedup a long-document corpus needs where whole-doc
+    * hashing and even shingle Jaccard are too coarse.
+    *
+    * Boundary rule (identical arithmetic in the DuckDB oracle): at char
+    * position i (1-based, i ≥ w), let
+    *   h(i) = Σ_{k=0..w-1} ascii(c_{i−k}) · B^k  mod M
+    * with B = 257, M = 1e9+7, all in exact integer domain; i is a
+    * boundary iff h(i) % 64 == 0 (expected chunk ≈ 64 chars). The doc end
+    * is always a boundary. Zero shuffle: a per-row typed kernel emits
+    * (chunk_idx, start, len, md5) rows; corpus-level dedup is then one
+    * partial-agg shuffle on the chunk hash.
+    */
+  val CdcWindow = 8
+  val CdcBase = 257L
+  val CdcMod = 1000000007L
+  val CdcMask = 64L
+
+  /** B^k mod M for k = 0..w−1 (shared with the SQL oracle literal). */
+  def cdcPowers: Array[Long] =
+    Iterator.iterate(1L)(p => p * CdcBase % CdcMod).take(CdcWindow).toArray
+
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pw = cdcPowers
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = text.length
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = CdcWindow
+        while (i <= n) {
+          var h = 0L
+          var k = 0
+          while (k < CdcWindow) {
+            h = (h + text.charAt(i - 1 - k).toLong * pw(k)) % CdcMod
+            k += 1
+          }
+          if (h % CdcMask == 0L) bounds += i
+          i += 1
+        }
+        if (n > 0 && (bounds.isEmpty || bounds.last != n)) bounds += n
+        var start = 1
+        val out = Vector.newBuilder[(Long, Long, Long, Long, String)]
+        bounds.iterator.zipWithIndex.foreach { case (e, idx) =>
+          val chunk = text.substring(start - 1, e)
+          val hex = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          out += ((id, idx.toLong, start.toLong, (e - start + 1).toLong, hex))
+          start = e + 1
+        }
+        out.result()
+      }
+      .toDF(idCol, "chunk_idx", "start_pos", "len", "chunk_md5")
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.select(

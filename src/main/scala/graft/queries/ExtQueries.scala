@@ -25,6 +25,32 @@ object ExtQueries {
 
   private val stopListSql = "['the','a','of','and','to','in','is','on']"
 
+  /** Shared DuckDB CTE replaying Dedup.cdcChunks: windowed polynomial
+    * hash boundaries (pw = 257^k mod 1e9+7 literals) → chunk spans →
+    * chunk md5. Ends with `chunks(doc_id, chunk_idx, start_pos, len,
+    * chunk_md5)`.
+    */
+  private val cdcChunksCte =
+    """WITH d AS (SELECT doc_id, text, len(text) n FROM documents),
+      |pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) i FROM d),
+      |hw AS (SELECT doc_id, i,
+      |         list_sum(list_transform(range(0, 8), k ->
+      |           CAST(ascii(substr(text, CAST(i - k AS INT), 1)) AS BIGINT) *
+      |           [1, 257, 66049, 16974593, 362470373, 154885210, 805498697, 13163680][k + 1]))
+      |         % 1000000007 h
+      |       FROM pos),
+      |b AS (SELECT DISTINCT doc_id, i FROM
+      |        (SELECT doc_id, i FROM hw WHERE h % 64 = 0
+      |         UNION ALL SELECT doc_id, n FROM d WHERE n > 0)),
+      |sp AS (SELECT doc_id, i AS e,
+      |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+      |       FROM b),
+      |chunks AS (SELECT sp.doc_id, chunk_idx, s AS start_pos,
+      |             e - s + 1 AS len,
+      |             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) chunk_md5
+      |           FROM sp JOIN d USING (doc_id))""".stripMargin
+
   /** Shared DuckDB CTE chain replaying the full MinHash-LSH pipeline
     * (shingle-hash sets → 16-perm signatures → 4-band bucketing with the
     * >1,≤100 bucket cap → candidate pairs → exact-Jaccard verify); ends
@@ -337,6 +363,31 @@ object ExtQueries {
              |        floor(w) + CASE WHEN fr < w - floor(w) THEN 1 ELSE 0 END n FROM f)
              |SELECT doc_id, source, CAST(unnest(range(0, CAST(n AS BIGINT))) AS BIGINT) AS copy
              |FROM c WHERE n > 0""".stripMargin)),
+    // Content-defined chunking: per-chunk rows with md5, plus cross-doc
+    // chunk dedup. The oracle replays the identical windowed polynomial
+    // hash (B=257, M=1e9+7, mask 64) over char positions — all-integer,
+    // so boundaries match exactly; chunk md5 of identical substrings
+    // matches trivially.
+    Q(
+      "cdc_chunks",
+      (s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text"),
+      Some(cdcChunksCte +
+        "\nSELECT doc_id, chunk_idx, start_pos, len, chunk_md5 FROM chunks")
+    ),
+    Q(
+      "dedup_cdc_chunks",
+      (s, dir) =>
+        Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+          .groupBy("chunk_md5")
+          .agg(
+            count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("canonical_doc"))
+          .where(col("n_copies") > 1),
+      Some(cdcChunksCte +
+        """
+          |SELECT chunk_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
+          |FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin)
+    ),
     // Sequence packing: next-fit doc→training-sequence assignment per
     // source at capacity 256 tokens. The oracle replays the identical
     // sequential recurrence as a recursive CTE over rows ordered by

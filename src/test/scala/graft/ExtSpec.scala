@@ -162,6 +162,40 @@ class ExtSpec extends AnyFunSuite {
     assert(r4.getAs[Double]("dup_word_ratio") == 0.5 && r4.getAs[Double]("dup_trigram_ratio") == 0.0)
   }
 
+  test("CDC chunks tile the document, respect the boundary rule, and survive prefix edits") {
+    val corpus = Tables.documents(spark, sf)
+    val chunks = Dedup.cdcChunks(corpus, "doc_id", "text")
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(sum("len").as("s"), max(col("start_pos") + col("len") - 1).as("e"),
+        count(lit(1)).as("n_chunks"))
+      .join(corpus.select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+    assert(byDoc.where(col("s") =!= col("n") || col("e") =!= col("n")).count() == 0,
+      "chunks must tile each document exactly")
+
+    // boundary invariance: a prefix edit changes only the first chunk(s);
+    // later chunk HASHES reappear (that is the whole point of CDC)
+    val doc = corpus.orderBy("doc_id").limit(1).collect().head
+    val text = doc.getAs[String]("text")
+    val edited = Seq((1L, text), (2L, "EDITED PREFIX " + text)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(edited, "doc_id", "text").collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_md5")).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_md5")).toSet
+    assert((h1 intersect h2).nonEmpty,
+      s"prefix edit must preserve later chunk hashes: $h1 vs $h2")
+
+    // kernel boundary rule matches the documented arithmetic
+    val pw = Dedup.cdcPowers
+    def h(tx: String, i: Int): Long =
+      (0 until Dedup.CdcWindow).map(k => tx.charAt(i - 1 - k).toLong * pw(k) % Dedup.CdcMod)
+        .sum % Dedup.CdcMod
+    val ends = ch.filter(_.getLong(0) == 1L)
+      .map(r => r.getAs[Long]("start_pos") + r.getAs[Long]("len") - 1).map(_.toInt).sorted
+    ends.dropRight(1).foreach { e =>
+      assert(h(text, e) % Dedup.CdcMask == 0L, s"interior boundary at $e must satisfy the mask")
+    }
+    assert(ends.last == text.length)
+  }
+
   test("rarity: hand-computed inverse-frequency points") {
     // corpus: total 6 tokens; counts: a=3, b=2, c=1
     val rows = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
