@@ -179,6 +179,24 @@ object MonitorStream {
   /** Streaming anomaly flags with an absolute threshold on the raw EMA
     * deviation (D6-style in-stream thresholding).
     */
+  /** Streaming exact dedup — the streaming twin of Dedup.exact for
+    * ingest-time dedup of a document/event feed. State is one entry per
+    * distinct key within the watermark horizon and is dropped once the
+    * watermark passes (bounded state at unbounded stream length — the
+    * property a 100 TB/day ingest needs). Duplicates arriving later than
+    * the watermark delay are the documented residual risk, exactly as in
+    * Spark's dropDuplicatesWithinWatermark contract; the batch exact
+    * dedup remains the backfill-time ground truth.
+    */
+  def dedupStream(
+      events: DataFrame, // must contain tsCol (timestamp) + the dedup keys
+      dedupCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(dedupCols)
+
   def monitorStream(points: Dataset[TsSample], scoreThreshold: Double, alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
     emaScores(points, alpha)
       .toDF()

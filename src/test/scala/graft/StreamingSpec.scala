@@ -195,6 +195,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = MonitorStream
+      .dedupStream(mem.toDS().toDF("fp", "ts"), Seq("fp"), "ts", watermark = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(("a", ts(1000)), ("b", ts(2000)), ("a", ts(3000)))
+      q.processAllAvailable()
+      // same fp in a later micro-batch, still inside the watermark: dropped
+      mem.addData(("a", ts(4000)), ("c", ts(5000)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a", "b", "c"), s"got $got")
+    } finally q.stop()
+  }
+
   test("EMA state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
