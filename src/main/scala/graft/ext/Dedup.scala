@@ -140,6 +140,36 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame =
     shingleHashesAndSig(df, idCol, textCol, n, perms).select("id", "sig")
 
+  /** Eval-set decontamination: flag training documents that share ≥
+    * `minShared` distinct word n-grams with any probe (benchmark/eval)
+    * document — the overlap check every pretraining pipeline runs before
+    * training so test sets don't leak into the corpus.
+    *
+    * Plan shape at 100 TB: the probe side (an eval suite — thousands of
+    * docs, not billions) shingles into a small table that BROADCASTS; the
+    * training corpus streams through one shingle kernel pass and a
+    * broadcast hash join — no corpus shuffle at all until the tiny
+    * per-(train, probe) count aggregation of matching pairs. Shingles are
+    * compared by their 32-bit md5 hash (same hash as the MinHash
+    * pipeline, so the DuckDB oracle replays it verbatim).
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minShared: Long): DataFrame = {
+    val th = shingleHashesAndSig(train, idCol, textCol, n, perms = 1)
+      .select(col("id").as("train_id"), explode(col("hs")).as("h"))
+    val ph = shingleHashesAndSig(probe, idCol, textCol, n, perms = 1)
+      .select(col("id").as("probe_id"), explode(col("hs")).as("h"))
+    th.join(broadcast(ph), "h")
+      .groupBy("train_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** MinHash-LSH near-dup pairs: band signatures (bands × rowsPerBand =
     * perms), equi-join per band for candidates, then EXACT Jaccard
     * verification on the candidate pairs only. This is the 100 TB path:

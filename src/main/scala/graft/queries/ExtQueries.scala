@@ -363,6 +363,26 @@ object ExtQueries {
              |        floor(w) + CASE WHEN fr < w - floor(w) THEN 1 ELSE 0 END n FROM f)
              |SELECT doc_id, source, CAST(unnest(range(0, CAST(n AS BIGINT))) AS BIGINT) AS copy
              |FROM c WHERE n > 0""".stripMargin)),
+    // Eval-set decontamination: training docs (doc_id >= 20) sharing >= 2
+    // distinct trigrams with any probe doc (doc_id < 20). The probe side
+    // broadcasts; the corpus never shuffles until the matched-pair count.
+    Q(
+      "decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationPairs(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3, minShared = 2L)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh)
+             |SELECT t.doc_id AS train_id, p.doc_id AS probe_id, count(*) AS shared_ngrams
+             |FROM hs t JOIN hs p ON t.h = p.h AND t.doc_id >= 20 AND p.doc_id < 20
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+    ),
     // Content-defined chunking: per-chunk rows with md5, plus cross-doc
     // chunk dedup. The oracle replays the identical windowed polynomial
     // hash (B=257, M=1e9+7, mask 64) over char positions — all-integer,

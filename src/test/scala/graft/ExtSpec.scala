@@ -196,6 +196,21 @@ class ExtSpec extends AnyFunSuite {
     assert(ends.last == text.length)
   }
 
+  test("decontamination flags n-gram overlap with the probe set; probe side broadcasts") {
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // shares 'alpha beta gamma','beta gamma delta' with probe 1
+      (101L, "nothing in common with anything here"),
+      (102L, "alpha beta gamma unrelated tail words")  // shares only 1 trigram with probe 1
+    ).toDF("doc_id", "text")
+    val probe = Seq((1L, "alpha beta gamma delta prime")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(train, probe, "doc_id", "text", n = 3, minShared = 2L)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("train_id"), r.getAs[Long]("probe_id"), r.getAs[Long]("shared_ngrams")))
+    assert(rows.toSeq == Seq((100L, 1L, 2L)), s"got ${rows.toSeq}")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
   test("rarity: hand-computed inverse-frequency points") {
     // corpus: total 6 tokens; counts: a=3, b=2, c=1
     val rows = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
