@@ -204,6 +204,41 @@ object TextAnalysis {
         round((sum("pts") / lit(1000000.0)) / count(lit(1)), 4).as("avg_rarity"))
   }
 
+  /** Per-group top-k n-grams (heavy hitters): the corpus-observability
+    * query behind vocabulary reports, boilerplate discovery, and
+    * contamination triage. Exact counts via one partial-aggregated
+    * shuffle on (group, ngram), then a bounded per-group top-k window —
+    * the window input is already the aggregated (group, ngram) table,
+    * orders of magnitude smaller than the corpus. Ties break by ngram
+    * ascending so results are deterministic across partitionings.
+    */
+  def topNgrams(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df
+      .select(col(groupCol).cast("string").as("grp"), col(textCol).as("text"))
+      .as[(String, String)]
+      .flatMap { case (g, t) =>
+        val w = t.split(" ")
+        (0 to w.length - n).iterator.map(i => (g, w.slice(i, i + n).mkString(" ")))
+      }
+      .toDF(groupCol, "ngram")
+    val counts = grams.groupBy(col(groupCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(groupCol)
+            .orderBy(col("cnt").desc, col("ngram"))).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

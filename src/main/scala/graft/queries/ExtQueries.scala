@@ -363,6 +363,20 @@ object ExtQueries {
              |        floor(w) + CASE WHEN fr < w - floor(w) THEN 1 ELSE 0 END n FROM f)
              |SELECT doc_id, source, CAST(unnest(range(0, CAST(n AS BIGINT))) AS BIGINT) AS copy
              |FROM c WHERE n > 0""".stripMargin)),
+    // Per-source top-10 trigrams, exact counts, deterministic ties.
+    Q(
+      "corpus_top_ngrams",
+      (s, dir) =>
+        TextAnalysis.topNgrams(Tables.documents(s, dir), "source", "text", n = 3, k = 10),
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') words FROM documents),
+             |g AS (SELECT source, unnest(list_transform(range(1, len(words) - 1),
+             |        i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) ngram FROM w),
+             |c AS (SELECT source, ngram, count(*) cnt FROM g GROUP BY 1, 2),
+             |r AS (SELECT source, ngram, cnt,
+             |        CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, ngram) AS BIGINT) rank
+             |      FROM c)
+             |SELECT source, ngram, cnt, rank FROM r WHERE rank <= 10""".stripMargin)
+    ),
     // Eval-set decontamination: training docs (doc_id >= 20) sharing >= 2
     // distinct trigrams with any probe doc (doc_id < 20). The probe side
     // broadcasts; the corpus never shuffles until the matched-pair count.
