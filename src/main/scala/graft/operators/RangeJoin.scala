@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval (range) join — the operator Spark lacks natively:
+  * `point.ts BETWEEN interval.start AND interval.end` planned as a plain
+  * theta join degrades to BroadcastNestedLoopJoin (O(|points|·|intervals|)
+  * comparisons) or an outright cartesian. The classic scale rewrite maps
+  * both sides onto fixed-width time buckets: each point lands in exactly
+  * one bucket, each interval is replicated across the buckets it covers,
+  * and the join becomes an EQUI-join on (keys…, bucket) + an exact
+  * containment filter. Each point meets only the intervals sharing its
+  * bucket — at 100 TB that is a shuffled/broadcast hash join with
+  * per-bucket locality instead of an all-pairs scan.
+  *
+  * Tuning: interval replication is 1 + span/bucketMs rows, and a bucket's
+  * candidate set is the intervals overlapping it — pick bucketMs near the
+  * typical interval span (wider buckets → fewer replicas, more false
+  * candidates; narrower → the reverse). Degenerate intervals with
+  * end < start are dropped (they contain nothing, and Spark's sequence()
+  * would otherwise iterate backwards).
+  */
+object RangeJoin {
+
+  def intervalJoin(
+      points: DataFrame,
+      tsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      keyCols: Seq[String],
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val p = points.withColumn("_b", expr(s"CAST($tsCol DIV $bucketMs AS BIGINT)"))
+    val iv = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn(
+        "_b",
+        explode(sequence(
+          expr(s"CAST($startCol DIV $bucketMs AS BIGINT)"),
+          expr(s"CAST($endCol DIV $bucketMs AS BIGINT)"))))
+    p.join(iv, keyCols :+ "_b")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_b")
+  }
+}

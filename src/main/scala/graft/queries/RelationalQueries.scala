@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Skew
+import graft.operators.{RangeJoin, Skew}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,6 +168,41 @@ object RelationalQueries {
              |JOIN supplier
              |  ON (CASE WHEN l_orderkey % 5 > 0 THEN 1 ELSE l_suppkey END) = s_suppkey
              |GROUP BY s_name""".stripMargin)
+    ),
+    // Range join via bucketized equi-join: per-user quartile windows
+    // derived from each series' [min, max] span (all-integer bounds);
+    // every event lands back in exactly one window. The oracle is the
+    // plain BETWEEN join — the bucket rewrite must be result-invisible.
+    Q(
+      "q_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
+        val windows = ev.groupBy("user_id")
+          .agg(min("ts_ms").as("m"), max("ts_ms").as("mx"))
+          .withColumn("w", expr("CAST((mx - m) DIV 4 AS BIGINT)"))
+          .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+          .select(
+            col("user_id"), col("k"),
+            (col("m") + col("k") * col("w")).as("w_start"),
+            when(col("k") === 3L, col("mx"))
+              .otherwise(col("m") + (col("k") + 1L) * col("w") - 1L).as("w_end"))
+        RangeJoin
+          .intervalJoin(ev, "ts_ms", windows, "w_start", "w_end",
+            keyCols = Seq("user_id"), bucketMs = 21600000L)
+          .groupBy("user_id", "k", "w_start", "w_end")
+          .agg(count(lit(1)).as("n_points"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms FROM events),
+             |s AS (SELECT user_id, min(ts_ms) m, max(ts_ms) mx FROM e GROUP BY user_id),
+             |w AS (SELECT user_id, k, m + k * ((mx - m) // 4) AS w_start,
+             |        CASE WHEN k = 3 THEN mx
+             |             ELSE m + (k + 1) * ((mx - m) // 4) - 1 END AS w_end
+             |      FROM s CROSS JOIN (SELECT unnest(range(0, 4)) k) k),
+             |j AS (SELECT e.user_id, w.k, w.w_start, w.w_end
+             |      FROM e JOIN w ON e.user_id = w.user_id
+             |                   AND e.ts_ms >= w.w_start AND e.ts_ms <= w.w_end)
+             |SELECT user_id, CAST(k AS BIGINT) AS k, w_start, w_end, count(*) AS n_points
+             |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
     )
   )
 }

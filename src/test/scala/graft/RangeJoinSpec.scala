@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("range-join-spec")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketized interval join equals the naive BETWEEN join; no nested-loop in the plan") {
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts_ms"))
+    val win = ev.groupBy("user_id")
+      .agg(min("ts_ms").as("w_start"), (min("ts_ms") + expr("(max(ts_ms) - min(ts_ms)) DIV 2")).as("w_end"))
+      .withColumn("wid", lit("first-half"))
+    val bucketized = RangeJoin
+      .intervalJoin(ev, "ts_ms", win, "w_start", "w_end", Seq("user_id"), bucketMs = 21600000L)
+      .select("user_id", "ts_ms", "wid")
+    val naive = ev.join(win, Seq("user_id"))
+      .where(col("ts_ms") >= col("w_start") && col("ts_ms") <= col("w_end"))
+      .select("user_id", "ts_ms", "wid")
+    assert(bucketized.count() == naive.count() && naive.count() > 0)
+    assert(bucketized.exceptAll(naive).isEmpty && naive.exceptAll(bucketized).isEmpty)
+
+    val p = bucketized.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
+  test("degenerate intervals (end < start) match nothing instead of iterating backwards") {
+    val pts = Seq((1L, 100L)).toDF("k", "ts")
+    val iv = Seq((1L, 500L, 400L)).toDF("k", "s", "e")
+    val out = RangeJoin.intervalJoin(pts, "ts", iv, "s", "e", Seq("k"), bucketMs = 10L)
+    assert(out.count() == 0)
+  }
+
+  test("interval spanning many buckets still matches each point exactly once") {
+    val pts = Seq((1L, 5L), (1L, 95L), (1L, 50L)).toDF("k", "ts")
+    val iv = Seq((1L, 0L, 100L)).toDF("k", "s", "e") // spans 11 buckets at width 10
+    val out = RangeJoin.intervalJoin(pts, "ts", iv, "s", "e", Seq("k"), bucketMs = 10L)
+    assert(out.count() == 3, "one match per point — bucket replication must not duplicate")
+  }
+}
