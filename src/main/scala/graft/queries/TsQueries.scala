@@ -162,6 +162,27 @@ object TsQueries {
               |FROM events
               |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
               |GROUP BY 1, 2""".stripMargin)
+    ),
+    // Gap-filled hourly grid with last-observation-carried-forward: no fp
+    // arithmetic (max per bucket, values copied), so bit-exact on both
+    // engines. Hour buckets leave real gaps in the event series.
+    Q(
+      "ts_gapfill",
+      (s, dir) =>
+        TsAlgebra.gapFill(ev(s, dir), "user_id", "ts_ms", "value", bucketMs = 3600000L),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events),
+             |b AS (SELECT user_id, tm - tm % 3600000 AS bt, count(*) n, max(value) vmax
+             |      FROM e GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 3600000, 3600000)) bt FROM s),
+             |j AS (SELECT g.user_id, g.bt, b.n, b.vmax
+             |      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bt = b.bt)
+             |SELECT user_id, bt AS ts_ms,
+             |  coalesce(n, 0) AS n_points,
+             |  last_value(vmax IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY bt ROWS UNBOUNDED PRECEDING) AS value_ff,
+             |  n IS NULL AS is_gap
+             |FROM j""".stripMargin)
     )
   )
 }

@@ -101,6 +101,44 @@ object TsAlgebra {
     cfg.count.map(ordered.limit).getOrElse(ordered)
   }
 
+  /** Gap-filled bucket grid with last-observation-carried-forward: emit
+    * EVERY bucket in each key's [min, max] span — present buckets with
+    * their stats, absent ones flagged `is_gap` and value-filled from the
+    * last seen bucket (null before the first). The downstream-alignment
+    * operator every TS consumer wants when series sample irregularly.
+    *
+    * Determinism: the per-bucket stat is max() (order-independent) and
+    * the fill COPIES stored values — no fp arithmetic anywhere, so the
+    * DuckDB oracle matches bit-for-bit. Scale: one partial-agg shuffle to
+    * buckets, a per-key grid explode proportional to span/bucket (rows,
+    * not data), one window pass sharing the bucket exchange.
+    */
+  def gapFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val b = df
+      .groupBy(col(keyCol), (col(tsCol) - col(tsCol) % bucketMs).as("bt"))
+      .agg(count(lit(1)).as("n_points"), max(col(valCol)).as("vmax"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min("bt").as("mn"), max("bt").as("mx"))
+      .select(col(keyCol), explode(sequence(col("mn"), col("mx"), lit(bucketMs))).as("bt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("bt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid
+      .join(b, Seq(keyCol, "bt"), "left")
+      .select(
+        col(keyCol),
+        col("bt").as("ts_ms"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        last(col("vmax"), ignoreNulls = true).over(w).as("value_ff"),
+        col("n_points").isNull.as("is_gap"))
+  }
+
   /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
     * codegen'd, partial-aggregatable, no UDAF.
     */

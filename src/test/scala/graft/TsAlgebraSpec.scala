@@ -107,4 +107,20 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(out((1L, 3000L)) == 200.0)
     assert(!out.contains((2L, 500L))) // no baseline at or before -> dropped (inner)
   }
+
+  test("gapFill emits every bucket, flags gaps, carries the last value forward") {
+    // key 1: buckets 0,10 present; 20 missing; 30 present
+    val pts = Seq((1L, 3L, 5.0), (1L, 12L, 7.0), (1L, 33L, 9.0), (1L, 35L, 2.0))
+      .toDF("user_id", "ts_ms", "value")
+    val out = TsAlgebra.gapFill(pts, "user_id", "ts_ms", "value", bucketMs = 10L)
+      .collect()
+      .map(r => r.getAs[Long]("ts_ms") ->
+        (r.getAs[Long]("n_points"), r.getAs[Double]("value_ff"), r.getAs[Boolean]("is_gap")))
+      .toMap
+    assert(out.keySet == Set(0L, 10L, 20L, 30L))
+    assert(out(0L) == ((1L, 5.0, false)))
+    assert(out(10L) == ((1L, 7.0, false)))
+    assert(out(20L) == ((0L, 7.0, true)), "gap bucket carries the last value forward")
+    assert(out(30L) == ((2L, 9.0, false)), "bucket stat is max over its points")
+  }
 }
