@@ -67,7 +67,7 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, b, text) =>
-          val words = text.split(" ")
+          val words = text.split(" ", -1)
           val hs = (0 to words.length - n).iterator
             .map(i => words.slice(i, i + n).mkString(" "))
             .toSet[String]
@@ -120,7 +120,7 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val words = text.split(" ")
+          val words = text.split(" ", -1)
           val xs = (0 to words.length - n).iterator
             .map(i => words.slice(i, i + n).mkString(" "))
             .toSet[String]
@@ -160,9 +160,12 @@ object Dedup {
       textCol: String,
       n: Int,
       minShared: Long): DataFrame = {
-    val th = shingleHashesAndSig(train, idCol, textCol, n, perms = 1)
+    // perms = 0: shingle hashes only — no MinHash signature is computed
+    // for work that would be discarded (Catalyst cannot prune inside a
+    // typed kernel, so the skip has to happen at the kernel parameter)
+    val th = shingleHashesAndSig(train, idCol, textCol, n, perms = 0)
       .select(col("id").as("train_id"), explode(col("hs")).as("h"))
-    val ph = shingleHashesAndSig(probe, idCol, textCol, n, perms = 1)
+    val ph = shingleHashesAndSig(probe, idCol, textCol, n, perms = 0)
       .select(col("id").as("probe_id"), explode(col("hs")).as("h"))
     th.join(broadcast(ph), "h")
       .groupBy("train_id", "probe_id")
@@ -341,7 +344,7 @@ object Dedup {
         val counts = new Array[Int](60)
         it.map { case (id, text) =>
           java.util.Arrays.fill(counts, 0)
-          val words = text.split(" ")
+          val words = text.split(" ", -1)
           words.foreach { w =>
             val h = tokenHash60(md, w)
             var b = 0
@@ -388,37 +391,60 @@ object Dedup {
   def cdcPowers: Array[Long] =
     Iterator.iterate(1L)(p => p * CdcBase % CdcMod).take(CdcWindow).toArray
 
+  /** Positions are UTF-16 code units on the Spark side and codepoints in
+    * the DuckDB oracle — identical for the ASCII corpus; non-BMP input
+    * would shift them (documented restriction, like the single-space
+    * tokenizer).
+    */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pw = cdcPowers
+    val pwTop = pw(CdcWindow - 1)
+    val hexDigits = "0123456789abcdef".toCharArray
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val n = text.length
-        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = CdcWindow
-        while (i <= n) {
-          var h = 0L
-          var k = 0
-          while (k < CdcWindow) {
-            h = (h + text.charAt(i - 1 - k).toLong * pw(k)) % CdcMod
-            k += 1
+        def hex(bytes: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(32)
+          bytes.foreach { b =>
+            sb.append(hexDigits((b >> 4) & 0xf)); sb.append(hexDigits(b & 0xf))
           }
-          if (h % CdcMask == 0L) bounds += i
-          i += 1
+          sb.toString
         }
-        if (n > 0 && (bounds.isEmpty || bounds.last != n)) bounds += n
-        var start = 1
-        val out = Vector.newBuilder[(Long, Long, Long, Long, String)]
-        bounds.iterator.zipWithIndex.foreach { case (e, idx) =>
-          val chunk = text.substring(start - 1, e)
-          val hex = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          out += ((id, idx.toLong, start.toLong, (e - start + 1).toLong, hex))
-          start = e + 1
+        it.flatMap { case (id, text) =>
+          val n = text.length
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+          if (n >= CdcWindow) {
+            // seed h(w) with the windowed sum, then roll:
+            // h(i+1) = (B·(h(i) − c(i−w+1)·B^{w−1}) + c(i+1)) mod M
+            var h = 0L
+            var k = 0
+            while (k < CdcWindow) {
+              h = (h + text.charAt(CdcWindow - 1 - k).toLong * pw(k)) % CdcMod
+              k += 1
+            }
+            if (h % CdcMask == 0L) bounds += CdcWindow
+            var i = CdcWindow + 1
+            while (i <= n) {
+              val outgoing = text.charAt(i - 1 - CdcWindow).toLong * pwTop % CdcMod
+              h = ((h - outgoing + CdcMod) * CdcBase + text.charAt(i - 1).toLong) % CdcMod
+              if (h % CdcMask == 0L) bounds += i
+              i += 1
+            }
+          }
+          if (n > 0 && (bounds.isEmpty || bounds.last != n)) bounds += n
+          var start = 1
+          val out = Vector.newBuilder[(Long, Long, Long, Long, String)]
+          bounds.iterator.zipWithIndex.foreach { case (e, idx) =>
+            val chunk = text.substring(start - 1, e)
+            out += ((id, idx.toLong, start.toLong, (e - start + 1).toLong,
+              hex(md.digest(chunk.getBytes("UTF-8")))))
+            start = e + 1
+          }
+          out.result()
         }
-        out.result()
       }
       .toDF(idCol, "chunk_idx", "start_pos", "len", "chunk_md5")
   }

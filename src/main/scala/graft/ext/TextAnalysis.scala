@@ -132,7 +132,7 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val ws = text.split(" ")
+          val ws = text.split(" ", -1)
           val n = ws.length
           val distinct = new java.util.HashSet[String]()
           var i = 0
@@ -192,7 +192,10 @@ object TextAnalysis {
   def rarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("wd"))
     val counts = toks.groupBy("wd").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("t"))
+    // total token count derived from the (tiny) counts table, NOT from a
+    // second corpus pass — the corpus is tokenized exactly twice (counts
+    // pass + probe pass), the two-pass minimum for a global statistic
+    val total = counts.agg(sum("cnt").as("t"))
     toks
       .join(broadcast(counts), "wd")
       .crossJoin(broadcast(total))
@@ -224,7 +227,7 @@ object TextAnalysis {
       .select(col(groupCol).cast("string").as("grp"), col(textCol).as("text"))
       .as[(String, String)]
       .flatMap { case (g, t) =>
-        val w = t.split(" ")
+        val w = t.split(" ", -1)
         (0 to w.length - n).iterator.map(i => (g, w.slice(i, i + n).mkString(" ")))
       }
       .toDF(groupCol, "ngram")

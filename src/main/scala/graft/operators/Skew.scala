@@ -31,7 +31,11 @@ object Skew {
 
   /** Inner equi-join `fact.keyCol = dim.dimKeyCol` with the fact side
     * salted by `hash(saltFrom) mod salts` and the dim side replicated per
-    * salt value.
+    * salt value. Output schema matches the plain join's: all fact columns
+    * plus all dim columns (when the two key columns share a name the
+    * merged value appears once, like `join(_, Seq(key))`). Column names
+    * `_fsalt`, `_dsalt`, `_dimkey` are reserved for the rewrite — inputs
+    * must not use them.
     */
   def saltedJoin(
       fact: DataFrame,
@@ -41,12 +45,20 @@ object Skew {
       saltFrom: Seq[Column],
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    val reserved = Seq("_fsalt", "_dsalt", "_dimkey")
+    require(
+      (fact.columns ++ dim.columns).intersect(reserved).isEmpty,
+      s"saltedJoin reserves column names ${reserved.mkString(", ")}")
     val salted = fact.withColumn("_fsalt", pmod(hash(saltFrom: _*), lit(salts)))
     val replicated = dim
       .withColumn("_dsalt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumnRenamed(dimKeyCol, "_dimkey")
-    salted
+    val joined = salted
       .join(replicated, col(keyCol) === col("_dimkey") && col("_fsalt") === col("_dsalt"))
-      .drop("_fsalt", "_dsalt", "_dimkey")
+    // restore the dim key under its own name (the plain join keeps it)
+    val restored =
+      if (dimKeyCol == keyCol) joined
+      else joined.withColumn(dimKeyCol, col("_dimkey"))
+    restored.drop("_fsalt", "_dsalt", "_dimkey")
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst integration of the keyed sequential fold
@@ -43,9 +43,11 @@ object KeyedFoldPlan {
   /** Idempotently install the strategy into a session's runtime planner —
     * works on ANY session (including the driver's vanilla one), no
     * config-time extensions required. GraftExtensions also injects it for
-    * the `spark.sql.extensions` path.
+    * the `spark.sql.extensions` path. Synchronized: two threads building
+    * fold queries concurrently must not lose each other's check-then-
+    * append on the experimental-strategies list.
     */
-  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[KeyedFoldStrategy.type]))
       spark.experimental.extraStrategies = cur :+ KeyedFoldStrategy
@@ -107,13 +109,17 @@ final case class KeyedFoldExec(
 
   // one input key-group maps to one output key-group in place: the child's
   // hash distribution on the key survives, re-expressed over our output
-  // attribute so downstream per-key operators skip their shuffle too
+  // attribute so downstream per-key operators skip their shuffle too.
+  // Anything not remappable degrades to Unknown — republishing a child
+  // partitioning phrased in child attributes would violate the SparkPlan
+  // contract (outputPartitioning must reference this node's output).
   override def outputPartitioning: Partitioning = child.outputPartitioning match {
     case h: HashPartitioning if h.expressions == Seq(childAttr(keyName)) =>
       output.find(_.name == keyName)
         .map(a => HashPartitioning(Seq(a), h.numPartitions))
-        .getOrElse(child.outputPartitioning)
-    case other => other
+        .getOrElse(UnknownPartitioning(h.numPartitions))
+    case p if p.numPartitions == 1 => p // SinglePartition carries no attrs
+    case other => UnknownPartitioning(other.numPartitions)
   }
 
   // rows leave the kernel in (key, ts) order within each partition

@@ -176,9 +176,6 @@ object MonitorStream {
       }
     }
 
-  /** Streaming anomaly flags with an absolute threshold on the raw EMA
-    * deviation (D6-style in-stream thresholding).
-    */
   /** Streaming exact dedup — the streaming twin of Dedup.exact for
     * ingest-time dedup of a document/event feed. State is one entry per
     * distinct key within the watermark horizon and is dropped once the
@@ -197,6 +194,9 @@ object MonitorStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** Streaming anomaly flags with an absolute threshold on the raw EMA
+    * deviation (D6-style in-stream thresholding).
+    */
   def monitorStream(points: Dataset[TsSample], scoreThreshold: Double, alpha: Double = Constants.DefaultSmoothingFactor): DataFrame =
     emaScores(points, alpha)
       .toDF()
