@@ -396,11 +396,40 @@ object Dedup {
     * would shift them (documented restriction, like the single-space
     * tokenizer).
     */
+  /** Chunk-end positions (1-based, inclusive) for one document: every
+    * mask-satisfying rolling-hash position plus the forced doc end. Pure —
+    * property-tested against the direct windowed-sum definition.
+    */
+  def cdcBoundaries(text: String): IndexedSeq[Int] = {
+    val pw = cdcPowers
+    val pwTop = pw(CdcWindow - 1)
+    val n = text.length
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n >= CdcWindow) {
+      // seed h(w) with the windowed sum, then roll:
+      // h(i+1) = (B·(h(i) − c(i−w+1)·B^{w−1}) + c(i+1)) mod M
+      var h = 0L
+      var k = 0
+      while (k < CdcWindow) {
+        h = (h + text.charAt(CdcWindow - 1 - k).toLong * pw(k)) % CdcMod
+        k += 1
+      }
+      if (h % CdcMask == 0L) bounds += CdcWindow
+      var i = CdcWindow + 1
+      while (i <= n) {
+        val outgoing = text.charAt(i - 1 - CdcWindow).toLong * pwTop % CdcMod
+        h = ((h - outgoing + CdcMod) * CdcBase + text.charAt(i - 1).toLong) % CdcMod
+        if (h % CdcMask == 0L) bounds += i
+        i += 1
+      }
+    }
+    if (n > 0 && (bounds.isEmpty || bounds.last != n)) bounds += n
+    bounds.toIndexedSeq
+  }
+
   def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pw = cdcPowers
-    val pwTop = pw(CdcWindow - 1)
     val hexDigits = "0123456789abcdef".toCharArray
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -414,27 +443,7 @@ object Dedup {
           sb.toString
         }
         it.flatMap { case (id, text) =>
-          val n = text.length
-          val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
-          if (n >= CdcWindow) {
-            // seed h(w) with the windowed sum, then roll:
-            // h(i+1) = (B·(h(i) − c(i−w+1)·B^{w−1}) + c(i+1)) mod M
-            var h = 0L
-            var k = 0
-            while (k < CdcWindow) {
-              h = (h + text.charAt(CdcWindow - 1 - k).toLong * pw(k)) % CdcMod
-              k += 1
-            }
-            if (h % CdcMask == 0L) bounds += CdcWindow
-            var i = CdcWindow + 1
-            while (i <= n) {
-              val outgoing = text.charAt(i - 1 - CdcWindow).toLong * pwTop % CdcMod
-              h = ((h - outgoing + CdcMod) * CdcBase + text.charAt(i - 1).toLong) % CdcMod
-              if (h % CdcMask == 0L) bounds += i
-              i += 1
-            }
-          }
-          if (n > 0 && (bounds.isEmpty || bounds.last != n)) bounds += n
+          val bounds = cdcBoundaries(text)
           var start = 1
           val out = Vector.newBuilder[(Long, Long, Long, Long, String)]
           bounds.iterator.zipWithIndex.foreach { case (e, idx) =>

@@ -38,7 +38,7 @@ final case class PackedDoc(
   */
 object Packing {
 
-  private final class PackKernel(capacity: Long)
+  private[graft] final class PackKernel(capacity: Long)
       extends StreamKernel[(String, Long, Long), PackedDoc] {
     private var seqIdx = -1L
     private var pos = 0L

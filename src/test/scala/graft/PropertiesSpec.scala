@@ -171,4 +171,56 @@ class PropertiesSpec extends AnyFunSuite {
       got.size == n && got.zipWithIndex.forall { case (s, i) => math.abs(s.dev - naive(i)) < 1e-9 }
     })
   }
+
+  test("property: CDC boundaries — rolling hash equals the windowed-sum definition; chunks tile") {
+    import graft.ext.Dedup
+    val textGen = for {
+      n <- Gen.chooseNum(0, 300)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+    } yield cs.mkString
+    def windowedHash(t: String, i: Int): Long = {
+      val pw = Dedup.cdcPowers
+      (0 until Dedup.CdcWindow)
+        .map(k => t.charAt(i - 1 - k).toLong * pw(k) % Dedup.CdcMod)
+        .sum % Dedup.CdcMod
+    }
+    check(Prop.forAll(textGen) { t =>
+      val b = Dedup.cdcBoundaries(t)
+      val increasing = b.sliding(2).forall(p => p.size < 2 || p(0) < p(1))
+      val tiles = if (t.isEmpty) b.isEmpty else b.nonEmpty && b.last == t.length
+      // every position >= w is a boundary IFF the direct windowed sum
+      // satisfies the mask (except the forced doc end)
+      val interiorOk = (Dedup.CdcWindow to t.length).forall { i =>
+        val isBoundary = b.contains(i)
+        val maskHit = windowedHash(t, i) % Dedup.CdcMask == 0L
+        if (i == t.length) isBoundary else isBoundary == maskHit
+      }
+      increasing && tiles && interiorOk
+    })
+  }
+
+  test("property: next-fit packing — capacity invariant, dense sequences, running offsets") {
+    import graft.ext.{PackedDoc, Packing}
+    val sizesGen = for {
+      n <- Gen.chooseNum(1, 80)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1L, 150L))
+    } yield sizes
+    val cap = 100L
+    check(Prop.forAll(sizesGen) { sizes =>
+      val in = sizes.zipWithIndex.map { case (sz, i) => ("g", i.toLong, sz) }
+      val out = KeyedFold
+        .run[(String, Long, Long), PackedDoc, String](in.iterator, _._1, () => new Packing.PackKernel(cap))
+        .toList
+      val bySeq = out.groupBy(_.seq_idx)
+      val capOk = bySeq.values.forall(ch => ch.size == 1 || ch.map(_.n_tokens).sum <= cap)
+      val dense = bySeq.keySet == (0L until bySeq.size.toLong).toSet
+      val offsetsOk = bySeq.values.forall { ch =>
+        ch.sortBy(_.seq_pos).foldLeft((0L, true)) { case ((acc, ok), d) =>
+          (acc + d.n_tokens, ok && d.seq_off == acc)
+        }._2
+      }
+      val oversizeOk = out.forall(d => d.oversize == (d.n_tokens > cap))
+      out.size == sizes.size && capOk && dense && offsetsOk && oversizeOk
+    })
+  }
 }
