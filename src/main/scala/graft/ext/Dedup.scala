@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup by content: canonical (minimum) id + multiplicity. */
+  /** Exact dedup by content: canonical (minimum) id + multiplicity.
+    * Groups by the 128-bit md5 of the text, not the text itself: the
+    * shuffle then moves a 16-byte key per row instead of the document
+    * body — at 100 TB that is the difference between exchanging hashes
+    * and exchanging the corpus. 128-bit collision odds are negligible
+    * (~n²/2¹²⁸); the result is identical to grouping by the raw text.
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(md5(col(textCol).cast("binary")).as("_k"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cnt"))
       .select("canonical_id", "cnt")
 
@@ -266,21 +272,25 @@ object Dedup {
     // lineage feeds both union branches). On a real cluster swap the
     // cache for reliable checkpoint() to the cluster FS — same shape.
     val spark = pairs.sparkSession
-    def materialize(df: DataFrame): DataFrame = {
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      spark.createDataFrame(rdd, df.schema)
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    val p = materialize(
+    val (p, pRdd) = materialize(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
-    val edges = materialize(p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = materialize(
+    val (edges, edgesRdd) = materialize(p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+    var (labels, labelsRdd) = materialize(
       edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     // exact decimal sum of labels: labels only ever DECREASE, so an
     // unchanged sum ⇔ a fixpoint — convergence costs one aggregate over
-    // the checkpointed label table instead of a join + count per round
+    // the checkpointed label table instead of a join + count per round.
+    // sum() over zero rows is SQL NULL (an empty pair graph — no near-dups
+    // found upstream); coalesce to 0 so that case converges to the empty
+    // result instead of NPEing on getDecimal.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -291,7 +301,7 @@ object Dedup {
       // materialize BEFORE the self-join: flat lineage, and both join
       // sides read the same cached partitions instead of recomputing the
       // aggregation twice
-      val viaNeighbors = materialize(
+      val (viaNeighbors, viaRdd) = materialize(
         labels.select("id", "label").union(offered)
           .groupBy("id").agg(min("label").as("label")))
       // path halving: follow one's label to ITS label (labels are node
@@ -303,13 +313,27 @@ object Dedup {
           col("x.label") === col("lid"),
           "left")
         .select(col("x.id").as("id"), coalesce(col("llabel"), col("x.label")).as("label"))
-      val nextM = materialize(next)
+      val (nextM, nextRdd) = materialize(next)
       val s = labelSum(nextM) // one job: computes, caches, and sums the round
+      // the new round is fully materialized — release the storage of the
+      // rounds it supersedes (long-lived sessions would otherwise
+      // accumulate ~2 persisted RDDs per iteration until ContextCleaner GC)
+      viaRdd.unpersist(blocking = false)
+      labelsRdd.unpersist(blocking = false)
       labels = nextM
+      labelsRdd = nextRdd
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
+    // the result depends only on the final label table; the edge tables
+    // were round-loop inputs
+    pRdd.unpersist(blocking = false)
+    edgesRdd.unpersist(blocking = false)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters exhausted maxIter=$maxIter before the label fixpoint: " +
+          "members of one component may carry different canonical ids; raise maxIter")
     labels
       .withColumn("cluster_size", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
       .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))

@@ -199,7 +199,11 @@ object TextAnalysis {
     toks
       .join(broadcast(counts), "wd")
       .crossJoin(broadcast(total))
-      .withColumn("pts", expr("(t * 1000000) DIV cnt"))
+      // the ×10⁶ scale-up runs in decimal so the intermediate cannot
+      // overflow Long past ~9.2e12 total tokens (a 100 TB corpus is);
+      // IntegralDivide lands the per-token points back in Long, which
+      // holds to ~9.2e18 points — ample for any per-token value
+      .withColumn("pts", expr("(CAST(t AS DECIMAL(38,0)) * 1000000) DIV cnt"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),

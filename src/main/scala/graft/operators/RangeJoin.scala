@@ -32,6 +32,9 @@ object RangeJoin {
       keyCols: Seq[String],
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    require(
+      !(points.columns ++ intervals.columns).contains("_b"),
+      "intervalJoin reserves column name _b; rename it on the input")
     val p = points.withColumn("_b", expr(s"CAST($tsCol DIV $bucketMs AS BIGINT)"))
     val iv = intervals
       .where(col(endCol) >= col(startCol))

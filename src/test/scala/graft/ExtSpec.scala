@@ -72,6 +72,22 @@ class ExtSpec extends AnyFunSuite {
     Seq(20L, 21L, 22L).foreach(id => assert(out(id) == (20L, 3L)))
   }
 
+  test("clusters on an empty pair graph returns the empty labeling (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.clusters(empty).collect().isEmpty)
+  }
+
+  test("clusters releases superseded per-round storage (bounded cache)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 9-node chain needs several label-propagation rounds
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("da", "db")
+    Dedup.clusters(pairs).collect()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(
+      added.size <= 1,
+      s"expected at most the final label table to stay cached, found ${added.size} new persisted RDDs")
+  }
+
   test("clusters over real MinHash-LSH pairs: both ends of every pair share a canonical") {
     val d = Tables.documents(spark, sf)
     val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.3)

@@ -36,6 +36,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("an input already carrying the reserved _b column is rejected loudly") {
+    val pts = Seq((1L, 100L, 0L)).toDF("k", "ts", "_b")
+    val iv = Seq((1L, 0L, 200L)).toDF("k", "s", "e")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(pts, "ts", iv, "s", "e", Seq("k"), bucketMs = 10L)
+    }
+    assert(ex.getMessage.contains("_b"))
+  }
+
   test("interval spanning many buckets still matches each point exactly once") {
     val pts = Seq((1L, 5L), (1L, 95L), (1L, 50L)).toDF("k", "ts")
     val iv = Seq((1L, 0L, 100L)).toDF("k", "s", "e") // spans 11 buckets at width 10
