@@ -482,6 +482,48 @@ object Dedup {
       .toDF(idCol, "chunk_idx", "start_pos", "len", "chunk_md5")
   }
 
+  /** CDC-chunk document similarity: near-dup PAIRS of documents that share
+    * ≥ `minShared` distinct CDC chunk hashes, scored by containment
+    * (shared / smaller doc's chunk count). Completes the sub-document
+    * story: `cdcChunks` finds shared material, this maps it back to doc
+    * pairs — catching template reuse and partial copies that whole-doc
+    * hashing misses and shingle Jaccard under-scores.
+    *
+    * Scale shape (100 TB): everything is an equi-join on the 128-bit
+    * chunk hash. A chunk held by > `maxChunkDocs` docs is boilerplate
+    * (contributing O(docs²) candidate pairs and no dup signal) and is
+    * dropped — the same frequent-bucket cap as MinHash-LSH banding, so
+    * the candidate join stays bounded at any corpus size.
+    */
+  def cdcPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long = 2L,
+      maxChunkDocs: Int = 100): DataFrame = {
+    // distinct (doc, chunk): a chunk repeated WITHIN a doc counts once
+    val chunks = cdcChunks(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("chunk_md5"))
+      .distinct()
+    val sizes = chunks.groupBy("id").agg(count(lit(1)).as("n"))
+    val keep = chunks
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1 && col("_c") <= maxChunkDocs)
+      .select("chunk_md5")
+    val kept = chunks.join(keep, Seq("chunk_md5"), "left_semi")
+    kept.as("a")
+      .join(kept.as("b"), col("a.chunk_md5") === col("b.chunk_md5") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+      .join(sizes.select(col("id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("n").as("nb")), "db")
+      .select(
+        col("da"), col("db"), col("shared_chunks"),
+        round(col("shared_chunks").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.select(

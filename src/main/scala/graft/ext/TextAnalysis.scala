@@ -211,6 +211,72 @@ object TextAnalysis {
         round((sum("pts") / lit(1000000.0)) / count(lit(1)), 4).as("avg_rarity"))
   }
 
+  /** Fixed-point log2(t/cnt) in 2⁻¹⁶-bit units, floor-truncating — the
+    * deterministic surprisal kernel for `lmCrossEntropy`. Integer part
+    * E = floor(log2(t div cnt)) (exact: floor(log2(t/cnt)) equals
+    * floor(log2(floor(t/cnt))) for t ≥ cnt ≥ 1); fractional bits by 16
+    * rounds of the classic squaring algorithm over a 30-fractional-bit
+    * fixed-point mantissa — every op is integer multiply/shift, so any
+    * engine replays the identical value (the DuckDB oracle runs the same
+    * 16 rounds as a recursive CTE). Truncation error < 2⁻¹⁵ bits, far
+    * inside the round(4) output grid. BigInt only seeds the mantissa
+    * (one division per VOCAB word, not per token), removing any bound on
+    * the corpus token count t.
+    */
+  def surprisalFp(t: Long, cnt: Long): Long = {
+    require(t >= cnt && cnt > 0, s"surprisalFp needs t >= cnt > 0, got t=$t cnt=$cnt")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(t / cnt)
+    var z = ((BigInt(t) << 30) / (BigInt(cnt) << e)).toLong // mantissa in [2^30, 2^31)
+    var frac = 0L
+    var i = 0
+    while (i < 16) {
+      z = (z * z) >> 30
+      if (z >= (1L << 31)) { frac = frac * 2 + 1; z >>= 1 }
+      else frac *= 2
+      i += 1
+    }
+    e.toLong * 65536 + frac
+  }
+
+  /** Unigram-LM cross-entropy quality score (the CCNet/Gopher-family
+    * model-based pretraining filter): per document, the average surprisal
+    * −log2 p(w) of its tokens under the corpus unigram LM
+    * p(w) = cnt(w)/t. Boilerplate of common tokens scores low;
+    * rare-token documents score high — the model-based upgrade of
+    * `rarity`, and the same two-pass plan shape: (1) global token counts
+    * (partial-aggregated, vocab-bounded); (2) tokens broadcast-joined to
+    * the scored vocab, per-doc INTEGER sums. Surprisal is fixed-point
+    * (`surprisalFp`), so the per-doc sum is order-independent and exact
+    * on any engine; only the final averaging division is fp, on the
+    * round(4) grid.
+    *
+    * Scale: like `rarity`, the broadcast assumes a bounded vocab — at
+    * open-vocabulary 100 TB, cap to top-K tokens (OOV scores as the K-th
+    * count) before broadcasting; plan shape unchanged. Training the LM
+    * on a held-out corpus instead of self-scoring is the same plan with
+    * `counts` read from the reference corpus.
+    */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("wd"))
+    val counts = toks.groupBy("wd").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("t"))
+    // surprisal per VOCAB word (tiny), then broadcast to the token stream
+    val vocab = counts.crossJoin(broadcast(total))
+      .select(col("wd"), col("cnt"), col("t"))
+      .as[(String, Long, Long)]
+      .map { case (wd, cnt, t) => (wd, surprisalFp(t, cnt)) }
+      .toDF("wd", "sfp")
+    toks
+      .join(broadcast(vocab), "wd")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("sfp").as("sum_xent_fp"),
+        round((sum("sfp") / lit(65536.0)) / count(lit(1)), 4).as("xent_bits"))
+  }
+
   /** Per-group top-k n-grams (heavy hitters): the corpus-observability
     * query behind vocabulary reports, boilerplate discovery, and
     * contamination triage. Exact counts via one partial-aggregated

@@ -177,6 +177,35 @@ object ExtQueries {
              |  round((sum(pts) / 1000000.0) / count(*), 4) AS avg_rarity
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
+    // Unigram-LM cross-entropy (model-based quality filter). The oracle
+    // replays surprisalFp's integer arithmetic: floor-log2 via the binary
+    // string length, then the identical 16-round squaring recurrence as a
+    // recursive CTE over the vocab — bit-exact per-doc integer sums.
+    Q(
+      "text_lm_xent",
+      (s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents),
+             |c AS (SELECT wd, count(*) cnt FROM w GROUP BY wd),
+             |tot AS (SELECT count(*) t FROM w),
+             |eb AS (SELECT wd, cnt, t, length(format('{:b}', t // cnt)) - 1 E
+             |       FROM c CROSS JOIN tot),
+             |z0 AS (SELECT wd, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb),
+             |fr AS (
+             |  SELECT wd, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT wd, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT wd, E*65536 + frac sfp FROM fr WHERE i = 16),
+             |p AS (SELECT doc_id, sfp FROM w JOIN sfp USING (wd))
+             |SELECT doc_id, count(*) AS n_words,
+             |  CAST(sum(sfp) AS BIGINT) AS sum_xent_fp,
+             |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent_bits
+             |FROM p GROUP BY doc_id""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
@@ -421,6 +450,26 @@ object ExtQueries {
         """
           |SELECT chunk_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
           |FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin)
+    ),
+    // CDC-chunk document similarity: pairs sharing >= 2 distinct chunk
+    // hashes, containment-scored, boilerplate chunks capped — the plain
+    // SQL join over the same chunk CTE is the oracle.
+    Q(
+      "dedup_cdc_pairs",
+      (s, dir) => Dedup.cdcPairs(Tables.documents(s, dir), "doc_id", "text", minShared = 2L),
+      Some(cdcChunksCte +
+        """,
+          |dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+          |sz AS (SELECT doc_id, count(*) n FROM dc GROUP BY doc_id),
+          |keep AS (SELECT chunk_md5 FROM (SELECT chunk_md5, count(*) c FROM dc GROUP BY 1)
+          |         WHERE c > 1 AND c <= 100),
+          |k AS (SELECT dc.doc_id, dc.chunk_md5 FROM dc JOIN keep USING (chunk_md5)),
+          |sh AS (SELECT a.doc_id da, b.doc_id db, count(*) shared_chunks
+          |       FROM k a JOIN k b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT da, db, shared_chunks,
+          |       round(CAST(shared_chunks AS DOUBLE) / least(na.n, nb.n), 4) AS containment
+          |FROM sh JOIN sz na ON sh.da = na.doc_id JOIN sz nb ON sh.db = nb.doc_id""".stripMargin)
     ),
     // Sequence packing: next-fit doc→training-sequence assignment per
     // source at capacity 256 tokens. The oracle replays the identical

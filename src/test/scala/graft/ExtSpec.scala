@@ -212,6 +212,30 @@ class ExtSpec extends AnyFunSuite {
     assert(ends.last == text.length)
   }
 
+  test("cdcPairs: docs sharing chunked material pair up with sane containment") {
+    val corpus = Tables.documents(spark, sf)
+    val pairs = Dedup.cdcPairs(corpus, "doc_id", "text", minShared = 2L).collect()
+    assert(pairs.nonEmpty, "the synthetic corpus plants shared chunk material")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0, s"containment out of range: $c")
+      assert(r.getAs[Long]("shared_chunks") >= 2L)
+    }
+    // cross-check one pair against the chunk table directly
+    val (da, db) = {
+      val r = pairs.head; (r.getAs[Long]("da"), r.getAs[Long]("db"))
+    }
+    val ch = Dedup.cdcChunks(corpus.where(col("doc_id").isin(da, db)), "doc_id", "text")
+      .select("doc_id", "chunk_md5").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val shared = (ch(da) intersect ch(db)).size
+    val expect = pairs.find(r => r.getAs[Long]("da") == da && r.getAs[Long]("db") == db).get
+    // the pair count can be lower than the raw intersection only via the
+    // frequent-chunk cap; on two docs alone the caps can't differ upward
+    assert(expect.getAs[Long]("shared_chunks") <= shared)
+  }
+
   test("decontamination flags n-gram overlap with the probe set; probe side broadcasts") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"), // shares 'alpha beta gamma','beta gamma delta' with probe 1
@@ -225,6 +249,37 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((100L, 1L, 2L)), s"got ${rows.toSeq}")
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
+  test("surprisalFp: exact on powers of two, tracks log2 to <2^-14, monotone in cnt") {
+    assert(TextAnalysis.surprisalFp(8, 1) == 3L * 65536)
+    assert(TextAnalysis.surprisalFp(1024, 1) == 10L * 65536)
+    assert(TextAnalysis.surprisalFp(12, 3) == 2L * 65536)
+    assert(TextAnalysis.surprisalFp(7, 7) == 0L)
+    // large t exercises the BigInt mantissa seed (t << 30 would overflow)
+    val cases = Seq((1000L, 3L), (999999937L, 7L), (1L << 40, 3L), (Long.MaxValue / 4, 12345L))
+    cases.foreach { case (t, c) =>
+      val got = TextAnalysis.surprisalFp(t, c) / 65536.0
+      val want = math.log(t.toDouble / c) / math.log(2.0)
+      assert(math.abs(got - want) < math.pow(2, -14), s"($t,$c): $got vs $want")
+    }
+    // truncation only ever rounds DOWN, and more copies → less surprisal
+    assert(TextAnalysis.surprisalFp(1000, 3) <= TextAnalysis.surprisalFp(1000, 2))
+  }
+
+  test("lmCrossEntropy: hand-computed unigram surprisal averages") {
+    val rows = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    // t=4; cnt(a)=2, cnt(b)=2 → surprisal exactly 1 bit each
+    val out = TextAnalysis.lmCrossEntropy(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("sum_xent_fp"), r.getAs[Double]("xent_bits")))).toMap
+    assert(out(1L) == ((3L, 3L * 65536, 1.0)))
+    assert(out(2L) == ((1L, 65536L, 1.0)))
+    // rare-token doc scores strictly above the boilerplate doc
+    val rows2 = Seq((1L, "x x x x x x x"), (2L, "x rareword")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.lmCrossEntropy(rows2, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent_bits")).toMap
+    assert(o2(2L) > o2(1L))
   }
 
   test("rarity: hand-computed inverse-frequency points") {
