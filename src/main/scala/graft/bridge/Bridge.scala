@@ -10,6 +10,8 @@ object SqlBridge {
   def expression(c: Column): Expression = org.apache.spark.sql.graft.SqlBridgeImpl.expression(c)
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     org.apache.spark.sql.graft.SqlBridgeImpl.registerFunction(spark, name, builder)
+  def registerTableFunction(spark: SparkSession, name: String, builder: Seq[Expression] => LogicalPlan): Unit =
+    org.apache.spark.sql.graft.SqlBridgeImpl.registerTableFunction(spark, name, builder)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.graft.SqlBridgeImpl.ofRows(spark, plan)
   def analyzedPlan(df: Dataset[_]): LogicalPlan =

@@ -17,6 +17,16 @@ object SqlBridgeImpl {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Table-valued function: `SELECT * FROM name(args…)` resolves through
+    * the session's TableFunctionRegistry to a LogicalPlan.
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** DataFrame from a raw LogicalPlan (custom plan nodes). */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.config.Constants
+import graft.detect.{DerivativeKernel, ExpAvgKernel, RawScored, StreamKernel}
+import graft.model.TsSample
+import graft.plans.{KeyedFoldNode, KeyedFoldPlan}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.types.{Decimal, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the sequential fold detectors (SURVEY §7.4): the EMA
+  * recurrences are the one capability SQL cannot express natively, so they
+  * are exposed as TABLE-VALUED functions that plan straight into the
+  * custom `KeyedFoldNode` operator —
+  *
+  *   SELECT * FROM exp_avg_fold('series_view')          -- α defaults
+  *   SELECT * FROM derivative_fold('series_view', 0.3)  -- explicit α
+  *
+  * The argument names a table/view exposing `(seriesKey, tsMs, value)`
+  * (any castable types); the result is the kernel's raw-deviation stream
+  * `(seriesKey, tsMs, value, dev)`, and the detector NORMALIZATION
+  * (stddev joins, thresholds, window assembly) stays in plain SQL — SQL
+  * users compose the full D2/D3/D5 pipelines without touching Scala.
+  *
+  * Because the builder emits the same `KeyedFoldNode` as the Scala API,
+  * the SQL path inherits the whole planning story: EnsureRequirements
+  * inserts (or elides, on bucketed layouts) the exchange/sort, and the
+  * fold runs the identical bounded-state kernel — no collect_list, no
+  * per-series buffering, 100 TB plan shape unchanged from Scala.
+  */
+object FoldTableFunctions {
+
+  val ExpAvgName = "exp_avg_fold"
+  val DerivativeName = "derivative_fold"
+
+  private def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal (table/view name), got $other")
+  }
+
+  private def doubleArg(fn: String, args: Seq[Expression], i: Int, default: Double): Double =
+    if (args.length <= i) default
+    else args(i) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case d: java.lang.Double => d.doubleValue
+          case d: Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue
+          case other =>
+            throw new IllegalArgumentException(s"$fn: argument ${i + 1} must be numeric, got $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"$fn: argument ${i + 1} must be a literal, got $other")
+    }
+
+  /** Fold plan over a named relation: project/cast the three kernel
+    * columns, then the KeyedFoldNode. The relation stays UNRESOLVED here —
+    * the analyzer resolves it (temp view, catalog table, CTE-materialized
+    * view) like any other `FROM` reference.
+    */
+  private def foldPlan(table: String, mk: () => StreamKernel[Any, Any]): LogicalPlan = {
+    val outEnc = ExpressionEncoder[RawScored]()
+    val proj = Project(
+      Seq(
+        Alias(Cast(UnresolvedAttribute("seriesKey"), StringType), "seriesKey")(),
+        Alias(Cast(UnresolvedAttribute("tsMs"), LongType), "tsMs")(),
+        Alias(Cast(UnresolvedAttribute("value"), DoubleType), "value")()),
+      UnresolvedRelation(table.split('.').toSeq))
+    KeyedFoldNode(
+      mk,
+      (p: Any) => p.asInstanceOf[TsSample].seriesKey,
+      ExpressionEncoder[TsSample](),
+      outEnc,
+      "seriesKey",
+      "tsMs",
+      KeyedFoldPlan.outputFor(outEnc),
+      proj)
+  }
+
+  /** `exp_avg_fold(table[, alpha])` — D2 decay-EMA raw deviations. */
+  def expAvgBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $ExpAvgName(table[, alpha])")
+    val alpha = doubleArg(ExpAvgName, args, 1, Constants.DefaultSmoothingFactor)
+    foldPlan(
+      stringArg(ExpAvgName, args, 0),
+      () => new ExpAvgKernel(alpha).asInstanceOf[StreamKernel[Any, Any]])
+  }
+
+  /** `derivative_fold(table[, alpha])` — D3 derivative-EMA raw deviations. */
+  def derivativeBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $DerivativeName(table[, alpha])")
+    val alpha = doubleArg(DerivativeName, args, 1, Constants.DefaultSmoothingFactor)
+    foldPlan(
+      stringArg(DerivativeName, args, 0),
+      () => new DerivativeKernel(alpha).asInstanceOf[StreamKernel[Any, Any]])
+  }
+
+  /** Runtime registration into a live session (the no-config twin of the
+    * `spark.sql.extensions=graft.functions.GraftExtensions` path).
+    */
+  def register(spark: SparkSession): Unit = {
+    graft.bridge.SqlBridge.registerTableFunction(spark, ExpAvgName, expAvgBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, DerivativeName, derivativeBuilder)
+    KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
+  }
+}

@@ -28,6 +28,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "accumulated in index order (codegen'd single fused loop)",
           ""),
         exprs => CosineSimilarity(exprs(0), exprs(1))))
+    // SQL surface of the fold detectors: table-valued functions planning
+    // into KeyedFoldNode (see FoldTableFunctions)
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.ExpAvgName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.ExpAvgName,
+          "exp_avg_fold(table[, alpha]) - D2 decay-EMA raw deviations over a " +
+            "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
+          ""),
+        FoldTableFunctions.expAvgBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.DerivativeName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.DerivativeName,
+          "derivative_fold(table[, alpha]) - D3 derivative-EMA raw deviations over a " +
+            "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
+          ""),
+        FoldTableFunctions.derivativeBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

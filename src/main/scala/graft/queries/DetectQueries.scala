@@ -172,6 +172,47 @@ object DetectQueries {
            |             ELSE e.score * 0.65 END, 4) AS score
            |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
     ),
+    // The SQL surface (SURVEY §7.4): the ENTIRE D5 default-detector
+    // pipeline from pure SQL strings — the fold recurrences enter through
+    // the exp_avg_fold/derivative_fold TABLE functions (KeyedFoldNode
+    // under the hood, same plan as the Scala API), guard + normalization +
+    // combine are plain SQL. Oracle = the D5 recursive-CTE oracle.
+    Q(
+      "anomaly_sql_surface",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("graft_sql_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sql_pts AS
+            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+            |FROM (SELECT user_id, ts_ms, value,
+            |             count(*) OVER (PARTITION BY user_id) AS n
+            |      FROM graft_sql_events)
+            |WHERE n >= 4""".stripMargin)
+        s.sql(
+          s"""WITH ef AS (SELECT * FROM exp_avg_fold('graft_sql_pts', ${Constants.DefaultSmoothingFactor})),
+             |df AS (SELECT * FROM derivative_fold('graft_sql_pts', ${Constants.DefaultSmoothingFactor})),
+             |vsd AS (SELECT seriesKey, stddev_pop(value) AS sd FROM graft_sql_pts GROUP BY seriesKey),
+             |es AS (SELECT f.seriesKey, f.tsMs, f.value,
+             |              CASE WHEN s.sd > 0 THEN abs(f.dev / s.sd) ELSE f.dev END AS score
+             |       FROM ef f JOIN vsd s ON f.seriesKey = s.seriesKey),
+             |dsd AS (SELECT seriesKey, stddev_pop(dev) AS sd FROM df GROUP BY seriesKey),
+             |ds AS (SELECT f.seriesKey, f.tsMs,
+             |              CASE WHEN s.sd > 0 THEN f.dev / s.sd ELSE f.dev END AS score
+             |       FROM df f JOIN dsd s ON f.seriesKey = s.seriesKey)
+             |SELECT CAST(e.seriesKey AS BIGINT) AS user_id, e.tsMs AS ts_ms, e.value,
+             |       round(CASE WHEN e.score > ${Constants.DefaultDetectorEmaSignificant}
+             |                  THEN greatest(e.score, d.score)
+             |                  ELSE e.score * ${Constants.DefaultDetectorEmaWeight} END, 4) AS score
+             |FROM es e JOIN ds d ON e.seriesKey = d.seriesKey AND e.tsMs = d.tsMs""".stripMargin)
+      },
+      Some(
+        s"""WITH RECURSIVE $ptsCte, $escoreCte, $dscoreCte
+           |SELECT e.k AS user_id, e.ts_ms, e.v AS value,
+           |  round(CASE WHEN e.score > 0.94 THEN greatest(e.score, d.score)
+           |             ELSE e.score * 0.65 END, 4) AS score
+           |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
+    ),
     // D2 exp_avg over Redis-style STRING series keys, through the full
     // EP2 monitor facade (range-query algebra → D0 guard → scoring): the
     // reference's keys are key strings (/root/reference/potoos/client.py:39),

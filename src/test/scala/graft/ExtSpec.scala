@@ -497,6 +497,16 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(got - 1.0) < 1e-15)
       val desc = s2.sql("DESCRIBE FUNCTION cosine_sim").collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("cosine_sim"))
+      // the fold-detector TVFs ride the same config-driven injection
+      // (view created via s2 — a fresh session owns a fresh temp catalog)
+      s2.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ext_tvf_probe AS
+          |SELECT * FROM VALUES ('a', 10L, 1.0D), ('a', 20L, 3.0D), ('a', 30L, 2.0D)
+          |AS t(seriesKey, tsMs, value)""".stripMargin)
+      val folded = s2.sql("SELECT * FROM exp_avg_fold('ext_tvf_probe', 0.5)").collect()
+        .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("dev")).toMap
+      // ema: 1.0, 2.0, 2.0 → dev: 0.0, 1.0, 0.0
+      assert(folded == Map(10L -> 0.0, 20L -> 1.0, 30L -> 0.0))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

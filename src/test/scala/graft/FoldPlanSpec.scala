@@ -69,6 +69,32 @@ class FoldPlanSpec extends AnyFunSuite {
     assert(exchanges(exec) == 2, s"exec fold must add no exchange over SMJ output:\n$exec")
   }
 
+  test("exp_avg_fold TVF from pure SQL equals the Scala fold and plans through KeyedFoldExec") {
+    graft.functions.FoldTableFunctions.register(spark)
+    pts.toDF().createOrReplaceTempView("fold_tvf_pts")
+    val sqlDf = spark.sql("SELECT * FROM exp_avg_fold('fold_tvf_pts', 0.2)")
+    val p = plan(sqlDf)
+    assert(p.contains("KeyedFold "), s"TVF must plan through the custom operator:\n$p")
+    val viaSql = sqlDf.collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) ->
+        ((r.getAs[Double]("value"), r.getAs[Double]("dev")))).toMap
+    val viaScala = KeyedFold.foldExec(pts)(() => new ExpAvgKernel(0.2)).collect()
+      .map(r => (r.seriesKey, r.tsMs) -> ((r.value, r.dev))).toMap
+    assert(viaSql.nonEmpty && viaSql == viaScala)
+  }
+
+  test("derivative_fold TVF defaults alpha and rejects non-literal args") {
+    graft.functions.FoldTableFunctions.register(spark)
+    pts.toDF().createOrReplaceTempView("fold_tvf_pts")
+    val withDefault = spark.sql("SELECT * FROM derivative_fold('fold_tvf_pts')")
+    val explicit = spark.sql("SELECT * FROM derivative_fold('fold_tvf_pts', 0.2)")
+    assert(withDefault.collect().toSet == explicit.collect().toSet)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM exp_avg_fold(42)").collect()
+    }
+    assert(ex.getMessage.contains("string literal"))
+  }
+
   test("fold partitioning propagates downstream; the typed-MapPartitions path erases it") {
     // this is the structural advantage over the composed fold: a typed
     // MapPartitions node reports unknown partitioning, so everything
