@@ -18,6 +18,57 @@ object ExtQueries {
     */
   private val ivfIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
 
+  /** Per-table IVF-PQ index cache (same offline-build contract). */
+  private val pqIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
+
+  /** Shared DuckDB CTE chain replaying the deterministic IVF build
+    * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
+    * iterations on exact 1e-6-quantized integer sums). Ends with
+    * `uq(id, v, nrm, uv, q, bucket)`, final centroids `c2(cid, cvec)`,
+    * and cell assignment `af(id, cell)`. Used by the IVF and IVF-PQ
+    * oracles.
+    */
+  private val ivfBuildCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+      |u AS (SELECT vec_id id, v, nrm,
+      |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm) ELSE v END uv FROM n),
+      |uq AS (SELECT id, v, nrm, uv,
+      |        list_transform(uv, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) q,
+      |        list_sum(list_transform(range(0, 4), k ->
+      |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |                 uv[d] * ((((1103515245 * (k*64 + (d-1)) + 12345) % 2147483648) / 2147483648.0) - 0.5))) > 0
+      |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+      |       FROM u),
+      |seeds AS (SELECT bucket cid, uv cvec FROM (
+      |            SELECT bucket, uv, row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(id AS VARCHAR)), id) r
+      |            FROM uq) WHERE r = 1),
+      |a1 AS (SELECT id, q, cid FROM (
+      |         SELECT uq.id, uq.q, s.cid,
+      |                row_number() OVER (PARTITION BY uq.id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*s.cvec[i])) DESC, s.cid) r
+      |         FROM uq CROSS JOIN seeds s) WHERE r = 1),
+      |s1 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
+      |       FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
+      |c1 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
+      |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
+      |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s1 GROUP BY cid))),
+      |a2 AS (SELECT id, q, cid FROM (
+      |         SELECT uq.id, uq.q, c.cid,
+      |                row_number() OVER (PARTITION BY uq.id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
+      |         FROM uq CROSS JOIN c1 c) WHERE r = 1),
+      |s2 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
+      |       FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
+      |c2 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
+      |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
+      |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s2 GROUP BY cid))),
+      |af AS (SELECT id, cell FROM (
+      |         SELECT uq.id, c.cid cell,
+      |                row_number() OVER (PARTITION BY uq.id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
+      |         FROM uq CROSS JOIN c2 c) WHERE r = 1)""".stripMargin
+
   /** Shared DuckDB CTE: embeddings upcast to double with norms. */
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
@@ -535,45 +586,7 @@ object ExtQueries {
         Similarity.ivfProbe(idx, col("id") < 10, k = 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
-             |u AS (SELECT vec_id id, v, nrm,
-             |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm) ELSE v END uv FROM n),
-             |uq AS (SELECT id, v, nrm, uv,
-             |        list_transform(uv, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) q,
-             |        list_sum(list_transform(range(0, 4), k ->
-             |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
-             |                 uv[d] * ((((1103515245 * (k*64 + (d-1)) + 12345) % 2147483648) / 2147483648.0) - 0.5))) > 0
-             |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
-             |       FROM u),
-             |seeds AS (SELECT bucket cid, uv cvec FROM (
-             |            SELECT bucket, uv, row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(id AS VARCHAR)), id) r
-             |            FROM uq) WHERE r = 1),
-             |a1 AS (SELECT id, q, cid FROM (
-             |         SELECT uq.id, uq.q, s.cid,
-             |                row_number() OVER (PARTITION BY uq.id ORDER BY
-             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*s.cvec[i])) DESC, s.cid) r
-             |         FROM uq CROSS JOIN seeds s) WHERE r = 1),
-             |s1 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
-             |       FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
-             |c1 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
-             |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
-             |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s1 GROUP BY cid))),
-             |a2 AS (SELECT id, q, cid FROM (
-             |         SELECT uq.id, uq.q, c.cid,
-             |                row_number() OVER (PARTITION BY uq.id ORDER BY
-             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
-             |         FROM uq CROSS JOIN c1 c) WHERE r = 1),
-             |s2 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
-             |       FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
-             |c2 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
-             |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
-             |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s2 GROUP BY cid))),
-             |af AS (SELECT id, cell FROM (
-             |         SELECT uq.id, c.cid cell,
-             |                row_number() OVER (PARTITION BY uq.id ORDER BY
-             |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
-             |         FROM uq CROSS JOIN c2 c) WHERE r = 1),
+      Some(s"""WITH $ivfBuildCte,
              |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
              |pr AS (SELECT query_id, qv, qnrm, cid FROM (
              |         SELECT q.query_id, q.qv, q.qnrm, c.cid,
@@ -588,6 +601,83 @@ object ExtQueries {
              |      FROM cand)
              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
              |FROM r WHERE rank <= 5""".stripMargin)),
+    // IVF-PQ ANN: product-quantized codes over the IVF cells — ADC
+    // scoring on codes, exact re-rank of the top-60. The PQ training is
+    // as deterministic as the coarse quantizer (md5-ranked seeds, 2
+    // Lloyd rounds on exact integer sums, L2 ties to the lowest code),
+    // so the oracle replays the ENTIRE build+encode+probe: codebooks per
+    // 8-dim subspace, per-doc codes, per-subspace ADC contributions
+    // summed in subspace order, refine cut at (adc DESC, id), exact
+    // cosine top-5. Recall floor vs IVF/brute force pinned in ExtSpec.
+    Q(
+      "sim_ivfpq_topk",
+      (s, dir) => {
+        val idx = pqIdx.getOrElseUpdate(
+          dir, Similarity.buildPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+        Similarity.pqProbe(idx, col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH $ivfBuildCte,
+             |pqseeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 snum, uv
+             |            FROM uq ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+             |cb0 AS (SELECT mm.m, s.snum cid, list_transform(range(1, 9), d -> s.uv[mm.m*8 + d]) cvec
+             |        FROM (SELECT unnest(range(0, 8)) m) mm CROSS JOIN pqseeds s),
+             |g1 AS (SELECT id, m, cid FROM (
+             |         SELECT uq.id, cb.m, cb.cid,
+             |                row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
+             |                  list_sum(list_transform(range(1, 9), d ->
+             |                    (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+             |         FROM uq CROSS JOIN cb0 cb) WHERE r = 1),
+             |m1 AS (SELECT g.m, g.cid, dd.d dim, sum(uq.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
+             |       FROM g1 g JOIN uq ON uq.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
+             |       GROUP BY 1, 2, 3),
+             |cb1 AS (SELECT cb0.m, cb0.cid, coalesce(mn.cvec, cb0.cvec) cvec
+             |        FROM cb0 LEFT JOIN (
+             |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
+             |          FROM m1 GROUP BY m, cid) mn ON mn.m = cb0.m AND mn.cid = cb0.cid),
+             |g2 AS (SELECT id, m, cid FROM (
+             |         SELECT uq.id, cb.m, cb.cid,
+             |                row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
+             |                  list_sum(list_transform(range(1, 9), d ->
+             |                    (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+             |         FROM uq CROSS JOIN cb1 cb) WHERE r = 1),
+             |m2 AS (SELECT g.m, g.cid, dd.d dim, sum(uq.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
+             |       FROM g2 g JOIN uq ON uq.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
+             |       GROUP BY 1, 2, 3),
+             |cb2 AS (SELECT cb1.m, cb1.cid, coalesce(mn.cvec, cb1.cvec) cvec
+             |        FROM cb1 LEFT JOIN (
+             |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
+             |          FROM m2 GROUP BY m, cid) mn ON mn.m = cb1.m AND mn.cid = cb1.cid),
+             |codes AS (SELECT id, m, cid FROM (
+             |            SELECT uq.id, cb.m, cb.cid,
+             |                   row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
+             |                     list_sum(list_transform(range(1, 9), d ->
+             |                       (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+             |            FROM uq CROSS JOIN cb2 cb) WHERE r = 1),
+             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+             |pr AS (SELECT query_id, qv, qnrm, quv, cid FROM (
+             |         SELECT q.query_id, q.qv, q.qnrm, q.quv, c.cid,
+             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+             |cand AS (SELECT p.query_id, p.qv, p.qnrm, p.quv, a.id
+             |         FROM pr p JOIN af a ON a.cell = p.cid AND a.id <> p.query_id),
+             |contrib AS (SELECT c.query_id, c.id, k.m,
+             |              list_sum(list_transform(range(1, 9), d -> c.quv[k.m*8 + d] * cb.cvec[d])) ct
+             |            FROM cand c JOIN codes k ON k.id = c.id
+             |            JOIN cb2 cb ON cb.m = k.m AND cb.cid = k.cid),
+             |adc AS (SELECT query_id, id, list_sum(list(ct ORDER BY m)) adc FROM contrib GROUP BY 1, 2),
+             |ref AS (SELECT query_id, id FROM (
+             |          SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, id) ar
+             |          FROM adc) WHERE ar <= 60),
+             |rr AS (SELECT f.query_id, uq.id,
+             |         list_sum(list_transform(range(1, 65), i -> uq.v[i] * q.qv[i])) / (uq.nrm * q.qnrm) cosine
+             |       FROM ref f JOIN uq ON uq.id = f.id JOIN qy q ON q.query_id = f.query_id)
+             |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+             |FROM (SELECT query_id, id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+             |      FROM rr)
+             |WHERE rank <= 5""".stripMargin)),
     // LSH-bucketed ANN — scale path; recall asserted in ScalaTest. The
     // hyperplanes are a deterministic integer LCG, so the ENTIRE path
     // (8 tables × 4 sign bits → bucket equi-join → distinct candidates →
