@@ -202,6 +202,25 @@ object MonitorStream {
       .toDF()
       .withColumn("isAnomaly", col("dev") > scoreThreshold)
 
+  /** Config-driven streaming monitor: accepts the batch `DetectorConfig`
+    * but enforces the streaming thresholding contract (SURVEY §7.5,
+    * D11): the percent-of-max threshold needs the WHOLE series — on an
+    * unbounded stream only the absolute `score_threshold` is computable.
+    * A config requesting the pct form — explicitly, or implicitly by
+    * leaving both unset (the batch default IS percent-of-max) — is
+    * rejected loudly instead of silently diverging from batch results.
+    */
+  def monitorStreamCfg(points: Dataset[TsSample], cfg: graft.config.DetectorConfig): DataFrame = {
+    require(
+      cfg.scorePercentThreshold.isEmpty,
+      "score_percent_threshold is batch-only: percent-of-max needs the whole series " +
+        "(SURVEY §7.5); streaming supports the absolute score_threshold")
+    val thr = cfg.scoreThreshold.getOrElse(throw new IllegalArgumentException(
+      "streaming monitoring requires an absolute score_threshold: the batch default " +
+        "(percent-of-max) cannot be computed on an unbounded stream"))
+    monitorStream(points, thr, cfg.smoothingFactor)
+  }
+
   /** D12 in streaming form: run-length sessionization of above-threshold
     * scores into anomaly windows. Per-key state carries the OPEN window
     * (start, end, peak, argmax — O(1)); a window is emitted when a

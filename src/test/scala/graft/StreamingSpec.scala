@@ -73,6 +73,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("config-driven streaming monitor: absolute threshold flags; pct threshold rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    // D11 divergence contract: pct-of-max is batch-only
+    val exPct = intercept[IllegalArgumentException] {
+      MonitorStream.monitorStreamCfg(
+        MemoryStream[TsSample].toDS(),
+        graft.config.DetectorConfig(scorePercentThreshold = Some(0.2)))
+    }
+    assert(exPct.getMessage.contains("batch-only"))
+    // the batch DEFAULT is pct-of-max → also rejected (no silent divergence)
+    val exDefault = intercept[IllegalArgumentException] {
+      MonitorStream.monitorStreamCfg(MemoryStream[TsSample].toDS(), graft.config.DetectorConfig())
+    }
+    assert(exDefault.getMessage.contains("score_threshold"))
+    // absolute threshold runs end-to-end and flags exactly the points
+    // whose raw EMA dev exceeds it
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .monitorStreamCfg(mem.toDS(), graft.config.DetectorConfig(scoreThreshold = Some(5.0)))
+      .writeStream.outputMode("append").format("memory").queryName("cfg_mon_out").start()
+    try {
+      mem.addData(
+        TsSample("1", 1000, 10.0), TsSample("1", 2000, 11.0), // dev 0, 0.8
+        TsSample("1", 3000, 40.0), TsSample("1", 4000, 12.0)) // dev 23.84, 3.33
+      q.processAllAvailable()
+      val flags = spark.table("cfg_mon_out").collect()
+        .map(r => r.getAs[Long]("tsMs") -> r.getAs[Boolean]("isAnomaly")).toMap
+      assert(flags == Map(1000L -> false, 2000L -> false, 3000L -> true, 4000L -> false))
+    } finally q.stop()
+  }
+
   test("streaming derivative dev matches the batch kernel from the second point on") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TsSample]
