@@ -57,6 +57,34 @@ object Sampling {
       .drop("_frac")
   }
 
+  /** Deterministic stratified sample / per-group quota: keep at most
+    * `perGroup` rows from each group, chosen by md5-hash rank — the
+    * "cap each domain/source at N documents" operator every pretraining
+    * mixture applies against boilerplate-heavy domains. Hash-ranked
+    * selection (not "first N in scan order") makes the kept set a pure
+    * function of (salt, ids present), so it is stable across runs,
+    * partitionings, and engines, and growing OTHER groups never changes
+    * this group's picks. Emits `grp_rank` (1-based hash rank) so callers
+    * can tighten the cap downstream without re-hashing.
+    *
+    * Scale: one hash-partitioned window per group — the same single
+    * exchange a groupBy would pay; rank, don't sort-globally. Skewed
+    * giant groups sort within their partitions (external sort, spills).
+    */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      perGroup: Int,
+      salt: String): DataFrame = {
+    require(perGroup > 0, "perGroup must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .where(col("grp_rank") <= perGroup)
+  }
+
   /** Source-weighted mixing: per-group sampling weight w ≥ 0 applied as
     * floor(w) guaranteed copies plus one more with probability frac(w)
     * (so w = 2.5 → 2 or 3 copies per row, expectation 2.5). w < 1 is

@@ -374,9 +374,19 @@ object Similarity {
       iters: Int = 2,
       m: Int = 8,
       ksub: Int = 16,
+      pqIters: Int = 2): PqIndex =
+    buildPqOn(buildIvfIndex(df, idCol, embCol, nlist, iters), m, ksub, pqIters)
+
+  /** PQ training over an ALREADY-BUILT coarse index — the composition an
+    * offline pipeline uses (one IVF fit shared by the raw-vector and PQ
+    * probes, or PQ added to a reopened `readIvfIndex`).
+    */
+  def buildPqOn(
+      ivf: IvfIndex,
+      m: Int = 8,
+      ksub: Int = 16,
       pqIters: Int = 2): PqIndex = {
-    val ivf = buildIvfIndex(df, idCol, embCol, nlist, iters)
-    val spark = df.sparkSession
+    val spark = ivf.assigned.sparkSession
     import spark.implicits._
     val base = ivf.assigned
       .select(col("id"), col("vec"), col("nrm"), col("cell"))
@@ -526,6 +536,34 @@ object Similarity {
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
+
+  /** Persist an IVF-PQ index: the IVF layout plus codebooks (one tiny
+    * parquet) and the coded corpus PARTITIONED BY CELL — probes read
+    * codes from their nprobe cell directories only; the raw vectors ride
+    * along for the exact re-rank (at extreme scale, store codes and
+    * vectors as separate column groups and late-materialize the vectors
+    * for the refine set only — same layout, second file).
+    */
+  def writePqIndex(index: PqIndex, path: String): Unit = {
+    writeIvfIndex(index.ivf, path)
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    (for { mm <- 0 until index.m; j <- 0 until index.ksub }
+      yield (mm, j, index.books(mm)(j).toSeq))
+      .toDF("m", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.coded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/coded")
+  }
+
+  /** Reopen a persisted IVF-PQ index; `pqProbe` works on it unchanged. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    val m = rows.map(_.getAs[Int]("m")).max + 1
+    val ksub = rows.map(_.getAs[Int]("cid")).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r => books(r.getAs[Int]("m"))(r.getAs[Int]("cid")) = r.getSeq[Double](2).toArray)
+    PqIndex(readIvfIndex(spark, path), books, spark.read.parquet(s"$path/coded"), m, ksub)
+  }
 
   /** One-shot convenience: build + probe. Prefer `buildIvfIndex` once +
     * `ivfProbe` per query batch in any repeated-query setting.

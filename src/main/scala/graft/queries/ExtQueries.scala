@@ -425,6 +425,20 @@ object ExtQueries {
              |        ('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
              |        / 4294967296.0 f
              |      FROM documents)""".stripMargin)),
+    // Per-source quota: cap every source at 10 of its 25 docs by
+    // deterministic md5-hash rank (the domain-cap mixture op). Same md5
+    // arithmetic in the oracle → identical picks.
+    Q(
+      "sample_stratified",
+      (s, dir) =>
+        Sampling.sampleStratified(Tables.documents(s, dir), "doc_id", "source", perGroup = 10, salt = "st7")
+          .select(col("doc_id"), col("source"), col("grp_rank")),
+      Some("""SELECT doc_id, source, grp_rank FROM (
+             |  SELECT doc_id, source,
+             |         CAST(row_number() OVER (PARTITION BY source
+             |           ORDER BY md5('st7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) grp_rank
+             |  FROM documents)
+             |WHERE grp_rank <= 10""".stripMargin)),
     Q(
       "mix_weighted",
       (s, dir) =>
@@ -612,8 +626,12 @@ object ExtQueries {
     Q(
       "sim_ivfpq_topk",
       (s, dir) => {
+        // PQ composes over the SAME coarse index as sim_ivf_topk — one
+        // IVF fit per table, shared by both probes
         val idx = pqIdx.getOrElseUpdate(
-          dir, Similarity.buildPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+          dir,
+          Similarity.buildPqOn(ivfIdx.getOrElseUpdate(
+            dir, Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))))
         Similarity.pqProbe(idx, col("id") < 10, k = 5)
           .withColumn("rank", col("rank").cast("long"))
       },

@@ -99,6 +99,42 @@ class ExtSpec extends AnyFunSuite {
     cl.foreach { case (id, c) => assert(c <= id && cl(c) == c, s"canonical $c of $id not a fixpoint") }
   }
 
+  test("stratified sampling caps each group deterministically; other groups don't disturb picks") {
+    val d = Tables.documents(spark, sf)
+    val s1 = ext.Sampling.sampleStratified(d, "doc_id", "source", 10, "st7")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    val s2 = ext.Sampling.sampleStratified(d, "doc_id", "source", 10, "st7")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    s1.groupBy(_._1).foreach { case (src, rows) => assert(rows.size <= 10, s"$src over cap") }
+    // stability: dropping ONE group leaves every other group's picks unchanged
+    val firstSrc = s1.head._1
+    val without = ext.Sampling.sampleStratified(
+      d.where(col("source") =!= firstSrc), "doc_id", "source", 10, "st7")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(without == s1.filterNot(_._1 == firstSrc))
+    // the cap is by hash rank, not doc_id order: a different salt reshuffles
+    val other = ext.Sampling.sampleStratified(d, "doc_id", "source", 10, "zz9")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(other != s1, "salt must drive the picks")
+  }
+
+  test("PQ index round-trips through parquet; reopened probe gives identical results") {
+    val e = Tables.embeddings(spark, sf)
+    val pq = Similarity.buildPqIndex(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(pq, dir)
+    val reopened = Similarity.readPqIndex(spark, dir)
+    assert(reopened.m == pq.m && reopened.ksub == pq.ksub)
+    (0 until pq.m).foreach(mm => (0 until pq.ksub).foreach(j =>
+      assert(java.util.Arrays.equals(reopened.books(mm)(j), pq.books(mm)(j)))))
+    val a = Similarity.pqProbe(pq, col("id") < 5, k = 5, nprobe = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val b = Similarity.pqProbe(reopened, col("id") < 5, k = 5, nprobe = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hash sampling is deterministic, id-stable, and near the target rate") {
     val d = Tables.documents(spark, sf)
     val s1 = ext.Sampling.sampleHash(d, "doc_id", 0.25, "s42").select("doc_id").collect().map(_.getLong(0)).toSet
