@@ -277,21 +277,23 @@ object Similarity {
     IvfIndex(centroidsDf, assigned)
   }
 
-  /** IVF ANN top-k probe against a prebuilt index: each query searches only
-    * the nprobe nearest cells. The candidate join is an equi-join on cell
-    * id — a probe touches ~nprobe/nlist of the corpus. Exact cosine ranks
-    * inside the probed cells. No training happens here.
+  /** nprobe nearest coarse cells per query (tiny cross: queries × nlist):
+    * shared probe-cell selection for `ivfProbe` and `pqProbe`. Returns
+    * (query_id, qvec, qnrm, cid). Centroids live on the unit sphere
+    * (spherical quantizer), so the query DIRECTION — not the raw
+    * vector — picks its cells; ties break to the lowest cell id.
     */
-  def ivfProbe(index: IvfIndex, queryPred: Column, k: Int, nprobe: Int = 4): DataFrame = {
-    // nprobe nearest centroids per query (tiny cross: queries × nlist)
-    val q = index.assigned.where(queryPred)
+  private def probeCells(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queryPred: Column,
+      nprobe: Int): DataFrame = {
+    val q = assigned.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val wq = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn(
         "dist",
-        // centroids live on the unit sphere (spherical quantizer), so the
-        // query direction — not the raw vector — picks its cells
         aggregate(
           zip_with(
             col("qvec"), col("cvec"),
@@ -301,6 +303,15 @@ object Similarity {
       .withColumn("r", row_number().over(wq))
       .where(col("r") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+  }
+
+  /** IVF ANN top-k probe against a prebuilt index: each query searches only
+    * the nprobe nearest cells. The candidate join is an equi-join on cell
+    * id — a probe touches ~nprobe/nlist of the corpus. Exact cosine ranks
+    * inside the probed cells. No training happens here.
+    */
+  def ivfProbe(index: IvfIndex, queryPred: Column, k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = probeCells(index.assigned, index.centroids, queryPred, nprobe)
     val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     index.assigned
       .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
@@ -470,30 +481,18 @@ object Similarity {
     val spark = index.coded.sparkSession
     import spark.implicits._
     val subDim = index.books(0)(0).length
-    val q = index.coded.where(queryPred)
-      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-    val wq = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(index.ivf.centroids))
-      .withColumn(
-        "dist",
-        aggregate(
-          zip_with(
-            col("qvec"), col("cvec"),
-            (x, c) => (when(col("qnrm") > 0, x / col("qnrm")).otherwise(x) - c) *
-              (when(col("qnrm") > 0, x / col("qnrm")).otherwise(x) - c)),
-          lit(0.0), (a, x) => a + x))
-      .withColumn("r", row_number().over(wq))
-      .where(col("r") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+    val probes = probeCells(index.coded, index.ivf.centroids, queryPred, nprobe)
     val bc = spark.sparkContext.broadcast(index.books)
     val mSub = index.m
-    // ADC over the probed cells: equi-join on cell, codes-only arithmetic
+    // ADC over the probed cells: equi-join on cell, CODES-ONLY candidate
+    // rows (the query side rides the broadcast) — raw vectors do not move
+    // until after the refine cut
     val adcScored = index.coded
       .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("id"), col("vec"), col("nrm"), col("codes"))
-      .as[(Long, Array[Double], Double, Long, Array[Double], Double, Array[Int])]
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("id"), col("codes"))
+      .as[(Long, Array[Double], Double, Long, Array[Int])]
       .mapPartitions { it =>
-        it.map { case (qid, qv, qnr, id, v, nr, codes) =>
+        it.map { case (qid, qv, qnr, id, codes) =>
           val qu = if (qnr > 0) qv.map(_ / qnr) else qv
           var adc = 0.0
           var mm = 0
@@ -505,15 +504,22 @@ object Similarity {
             adc += s
             mm += 1
           }
-          (qid, id, adc, v, nr, qv, qnr)
+          (qid, id, adc)
         }
       }
-      .toDF("query_id", "id", "adc", "vec", "nrm", "qvec", "qnrm")
+      .toDF("query_id", "id", "adc")
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("id").asc)
     val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    // late-materialize: only the ≤ refine survivors per query fetch their
+    // raw vector (join back to the index) and the query vector (tiny
+    // broadcast) for the exact re-rank
+    val queries = index.coded.where(queryPred)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     adcScored
       .withColumn("ar", row_number().over(wAdc))
       .where(col("ar") <= refine)
+      .join(index.coded.select(col("id"), col("vec"), col("nrm")), "id")
+      .join(broadcast(queries), "query_id")
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(wk))
       .where(col("rank") <= k)

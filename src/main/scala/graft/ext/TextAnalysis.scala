@@ -199,10 +199,12 @@ object TextAnalysis {
     toks
       .join(broadcast(counts), "wd")
       .crossJoin(broadcast(total))
-      // the ×10⁶ scale-up runs in decimal so the intermediate cannot
-      // overflow Long past ~9.2e12 total tokens (a 100 TB corpus is);
-      // IntegralDivide lands the per-token points back in Long, which
-      // holds to ~9.2e18 points — ample for any per-token value
+      // the ×10⁶ scale-up runs in decimal so the INTERMEDIATE product
+      // cannot overflow Long past ~9.2e12 total tokens. The per-token
+      // quotient pts = t·10⁶/cnt is Long and itself overflows for a
+      // hapax (cnt=1) once t > ~9.2e12 — at that corpus size cap the
+      // vocab to top-K tokens first (the documented scale lever above),
+      // which also floors cnt at the K-th count and keeps pts in range
       .withColumn("pts", expr("(CAST(t AS DECIMAL(38,0)) * 1000000) DIV cnt"))
       .groupBy(col(idCol))
       .agg(

@@ -183,12 +183,12 @@ object DetectQueries {
         graft.functions.FoldTableFunctions.register(s)
         Tables.events(s, dir).createOrReplaceTempView("graft_sql_events")
         s.sql(
-          """CREATE OR REPLACE TEMPORARY VIEW graft_sql_pts AS
-            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
-            |FROM (SELECT user_id, ts_ms, value,
-            |             count(*) OVER (PARTITION BY user_id) AS n
-            |      FROM graft_sql_events)
-            |WHERE n >= 4""".stripMargin)
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_pts AS
+             |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+             |FROM (SELECT user_id, ts_ms, value,
+             |             count(*) OVER (PARTITION BY user_id) AS n
+             |      FROM graft_sql_events)
+             |WHERE n >= ${Constants.MinPoints}""".stripMargin)
         s.sql(
           s"""WITH ef AS (SELECT * FROM exp_avg_fold('graft_sql_pts', ${Constants.DefaultSmoothingFactor})),
              |df AS (SELECT * FROM derivative_fold('graft_sql_pts', ${Constants.DefaultSmoothingFactor})),

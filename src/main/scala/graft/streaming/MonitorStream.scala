@@ -203,22 +203,37 @@ object MonitorStream {
       .withColumn("isAnomaly", col("dev") > scoreThreshold)
 
   /** Config-driven streaming monitor: accepts the batch `DetectorConfig`
-    * but enforces the streaming thresholding contract (SURVEY §7.5,
-    * D11): the percent-of-max threshold needs the WHOLE series — on an
-    * unbounded stream only the absolute `score_threshold` is computable.
-    * A config requesting the pct form — explicitly, or implicitly by
-    * leaving both unset (the batch default IS percent-of-max) — is
-    * rejected loudly instead of silently diverging from batch results.
+    * and enforces the streaming contract (SURVEY §7.5, D11) instead of
+    * silently diverging from batch:
+    *
+    *  - THRESHOLD: the percent-of-max form needs the WHOLE series — on
+    *    an unbounded stream only the absolute `score_threshold` is
+    *    computable. Mirroring batch precedence (`Detectors.withThreshold`:
+    *    absolute wins when both are set), an absolute threshold is
+    *    accepted whatever else the config carries; a config that would
+    *    RESOLVE to pct-of-max (explicitly, or implicitly by leaving both
+    *    unset — the batch default) is rejected loudly.
+    *  - ALGORITHM: dispatched like batch `Detectors.score` for the two
+    *    kernels with streaming twins (exp_avg, derivative); anything
+    *    else is rejected rather than scored with the wrong kernel.
+    *  - SCORES are the RAW kernel deviations (emaScores/derivativeScores
+    *    docs): the batch stddev normalization needs the whole series, so
+    *    the threshold here applies to |v−ema| (resp. |d−ema(d)|), NOT
+    *    the batch normalized score — the documented batch/stream
+    *    divergence; pick the threshold for the raw-dev scale.
     */
   def monitorStreamCfg(points: Dataset[TsSample], cfg: graft.config.DetectorConfig): DataFrame = {
-    require(
-      cfg.scorePercentThreshold.isEmpty,
-      "score_percent_threshold is batch-only: percent-of-max needs the whole series " +
-        "(SURVEY §7.5); streaming supports the absolute score_threshold")
     val thr = cfg.scoreThreshold.getOrElse(throw new IllegalArgumentException(
-      "streaming monitoring requires an absolute score_threshold: the batch default " +
-        "(percent-of-max) cannot be computed on an unbounded stream"))
-    monitorStream(points, thr, cfg.smoothingFactor)
+      "streaming monitoring requires an absolute score_threshold: percent-of-max (set " +
+        "explicitly, or the batch default when both thresholds are unset) needs the whole " +
+        "series and is batch-only (SURVEY §7.5)"))
+    val scores = cfg.algorithmName match {
+      case "exp_avg_detector" => emaScores(points, cfg.smoothingFactor)
+      case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor)
+      case other => throw new IllegalArgumentException(
+        s"streaming monitoring supports exp_avg_detector / derivative_detector, got $other")
+    }
+    scores.toDF().withColumn("isAnomaly", col("dev") > thr)
   }
 
   /** D12 in streaming form: run-length sessionization of above-threshold

@@ -87,11 +87,24 @@ class StreamingSpec extends AnyFunSuite {
       MonitorStream.monitorStreamCfg(MemoryStream[TsSample].toDS(), graft.config.DetectorConfig())
     }
     assert(exDefault.getMessage.contains("score_threshold"))
+    // algorithms without a streaming twin are rejected, not mis-scored
+    val exAlg = intercept[IllegalArgumentException] {
+      MonitorStream.monitorStreamCfg(
+        MemoryStream[TsSample].toDS(),
+        graft.config.DetectorConfig(algorithmName = "bitmap_detector", scoreThreshold = Some(1.0)))
+    }
+    assert(exAlg.getMessage.contains("bitmap_detector"))
     // absolute threshold runs end-to-end and flags exactly the points
-    // whose raw EMA dev exceeds it
+    // whose raw EMA dev exceeds it; batch precedence (absolute wins) means
+    // a config ALSO carrying a pct threshold is accepted
     val mem = MemoryStream[TsSample]
     val q = MonitorStream
-      .monitorStreamCfg(mem.toDS(), graft.config.DetectorConfig(scoreThreshold = Some(5.0)))
+      .monitorStreamCfg(
+        mem.toDS(),
+        graft.config.DetectorConfig(
+          algorithmName = "exp_avg_detector",
+          scoreThreshold = Some(5.0),
+          scorePercentThreshold = Some(0.2)))
       .writeStream.outputMode("append").format("memory").queryName("cfg_mon_out").start()
     try {
       mem.addData(
