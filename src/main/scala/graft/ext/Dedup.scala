@@ -482,6 +482,33 @@ object Dedup {
       .toDF(idCol, "chunk_idx", "start_pos", "len", "chunk_md5")
   }
 
+  /** Sub-document eval-set decontamination: training docs sharing ≥
+    * `minShared` distinct CDC chunk hashes with any probe (eval) doc —
+    * the chunk-level upgrade of `contaminationPairs`: where n-gram
+    * shingles catch verbatim short spans, CDC chunks catch whole copied
+    * PASSAGES even after surrounding edits shift their position.
+    *
+    * Same 100 TB shape as the shingle variant: the probe side (an eval
+    * suite) chunks into a small table that BROADCASTS; the corpus
+    * streams through the zero-shuffle chunk kernel and a broadcast hash
+    * join — no corpus shuffle until the tiny per-pair count.
+    */
+  def cdcContamination(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long): DataFrame = {
+    val th = cdcChunks(train, idCol, textCol)
+      .select(col(idCol).as("train_id"), col("chunk_md5")).distinct()
+    val ph = cdcChunks(probe, idCol, textCol)
+      .select(col(idCol).as("probe_id"), col("chunk_md5")).distinct()
+    th.join(broadcast(ph), "chunk_md5")
+      .groupBy("train_id", "probe_id")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
   /** CDC-chunk document similarity: near-dup PAIRS of documents that share
     * ≥ `minShared` distinct CDC chunk hashes, scored by containment
     * (shared / smaller doc's chunk count). Completes the sub-document

@@ -491,6 +491,26 @@ object ExtQueries {
              |FROM hs t JOIN hs p ON t.h = p.h AND t.doc_id >= 20 AND p.doc_id < 20
              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
     ),
+    // Sub-document decontamination: training docs (doc_id >= 20) sharing
+    // >= 2 distinct CDC chunk hashes with any probe doc (doc_id < 20) —
+    // catches copied PASSAGES that survive surrounding edits. Probe
+    // chunks broadcast; the corpus never shuffles.
+    Q(
+      "decontaminate_cdc",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.cdcContamination(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", minShared = 2L)
+      },
+      Some(cdcChunksCte +
+        """,
+          |dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks)
+          |SELECT t.doc_id AS train_id, p.doc_id AS probe_id, count(*) AS shared_chunks
+          |FROM dc t JOIN dc p ON t.chunk_md5 = p.chunk_md5 AND t.doc_id >= 20 AND p.doc_id < 20
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+    ),
     // Content-defined chunking: per-chunk rows with md5, plus cross-doc
     // chunk dedup. The oracle replays the identical windowed polynomial
     // hash (B=257, M=1e9+7, mask 64) over char positions — all-integer,

@@ -163,6 +163,37 @@ object TsQueries {
               |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
               |GROUP BY 1, 2""".stripMargin)
     ),
+    // Exact per-series percentiles (p50/p90/p99) by the rank-interpolation
+    // formulation — the oracle replays the identical arithmetic
+    // (idx = p·(n−1); lo + f·(hi−lo)) instead of quantile_cont, so both
+    // engines compute the same fp sequence on the round(4) grid.
+    Q(
+      "ts_percentile",
+      (s, dir) =>
+        TsAlgebra.percentiles(
+          ev(s, dir), "user_id", "value",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
+      Some("""WITH r AS (SELECT user_id, CAST(value AS DOUBLE) v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value) rn,
+             |    count(*) OVER (PARTITION BY user_id) n
+             |  FROM events),
+             |a AS (SELECT user_id, max(n) AS n,
+             |    max(CASE WHEN rn - 1 = floor(0.5 * (n-1)) THEN v END) lo50,
+             |    max(CASE WHEN rn - 1 = floor(0.5 * (n-1)) + 1 THEN v END) hi50,
+             |    max(0.5 * (n-1) - floor(0.5 * (n-1))) f50,
+             |    max(CASE WHEN rn - 1 = floor(0.9 * (n-1)) THEN v END) lo90,
+             |    max(CASE WHEN rn - 1 = floor(0.9 * (n-1)) + 1 THEN v END) hi90,
+             |    max(0.9 * (n-1) - floor(0.9 * (n-1))) f90,
+             |    max(CASE WHEN rn - 1 = floor(0.99 * (n-1)) THEN v END) lo99,
+             |    max(CASE WHEN rn - 1 = floor(0.99 * (n-1)) + 1 THEN v END) hi99,
+             |    max(0.99 * (n-1) - floor(0.99 * (n-1))) f99
+             |  FROM r GROUP BY user_id)
+             |SELECT user_id, n,
+             |  round(CASE WHEN f50 = 0 THEN lo50 ELSE lo50 + f50 * (coalesce(hi50, lo50) - lo50) END, 4) AS p50,
+             |  round(CASE WHEN f90 = 0 THEN lo90 ELSE lo90 + f90 * (coalesce(hi90, lo90) - lo90) END, 4) AS p90,
+             |  round(CASE WHEN f99 = 0 THEN lo99 ELSE lo99 + f99 * (coalesce(hi99, lo99) - lo99) END, 4) AS p99
+             |FROM a""".stripMargin)
+    ),
     // Gap-filled hourly grid with last-observation-carried-forward: no fp
     // arithmetic (max per bucket, values copied), so bit-exact on both
     // engines. Hour buckets leave real gaps in the event series.

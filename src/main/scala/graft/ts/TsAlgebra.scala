@@ -142,6 +142,51 @@ object TsAlgebra {
   /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
     * codegen'd, partial-aggregatable, no UDAF.
     */
+  /** Exact per-key percentiles by the rank-interpolation formulation
+    * (index p·(n−1), linear between the two bracketing order statistics —
+    * the quantile_cont definition). Deliberately NOT the built-in
+    * `percentile` aggregate: that buffers every distinct value per group
+    * in the aggregation buffer (unbounded state on a high-cardinality
+    * series); this formulation is one rank window + one conditional
+    * aggregate — the same single hash exchange + per-partition external
+    * sort as any windowed query, bounded memory at any series length.
+    * The arithmetic (lo + f·(hi−lo), f = idx − floor(idx)) is mirrored
+    * literally in the DuckDB oracle, so results hash-match on the
+    * round(4) grid. At 100 TB the approximate path (t-digest /
+    * approx_percentile) trades this exactness for a smaller shuffle;
+    * this operator is the exact reference implementation.
+    */
+  def percentiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 }, "percentiles must be in [0,1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("_v")
+    val ranked = df
+      .select(col(keyCol), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+    val aggs = ps.flatMap { case (name, p) =>
+      val idx = lit(p) * (col("_n") - 1)
+      val k = floor(idx)
+      Seq(
+        max(when(col("_rn") - 1 === k, col("_v"))).as(s"_lo_$name"),
+        max(when(col("_rn") - 1 === k + 1, col("_v"))).as(s"_hi_$name"),
+        max(idx - k).as(s"_f_$name"))
+    }
+    val out = ps.map { case (name, _) =>
+      val lo = col(s"_lo_$name")
+      val hi = coalesce(col(s"_hi_$name"), col(s"_lo_$name"))
+      val f = col(s"_f_$name")
+      round(when(f === 0.0, lo).otherwise(lo + f * (hi - lo)), 4).as(name)
+    }
+    ranked
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n"), aggs: _*)
+      .select(col(keyCol) +: col("n") +: out: _*)
+  }
+
   def aggExpr(name: String, value: Column, ts: Column): Column = name match {
     case "avg" => avg(value)
     case "sum" => sum(value)

@@ -272,6 +272,45 @@ class ExtSpec extends AnyFunSuite {
     assert(expect.getAs[Long]("shared_chunks") <= shared)
   }
 
+  test("cdcContamination: planted copied passage is flagged; clean docs are not") {
+    val corpus = Tables.documents(spark, sf)
+    // a long passage (several expected-64-char chunks) so interior CDC
+    // boundaries — and hence shared chunk hashes — exist inside it
+    val passage = corpus.orderBy("doc_id").limit(5).collect()
+      .map(_.getAs[String]("text")).mkString(" ")
+    val train = Seq(
+      (100L, "unrelated words entirely " + passage + " with a long stolen middle"),
+      (101L, "completely clean document about nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val probe = Seq((1L, passage)).toDF("doc_id", "text")
+    val hits = graft.ext.Dedup.cdcContamination(train, probe, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("probe_id"))).toSet
+    assert(hits.contains((100L, 1L)), s"copied passage must flag: $hits")
+    assert(!hits.exists(_._1 == 101L), "clean doc must not flag")
+  }
+
+  test("percentiles: hand-computed interpolation + agreement with Spark's exact percentile") {
+    val rows = Seq((1L, 1.0), (1L, 2.0), (1L, 3.0), (1L, 4.0), (2L, 10.0)).toDF("k", "v")
+    val out = graft.ts.TsAlgebra.percentiles(rows, "k", "v", Seq("p50" -> 0.5, "p100" -> 1.0))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p100")))).toMap
+    // k=1: n=4, p50 idx=1.5 → 2 + 0.5·(3−2) = 2.5; p100 → 4
+    assert(out(1L) == ((4L, 2.5, 4.0)))
+    // single-point series: every percentile is the point
+    assert(out(2L) == ((1L, 10.0, 10.0)))
+    // cross-check the rank formulation against Spark's built-in exact
+    // percentile on real data (same interpolation definition)
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("value"))
+    val mine = graft.ts.TsAlgebra.percentiles(ev, "user_id", "value", Seq("p90" -> 0.9))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("p90")).toMap
+    val builtin = ev.groupBy("user_id")
+      .agg(expr("percentile(value, 0.9D)").as("p"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("p")).toMap
+    mine.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-4, s"key $k: $v vs builtin ${builtin(k)}")
+    }
+  }
+
   test("decontamination flags n-gram overlap with the probe set; probe side broadcasts") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"), // shares 'alpha beta gamma','beta gamma delta' with probe 1
