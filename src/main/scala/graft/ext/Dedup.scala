@@ -339,6 +339,30 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
   }
 
+  /** Cluster-representative selection — the "keep best, drop rest" step
+    * a dedup pipeline runs after `clusters`: per duplicate cluster, keep
+    * the member maximizing (quality, lowest id). Canonical-by-min-id
+    * keeps an ARBITRARY member; real pipelines keep the best one (longest
+    * / highest quality score) — this makes that choice explicit and
+    * deterministic (full tie-break).
+    *
+    * `quality` is any (idCol, qCol) frame — word counts, LM cross-entropy,
+    * a composite. One window over the (small) cluster table: the corpus
+    * itself never reshuffles.
+    */
+  def representatives(
+      clusters: DataFrame, // (doc_id, canonical_id, cluster_size)
+      quality: DataFrame, // (idCol, qCol)
+      idCol: String,
+      qCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id").orderBy(col(qCol).desc, col(idCol).asc)
+    clusters.join(quality, idCol)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("canonical_id"), col(idCol).as("kept_doc"), col(qCol).as("kept_q"), col("cluster_size"))
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5 — equals Spark SQL's
     * `conv(substring(md5(w), 1, 15), 16, 10)` for cross-checks.
     */

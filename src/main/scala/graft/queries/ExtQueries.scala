@@ -367,6 +367,38 @@ object ExtQueries {
               |SELECT doc_id, canonical_id,
               |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
               |FROM comp""".stripMargin)),
+    // Representative selection over the MinHash-LSH clusters: per cluster
+    // keep the doc with the most words (ties → lowest id) — the "keep
+    // best, drop rest" step after clustering. Oracle: the recursive-CTE
+    // closure plus the same windowed argmax.
+    Q(
+      "dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cl = Dedup.clusters(
+          Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3))
+        Dedup.representatives(
+          cl,
+          docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words")),
+          "doc_id", "n_words")
+          .withColumnRenamed("kept_q", "kept_words")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a),
+              |cz AS (SELECT doc_id, canonical_id,
+              |         count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |       FROM comp),
+              |wq AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_words FROM documents)
+              |SELECT canonical_id, doc_id AS kept_doc, n_words AS kept_words, cluster_size FROM (
+              |  SELECT cz.*, wq.n_words,
+              |         row_number() OVER (PARTITION BY canonical_id ORDER BY n_words DESC, doc_id) rn
+              |  FROM cz JOIN wq USING (doc_id))
+              |WHERE rn = 1""".stripMargin)
+    ),
     // SimHash banding — md5 60-bit token hashes, majority-vote bits, 4×15
     // banding, exact Hamming verify: fully integer, replays in DuckDB.
     Q(

@@ -72,6 +72,19 @@ class ExtSpec extends AnyFunSuite {
     Seq(20L, 21L, 22L).foreach(id => assert(out(id) == (20L, 3L)))
   }
 
+  test("representatives: per-cluster argmax by quality with full tie-break") {
+    val cl = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // cluster 1
+      (10L, 10L, 2L), (11L, 10L, 2L)            // cluster 10
+    ).toDF("doc_id", "canonical_id", "cluster_size")
+    val q = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L)).toDF("doc_id", "q")
+    val out = Dedup.representatives(cl, q, "doc_id", "q").collect()
+      .map(r => r.getAs[Long]("canonical_id") ->
+        ((r.getAs[Long]("kept_doc"), r.getAs[Long]("kept_q"), r.getAs[Long]("cluster_size")))).toMap
+    assert(out(1L) == ((2L, 9L, 3L))) // quality tie 2 vs 3 → lowest id
+    assert(out(10L) == ((10L, 4L, 2L)))
+  }
+
   test("clusters on an empty pair graph returns the empty labeling (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")
     assert(Dedup.clusters(empty).collect().isEmpty)
