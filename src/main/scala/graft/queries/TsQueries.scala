@@ -194,6 +194,42 @@ object TsQueries {
              |  round(CASE WHEN f99 = 0 THEN lo99 ELSE lo99 + f99 * (coalesce(hi99, lo99) - lo99) END, 4) AS p99
              |FROM a""".stripMargin)
     ),
+    // Trailing 7-sample moving aggregates per series — identical
+    // ROWS-frame semantics on both engines. Frames are stable because
+    // (user_id, ts) is unique in events (verified at every SF); inputs
+    // with duplicate timestamps must resolve them first (F5 latest).
+    Q(
+      "ts_moving_agg",
+      (s, dir) =>
+        TsAlgebra.movingAgg(ev(s, dir), "user_id", "ts_ms", "value", window = 7)
+          .select(
+            col("user_id"), col("ts_ms"), col("value"),
+            col("mov_avg"), col("mov_min"), col("mov_max"), col("mov_n")),
+      Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             |  round(avg(value) OVER w, 4) AS mov_avg,
+             |  min(value) OVER w AS mov_min,
+             |  max(value) OVER w AS mov_max,
+             |  count(*) OVER w AS mov_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+    // Pairwise Pearson correlation between daily-bucketed series (a < b),
+    // over shared buckets — corr() on both engines computes the same r;
+    // round(4) absorbs aggregation-order ulp noise.
+    Q(
+      "ts_pairwise_corr",
+      (s, dir) =>
+        TsAlgebra.pairwiseCorr(
+          ev(s, dir).select(col("user_id"), col("ts_ms"), col("value")).where(col("user_id") < 30),
+          "user_id", "ts_ms", "value", bucketMs = T.Day, minBuckets = 5),
+      Some(s"""WITH b AS (SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} bt, avg(value) bv
+              |          FROM events WHERE user_id < 30 GROUP BY 1, 2)
+              |SELECT x.user_id AS key_a, y.user_id AS key_b,
+              |       count(*) AS n_buckets, round(corr(x.bv, y.bv), 4) AS pearson_r
+              |FROM b x JOIN b y ON x.bt = y.bt AND x.user_id < y.user_id
+              |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
+    ),
     // Gap-filled hourly grid with last-observation-carried-forward: no fp
     // arithmetic (max per bucket, values copied), so bit-exact on both
     // engines. Hour buckets leave real gaps in the event series.

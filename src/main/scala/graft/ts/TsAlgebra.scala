@@ -187,6 +187,57 @@ object TsAlgebra {
       .select(col(keyCol) +: col("n") +: out: _*)
   }
 
+  /** Trailing rows-window aggregates per series (moving average / min /
+    * max over the last `window` samples) — the smoothing pass dashboards
+    * and alert pipelines run before thresholding. Pure WindowExec with a
+    * bounded frame: one hash exchange + per-partition sort, O(window)
+    * state per row, identical ROWS-frame semantics on any engine.
+    * Requires unique (key, ts) — duplicate timestamps make the ROWS
+    * frame order-dependent; resolve them first (F5 latest semantics).
+    */
+  def movingAgg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol)
+      .rowsBetween(-(window - 1), 0)
+    df.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("mov_avg", round(avg(col(valueCol)).over(w), 4))
+      .withColumn("mov_min", min(col(valueCol)).over(w))
+      .withColumn("mov_max", max(col(valueCol)).over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+  }
+
+  /** Pairwise Pearson correlation between series, over their aligned
+    * time buckets — the cross-series dependence report (which hosts
+    * move together, which metric leads which). Plan shape: bucket-avg
+    * each series (partial-agg shuffle), self-join on the bucket
+    * timestamp (equi-join), one corr aggregate per (a, b) pair with
+    * a < b. Pair count is series², so this is for key cardinalities
+    * that fit a report (dashboards, cohort panels) — at millions of
+    * series, LSH-bucket the series embeddings first and correlate
+    * within buckets (the `Similarity` machinery).
+    */
+  def pairwiseCorr(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketMs: Long,
+      minBuckets: Long = 2): DataFrame = {
+    val b = df
+      .groupBy(col(keyCol), (col(tsCol) - (col(tsCol) % bucketMs)).as("bt"))
+      .agg(avg(col(valueCol)).as("bv"))
+    b.as("x").join(b.as("y"), col("x.bt") === col("y.bt") && col(s"x.$keyCol") < col(s"y.$keyCol"))
+      .groupBy(col(s"x.$keyCol").as("key_a"), col(s"y.$keyCol").as("key_b"))
+      .agg(count(lit(1)).as("n_buckets"), round(corr(col("x.bv"), col("y.bv")), 4).as("pearson_r"))
+      .where(col("n_buckets") >= minBuckets)
+  }
+
   def aggExpr(name: String, value: Column, ts: Column): Column = name match {
     case "avg" => avg(value)
     case "sum" => sum(value)

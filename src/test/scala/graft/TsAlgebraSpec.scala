@@ -123,4 +123,32 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(out(20L) == ((0L, 7.0, true)), "gap bucket carries the last value forward")
     assert(out(30L) == ((2L, 9.0, false)), "bucket stat is max over its points")
   }
+
+  test("movingAgg: trailing frame matches hand-computed values") {
+    val rows = Seq((1L, 10L, 1.0), (1L, 20L, 3.0), (1L, 30L, 5.0), (2L, 10L, 7.0))
+      .toDF("k", "t", "v")
+    val out = graft.ts.TsAlgebra.movingAgg(rows, "k", "t", "v", window = 2).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        ((r.getAs[Double]("mov_avg"), r.getAs[Double]("mov_min"),
+          r.getAs[Double]("mov_max"), r.getAs[Long]("mov_n")))).toMap
+    assert(out((1L, 10L)) == ((1.0, 1.0, 1.0, 1L)))
+    assert(out((1L, 20L)) == ((2.0, 1.0, 3.0, 2L))) // avg(1,3)
+    assert(out((1L, 30L)) == ((4.0, 3.0, 5.0, 2L))) // window slides off 1.0
+    assert(out((2L, 10L)) == ((7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("pairwiseCorr: perfectly correlated and anti-correlated series") {
+    // bucket = 10; series 1 rises, series 2 rises (r=1), series 3 falls (r=-1)
+    val rows = (0 until 6).flatMap { i =>
+      Seq((1L, i * 10L, i.toDouble), (2L, i * 10L, 2.0 * i + 5), (3L, i * 10L, -i.toDouble))
+    }.toDF("k", "t", "v")
+    val out = graft.ts.TsAlgebra.pairwiseCorr(rows, "k", "t", "v", bucketMs = 10L, minBuckets = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b")) -> r.getAs[Double]("pearson_r"))
+      .toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == -1.0)
+    assert(out((2L, 3L)) == -1.0)
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
 }
