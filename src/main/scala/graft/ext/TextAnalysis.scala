@@ -279,6 +279,51 @@ object TextAnalysis {
         round((sum("sfp") / lit(65536.0)) / count(lit(1)), 4).as("xent_bits"))
   }
 
+  /** Bigram-LM conditional cross-entropy: per document, the average
+    * surprisal −log2 p(w_i | w_{i−1}) of its adjacent-token transitions
+    * under the corpus bigram LM, p(w2|w1) = c(w1,w2) / c(w1,·) with
+    * c(w1,·) the count of transitions LEAVING w1. The conditional
+    * upgrade of `lmCrossEntropy`: a document of common words in an
+    * UNUSUAL order (shuffled/garbled text slips past unigram filters)
+    * scores high here. Same integer fixed-point surprisal
+    * (`surprisalFp(c1, c2)`), same two-pass plan: transition counts
+    * (vocab-bounded partial-agg shuffle), then a broadcast join back to
+    * the transition stream and per-doc INTEGER sums. Documents with
+    * fewer than two tokens have no transitions and are absent from the
+    * result (both engines agree).
+    */
+  def lmBigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = words(col(textCol))
+    val bg = df
+      .select(
+        col(idCol),
+        explode(
+          when(
+            size(w) >= 2,
+            transform(
+              sequence(lit(0), size(w) - 2),
+              i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // left-context totals derived from the (tiny) transition table, not a
+    // third corpus pass
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c1"), col("c2"))
+      .as[(String, String, Long, Long)]
+      .map { case (w1, w2, t, c) => (w1, w2, surprisalFp(t, c)) }
+      .toDF("w1", "w2", "sfp")
+    bg.join(broadcast(vocab), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("sfp").as("sum_xent2_fp"),
+        round((sum("sfp") / lit(65536.0)) / count(lit(1)), 4).as("xent2_bits"))
+  }
+
   /** Per-group top-k n-grams (heavy hitters): the corpus-observability
     * query behind vocabulary reports, boilerplate discovery, and
     * contamination triage. Exact counts via one partial-aggregated

@@ -257,6 +257,36 @@ object ExtQueries {
              |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent_bits
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
+    // Bigram-LM conditional cross-entropy — same fixed-point surprisal
+    // recurrence as text_lm_xent, over transition counts c(w1,w2)/c(w1,·).
+    Q(
+      "text_lm_xent2",
+      (s, dir) => TextAnalysis.lmBigramCrossEntropy(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |bi AS (SELECT doc_id, unnest(range(1, len(words))) i, words FROM w),
+             |bg AS (SELECT doc_id, words[i] w1, words[i + 1] w2 FROM bi),
+             |c2 AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) c1 FROM c2 GROUP BY 1),
+             |eb AS (SELECT c2.w1, c2.w2, c1.c1 t, c2.c2 cnt,
+             |         length(format('{:b}', c1.c1 // c2.c2)) - 1 E
+             |       FROM c2 JOIN c1 USING (w1)),
+             |z0 AS (SELECT w1, w2, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb),
+             |fr AS (
+             |  SELECT w1, w2, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT w1, w2, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT w1, w2, E*65536 + frac sfp FROM fr WHERE i = 16),
+             |p AS (SELECT doc_id, sfp FROM bg JOIN sfp USING (w1, w2))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(sfp) AS BIGINT) AS sum_xent2_fp,
+             |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent2_bits
+             |FROM p GROUP BY doc_id""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),

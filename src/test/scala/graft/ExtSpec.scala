@@ -370,6 +370,35 @@ class ExtSpec extends AnyFunSuite {
     assert(o2(2L) > o2(1L))
   }
 
+  test("lmBigramCrossEntropy: hand-computed transition surprisals; word-order sensitivity") {
+    // corpus transitions: "a b" x2, "a c" x1, "b a" x1, "c a" x1 →
+    // c(a,·)=3, c(b,·)=1, c(c,·)=1
+    val rows = Seq((1L, "a b a b"), (2L, "a c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramCrossEntropy(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_xent2_fp")))).toMap
+    val sAB = TextAnalysis.surprisalFp(3, 2) // p(b|a)=2/3
+    val sBA = TextAnalysis.surprisalFp(1, 1) // p(a|b)=1
+    val sAC = TextAnalysis.surprisalFp(3, 1) // p(c|a)=1/3
+    val sCA = TextAnalysis.surprisalFp(1, 1)
+    assert(out(1L) == ((3L, sAB * 2 + sBA)))
+    assert(out(2L) == ((2L, sAC + sCA)))
+    // conditional, not unigram: identical token MULTISET, different
+    // order → different score (a unigram LM scores these identically)
+    val pair = Seq(
+      (10L, "x y x y x y x y"), // all transitions frequent
+      (11L, "x x y y x y x y") // same tokens, rare x→x / y→y transitions
+    ).toDF("doc_id", "text")
+    val o2 = TextAnalysis.lmBigramCrossEntropy(pair, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent2_bits")).toMap
+    assert(o2(11L) > o2(10L), s"rare transitions must score higher: $o2")
+    // a single-word doc has no transitions and is absent
+    val single = TextAnalysis.lmBigramCrossEntropy(
+      Seq((1L, "only"), (2L, "two words")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(single == Set(2L))
+  }
+
   test("rarity: hand-computed inverse-frequency points") {
     // corpus: total 6 tokens; counts: a=3, b=2, c=1
     val rows = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
