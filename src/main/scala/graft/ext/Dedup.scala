@@ -347,20 +347,23 @@ object Dedup {
     * deterministic (full tie-break).
     *
     * `quality` is any (idCol, qCol) frame — word counts, LM cross-entropy,
-    * a composite. One window over the (small) cluster table: the corpus
-    * itself never reshuffles.
+    * a composite. Members with no quality row rank LAST (never silently
+    * dropped): a cluster keeps its best scored member, or its lowest id
+    * when none are scored. One window over the (small) cluster table:
+    * the corpus itself never reshuffles.
     */
   def representatives(
       clusters: DataFrame, // (doc_id, canonical_id, cluster_size)
       quality: DataFrame, // (idCol, qCol)
       idCol: String,
       qCol: String): DataFrame = {
+    val q = quality.select(col(idCol).as("_qid"), col(qCol).as("_q"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("canonical_id").orderBy(col(qCol).desc, col(idCol).asc)
-    clusters.join(quality, idCol)
+      .partitionBy("canonical_id").orderBy(col("_q").desc_nulls_last, col("doc_id").asc)
+    clusters.join(q, col("doc_id") === col("_qid"), "left")
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .select(col("canonical_id"), col(idCol).as("kept_doc"), col(qCol).as("kept_q"), col("cluster_size"))
+      .select(col("canonical_id"), col("doc_id").as("kept_doc"), col("_q").as("kept_q"), col("cluster_size"))
   }
 
   /** 60-bit token hash: first 15 hex chars of md5 — equals Spark SQL's
@@ -523,13 +526,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       minShared: Long): DataFrame = {
+    // no .distinct() on the train side — that would hash-shuffle the
+    // whole corpus's chunk stream before the broadcast join; instead the
+    // per-pair aggregate counts DISTINCT chunk hashes, deduplicating
+    // only the (tiny) matched rows after the broadcast join
     val th = cdcChunks(train, idCol, textCol)
-      .select(col(idCol).as("train_id"), col("chunk_md5")).distinct()
+      .select(col(idCol).as("train_id"), col("chunk_md5"))
     val ph = cdcChunks(probe, idCol, textCol)
       .select(col(idCol).as("probe_id"), col("chunk_md5")).distinct()
     th.join(broadcast(ph), "chunk_md5")
       .groupBy("train_id", "probe_id")
-      .agg(count(lit(1)).as("shared_chunks"))
+      .agg(countDistinct("chunk_md5").as("shared_chunks"))
       .where(col("shared_chunks") >= minShared)
   }
 

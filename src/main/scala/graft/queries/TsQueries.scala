@@ -176,7 +176,7 @@ object TsQueries {
       Some("""WITH r AS (SELECT user_id, CAST(value AS DOUBLE) v,
              |    row_number() OVER (PARTITION BY user_id ORDER BY value) rn,
              |    count(*) OVER (PARTITION BY user_id) n
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |a AS (SELECT user_id, max(n) AS n,
              |    max(CASE WHEN rn - 1 = floor(0.5 * (n-1)) THEN v END) lo50,
              |    max(CASE WHEN rn - 1 = floor(0.5 * (n-1)) + 1 THEN v END) hi50,
@@ -215,8 +215,9 @@ object TsQueries {
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)
     ),
     // Pairwise Pearson correlation between daily-bucketed series (a < b),
-    // over shared buckets — corr() on both engines computes the same r;
-    // round(4) absorbs aggregation-order ulp noise.
+    // over shared buckets. Both sides compute r = covar_pop/(σx·σy) with
+    // the zero-variance guard (NULL, not NaN/crash); round(4) absorbs
+    // aggregation-order ulp noise.
     Q(
       "ts_pairwise_corr",
       (s, dir) =>
@@ -226,7 +227,10 @@ object TsQueries {
       Some(s"""WITH b AS (SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} bt, avg(value) bv
               |          FROM events WHERE user_id < 30 GROUP BY 1, 2)
               |SELECT x.user_id AS key_a, y.user_id AS key_b,
-              |       count(*) AS n_buckets, round(corr(x.bv, y.bv), 4) AS pearson_r
+              |       count(*) AS n_buckets,
+              |       round(CASE WHEN stddev_pop(x.bv) > 0 AND stddev_pop(y.bv) > 0
+              |                  THEN covar_pop(x.bv, y.bv) / (stddev_pop(x.bv) * stddev_pop(y.bv))
+              |             END, 4) AS pearson_r
               |FROM b x JOIN b y ON x.bt = y.bt AND x.user_id < y.user_id
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
     ),

@@ -165,6 +165,9 @@ object TsAlgebra {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("_v")
     val ranked = df
       .select(col(keyCol), col(valueCol).cast("double").as("_v"))
+      // quantile_cont semantics: NULL values do not participate (a NULL
+      // would otherwise rank first and shift every index)
+      .where(col("_v").isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
     val aggs = ps.flatMap { case (name, p) =>
@@ -232,9 +235,19 @@ object TsAlgebra {
     val b = df
       .groupBy(col(keyCol), (col(tsCol) - (col(tsCol) % bucketMs)).as("bt"))
       .agg(avg(col(valueCol)).as("bv"))
+    // a zero-variance side makes Pearson undefined: the builtin corr()
+    // throws DIVIDE_BY_ZERO under ANSI (Spark 4 default) and yields NaN
+    // otherwise, while DuckDB yields NULL. Compute r from guarded
+    // components — covar_pop/(σx·σy), evaluated only when both σ > 0 —
+    // so a flatlined series gives NULL on every engine, never a crash
+    val sx = stddev_pop(col("x.bv"))
+    val sy = stddev_pop(col("y.bv"))
+    val cv = covar_pop(col("x.bv"), col("y.bv"))
     b.as("x").join(b.as("y"), col("x.bt") === col("y.bt") && col(s"x.$keyCol") < col(s"y.$keyCol"))
       .groupBy(col(s"x.$keyCol").as("key_a"), col(s"y.$keyCol").as("key_b"))
-      .agg(count(lit(1)).as("n_buckets"), round(corr(col("x.bv"), col("y.bv")), 4).as("pearson_r"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        round(when(sx > 0 && sy > 0, cv / (sx * sy)), 4).as("pearson_r"))
       .where(col("n_buckets") >= minBuckets)
   }
 

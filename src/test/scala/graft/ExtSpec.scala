@@ -83,6 +83,17 @@ class ExtSpec extends AnyFunSuite {
         ((r.getAs[Long]("kept_doc"), r.getAs[Long]("kept_q"), r.getAs[Long]("cluster_size")))).toMap
     assert(out(1L) == ((2L, 9L, 3L))) // quality tie 2 vs 3 → lowest id
     assert(out(10L) == ((10L, 4L, 2L)))
+    // members missing from the quality frame rank last, never vanish
+    val qPartial = Seq((1L, 5L)).toDF("doc_id", "q") // only doc 1 scored
+    val o2 = Dedup.representatives(cl, qPartial, "doc_id", "q").collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("kept_doc")).toMap
+    assert(o2(1L) == 1L, "the only scored member wins")
+    assert(o2(10L) == 10L, "an unscored cluster keeps its lowest id")
+    // a caller-named id column works (the scaladoc's contract)
+    val qNamed = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L)).toDF("id", "score")
+    val o3 = Dedup.representatives(cl, qNamed, "id", "score").collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("kept_doc")).toMap
+    assert(o3 == Map(1L -> 2L, 10L -> 10L))
   }
 
   test("clusters on an empty pair graph returns the empty labeling (no NPE)") {

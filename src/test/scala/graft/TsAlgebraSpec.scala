@@ -150,5 +150,11 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == -1.0)
     assert(out((2L, 3L)) == -1.0)
     assert(out.keys.forall { case (a, b) => a < b })
+    // zero-variance side → Pearson undefined → NULL (the ANSI/DuckDB
+    // answer), never NaN
+    val withFlat = rows.union(Seq.tabulate(6)(i => (4L, i * 10L, 42.0)).toDF("k", "t", "v"))
+    val flat = graft.ts.TsAlgebra.pairwiseCorr(withFlat, "k", "t", "v", bucketMs = 10L, minBuckets = 3)
+      .where(org.apache.spark.sql.functions.col("key_b") === 4L).collect()
+    assert(flat.nonEmpty && flat.forall(_.isNullAt(flat.head.fieldIndex("pearson_r"))))
   }
 }
