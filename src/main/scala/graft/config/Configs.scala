@@ -32,6 +32,11 @@ object Constants {
     * state at unbounded key cardinality; a returning key re-seeds).
     */
   val DefaultStreamStateTtlMs: Long = 24L * 3600 * 1000
+  /** MAD→σ consistency constant for the robust z-score detector
+    * (1/Φ⁻¹(3/4), the standard normal-consistency scale for the median
+    * absolute deviation).
+    */
+  val MadConsistency = 1.4826
   /** bitmap_detector defaults (SURVEY.md §2.4 D4). */
   val BitmapPrecision = 4
   val BitmapChunkSize = 2

@@ -124,6 +124,32 @@ object Detectors {
       .select("seriesKey", "tsMs", "value", "score")
   }
 
+  /** Robust z-score (beyond the reference suite): |v − median| /
+    * (1.4826·MAD), the median/MAD twin of the mean/σ z-score — one
+    * extreme outlier inflates σ and masks its neighbors, but barely
+    * moves the median and MAD, so this stays sensitive exactly where
+    * exp_avg-style scores saturate. Median and MAD come from the exact
+    * rank-interpolation percentile operator (bounded memory per series,
+    * values on the round(4) grid both engines replay); a constant
+    * series (MAD 0) falls back to the raw |v − median|, mirroring the
+    * stddev guard of the EMA detectors.
+    */
+  def madScores(points: Dataset[TsSample], k: Double = Constants.MadConsistency): DataFrame = {
+    import graft.ts.TsAlgebra
+    val df = points.toDF()
+    val med = TsAlgebra.percentiles(df, "seriesKey", "value", Seq("med" -> 0.5))
+      .select(col("seriesKey"), col("med"))
+    val dev = df.join(med, Seq("seriesKey"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = TsAlgebra.percentiles(dev, "seriesKey", "absdev", Seq("mad" -> 0.5))
+      .select(col("seriesKey"), col("mad"))
+    dev.join(mad, Seq("seriesKey"))
+      .withColumn(
+        "score",
+        when(col("mad") > 0, col("absdev") / (lit(k) * col("mad"))).otherwise(col("absdev")))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
   /** D6 absolute_threshold: score = how far the value sits outside the
     * [lower, upper] band — a pure codegen'd expression, no state.
     */
@@ -303,6 +329,7 @@ object Detectors {
       case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor)
       case "default_detector" => defaultScores(points, cfg.smoothingFactor)
       case "bitmap_detector" => BitmapDetector.scores(points)
+      case "mad_detector" => madScores(points)
       case "absolute_threshold" =>
         absoluteThresholdScores(points, cfg.absoluteThresholdUpper, cfg.absoluteThresholdLower)
           .select("seriesKey", "tsMs", "value", "score")

@@ -307,6 +307,74 @@ object DetectQueries {
               |       round(coalesce(d.score, 0.0), 4) AS score
               |FROM syms s LEFT JOIN ssd d ON s.k = d.k AND s.rn = d.j""".stripMargin)
     ),
+    // Robust z-score (median/MAD — beyond the reference suite): the
+    // oracle replays the exact rank-interpolation median twice (values,
+    // then absolute deviations) and the same guarded normalization.
+    Q(
+      "anomaly_mad_scores",
+      (s, dir) => asOut(Detectors.madScores(pts(s, dir))),
+      Some(s"""WITH $ptsCte,
+              |r1 AS (SELECT k, ts_ms, v,
+              |         row_number() OVER (PARTITION BY k ORDER BY v) vrn,
+              |         count(*) OVER (PARTITION BY k) vn
+              |       FROM pts),
+              |m1 AS (SELECT k,
+              |         max(CASE WHEN vrn - 1 = floor(0.5 * (vn-1)) THEN v END) lo,
+              |         max(CASE WHEN vrn - 1 = floor(0.5 * (vn-1)) + 1 THEN v END) hi,
+              |         max(0.5 * (vn-1) - floor(0.5 * (vn-1))) f
+              |       FROM r1 GROUP BY k),
+              |med AS (SELECT k,
+              |          round(CASE WHEN f = 0 THEN lo ELSE lo + f * (coalesce(hi, lo) - lo) END, 4) med
+              |        FROM m1),
+              |d AS (SELECT p.k, p.ts_ms, p.v, abs(p.v - m.med) ad
+              |      FROM pts p JOIN med m USING (k)),
+              |r2 AS (SELECT k, ts_ms, v, ad,
+              |         row_number() OVER (PARTITION BY k ORDER BY ad) arn,
+              |         count(*) OVER (PARTITION BY k) an
+              |       FROM d),
+              |m2 AS (SELECT k,
+              |         max(CASE WHEN arn - 1 = floor(0.5 * (an-1)) THEN ad END) lo,
+              |         max(CASE WHEN arn - 1 = floor(0.5 * (an-1)) + 1 THEN ad END) hi,
+              |         max(0.5 * (an-1) - floor(0.5 * (an-1))) f
+              |       FROM r2 GROUP BY k),
+              |mad AS (SELECT k,
+              |          round(CASE WHEN f = 0 THEN lo ELSE lo + f * (coalesce(hi, lo) - lo) END, 4) mad
+              |        FROM m2)
+              |SELECT d.k AS user_id, d.ts_ms, d.v AS value,
+              |       round(CASE WHEN mad.mad > 0 THEN d.ad / (1.4826 * mad.mad) ELSE d.ad END, 4) AS score
+              |FROM d JOIN mad USING (k)""".stripMargin)
+    ),
+    // Seasonal hour-of-day baseline (composition showcase): each point
+    // diff-percent-scored against its series' average at the same hour
+    // of day — the daily-seasonality profile every ops dashboard keeps.
+    Q(
+      "anomaly_seasonal_diff",
+      (s, dir) => {
+        val raw = pts(s, dir)
+        val hod = expr(s"(tsMs % ${T.Day}) DIV 3600000")
+        val prof = raw.groupBy(col("seriesKey"), hod.as("hod"))
+          .agg(avg("value").as("baseline"))
+        val joined = raw.toDF().withColumn("hod", hod).join(prof, Seq("seriesKey", "hod"))
+        Detectors
+          .diffPercentFromJoined(joined, thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH $ptsCte,
+              |prof AS (SELECT k, (ts_ms % ${T.Day}) // 3600000 hod, avg(v) bv
+              |         FROM pts GROUP BY 1, 2),
+              |j AS (SELECT p.k, p.ts_ms, p.v, pr.bv
+              |      FROM pts p JOIN prof pr
+              |        ON p.k = pr.k AND (p.ts_ms % ${T.Day}) // 3600000 = pr.hod),
+              |sc AS (SELECT k, ts_ms, v,
+              |  CASE WHEN bv <> 0 THEN 100.0*(v - bv)/bv
+              |       ELSE CASE WHEN v <> 0 THEN 100.0 ELSE 0.0 END END dp
+              |  FROM j)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       round(CASE WHEN dp > 20.0 OR dp < -20.0 THEN abs(dp) ELSE 0.0 END, 4) AS score
+              |FROM sc""".stripMargin)
+    ),
     // D7 diff_percent_threshold vs one-day-lagged daily-average baseline
     Q(
       "anomaly_diff_percent",

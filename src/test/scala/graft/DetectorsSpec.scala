@@ -70,6 +70,24 @@ class DetectorsSpec extends AnyFunSuite {
     assert(res.scores.count() == 4 && res.anomalies.count() == 0)
   }
 
+  test("MAD robust z-score: outlier scored high, masking resistance vs stddev normalization") {
+    // values 10,10,10,10,1000: median 10, absdevs 0,0,0,0,990 → MAD 0...
+    // use 9,10,10,11,1000: median 10, absdevs 1,0,0,1,990 → MAD 1
+    val d = pts((1, 1000, 9.0), (1, 2000, 10.0), (1, 3000, 10.0), (1, 4000, 11.0), (1, 5000, 1000.0))
+    val out = Detectors.madScores(d).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(out(5000L) - 990.0 / 1.4826) < 1e-6, s"outlier score ${out(5000L)}")
+    assert(out(2000L) == 0.0 && out(3000L) == 0.0)
+    assert(math.abs(out(1000L) - 1.0 / 1.4826) < 1e-6)
+    // constant series: MAD 0 → raw |v − median| fallback (all zero here)
+    val flat = pts((2, 1000, 5.0), (2, 2000, 5.0), (2, 3000, 5.0), (2, 4000, 5.0))
+    assert(Detectors.madScores(flat).collect().forall(_.getAs[Double]("score") == 0.0))
+    // registry dispatch
+    val viaRegistry = Detectors.score(d, DetectorConfig(algorithmName = "mad_detector"))
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(viaRegistry == out)
+  }
+
   test("absolute_threshold scores distance outside the band (D6)") {
     val s = Detectors
       .absoluteThresholdScores(rampSpike, upper = Some(35.0), lower = Some(15.0))
