@@ -435,6 +435,106 @@ object TextAnalysis {
       .select(idCol, "n_words", "stopword_ratio", "dup_trigram_ratio", "lang_pred", "keep")
   }
 
+  /** Per-document top-k keywords by tf·idf — the corpus-observability
+    * companion to `rarity`/`lmCrossEntropy`: which terms CHARACTERIZE each
+    * document against the corpus. idf is the fixed-point integer
+    * log2(N/df_w) (`surprisalFp(N, df_w)` — exact on both engines), tf the
+    * raw in-doc count, so score_fp = tf·idf_fp is a pure-integer rank key:
+    * no fp, no engine divergence, deterministic ties (score desc, term
+    * asc).
+    *
+    * Plan shape: one partial-agg shuffle on (doc, term) for tf; document
+    * frequency derives from THAT table (no second corpus pass); the scored
+    * vocab (tiny) broadcasts back; per-doc top-k is a bounded window over
+    * the already-aggregated tf table. Same bounded-vocab broadcast caveat
+    * as `rarity` at open-vocabulary scale (cap to top-K terms first).
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("wd"))
+      .groupBy(col(idCol), col("wd"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("wd").agg(count(lit(1)).as("dfw"))
+    val ndocs = df.agg(count(lit(1)).as("nd"))
+    val idf = dfreq.crossJoin(broadcast(ndocs))
+      .select(col("wd"), col("dfw"), col("nd"))
+      .as[(String, Long, Long)]
+      .map { case (wd, dfw, nd) => (wd, dfw, surprisalFp(nd, dfw)) }
+      .toDF("wd", "dfw", "idf_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("wd"))
+    tf.join(broadcast(idf), "wd")
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("wd"), col("tf"), col("score_fp"))
+  }
+
+  /** BM25 lexical retrieval: score every document against a fixed bag of
+    * query terms — the sparse/lexical complement to the dense ANN search
+    * in `Similarity` (real retrieval stacks run both and fuse). Entirely
+    * INTEGER arithmetic so the rank order is engine-exact:
+    *
+    *   idf_fp(t)  = surprisalFp(2·D+2, 2·df_t+1)       — fixed-point log2 of
+    *                the Robertson idf (D−df+0.5)/(df+0.5)+1 = (2D+2)/(2df+1)
+    *   tf-part    = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with k1=6/5,
+    *                b=3/4, avgdl=A/D (A = corpus tokens, D = docs); clearing
+    *                denominators: 22·A·tf / (10·A·tf + 3·A + 9·dl·D)
+    *   score_fp   = Σ_t idf_fp(t)·22·A·tf DIV (10·A·tf + 3·A + 9·dl·D)
+    *
+    * The per-term quotient runs in DECIMAL(38,0) before the integral
+    * divide, so the A·tf·idf product cannot overflow Long at any corpus
+    * size. Per-doc sums of integers are order-independent → the DuckDB
+    * oracle hash-matches.
+    *
+    * Plan shape: doc lengths in one partial-agg pass; the term-filtered tf
+    * table is tiny (pushdown: `wd IN (…)` reaches the scan side of the
+    * explode); corpus constants (A, D) and per-term idf broadcast. No
+    * per-query corpus shuffle — the shape an inverted-index-less scan
+    * retrieval takes at scale.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("wd"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum("dl").as("A"), count(lit(1)).as("D"))
+    val tf = toks
+      .where(col("wd").isin(terms: _*))
+      .groupBy(col(idCol), col("wd"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("wd").agg(count(lit(1)).as("dfw"))
+      .crossJoin(broadcast(tot.select(col("D").as("_d"))))
+      .as[(String, Long, Long)]
+      .map { case (wd, dfw, d) => (wd, surprisalFp(2 * d + 2, 2 * dfw + 1)) }
+      .toDF("wd", "idf_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col(idCol))
+    tf.join(dl, idCol)
+      .join(broadcast(idf), "wd")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "term_fp",
+        expr("""CAST((CAST(idf_fp AS DECIMAL(38,0)) * 22 * A * tf)
+               |     DIV (CAST(A AS DECIMAL(38,0)) * 10 * tf + 3*A + 9*dl*D) AS BIGINT)""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum("term_fp").as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("n_hits"), col("score_fp"))
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ext.{Behavior, Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -871,6 +871,40 @@ object ExtQueries {
              |  max(ts_ms) - min(ts_ms) AS duration_ms,
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, session_seq""".stripMargin)),
+    // ---- behavioral analytics (funnel / cohort retention) ----
+    // Ordered view→click→purchase funnel: earliest-completion chaining,
+    // one filtered aggregation per step + equi-joins on the user key.
+    Q(
+      "events_funnel",
+      (s, dir) =>
+        Behavior.funnel(
+          Tables.events(s, dir), "user_id", "event_type", "ts_ms",
+          Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) ts_ms FROM events),
+             |s1 AS (SELECT user_id, min(ts_ms) s1_ms FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT s1.user_id, s1.s1_ms,
+             |         min(CASE WHEN e.ts_ms > s1.s1_ms THEN e.ts_ms END) s2_ms
+             |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+             |       GROUP BY 1, 2),
+             |s3 AS (SELECT s2.user_id, s2.s1_ms, s2.s2_ms,
+             |         min(CASE WHEN e.ts_ms > s2.s2_ms THEN e.ts_ms END) s3_ms
+             |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             |       GROUP BY 1, 2, 3)
+             |SELECT user_id, s1_ms, s2_ms, s3_ms,
+             |  CAST(CASE WHEN s3_ms IS NOT NULL THEN 3
+             |            WHEN s2_ms IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS steps_reached
+             |FROM s3""".stripMargin)),
+    // Cohort retention: cohort by first-event epoch day, distinct active
+    // users per (cohort_day, day_offset). All integer day arithmetic.
+    Q(
+      "events_retention",
+      (s, dir) => Behavior.retention(Tables.events(s, dir), "user_id", "ts_ms"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 d FROM events),
+             |f AS (SELECT user_id, min(d) cohort_day FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT f.cohort_day, e.d - f.cohort_day AS day_offset, e.user_id
+             |      FROM e JOIN f USING (user_id))
+             |SELECT cohort_day, day_offset, count(*) AS n_users
+             |FROM a GROUP BY 1, 2""".stripMargin)),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     Q(
       "mm_frame_sample",
