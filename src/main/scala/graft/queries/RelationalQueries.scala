@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{RangeJoin, Skew}
+import graft.operators.{Layout, RangeJoin, Skew}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -203,6 +203,48 @@ object RelationalQueries {
              |                   AND e.ts_ms >= w.w_start AND e.ts_ms <= w.w_end)
              |SELECT user_id, CAST(k AS BIGINT) AS k, w_start, w_end, count(*) AS n_points
              |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
+    ),
+    // Z-order layout key over orders: customer × order-day interleave,
+    // 16 bits each, 256 quad-tree buckets. Sorting files by z_value makes
+    // parquet footer stats prune on EITHER column; the oracle replays the
+    // identical shift/mask interleave.
+    Q(
+      "layout_zorder",
+      (s, dir) =>
+        Layout.zorder(
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey"),
+              col("o_custkey").as("x"),
+              expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("y")),
+          "x", "y", bits = 16, buckets = 256)
+          .select(col("o_orderkey"), col("z_value"), col("z_bucket")),
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey x,
+             |               epoch_ms(o_orderdate) // 86400000 y FROM orders),
+             |z AS (SELECT o_orderkey,
+             |        CAST(list_sum(list_transform(range(0, 16), b ->
+             |          (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) z_value
+             |      FROM o)
+             |SELECT o_orderkey, z_value, z_value >> 24 AS z_bucket FROM z""".stripMargin)
+    ),
+    // Exact range-partition bounds: 32 near-equal row-count buckets over
+    // o_totalprice — the boundary table a balanced range-partitioned
+    // write needs. No global data sort; the cumulative window runs over
+    // the distinct-value table only.
+    Q(
+      "layout_range_bounds",
+      (s, dir) => Layout.rangeBounds(Tables.orders(s, dir), "o_totalprice", n = 32),
+      Some("""WITH c AS (SELECT o_totalprice v, count(*) cnt FROM orders GROUP BY 1),
+             |s AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) cum FROM c),
+             |s2 AS (SELECT v, cum - cnt + 1 cum_lo, cum FROM s),
+             |t AS (SELECT count(*) N FROM orders),
+             |b AS (SELECT bucket, (bucket - 1) * N // 32 + 1 r_lo, bucket * N // 32 r_hi
+             |      FROM (SELECT unnest(range(1, 33)) bucket) CROSS JOIN t
+             |      WHERE bucket * N // 32 >= (bucket - 1) * N // 32 + 1)
+             |SELECT bucket, min(v) AS lo, max(v) AS hi,
+             |       CAST(min(r_hi - r_lo + 1) AS BIGINT) AS n_rows
+             |FROM s2 JOIN b ON cum_lo <= r_hi AND cum >= r_lo
+             |GROUP BY bucket""".stripMargin)
     )
   )
 }

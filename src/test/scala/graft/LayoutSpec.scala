@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Layout
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order interleave correctness (known bit patterns, range guard,
+  * quad-tree bucketing) and range-bound arithmetic (balanced sizes,
+  * straddling heavy values, n > N degenerate buckets).
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("layout-spec")
+  import spark.implicits._
+
+  test("zValue interleaves bits: x at even, y at odd positions") {
+    // x=0b101, y=0b011 → z = 1·2⁰ + 1·2¹ + 0·2² + 1·2³ + 1·2⁴ + 0·2⁵ = 27
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"), bits = 3).as("z"))
+      .collect().head.getLong(0)
+    assert(got == 27L)
+  }
+
+  test("zValue raises on out-of-range input instead of wrapping") {
+    val ex = intercept[Exception] {
+      Seq((8L, 0L)).toDF("x", "y")
+        .select(Layout.zValue(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"), bits = 3))
+        .collect()
+    }
+    assert(ex.getMessage.contains("zValue input outside"))
+  }
+
+  test("zorder buckets are the quad-tree tile: same tile → same bucket") {
+    // bits=4, buckets=4 → bucket = top 2 z-bits = (y_msb, x_msb): the
+    // 2×2 macro-quadrant of the 16×16 grid.
+    val df = Seq(
+      (1L, 2L, 3L), (2L, 7L, 5L), // x<8, y<8 → bucket 0
+      (3L, 9L, 3L), // x>=8, y<8 → bucket 1 (x msb at even position 8 → z bit 9? no: bit 3 of x → pos 6; top bits: pos7=y3, pos6=x3)
+      (4L, 2L, 12L) // y>=8 → bucket 2
+    ).toDF("id", "x", "y")
+    val got = Layout.zorder(df, "x", "y", bits = 4, buckets = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("z_bucket")).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+    assert(got(3L) == 1L)
+    assert(got(4L) == 2L)
+  }
+
+  test("rangeBounds: balanced sizes summing to N, ordered non-overlapping ranks") {
+    val df = (1 to 103).map(i => i.toLong * 7 % 101).toDF("v")
+    val got = Layout.rangeBounds(df, "v", n = 8)
+      .orderBy("bucket").collect()
+    assert(got.length == 8)
+    val sizes = got.map(_.getAs[Long]("n_rows"))
+    assert(sizes.sum == 103L)
+    assert(sizes.max - sizes.min <= 1)
+    // lo/hi are monotone across buckets
+    val lohi = got.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    lohi.sliding(2).foreach { case Array((_, h1), (l2, _)) => assert(h1 <= l2) }
+  }
+
+  test("rangeBounds: a heavy value straddling a boundary appears in both buckets") {
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("v")
+    val got = Layout.rangeBounds(df, "v", n = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n_rows")))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 3L), (2L, 1L, 3L, 3L)))
+  }
+
+  test("rangeBounds: n > N emits only the non-empty rank buckets") {
+    val df = Seq(10L, 20L, 30L).toDF("v")
+    val got = Layout.rangeBounds(df, "v", n = 5).orderBy("bucket").collect()
+    assert(got.map(_.getAs[Long]("bucket")).toSeq == Seq(2L, 4L, 5L))
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 3L)
+  }
+}
