@@ -331,6 +331,77 @@ object ExtQueries {
              |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent2_bits
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
+    // Per-doc top-5 tf·idf keywords. idf is the same fixed-point log2
+    // (surprisalFp) over N/df_w; score_fp = tf·idf_fp is pure-integer, so
+    // the oracle replays the 16-round squaring CTE and hash-matches.
+    Q(
+      "text_tfidf_topk",
+      (s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5),
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents),
+             |tf AS (SELECT doc_id, wd, count(*) tf FROM w GROUP BY 1, 2),
+             |dfq AS (SELECT wd, count(*) dfw FROM tf GROUP BY 1),
+             |nd AS (SELECT count(*) nd FROM documents),
+             |eb AS (SELECT wd, dfw cnt, nd t, length(format('{:b}', nd // dfw)) - 1 E
+             |       FROM dfq CROSS JOIN nd),
+             |z0 AS (SELECT wd, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb),
+             |fr AS (
+             |  SELECT wd, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT wd, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT wd, E*65536 + frac idf_fp FROM fr WHERE i = 16),
+             |sc AS (SELECT tf.doc_id, tf.wd, tf.tf, tf.tf * s.idf_fp score_fp
+             |       FROM tf JOIN sfp s USING (wd)),
+             |r AS (SELECT doc_id, wd, tf, score_fp,
+             |        CAST(row_number() OVER (PARTITION BY doc_id
+             |               ORDER BY score_fp DESC, wd) AS BIGINT) rank
+             |      FROM sc)
+             |SELECT doc_id, rank, wd, tf, score_fp FROM r WHERE rank <= 5""".stripMargin)
+    ),
+    // BM25 lexical retrieval for a fixed 3-term query — integer-exact
+    // scoring: Robertson idf as fixed-point log2((2D+2)/(2df+1)), the
+    // k1=1.2/b=0.75 tf saturation with denominators cleared to
+    // 22·A·tf / (10·A·tf + 3·A + 9·dl·D), per-term integral divide.
+    Q(
+      "sim_bm25_topk",
+      (s, dir) =>
+        TextAnalysis.bm25TopK(
+          Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("spark", "sort", "merge"), k = 10),
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents),
+             |dl AS (SELECT doc_id, count(*) dl FROM w GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) A, count(*) D FROM dl),
+             |tf AS (SELECT doc_id, wd, count(*) tf FROM w
+             |       WHERE wd IN ('spark', 'sort', 'merge') GROUP BY 1, 2),
+             |dfq AS (SELECT wd, count(*) dfw FROM tf GROUP BY 1),
+             |eb AS (SELECT wd, 2*D + 2 t, 2*dfw + 1 cnt FROM dfq CROSS JOIN tot),
+             |eb2 AS (SELECT wd, t, cnt, length(format('{:b}', t // cnt)) - 1 E FROM eb),
+             |z0 AS (SELECT wd, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb2),
+             |fr AS (
+             |  SELECT wd, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT wd, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT wd, E*65536 + frac idf_fp FROM fr WHERE i = 16),
+             |sc AS (SELECT tf.doc_id,
+             |         CAST((CAST(idf_fp AS HUGEINT) * 22 * A * tf)
+             |              // (10 * CAST(A AS HUGEINT) * tf + 3*A + 9*dl.dl*D) AS BIGINT) term_fp
+             |       FROM tf JOIN dl USING (doc_id) JOIN sfp USING (wd) CROSS JOIN tot),
+             |ag AS (SELECT doc_id, count(*) n_hits, CAST(sum(term_fp) AS BIGINT) score_fp
+             |       FROM sc GROUP BY 1),
+             |r AS (SELECT doc_id, n_hits, score_fp,
+             |        CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) rank
+             |      FROM ag)
+             |SELECT doc_id, rank, n_hits, score_fp FROM r WHERE rank <= 10""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
