@@ -582,6 +582,134 @@ object Dedup {
         round(col("shared_chunks").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
   }
 
+  /** The `k` Bloom bit positions of a shingle: disjoint 32-bit words of
+    * its md5, each reduced mod `mBits` — the same arithmetic DuckDB
+    * replays as `('0x' || substr(md5(g), 1+8j, 8))::BIGINT % m`.
+    */
+  def bloomPositions(md: java.security.MessageDigest, g: String, mBits: Int, k: Int): Array[Long] = {
+    val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Array.tabulate(k) { j =>
+      val o = 4 * j
+      val w = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      w % mBits
+    }
+  }
+
+  /** Bloom-filter eval-set decontamination: the CONSTANT-SIZE variant of
+    * `contaminationPairs` for when even the probe shingle table is too
+    * big to broadcast raw. The probe side compiles into an `mBits`-bit
+    * Bloom bitset (mBits/8 bytes — 128 KiB at the default, independent
+    * of probe size); the corpus streams through one typed kernel pass
+    * counting, per document, the distinct shingles whose `k` positions
+    * are ALL set. Zero shuffles on the corpus side, zero joins — the
+    * cheapest possible 100 TB contamination screen. Bloom semantics:
+    * `n_bloom_hits` over-counts with false-positive rate
+    * ≈ (1−e^(−k·n/m))^k (tune mBits to the probe size); zero hits is an
+    * exact clean certificate. The DuckDB oracle replays the identical
+    * md5 positions, so both engines see the same false positives.
+    */
+  def bloomContamination(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 20,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 4, s"k must be in [1,4] (md5 has 4 disjoint 32-bit words), got $k")
+    require(mBits >= 64 && mBits <= (1 << 26), s"mBits out of sane range: $mBits")
+    val spark = train.sparkSession
+    import spark.implicits._
+    // probe positions: distinct shingles → k positions each → distinct.
+    // The collect is bounded by mBits (≤ 8 MiB of longs at the cap), not
+    // by the probe corpus size — the whole point of the Bloom variant.
+    val probePos = shingles(probe, idCol, textCol, n)
+      .select(col("g")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap(g => bloomPositions(md, g, mBits, k))
+      }
+      .distinct()
+      .collect()
+    val bits = new Array[Long]((mBits + 63) / 64)
+    probePos.foreach(p => bits(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val bc = spark.sparkContext.broadcast(bits)
+    train
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = bc.value
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          val gs = (0 to words.length - n).iterator
+            .map(i => words.slice(i, i + n).mkString(" ")).toSet
+          val hits = gs.count { g =>
+            bloomPositions(md, g, mBits, k)
+              .forall(p => (b(p.toInt >> 6) & (1L << (p.toInt & 63))) != 0)
+          }
+          (id, gs.size.toLong, hits.toLong)
+        }
+      }
+      .toDF(idCol, "n_shingles", "n_bloom_hits")
+  }
+
+  /** Duplicated-passage detection (exact substring dedup, Lee et al.
+    * 2022 shape, word-window-bounded): find maximal runs of `w`-token
+    * windows whose content occurs more than once in the corpus — within
+    * OR across documents. Emits per-document spans `[span_start,
+    * span_end]` (token indices, inclusive) with the window count, the
+    * actionable unit for cut-the-span dedup (as opposed to drop-the-doc).
+    *
+    * Plan: one typed kernel pass emits (doc, pos, 32-bit window hash) —
+    * position preserved, NOT distinct; one partial-agg shuffle finds
+    * hashes with total count > 1; a semi-join flags positions; the
+    * classic lag/cumsum run-length idiom merges adjacent flagged
+    * positions into spans (one window exchange on the doc key). Nothing
+    * is quadratic: cost is linear in corpus tokens + one shuffle of the
+    * (much smaller) flagged set. The suffix-array formulation finds
+    * arbitrary-length duplicates; fixed `w` windows find every duplicate
+    * of ≥ w tokens (the practical filter), with span merging recovering
+    * the full extent.
+    */
+  def duplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wins = df
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val words = text.split(" ", -1)
+          (0 to words.length - w).iterator
+            .map(i => (id, i.toLong, shingleHash32(md, words.slice(i, i + w).mkString(" "))))
+        }
+      }
+      .toDF(idCol, "pos", "h")
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("_c")).where(col("_c") > 1).select("h")
+    val flagged = wins.join(dup, Seq("h"), "left_semi")
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("_new", when(lag(col("pos"), 1).over(win).isNull
+        || col("pos") - lag(col("pos"), 1).over(win) > 1, 1L).otherwise(0L))
+      .withColumn("_grp", sum("_new").over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_grp")
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.select(

@@ -85,6 +85,55 @@ object Sampling {
       .where(col("grp_rank") <= perGroup)
   }
 
+  /** Exact integer square root (floor): seed from fp sqrt, then correct
+    * the possible ±1 — exact for any non-negative Long (fp sqrt of a
+    * ≤2⁶³ value is within 1 ulp, so one correction step suffices). The
+    * DuckDB oracle replays the same seed-and-correct CASE arithmetic.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-scaled source mixing (α = 1/2): per-source keep quotas
+    * proportional to √count — the standard multilingual/multi-source
+    * rebalancing (p_i ∝ c_i^α with temperature τ = 1/α = 2) that
+    * upweights small sources a proportional sample would drown. Quota
+    * n_g = targetTotal·√c_g DIV Σ√c (integer-exact via `isqrt`; a quota
+    * above the source's size keeps the whole source). Rows are chosen by
+    * the same md5-hash rank as `sampleStratified`, so picks are stable
+    * across runs, partitionings, and corpus growth in OTHER sources.
+    *
+    * Scale shape: per-source counts are one partial-agg shuffle; the
+    * quota table is group-cardinality-sized and broadcasts back; the
+    * pick is one hash-partitioned window per source. Emits `grp_rank`
+    * and `quota` so downstream stages can tighten without re-hashing.
+    */
+  def mixTemperature(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      targetTotal: Long,
+      salt: String): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_w", Sampling.isqrt(col("_c")))
+    val tot = counts.agg(sum("_w").as("_sw"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        // decimal intermediate: targetTotal·√c stays exact at any scale
+        expr(s"CAST(CAST($targetTotal AS DECIMAL(38,0)) * _w DIV _sw AS BIGINT)").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), groupCol)
+      .where(col("grp_rank") <= col("quota"))
+  }
+
   /** Source-weighted mixing: per-group sampling weight w ≥ 0 applied as
     * floor(w) guaranteed copies plus one more with probability frac(w)
     * (so w = 2.5 → 2 or 3 copies per row, expectation 2.5). w < 1 is

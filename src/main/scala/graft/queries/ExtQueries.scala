@@ -611,6 +611,28 @@ object ExtQueries {
              |           ORDER BY md5('st7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) grp_rank
              |  FROM documents)
              |WHERE grp_rank <= 10""".stripMargin)),
+    // Temperature-scaled mixing (α = 1/2): per-source quotas ∝ √count,
+    // rows picked by md5-hash rank. The oracle replays the exact isqrt
+    // (fp seed + one correction step) and the integer quota divide.
+    Q(
+      "mix_temperature",
+      (s, dir) =>
+        Sampling.mixTemperature(
+          Tables.documents(s, dir), "doc_id", "source", targetTotal = 200L, salt = "mixT")
+          .select(col("doc_id"), col("source"), col("grp_rank"), col("quota")),
+      Some("""WITH c AS (SELECT source, count(*) c FROM documents GROUP BY 1),
+             |s0 AS (SELECT source, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) s FROM c),
+             |s1 AS (SELECT source, c,
+             |         CASE WHEN (s+1)*(s+1) <= c THEN s + 1
+             |              WHEN s*s > c THEN s - 1 ELSE s END w FROM s0),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) sw FROM s1),
+             |q AS (SELECT source, (200 * w) // sw quota FROM s1 CROSS JOIN t),
+             |r AS (SELECT doc_id, source,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY md5('mixT:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) grp_rank
+             |      FROM documents)
+             |SELECT r.doc_id, r.source, r.grp_rank, q.quota
+             |FROM r JOIN q USING (source) WHERE grp_rank <= quota""".stripMargin)),
     Q(
       "mix_weighted",
       (s, dir) =>
@@ -662,6 +684,64 @@ object ExtQueries {
              |SELECT t.doc_id AS train_id, p.doc_id AS probe_id, count(*) AS shared_ngrams
              |FROM hs t JOIN hs p ON t.h = p.h AND t.doc_id >= 20 AND p.doc_id < 20
              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+    ),
+    // Bloom-filter decontamination: the probe side compiles into a fixed
+    // 2^20-bit bitset (128 KiB regardless of probe size); per train doc,
+    // the count of distinct trigrams whose 3 md5-word positions are all
+    // set. The oracle replays the identical positions with join
+    // semantics — same false positives on both engines.
+    Q(
+      "decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomContamination(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |ps AS (SELECT doc_id, g,
+             |         unnest(list_distinct([('0x' || substr(md5(g), 1, 8))::BIGINT % 1048576,
+             |                               ('0x' || substr(md5(g), 9, 8))::BIGINT % 1048576,
+             |                               ('0x' || substr(md5(g), 17, 8))::BIGINT % 1048576])) p
+             |       FROM sh),
+             |pp AS (SELECT DISTINCT p FROM ps WHERE doc_id < 20),
+             |m AS (SELECT t.doc_id, t.g, count(*) tot, count(pp.p) hits
+             |      FROM (SELECT * FROM ps WHERE doc_id >= 20) t LEFT JOIN pp ON t.p = pp.p
+             |      GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, count(*) n_shingles,
+             |         CAST(sum(CASE WHEN hits = tot THEN 1 ELSE 0 END) AS BIGINT) n_bloom_hits
+             |       FROM m GROUP BY 1)
+             |SELECT d.doc_id, coalesce(pd.n_shingles, 0) AS n_shingles,
+             |       coalesce(pd.n_bloom_hits, 0) AS n_bloom_hits
+             |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+             |LEFT JOIN pd USING (doc_id)""".stripMargin)
+    ),
+    // Duplicated-passage spans: maximal runs of 8-token windows whose
+    // content occurs more than once in the corpus, merged per document
+    // via the lag/cumsum run-length idiom. 32-bit md5 window hashes —
+    // the oracle replays them verbatim.
+    Q(
+      "dedup_passages",
+      (s, dir) => Dedup.duplicatePassages(Tables.documents(s, dir), "doc_id", "text", w = 8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |win AS (SELECT doc_id, unnest(range(1, len(words) - 6)) i, words FROM w),
+             |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+             |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
+             |      FROM win),
+             |d AS (SELECT h FROM h GROUP BY h HAVING count(*) > 1),
+             |f AS (SELECT doc_id, pos FROM h JOIN d USING (h)),
+             |l AS (SELECT doc_id, pos,
+             |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp FROM f),
+             |g AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN pp IS NULL OR pos - pp > 1 THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) grp
+             |      FROM l)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+             |       count(*) AS n_windows
+             |FROM g GROUP BY doc_id, grp""".stripMargin)
     ),
     // Sub-document decontamination: training docs (doc_id >= 20) sharing
     // >= 2 distinct CDC chunk hashes with any probe doc (doc_id < 20) —

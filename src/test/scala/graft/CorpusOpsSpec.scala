@@ -1,0 +1,101 @@
+package graft
+
+import graft.ext.{Dedup, Sampling}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom decontamination, duplicated-passage spans, and temperature
+  * mixing: containment semantics, span merging arithmetic, √-count
+  * quota allocation, isqrt exactness.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.get("corpusops-spec")
+  import spark.implicits._
+
+  test("bloomContamination: shared trigrams hit, disjoint vocab does not") {
+    val probe = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma y"), // contains probe trigram "alpha beta gamma"
+      (11L, "p q r s t u"), // disjoint vocab
+      (12L, "zz") // shorter than n → zero shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomContamination(train, probe, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_bloom_hits")))
+      .toMap
+    assert(got(10L)._1 == 3L && got(10L)._2 >= 1L)
+    assert(got(11L) == ((4L, 0L)))
+    assert(got(12L) == ((0L, 0L)))
+  }
+
+  test("duplicatePassages: cross-doc shared passage merges into one span per doc") {
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $common a4 a5"),
+      (2L, s"b1 $common")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(docs, "doc_id", "text", w = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_windows")))
+      .toMap
+    // 10 common tokens → 3 duplicated 8-windows; doc1 passage starts at
+    // token 3, doc2 at token 1; span covers start..(lastWinStart + 7)
+    assert(got(1L) == ((3L, 12L, 3L)))
+    assert(got(2L) == ((1L, 10L, 3L)))
+  }
+
+  test("duplicatePassages: intra-doc repetition flags both occurrences; clean corpus is empty") {
+    val phrase = (1 to 8).map(i => s"w$i").mkString(" ")
+    val rep = Seq((1L, s"$phrase x1 x2 $phrase")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatePassages(rep, "doc_id", "text", w = 8)
+      .orderBy("span_start").collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_windows")))
+    assert(spans.toSeq == Seq((0L, 7L, 1L), (10L, 17L, 1L)))
+
+    val clean = Seq((1L, "a b c d e f g h i"), (2L, "j k l m n o p q r"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatePassages(clean, "doc_id", "text", w = 8).count() == 0L)
+  }
+
+  test("isqrt is exact at squares, neighbors, and large values") {
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
+      999999999999L, 1000000000000L, (1L << 40) - 1, 1L << 40)
+    val got = xs.toDF("x").select(Sampling.isqrt(col("x")).as("s"))
+      .collect().map(_.getLong(0))
+    val want = xs.map(x => math.sqrt(x.toDouble).toLong match {
+      case s if (s + 1) * (s + 1) <= x => s + 1
+      case s if s * s > x => s - 1
+      case s => s
+    })
+    // ground truth: largest s with s² ≤ x
+    def isqrtExact(x: Long): Long =
+      Iterator.iterate(math.sqrt(x.toDouble).toLong + 2)(_ - 1).find(s => s * s <= x).get
+    val exact = xs.map(isqrtExact)
+    assert(want == exact)
+    assert(got.toSeq == exact)
+  }
+
+  test("mixTemperature: quotas proportional to sqrt(count), small sources upweighted") {
+    val rows = (1 to 100).map(i => (i.toLong, "big")) ++ (101 to 125).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.mixTemperature(df, "doc_id", "source", targetTotal = 15L, salt = "t")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // w = √100=10, √25=5; sw=15 → quotas 10 and 5 (proportional would be 12/3)
+    assert(got == Map("big" -> 10L, "small" -> 5L))
+  }
+
+  test("mixTemperature: quota above group size keeps the whole group; deterministic") {
+    val rows = (1 to 4).map(i => (i.toLong, "tiny")) ++ (5 to 104).map(i => (i.toLong, "big"))
+    val df = rows.toDF("doc_id", "source")
+    val a = Sampling.mixTemperature(df.repartition(7), "doc_id", "source", 120L, "t")
+    val b = Sampling.mixTemperature(df.repartition(2), "doc_id", "source", 120L, "t")
+    val ga = a.orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ga == b.orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq)
+    // w = 2 and 10, sw = 12 → quotas 20 (> 4 → keep all) and 100
+    val counts = a.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map("tiny" -> 4L, "big" -> 100L))
+  }
+}
