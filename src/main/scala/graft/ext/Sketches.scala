@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass mergeable sketches for corpus profiling at 100 TB scale:
+  * HyperLogLog distinct-count registers and Count-Min frequency cells.
+  *
+  * Both are expressed as PLAIN AGGREGATIONS over deterministic md5-derived
+  * hashes — no custom state, no UDAF: the "sketch" is a tiny DataFrame of
+  * (bucket → register/count) cells produced by one partial-aggregated
+  * shuffle. That buys the two properties that matter at scale for free:
+  * map-side combine (registers fold with `max`, cells with `sum` inside
+  * each partition before the exchange) and mergeability (union the cell
+  * tables of two corpora and re-aggregate — the algebra of the sketch IS
+  * the groupBy algebra). Every hash is replayable in SQL, so the whole
+  * sketch, not just its summary, is oracle-checkable.
+  */
+object Sketches {
+
+  /** 60-bit hash of a string column: the first 15 hex chars of its md5 —
+    * positive in a signed 64-bit lane on every engine (the same idiom as
+    * `Dedup.tokenHash60`; DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** HyperLogLog registers over the distinct values of `valueCol` per
+    * group, with m = 2^p buckets: bucket = hash60 mod m, register = rank
+    * of the first 1-bit in the remaining 60−p bits (60−p+1 when they are
+    * all zero). Emits one row per non-empty (group, bucket) with the max
+    * rank — the standard HLL register table, built by ONE groupBy(max)
+    * pass. Registers from different corpora merge by max — union + the
+    * same groupBy re-aggregates.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
+    val rem = 60 - p
+    df.select(col(groupCol), hash60(col(valueCol)).as("_h"))
+      .select(
+        col(groupCol),
+        (col("_h") % m).as("bucket"),
+        expr(s"_h DIV $m").as("_rest"))
+      .withColumn(
+        "_rank",
+        when(col("_rest") === 0L, lit(rem + 1))
+          .otherwise(lit(rem + 1) - length(expr("bin(_rest)")))
+          .cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("_rank")).as("register"))
+  }
+
+  /** HLL estimate per group from a register table: the harmonic-mean
+    * numerator Σ 2^(40−register) runs in EXACT integer fixed point
+    * (registers past 40 truncate to 0 — far below any mass that matters),
+    * empty buckets contribute 2^40 each, and the only floating-point
+    * steps are the final constant multiply and divide — single IEEE ops
+    * on integer-derived operands, identical on every engine. Emits the
+    * raw (uncorrected) estimate plus `n_zero_buckets` so callers can
+    * apply linear-counting/small-range corrections downstream.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = 1099511627776L // 2^40
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("_nb"),
+        sum(expr(s"$scale DIV shiftleft(CAST(1 AS BIGINT), CAST(register AS INT))")).as("_s"))
+      .select(
+        col(groupCol),
+        (lit(m) - col("_nb")).as("n_zero_buckets"),
+        (col("_s") + (lit(m) - col("_nb")) * lit(scale)).as("sum_fp"),
+        round(
+          lit(alpha * m * m) * (lit(scale.toDouble) / (col("_s") + (lit(m) - col("_nb")) * lit(scale))),
+          4).as("est_distinct"))
+  }
+
+  /** Count-Min sketch cells over a token stream: `depth` rows × `width`
+    * columns, cell (j, c) = the number of tokens whose j-th md5-word
+    * position is c. One explode (depth entries per token) + one
+    * partial-aggregated shuffle — the cells table is depth·width rows no
+    * matter the corpus size, and two corpora's sketches merge by
+    * union + sum. Point estimates (`cmsEstimate`) are upper bounds:
+    * min over rows of the addressed cells.
+    */
+  def cmsCells(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4] (md5 has 4 words), got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val cols = (0 until depth).map { j =>
+      struct(
+        lit(j.toLong).as("row_idx"),
+        (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
+    }
+    df.select(explode(array(cols: _*)).as("_rc"))
+      .select(col("_rc.row_idx"), col("_rc.col_idx"))
+      .groupBy("row_idx", "col_idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min point query for a set of probe tokens against a cells
+    * table: estimate = min over rows of cell(j, h_j(token)); absent
+    * cells read 0. Never underestimates the true count.
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    val addr = (0 until depth).map { j =>
+      struct(
+        lit(j.toLong).as("row_idx"),
+        (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
+    }
+    probes
+      .select(col(tokenCol), explode(array(addr: _*)).as("_rc"))
+      .select(col(tokenCol), col("_rc.row_idx"), col("_rc.col_idx"))
+      .join(broadcast(cells), Seq("row_idx", "col_idx"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Behavior, Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ext.{Behavior, Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -664,6 +664,63 @@ object ExtQueries {
              |        CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, ngram) AS BIGINT) rank
              |      FROM c)
              |SELECT source, ngram, cnt, rank FROM r WHERE rank <= 10""".stripMargin)
+    ),
+    // ---- sketches (mergeable one-pass summaries) ----
+    // HLL distinct-trigram estimate per source: md5-derived 60-bit hash,
+    // 256 buckets, register = first-1-bit rank; harmonic numerator in
+    // exact integer fixed point, only the final constant multiply is fp.
+    Q(
+      "sketch_hll",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"), explode(Dedup.shingleArray(col("text"), 3)).as("g"))
+        Sketches.hllEstimate(Sketches.hllRegisters(grams, "source", "g", p = 8), "source", p = 8)
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') words FROM documents),
+             |g AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |        i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |h AS (SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT h FROM g),
+             |b AS (SELECT source, h % 256 bucket, h // 256 rest FROM h),
+             |r AS (SELECT source, bucket,
+             |        CASE WHEN rest = 0 THEN 53
+             |             ELSE 53 - length(format('{:b}', rest)) END rank FROM b),
+             |reg AS (SELECT source, bucket, max(rank) register FROM r GROUP BY 1, 2),
+             |ag AS (SELECT source, count(*) nb,
+             |         CAST(sum(1099511627776 // (1::BIGINT << register)) AS BIGINT) s
+             |       FROM reg GROUP BY 1)
+             |SELECT source, 256 - nb AS n_zero_buckets,
+             |  CAST(s + (256 - nb) * 1099511627776 AS BIGINT) AS sum_fp,
+             |  round((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 256 * 256
+             |        * (1099511627776.0 / (s + (256 - nb) * 1099511627776)), 4) AS est_distinct
+             |FROM ag""".stripMargin)
+    ),
+    // Count-Min sketch: 4×1024 cells over the corpus token stream, point
+    // estimates (never below the true count) for a fixed probe set,
+    // compared against the exact counts.
+    Q(
+      "sketch_cms",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("wd"))
+        val cells = Sketches.cmsCells(toks, "wd", depth = 4, width = 1024)
+        val probes = Seq("spark", "sort", "merge", "table", "zzzz").toDF("wd")
+        val est = Sketches.cmsEstimate(cells, probes, "wd", depth = 4, width = 1024)
+        val exact = probes.join(toks.groupBy("wd").agg(count(lit(1)).as("_c")), Seq("wd"), "left")
+          .select(col("wd"), coalesce(col("_c"), lit(0L)).as("exact_cnt"))
+        est.join(exact, "wd")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) wd FROM documents),
+             |p AS (SELECT unnest(['spark', 'sort', 'merge', 'table', 'zzzz']) wd),
+             |js AS (SELECT unnest(range(0, 4)) j),
+             |cells AS (SELECT j, ('0x' || substr(md5(wd), 1 + 8*j, 8))::BIGINT % 1024 c, count(*) cnt
+             |          FROM t CROSS JOIN js GROUP BY 1, 2),
+             |pa AS (SELECT p.wd, js.j, ('0x' || substr(md5(p.wd), 1 + 8*js.j, 8))::BIGINT % 1024 c
+             |       FROM p CROSS JOIN js),
+             |e AS (SELECT pa.wd, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) est_cnt
+             |      FROM pa LEFT JOIN cells ON pa.j = cells.j AND pa.c = cells.c GROUP BY 1),
+             |x AS (SELECT p.wd, CAST(coalesce(cnt.c, 0) AS BIGINT) exact_cnt
+             |      FROM p LEFT JOIN (SELECT wd, count(*) c FROM t GROUP BY 1) cnt USING (wd))
+             |SELECT e.wd, e.est_cnt, x.exact_cnt FROM e JOIN x USING (wd)""".stripMargin)
     ),
     // Eval-set decontamination: training docs (doc_id >= 20) sharing >= 2
     // distinct trigrams with any probe doc (doc_id < 20). The probe side
