@@ -47,4 +47,51 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_b")
   }
+
+  /** Bucketized interval–interval OVERLAP join: pairs (a, b) with
+    * `a.start ≤ b.end AND b.start ≤ a.end` (closed intervals), planned as
+    * an equi-join instead of a nested loop. Both sides replicate across
+    * the buckets they cover; to emit each overlapping pair EXACTLY ONCE
+    * despite multi-bucket co-occurrence, a pair only matches in the
+    * bucket of `greatest(a.start, b.start)` — the first bucket where both
+    * are present (the standard dedup trick, a pure filter: no distinct,
+    * no post-shuffle dedup pass).
+    *
+    * Column-name hygiene: caller supplies disjoint output column sets via
+    * `leftCols`/`rightCols` projections being distinct; start/end columns
+    * of the two sides must be named differently (enforced).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      keyCols: Seq[String],
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    require(
+      Set(lStartCol, lEndCol, rStartCol, rEndCol).size == 4,
+      "left and right interval columns must have distinct names")
+    require(
+      !(left.columns ++ right.columns).contains("_b"),
+      "overlapJoin reserves column name _b; rename it on the input")
+    val keyed = keyCols.toSet
+    val overlap = (left.columns.toSet - "_b" -- keyed).intersect(right.columns.toSet -- keyed)
+    require(overlap.isEmpty, s"non-key columns shared by both sides: ${overlap.mkString(", ")}")
+    def burst(df: DataFrame, s: String, e: String) = df
+      .where(col(e) >= col(s))
+      .withColumn(
+        "_b",
+        explode(sequence(
+          expr(s"CAST($s DIV $bucketMs AS BIGINT)"),
+          expr(s"CAST($e DIV $bucketMs AS BIGINT)"))))
+    burst(left, lStartCol, lEndCol)
+      .join(burst(right, rStartCol, rEndCol), keyCols :+ "_b")
+      .where(
+        col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
+          col("_b") === expr(s"CAST(greatest($lStartCol, $rStartCol) DIV $bucketMs AS BIGINT)"))
+      .drop("_b")
+  }
 }

@@ -204,6 +204,50 @@ object RelationalQueries {
              |SELECT user_id, CAST(k AS BIGINT) AS k, w_start, w_end, count(*) AS n_points
              |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
     ),
+    // Interval-interval overlap join: sessions segmented by the calendar
+    // days they span (a session crossing midnight lands in both days),
+    // planned as a bucketized equi-join with the greatest-start bucket
+    // filter for exactly-once pairs. The oracle is the plain overlap
+    // theta-join — the rewrite must be result-invisible.
+    Q(
+      "q_overlap_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sess = graft.ext.Sessionize
+          .stats(ev, "user_id", "ts_ms", "event_id", gapMs = 1800000L)
+        val days = ev.groupBy("user_id")
+          .agg(min("ts_ms").as("m"), max("ts_ms").as("mx"))
+          .withColumn("d", explode(sequence(expr("m DIV 86400000"), expr("mx DIV 86400000"))))
+          .select(
+            col("user_id"), col("d"),
+            (col("d") * 86400000L).as("day_start"),
+            (col("d") * 86400000L + 86399999L).as("day_end"))
+        RangeJoin
+          .overlapJoin(sess, "session_start", "session_end",
+            days, "day_start", "day_end", Seq("user_id"), bucketMs = 86400000L)
+          .select(
+            col("user_id"), col("session_seq"), col("d").as("day"),
+            (least(col("session_end"), col("day_end")) -
+              greatest(col("session_start"), col("day_start"))).as("overlap_ms"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events),
+             |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) pts FROM e),
+             |n AS (SELECT *, CASE WHEN pts IS NULL OR ts_ms - pts > 1800000 THEN 1 ELSE 0 END nw FROM l),
+             |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM n),
+             |st AS (SELECT user_id, session_seq,
+             |         min(ts_ms) session_start, max(ts_ms) session_end
+             |       FROM s GROUP BY 1, 2),
+             |b AS (SELECT user_id, min(ts_ms) // 86400000 d0, max(ts_ms) // 86400000 d1
+             |      FROM e GROUP BY 1),
+             |dd AS (SELECT user_id, unnest(range(d0, d1 + 1)) d FROM b)
+             |SELECT st.user_id, st.session_seq, dd.d AS day,
+             |  least(st.session_end, dd.d * 86400000 + 86399999)
+             |    - greatest(st.session_start, dd.d * 86400000) AS overlap_ms
+             |FROM st JOIN dd ON st.user_id = dd.user_id
+             |  AND st.session_start <= dd.d * 86400000 + 86399999
+             |  AND dd.d * 86400000 <= st.session_end""".stripMargin)
+    ),
     // Z-order layout key over orders: customer × order-day interleave,
     // 16 bits each, 256 quad-tree buckets. Sorting files by z_value makes
     // parquet footer stats prune on EITHER column; the oracle replays the
