@@ -62,6 +62,41 @@ object Behavior {
     joined.withColumn("steps_reached", reached)
   }
 
+  /** Top-k session paths: the event-type sequence of each session
+    * (gap-based, via `Sessionize.assign`) concatenated in time order,
+    * counted across the corpus — the "what do users actually do" mining
+    * query. The per-session collect is bounded by the session gap (not
+    * by a user's full history), so state stays small at any scale; the
+    * ordered concat sorts (ts, tie, type) structs INSIDE the row, not
+    * with a second window pass. Ties in count break by path ascending.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapMs: Long,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sessions = Sessionize.assign(events, userCol, tsCol, tieCol, gapMs)
+    val paths = sessions
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol).as("t")))),
+            x => x.getField("t")),
+          "->").as("path"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_sessions").desc, col("path"))
+    paths
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Cohort retention: users are cohorted by the epoch day of their FIRST
     * event; for each (cohort_day, day_offset) the count of distinct
     * cohort users active that day. The day-0 row is the cohort size.

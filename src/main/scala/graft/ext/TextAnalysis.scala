@@ -435,6 +435,48 @@ object TextAnalysis {
       .select(idCol, "n_words", "stopword_ratio", "dup_trigram_ratio", "lang_pred", "keep")
   }
 
+  /** Overlapping fixed-window chunking — the step that turns documents
+    * into trainable ≤`size`-token pieces with `overlap`-token context
+    * carry-over (the standard long-document treatment before packing;
+    * `Packing.packGreedy` consumes the output). Contract: one chunk for
+    * docs of ≤ `size` tokens; otherwise starts at 0, stride, 2·stride, …
+    * while a FULL window still fits strictly inside, plus a final
+    * full-size chunk flush against the end (so every chunk except a
+    * short doc's is exactly `size` tokens — no ragged tails to pad).
+    * Pure per-row arithmetic: zero shuffles, and every boundary is
+    * integer, so the DuckDB oracle replays chunk starts and md5s
+    * verbatim.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String, size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val words = text.split(" ", -1)
+          val n = words.length
+          val starts =
+            if (n <= size) Seq(0)
+            else {
+              val nMid = (n - size + stride - 1) / stride
+              (0 until nMid).map(_ * stride) :+ (n - size)
+            }
+          starts.iterator.zipWithIndex.map { case (st, idx) =>
+            val piece = words.slice(st, st + size).mkString(" ")
+            val d = md.digest(piece.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = d.map(b => f"$b%02x").mkString
+            (id, idx.toLong, st.toLong, math.min(size, n - st).toLong, hex)
+          }
+        }
+      }
+      .toDF(idCol, "chunk_idx", "start_tok", "n_toks", "chunk_md5")
+  }
+
   /** Per-document top-k keywords by tf·idf — the corpus-observability
     * companion to `rarity`/`lmCrossEntropy`: which terms CHARACTERIZE each
     * document against the corpus. idf is the fixed-point integer

@@ -1079,7 +1079,52 @@ object ExtQueries {
              |  max(ts_ms) - min(ts_ms) AS duration_ms,
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, session_seq""".stripMargin)),
+    // Overlapping fixed-window chunking (24-token windows, 8 overlap):
+    // mid chunks at stride 16 while a full window fits strictly inside,
+    // final chunk flushed against the end. Integer boundaries and md5
+    // piece hashes replay exactly.
+    Q(
+      "text_chunks",
+      (s, dir) =>
+        TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text", size = 24, overlap = 8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |p AS (SELECT doc_id, words, len(words) n FROM w),
+             |s AS (SELECT doc_id, words, n,
+             |        CASE WHEN n <= 24 THEN [CAST(0 AS BIGINT)]
+             |             ELSE list_append(
+             |               list_transform(range(0, (n - 24 + 15) // 16), i -> CAST(i * 16 AS BIGINT)),
+             |               CAST(n - 24 AS BIGINT)) END starts
+             |      FROM p),
+             |c AS (SELECT doc_id, words, n, starts, unnest(range(0, len(starts))) i FROM s),
+             |e AS (SELECT doc_id, CAST(i AS BIGINT) chunk_idx, starts[CAST(i + 1 AS INT)] st, words, n FROM c)
+             |SELECT doc_id, chunk_idx, st AS start_tok,
+             |  CAST(least(24, n - st) AS BIGINT) AS n_toks,
+             |  md5(array_to_string(words[CAST(st + 1 AS INT):CAST(st + 24 AS INT)], ' ')) AS chunk_md5
+             |FROM e""".stripMargin)
+    ),
     // ---- behavioral analytics (funnel / cohort retention) ----
+    // Top-20 session paths: ordered event-type sequences per gap-based
+    // session, counted corpus-wide, ties by path ascending.
+    Q(
+      "events_paths",
+      (s, dir) =>
+        Behavior.topPaths(
+          Tables.events(s, dir), "user_id", "event_type", "ts_ms", "event_id",
+          gapMs = 1800000L, k = 20),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) ts_ms FROM events),
+             |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) pts FROM e),
+             |n AS (SELECT *, CASE WHEN pts IS NULL OR ts_ms - pts > 1800000 THEN 1 ELSE 0 END nw FROM l),
+             |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM n),
+             |pa AS (SELECT user_id, session_seq,
+             |         string_agg(event_type, '->' ORDER BY ts_ms, event_id) path
+             |       FROM s GROUP BY 1, 2),
+             |c AS (SELECT path, count(*) n_sessions FROM pa GROUP BY 1),
+             |r AS (SELECT path, n_sessions,
+             |        CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) rank
+             |      FROM c)
+             |SELECT path, n_sessions, rank FROM r WHERE rank <= 20""".stripMargin)
+    ),
     // Ordered view→click→purchase funnel: earliest-completion chaining,
     // one filtered aggregation per step + equi-joins on the user key.
     Q(

@@ -58,6 +58,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("topPaths: ordered per-session sequences, counts, deterministic ties") {
+    val gap = 1000L
+    val e = Seq(
+      // u1 session 1: a→b; u1 session 2 (gap > 1000): a→b
+      (1L, "u1", "a", 0L), (2L, "u1", "b", 10L),
+      (3L, "u1", "a", 5000L), (4L, "u1", "b", 5010L),
+      // u2: a→b (one session)
+      (5L, "u2", "a", 0L), (6L, "u2", "b", 999L),
+      // u3: b→a — order matters, distinct path
+      (7L, "u3", "b", 0L), (8L, "u3", "a", 1L)
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val got = Behavior.topPaths(e, "user_id", "event_type", "ts_ms", "event_id", gap, k = 10)
+      .collect()
+      .map(r => r.getAs[String]("path") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("rank")))
+      .toMap
+    assert(got("a->b") == ((3L, 1L)))
+    assert(got("b->a") == ((1L, 2L)))
+    assert(got.size == 2)
+  }
+
   test("retention: cohort day from first event, distinct users per offset") {
     val day = 86400000L
     val e = Seq(

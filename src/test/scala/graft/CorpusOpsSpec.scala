@@ -58,6 +58,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.duplicatePassages(clean, "doc_id", "text", w = 8).count() == 0L)
   }
 
+  test("chunk: short docs yield one chunk; long docs get full-size windows with a flushed tail") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 ≤ 24 → one chunk
+      (2L, (1 to 54).map(i => s"u$i").mkString(" ")) // 54 → starts 0, 16, 30
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", size = 24, overlap = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks")))
+      .toMap
+    assert(got((1L, 0L)) == ((0L, 10L)))
+    assert(got((2L, 0L)) == ((0L, 24L)))
+    assert(got((2L, 1L)) == ((16L, 24L)))
+    assert(got((2L, 2L)) == ((30L, 24L)), "final chunk flushes against the end, stays full-size")
+    assert(got.size == 4)
+  }
+
+  test("chunk: exact-multiple lengths do not emit a duplicate final window") {
+    import graft.ext.TextAnalysis
+    // n = 40, size 24, stride 16: mid starts {0}, final = 16 — distinct
+    val docs = Seq((1L, (1 to 40).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", size = 24, overlap = 8)
+      .collect().map(r => r.getAs[Long]("start_tok")).sorted.toSeq
+    assert(got == Seq(0L, 16L))
+  }
+
   test("isqrt is exact at squares, neighbors, and large values") {
     val xs = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
       999999999999L, 1000000000000L, (1L << 40) - 1, 1L << 40)
