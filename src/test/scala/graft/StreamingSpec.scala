@@ -284,4 +284,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(got(3000L) - 15.6) < 1e-12,
       s"state lost across restart: got ${got.get(3000L)}")
   }
+
+  test("streaming funnel advances match batch steps_reached on an in-order stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelAdvance, FunnelEvent, FunnelStream}
+    val mem = MemoryStream[FunnelEvent]
+    val q = FunnelStream
+      .advances(mem.toDS(), Seq("view", "click", "buy"))
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      // u1 completes across TWO micro-batches (state carries); u2's click
+      // precedes its view (must not count); u3 stalls at view.
+      mem.addData(
+        FunnelEvent("u1", "view", 1000), FunnelEvent("u1", "click", 2000),
+        FunnelEvent("u2", "click", 500), FunnelEvent("u2", "view", 1000),
+        FunnelEvent("u3", "view", 100))
+      q.processAllAvailable()
+      mem.addData(
+        FunnelEvent("u1", "buy", 3000),
+        FunnelEvent("u2", "click", 1000)) // same ts as its view: not strictly after
+      q.processAllAvailable()
+
+      val adv = spark.table("funnel_out").as[FunnelAdvance].collect()
+      val maxStep = adv.groupBy(_.user).view.mapValues(_.map(_.step).max).toMap
+      assert(maxStep == Map("u1" -> 3, "u2" -> 1, "u3" -> 1))
+      // transition times match the batch earliest-completion chain
+      val u1 = adv.filter(_.user == "u1").sortBy(_.step).map(_.tsMs).toSeq
+      assert(u1 == Seq(1000L, 2000L, 3000L))
+
+      // batch parity on the same replayed events
+      val batch = Seq(
+        ("u1", "view", 1000L), ("u1", "click", 2000L), ("u1", "buy", 3000L),
+        ("u2", "click", 500L), ("u2", "view", 1000L), ("u2", "click", 1000L),
+        ("u3", "view", 100L)
+      ).toDF("user_id", "event_type", "ts_ms")
+      val reached = graft.ext.Behavior
+        .funnel(batch, "user_id", "event_type", "ts_ms", Seq("view", "click", "buy"))
+        .collect().map(r => r.getAs[String]("user_id") -> r.getAs[Long]("steps_reached")).toMap
+      assert(reached == maxStep.map { case (k, v) => k -> v.toLong })
+    } finally q.stop()
+  }
 }
