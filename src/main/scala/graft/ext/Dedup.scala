@@ -582,6 +582,39 @@ object Dedup {
         round(col("shared_chunks").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
   }
 
+  /** Corpus-level source similarity: pairwise MinHash-estimated Jaccard
+    * between the shingle SETS of whole groups (sources/domains/slices) —
+    * the observability query behind "which scrapes overlap" and mixture
+    * dedup planning. A group's signature is the element-wise min of its
+    * documents' MinHash signatures (min-of-mins == min over the union,
+    * the defining MinHash property), so the per-doc kernel output rolls
+    * up with ONE partial-aggregated groupBy — no group-level reshingle,
+    * no quadratic shingle join. The pair comparison runs on the
+    * (groups × perms) signature table, which is group-cardinality-sized
+    * regardless of corpus size. Documents with no shingles are excluded
+    * (their kernel sig is the empty-set placeholder, not a real min).
+    */
+  def sourceSimilarity(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      perms: Int): DataFrame = {
+    val sigs = shingleHashesAndSig(df, idCol, textCol, n, perms)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), posexplode(col("sig")).as(Seq("k", "v")))
+    val src = df.select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"))
+    val kv = sigs.join(src, "id")
+      .groupBy(col("grp"), col("k"))
+      .agg(min(col("v")).as("v"))
+    kv.as("a")
+      .join(kv.as("b"), col("a.k") === col("b.k") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L)).as("matches"))
+      .withColumn("est_jaccard", round(col("matches") / lit(perms.toDouble), 4))
+  }
+
   /** The `k` Bloom bit positions of a shingle: disjoint 32-bit words of
     * its md5, each reduced mod `mBits` — the same arithmetic DuckDB
     * replays as `('0x' || substr(md5(g), 1+8j, 8))::BIGINT % m`.

@@ -321,6 +321,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-label embedding centroids in EXACT integer domain: components
+    * quantize to 1e-6 units (the same floor(x·1e6 + 0.5) grid as the IVF
+    * builder), per-(label, dim) sums run as Long — order-independent, so
+    * the result is bit-identical under any partitioning and the DuckDB
+    * oracle hash-matches. The class-prototype aggregation behind
+    * nearest-centroid labeling, drift monitoring, and embedding-space
+    * health checks; one posexplode + one partial-aggregated shuffle.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, embCol: String): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"), posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(
+        col("label"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("centroid", round(col("sum_q") / (col("n") * lit(1000000.0)), 4))
+
+  /** Filtered ANN: IVF probe with a metadata predicate applied to the
+    * CORPUS side BEFORE the cell join — pre-filtering, the shape that
+    * guarantees k results from the eligible set (post-filtering a top-k
+    * can return fewer than k, or none, under selective predicates; the
+    * classic filtered-vector-search pitfall). `meta` is the attribute
+    * table keyed by the same id as the index; at scale it joins the
+    * cell-partitioned corpus on the id it is co-bucketed by, and the
+    * predicate prunes before any distance math. Recall caveat: cells are
+    * probed by UNFILTERED geometry; under very selective predicates
+    * raise `nprobe` (the standard lever).
+    */
+  def ivfProbeFiltered(
+      index: IvfIndex,
+      meta: DataFrame,
+      corpusPred: Column,
+      queryPred: Column,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probes = probeCells(index.assigned, index.centroids, queryPred, nprobe)
+    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    index.assigned
+      .join(meta, "id")
+      .where(corpusPred)
+      .join(broadcast(probes), col("cell") === col("cid") && col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF-PQ index: the coarse IVF structure plus per-subspace product-
     * quantizer codebooks and per-doc codes. At 100 TB of embeddings the
     * PQ codes (m bytes/vector instead of dims·4) are what make the

@@ -944,6 +944,71 @@ object ExtQueries {
              |      FROM cand)
              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
              |FROM r WHERE rank <= 5""".stripMargin)),
+    // Corpus source-similarity: pairwise MinHash Jaccard between whole
+    // sources — group signature = element-wise min of per-doc signatures
+    // (min-of-mins). The oracle replays the permutation arithmetic over
+    // distinct (source, shingle-hash) pairs.
+    Q(
+      "corpus_source_sim",
+      (s, dir) =>
+        Dedup.sourceSimilarity(
+          Tables.documents(s, dir), "source", "doc_id", "text", n = 3, perms = 16),
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hx AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |ks AS (SELECT unnest(range(0, 16)) k),
+             |sg AS (SELECT source, k, min((h * (2*k + 3) + (5*k + 7)) % 2147483647) v
+             |       FROM hx CROSS JOIN ks GROUP BY 1, 2),
+             |p AS (SELECT a.source src_a, b.source src_b,
+             |        CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) matches
+             |      FROM sg a JOIN sg b ON a.k = b.k AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT src_a, src_b, matches, round(matches / 16.0, 4) AS est_jaccard
+             |FROM p""".stripMargin)),
+    // Per-label embedding centroids: 1e-6-quantized integer sums (the
+    // IVF builder's grid) — bit-identical under any partitioning.
+    Q(
+      "emb_centroids",
+      (s, dir) =>
+        Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding"),
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+             |x AS (SELECT label, unnest(range(0, 64)) dim, embedding FROM e),
+             |q AS (SELECT label, dim,
+             |        CAST(floor(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) q
+             |      FROM x)
+             |SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
+             |       round(sum(q) / (count(*) * 1000000.0), 4) AS centroid
+             |FROM q GROUP BY 1, 2""".stripMargin)),
+    // Filtered ANN: the same IVF probe with a label predicate applied to
+    // the corpus side BEFORE the cell join (pre-filtering — k results
+    // guaranteed from the eligible set). Reuses the shared IVF fit.
+    Q(
+      "sim_ivf_filtered",
+      (s, dir) => {
+        val idx = ivfIdx.getOrElseUpdate(
+          dir, Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+        val meta = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
+        Similarity.ivfProbeFiltered(idx, meta, col("label") === 3, col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH $ivfBuildCte,
+             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+             |pr AS (SELECT query_id, qv, qnrm, cid FROM (
+             |         SELECT q.query_id, q.qv, q.qnrm, c.cid,
+             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+             |cand AS (SELECT p.query_id, uq.id,
+             |           list_sum(list_transform(range(1, 65), i -> uq.v[i]*p.qv[i])) / (uq.nrm * p.qnrm) cosine
+             |         FROM pr p JOIN af a ON a.cell = p.cid
+             |         JOIN embeddings e ON e.vec_id = a.id AND e.label = 3
+             |         JOIN uq ON uq.id = a.id AND uq.id <> p.query_id),
+             |r AS (SELECT query_id, id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+             |      FROM cand)
+             |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+             |FROM r WHERE rank <= 5""".stripMargin)),
     // IVF-PQ ANN: product-quantized codes over the IVF cells — ADC
     // scoring on codes, exact re-rank of the top-60. The PQ training is
     // as deterministic as the coarse quantizer (md5-ranked seeds, 2

@@ -712,4 +712,43 @@ class ExtSpec extends AnyFunSuite {
     val n = spark.sql("SELECT cosine_sim(a.v, b.v) c FROM cosine_probe a, cosine_probe b").count()
     assert(n == 2500)
   }
+
+  test("filtered IVF probe: every neighbor satisfies the predicate; k results from the eligible set") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+    val meta = emb.select(col("vec_id").as("id"), col("label"))
+    val got = Similarity.ivfProbeFiltered(idx, meta, col("label") === 3, col("id") < 5, k = 3)
+    val labels = got.join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .select("label").distinct().collect().map(_.getInt(0)).toSeq
+    assert(labels == Seq(3), s"pre-filter must exclude other labels, got $labels")
+    // k results per query from the eligible set (the pre-filter guarantee)
+    val perQuery = got.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 3L))
+  }
+
+  test("source MinHash similarity: identical groups estimate 1.0, disjoint estimate 0.0") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta"
+    val other = "one two three four five six"
+    val docs = Seq(
+      (1L, "s1", text), (2L, "s2", text), // identical shingle sets
+      (3L, "s3", other) // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceSimilarity(docs, "source", "doc_id", "text", n = 3, perms = 16)
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(got(("s1", "s2")) == 1.0)
+    assert(got(("s1", "s3")) == 0.0 && got(("s2", "s3")) == 0.0)
+  }
+
+  test("label centroids: exact integer sums, partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.labelCentroids(emb.repartition(13), "label", "embedding")
+      .orderBy("label", "dim").collect()
+    val b = Similarity.labelCentroids(emb.repartition(2), "label", "embedding")
+      .orderBy("label", "dim").collect()
+    assert(a.toSeq == b.toSeq, "quantized sums must be bit-identical under any partitioning")
+    assert(a.length == emb.select("label").distinct().count() * 64)
+  }
 }
