@@ -582,6 +582,63 @@ object Dedup {
         round(col("shared_chunks").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
   }
 
+  /** Incremental (delta-vs-base) near-dup screen — the daily-ingest path:
+    * check a new batch against the EXISTING corpus without re-pairing the
+    * corpus with itself. The base side's banded signature table is the
+    * reusable index (in production it is persisted once and appended to);
+    * the delta streams through one signature kernel pass and an equi-join
+    * on (band, bucket) against it, then exact-Jaccard verification of the
+    * candidates only. The frequent-bucket cap applies to BASE buckets
+    * (boilerplate protection — a base bucket holding > maxBucket docs
+    * contributes no dup signal and O(bucket) candidates per delta doc).
+    * Emits (delta_id, base_id, jaccard ≥ tau); a delta doc with any row
+    * here is a re-crawl/duplicate to drop or link.
+    */
+  def incrementalPairs(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
+    val rows = perms / bands
+    def banded(docs: DataFrame) = docs
+      .withColumn(
+        "bandKeys",
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
+    // both signature tables are multi-consumer (banding + verify sets):
+    // materialize before the fan-out, as in minhashLshPairs
+    val bdocs = shingleHashesAndSig(base, idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bdocs.count()
+    val ddocs = shingleHashesAndSig(delta, idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ddocs.count()
+    val bb = banded(bdocs)
+    val capped = bb.join(
+      bb.groupBy("band", "key").agg(count(lit(1)).as("_c"))
+        .where(col("_c") <= maxBucket).select("band", "key"),
+      Seq("band", "key"), "left_semi")
+    val candidates = banded(ddocs)
+      .select(col("id").as("delta_id"), col("band"), col("key"))
+      .join(capped.select(col("id").as("base_id"), col("band"), col("key")), Seq("band", "key"))
+      .select("delta_id", "base_id")
+      .distinct()
+    candidates
+      .join(ddocs.select(col("id").as("delta_id"), col("hs").as("sha")), "delta_id")
+      .join(bdocs.select(col("id").as("base_id"), col("hs").as("shb")), "base_id")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("delta_id"), col("base_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Corpus-level source similarity: pairwise MinHash-estimated Jaccard
     * between the shingle SETS of whole groups (sources/domains/slices) —
     * the observability query behind "which scrapes overlap" and mixture

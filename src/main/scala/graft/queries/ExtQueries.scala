@@ -28,11 +28,21 @@ object ExtQueries {
     */
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
-  private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    clusterCache.getOrElseUpdate(
+  /** Per-table MinHash-LSH pair cache: the pair graph feeds three
+    * consumers (the pair query, clustering, degree stats) — a real
+    * pipeline computes it once. Persisted: it is the root of the cluster
+    * iteration and the stats rollup.
+    */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def pairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pairsCache.getOrElseUpdate(
       dir,
-      Dedup.clusters(
-        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)))
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    clusterCache.getOrElseUpdate(dir, Dedup.clusters(pairsFor(s, dir)))
 
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
     * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
@@ -121,7 +131,11 @@ object ExtQueries {
     * with `mh_pairs(da, db, jaccard)` at τ = 0.3. Used by both the
     * pair query and the cluster query.
     */
-  private val minhashPairsCte =
+  /** The MinHash signature pipeline (shingles → 32-bit md5 hashes →
+    * 16-perm signatures → 4-band keys), shared by the whole-corpus pair
+    * oracle and the incremental (delta-vs-base) oracle.
+    */
+  private val minhashSigCte =
     """w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
       |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
@@ -132,7 +146,10 @@ object ExtQueries {
       |sigs AS (SELECT doc_id, list(m ORDER BY k) sig FROM sigk GROUP BY doc_id),
       |bk AS (SELECT doc_id, b.b band,
       |         concat_ws('-', sig[b.b*4+1], sig[b.b*4+2], sig[b.b*4+3], sig[b.b*4+4]) bkey
-      |       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) b) b),
+      |       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) b) b)""".stripMargin
+
+  private val minhashPairsCte =
+    s"""$minhashSigCte,
       |keep AS (SELECT band, bkey FROM (SELECT band, bkey, count(*) c FROM bk GROUP BY 1, 2)
       |         WHERE c > 1 AND c <= 100),
       |kept AS (SELECT bk.doc_id, bk.band, bk.bkey FROM bk JOIN keep USING (band, bkey)),
@@ -490,7 +507,7 @@ object ExtQueries {
     // oracle simply omits them.
     Q(
       "dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3),
+      (s, dir) => pairsFor(s, dir),
       Some(s"""WITH $minhashPairsCte
               |SELECT da, db, round(jaccard, 4) AS jaccard FROM mh_pairs""".stripMargin)),
     // Duplicate-cluster assembly: connected components over the
@@ -539,6 +556,50 @@ object ExtQueries {
               |  FROM cz JOIN wq USING (doc_id))
               |WHERE rn = 1""".stripMargin)
     ),
+    // Near-dup graph degree histogram: how many docs have k near-dup
+    // neighbors — the triage view over the pair graph (reuses the cached
+    // pair table; a real pipeline computes pairs once for all consumers).
+    Q(
+      "dedup_graph_stats",
+      (s, dir) => {
+        val pairs = pairsFor(s, dir)
+        pairs.select(col("da").as("d")).union(pairs.select(col("db").as("d")))
+          .groupBy("d").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |d AS (SELECT da d FROM mh_pairs UNION ALL SELECT db FROM mh_pairs),
+              |dg AS (SELECT d, count(*) degree FROM d GROUP BY 1)
+              |SELECT degree, count(*) AS n_docs FROM dg GROUP BY 1""".stripMargin)),
+    // Incremental dedup: the new batch (doc_id < 20) screened against
+    // the existing corpus (doc_id >= 20) — band equi-join against the
+    // base-side index, exact verify of candidates only, base-bucket cap.
+    Q(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalPairs(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+      },
+      Some(s"""WITH $minhashSigCte,
+              |bbk AS (SELECT * FROM bk WHERE doc_id >= 20),
+              |dbk AS (SELECT * FROM bk WHERE doc_id < 20),
+              |keepb AS (SELECT band, bkey FROM (SELECT band, bkey, count(*) c FROM bbk GROUP BY 1, 2)
+              |          WHERE c <= 100),
+              |bkept AS (SELECT bbk.doc_id, bbk.band, bbk.bkey FROM bbk JOIN keepb USING (band, bkey)),
+              |cand AS (SELECT DISTINCT d.doc_id delta_id, b.doc_id base_id
+              |         FROM dbk d JOIN bkept b ON d.band = b.band AND d.bkey = b.bkey),
+              |iv AS (SELECT c.delta_id, c.base_id, count(*) i
+              |       FROM cand c JOIN hs x ON x.doc_id = c.delta_id
+              |       JOIN hs y ON y.doc_id = c.base_id AND y.h = x.h
+              |       GROUP BY 1, 2),
+              |j AS (SELECT iv.delta_id, iv.base_id, CAST(i AS DOUBLE) / (sa.n + sb.n - i) jaccard
+              |      FROM iv JOIN sz sa ON sa.doc_id = iv.delta_id
+              |      JOIN sz sb ON sb.doc_id = iv.base_id)
+              |SELECT delta_id, base_id, round(jaccard, 4) AS jaccard
+              |FROM j WHERE jaccard >= 0.3""".stripMargin)),
     // SimHash banding — md5 60-bit token hashes, majority-vote bits, 4×15
     // banding, exact Hamming verify: fully integer, replays in DuckDB.
     Q(

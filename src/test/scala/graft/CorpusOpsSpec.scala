@@ -85,6 +85,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 16L))
   }
 
+  test("incrementalPairs: delta re-crawls hit their base twin; novel docs pass clean") {
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about spark shuffles and partitions here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact re-crawl of 100
+      (2L, "totally novel text with its own words nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalPairs(base, delta, "doc_id", "text", tau = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"), r.getAs[Double]("jaccard")))
+    assert(got.toSeq == Seq((1L, 100L, 1.0)))
+  }
+
+  test("incrementalPairs matches the symmetric pair finder restricted to cross-side pairs") {
+    // same corpus split two ways: whole-corpus pairs filtered to
+    // (delta, base) sides must equal the incremental screen (same tau,
+    // same banding) when no bucket hits the cap
+    val docs = (1 to 30).map { i =>
+      val core = "alpha beta gamma delta epsilon zeta eta theta"
+      if (i % 3 == 0) (i.toLong, s"$core v$i") else (i.toLong, s"unique$i words$i only$i here$i now$i then$i x$i y$i")
+    }.toDF("doc_id", "text")
+    val base = docs.where($"doc_id" % 2 === 0)
+    val delta = docs.where($"doc_id" % 2 === 1)
+    val inc = Dedup.incrementalPairs(base, delta, "doc_id", "text", tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"))).toSet
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+        Seq(a -> b, b -> a)
+      }
+      .filter { case (d, bs) => d % 2 == 1 && bs % 2 == 0 }
+      .toSet
+    assert(inc == all)
+  }
+
   test("isqrt is exact at squares, neighbors, and large values") {
     val xs = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
       999999999999L, 1000000000000L, (1L << 40) - 1, 1L << 40)
