@@ -33,23 +33,52 @@ object Sketches {
     * pass. Registers from different corpora merge by max — union + the
     * same groupBy re-aggregates.
     */
-  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
+  /** (group, bucket, _rank) projection shared by the batch and streaming
+    * register builders. Extra columns in `keep` pass through.
+    */
+  private def bucketRank(df: DataFrame, keep: Seq[Column], valueCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
     val rem = 60 - p
-    df.select(col(groupCol), hash60(col(valueCol)).as("_h"))
-      .select(
-        col(groupCol),
-        (col("_h") % m).as("bucket"),
-        expr(s"_h DIV $m").as("_rest"))
+    df.select((keep :+ hash60(col(valueCol)).as("_h")): _*)
+      .withColumn("bucket", col("_h") % m)
+      .withColumn("_rest", expr(s"_h DIV $m"))
       .withColumn(
         "_rank",
         when(col("_rest") === 0L, lit(rem + 1))
           .otherwise(lit(rem + 1) - length(expr("bin(_rest)")))
           .cast("long"))
+      .drop("_h", "_rest")
+  }
+
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame =
+    bucketRank(df, Seq(col(groupCol)), valueCol, p)
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("_rank")).as("register"))
-  }
+
+  /** Streaming HLL: windowed distinct-count registers over an unbounded
+    * stream. Because a register is just max(rank) — an associative,
+    * commutative aggregate — Structured Streaming maintains it natively
+    * in the state store with NO custom state code: late data within the
+    * watermark folds in by max, window state evicts at watermark close.
+    * The output register table merges/estimates with the same
+    * `hllEstimate` as batch. This is the shape of a streaming
+    * distinct-users dashboard at any scale: state per (window, group,
+    * bucket) is one long, bounded by m per group-window.
+    */
+  def hllRegistersStream(
+      df: DataFrame,
+      timeCol: String,
+      groupCol: String,
+      valueCol: String,
+      p: Int,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    bucketRank(
+      df.withWatermark(timeCol, watermarkDelay),
+      Seq(col(timeCol), col(groupCol)), valueCol, p)
+      .groupBy(window(col(timeCol), windowDuration), col(groupCol), col("bucket"))
+      .agg(max(col("_rank")).as("register"))
 
   /** HLL estimate per group from a register table: the harmonic-mean
     * numerator Σ 2^(40−register) runs in EXACT integer fixed point

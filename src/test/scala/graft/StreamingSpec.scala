@@ -285,6 +285,36 @@ class StreamingSpec extends AnyFunSuite {
       s"state lost across restart: got ${got.get(3000L)}")
   }
 
+  test("streaming HLL registers equal the batch sketch for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sketches
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = Sketches
+      .hllRegistersStream(
+        mem.toDF().toDF("t", "grp", "v"),
+        "t", "grp", "v", p = 8, windowDuration = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("hll_out").start()
+    try {
+      val vals1 = (1 to 300).map(i => (ts(1000), "g", s"u$i"))
+      val vals2 = (200 to 500).map(i => (ts(2000), "g", s"u$i")) // overlap 200..300
+      mem.addData(vals1: _*)
+      q.processAllAvailable()
+      mem.addData(vals2: _*)
+      q.processAllAvailable()
+
+      // update-mode memory sink can hold superseded rows for the same key
+      // across triggers — keep the max (the final register value)
+      val got = spark.table("hll_out")
+        .groupBy("bucket").agg(org.apache.spark.sql.functions.max("register").as("register"))
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      val batch = Sketches
+        .hllRegisters((vals1 ++ vals2).map(x => (x._2, x._3)).toDF("grp", "v"), "grp", "v", p = 8)
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      assert(got == batch, "streaming registers must fold to the batch sketch")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances match batch steps_reached on an in-order stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{FunnelAdvance, FunnelEvent, FunnelStream}
