@@ -577,6 +577,46 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("n_hits"), col("score_fp"))
   }
 
+  /** Robust per-group score normalization: median/MAD z-score of a
+    * numeric column within each group — the outlier-resistant way to
+    * compare quality metrics ACROSS sources whose scales differ (mean/
+    * stddev normalization is exactly what a heavy-tailed crawl breaks).
+    * Entirely integer: "median" is the lower-median order statistic
+    * (rank (n+1) DIV 2, deterministic ties by id), MAD the same
+    * statistic over |x − med|, and the z-score is scaled to 1e-4 units
+    * via integer division (both engines truncate toward zero). No fp
+    * anywhere, so the oracle hash-matches.
+    *
+    * Plan: two window passes + two joins, ALL partitioned by the group
+    * key — one exchange, then per-partition sorts.
+    */
+  def robustNorm(df: DataFrame, idCol: String, groupCol: String, valueCol: String): DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val base = df.select(col(idCol), col(groupCol), col(valueCol))
+    val ranked = base
+      .withColumn("_r", row_number().over(wv).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val med = ranked
+      .where(col("_r") === expr("(_n + 1) DIV 2"))
+      .select(col(groupCol), col(valueCol).as("med"))
+    val dv = base.join(med, groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("dev"), col(idCol))
+    val mad = dv
+      .withColumn("_r", row_number().over(wd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .where(col("_r") === expr("(_n + 1) DIV 2"))
+      .select(col(groupCol), col("dev").as("mad"))
+    dv.join(mad, groupCol)
+      .select(
+        col(idCol), col(groupCol), col(valueCol), col("med"), col("mad"),
+        expr(s"(($valueCol - med) * 10000) DIV greatest(mad, 1)").as("z_pts"))
+  }
+
   /** Document fingerprinting: a whole-text content hash plus the minimum
     * word-5-gram hash (a 1-perm MinHash — robust to suffix edits). md5 on
     * both engines → identical hex, lexicographic min.

@@ -419,6 +419,25 @@ object ExtQueries {
              |      FROM ag)
              |SELECT doc_id, rank, n_hits, score_fp FROM r WHERE rank <= 10""".stripMargin)
     ),
+    // Robust per-source normalization of doc length: lower-median /
+    // MAD order statistics, integer 1e-4-unit z-scores.
+    Q(
+      "text_robust_norm",
+      (s, dir) =>
+        TextAnalysis.robustNorm(Tables.documents(s, dir), "doc_id", "source", "n_chars"),
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) rr,
+             |         count(*) OVER (PARTITION BY source) n FROM d),
+             |m AS (SELECT source, n_chars med FROM r WHERE rr = (n + 1) // 2),
+             |dv AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+             |         abs(d.n_chars - m.med) dev FROM d JOIN m USING (source)),
+             |r2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) rr,
+             |         count(*) OVER (PARTITION BY source) n FROM dv),
+             |md AS (SELECT source, dev mad FROM r2 WHERE rr = (n + 1) // 2)
+             |SELECT dv.doc_id, dv.source, dv.n_chars, dv.med, md.mad,
+             |  ((dv.n_chars - dv.med) * 10000) // greatest(md.mad, 1) AS z_pts
+             |FROM dv JOIN md USING (source)""".stripMargin)
+    ),
     Q(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
@@ -1005,6 +1024,56 @@ object ExtQueries {
              |      FROM cand)
              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
              |FROM r WHERE rank <= 5""".stripMargin)),
+    // Index self-evaluation: recall@5 of the IVF probe against the exact
+    // brute-force ranks, per query — the report a production ANN index
+    // ships with. Both pipelines replay in the oracle (shared prep CTE).
+    Q(
+      "sim_recall_report",
+      (s, dir) => {
+        val idx = ivfIdx.getOrElseUpdate(
+          dir, Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+        val approx = Similarity.ivfProbe(idx, col("id") < 10, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity
+          .cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        exact.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
+      },
+      Some(s"""WITH $ivfBuildCte,
+             |exq AS (SELECT id query_id, v qv, nrm qnrm FROM uq WHERE id < 10),
+             |exp_ AS (SELECT q.query_id, a.id nid,
+             |          list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm) cosine
+             |        FROM exq q JOIN uq a ON a.id <> q.query_id),
+             |exr AS (SELECT query_id, nid FROM (
+             |          SELECT query_id, nid,
+             |                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nid) r
+             |          FROM exp_) WHERE r <= 5),
+             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+             |pr AS (SELECT query_id, qv, qnrm, cid FROM (
+             |         SELECT q.query_id, q.qv, q.qnrm, c.cid,
+             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+             |cand AS (SELECT p.query_id, uq.id,
+             |           list_sum(list_transform(range(1, 65), i -> uq.v[i]*p.qv[i])) / (uq.nrm * p.qnrm) cosine
+             |         FROM pr p JOIN af a ON a.cell = p.cid JOIN uq ON uq.id = a.id AND uq.id <> p.query_id),
+             |ivr AS (SELECT query_id, id FROM (
+             |          SELECT query_id, id,
+             |                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+             |          FROM cand) WHERE rank <= 5),
+             |h AS (SELECT e.query_id, count(*) hits FROM exr e
+             |      JOIN ivr i ON i.query_id = e.query_id AND i.id = e.nid GROUP BY 1),
+             |qi AS (SELECT DISTINCT query_id FROM exr)
+             |SELECT query_id, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+             |       round(coalesce(hits, 0) / 5.0, 4) AS recall
+             |FROM qi LEFT JOIN h USING (query_id)""".stripMargin)),
     // Corpus source-similarity: pairwise MinHash Jaccard between whole
     // sources — group signature = element-wise min of per-doc signatures
     // (min-of-mins). The oracle replays the permutation arithmetic over

@@ -140,6 +140,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exact)
   }
 
+  test("robustNorm: outliers cannot move the median/MAD; zero-MAD guarded") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 100L), // outlier
+      (5L, "b", 7L), (6L, "b", 7L), (7L, "b", 7L) // zero spread
+    ).toDF("doc_id", "source", "n_chars")
+    val got = TextAnalysis.robustNorm(df, "doc_id", "source", "n_chars")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("med"), r.getAs[Long]("mad"), r.getAs[Long]("z_pts")))
+      .toMap
+    // group a: lower median = 2, devs [1,0,1,98] → mad = 1
+    assert(got(1L) == ((2L, 1L, -10000L)))
+    assert(got(2L) == ((2L, 1L, 0L)))
+    assert(got(3L) == ((2L, 1L, 10000L)))
+    assert(got(4L) == ((2L, 1L, 980000L)), "the outlier is scored, not absorbed")
+    // group b: all equal → mad 0, guarded divide → z 0
+    assert(got(5L) == ((7L, 0L, 0L)) && got(6L) == ((7L, 0L, 0L)) && got(7L) == ((7L, 0L, 0L)))
+  }
+
   test("mixTemperature: quotas proportional to sqrt(count), small sources upweighted") {
     val rows = (1 to 100).map(i => (i.toLong, "big")) ++ (101 to 125).map(i => (i.toLong, "small"))
     val df = rows.toDF("doc_id", "source")
