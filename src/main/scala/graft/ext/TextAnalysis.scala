@@ -577,6 +577,63 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("n_hits"), col("score_fp"))
   }
 
+  /** Top-k collocations by pointwise mutual information: adjacent token
+    * pairs whose co-occurrence beats independence — the corpus-linguistics
+    * query behind multiword-expression vocab entries and tokenizer merge
+    * candidates. PMI = log2(c12·N / (c1·c2R)) with c1 the left-context
+    * count, c2R the right-context count, N total bigrams — all from ONE
+    * bigram-count table (one partial-agg shuffle of the corpus, then
+    * vocab-sized arithmetic). The log runs in `surprisalFp` fixed point
+    * with an explicit sign (ratio < 1 → negative PMI), so ranking is
+    * integer-exact. `minCount` filters the classic PMI
+    * rare-pair artifact. Long-domain bound: c12·N and c1·c2R must fit a
+    * signed 64-bit lane — past ~3e9 bigrams, downscale counts by a
+    * common factor first (PMI is scale-invariant up to the shared
+    * factor).
+    */
+  def collocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0, "minCount and k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (_, text) =>
+          val ws = text.split(" ", -1)
+          (0 until ws.length - 1).iterator.map(i => (ws(i), ws(i + 1)))
+        }
+      }
+      .toDF("w1", "w2")
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2r = c12.groupBy("w2").agg(sum("c12").as("c2r"))
+    val n = c12.agg(sum("c12").as("nn"))
+    val scored = c12.where(col("c12") >= minCount)
+      .join(c1, "w1").join(c2r, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2r"), col("nn"))
+      .as[(String, String, Long, Long, Long, Long)]
+      .map { case (w1, w2, cc, a, b, nn) =>
+        val lhs = cc * nn
+        val rhs = a * b
+        val pmi =
+          if (lhs >= rhs) surprisalFp(lhs, rhs)
+          else -surprisalFp(rhs, lhs)
+        (w1, w2, cc, pmi)
+      }
+      .toDF("w1", "w2", "c12", "pmi_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Robust per-group score normalization: median/MAD z-score of a
     * numeric column within each group — the outlier-resistant way to
     * compare quality metrics ACROSS sources whose scales differ (mean/

@@ -419,6 +419,44 @@ object ExtQueries {
              |      FROM ag)
              |SELECT doc_id, rank, n_hits, score_fp FROM r WHERE rank <= 10""".stripMargin)
     ),
+    // Top-30 PMI collocations (min pair count 5): fixed-point signed
+    // log2 of the independence ratio, replayed via the squaring CTE with
+    // an explicit sign.
+    Q(
+      "text_collocations",
+      (s, dir) =>
+        TextAnalysis.collocations(Tables.documents(s, dir), "doc_id", "text", minCount = 5L, k = 30),
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |bi AS (SELECT doc_id, unnest(range(1, len(words))) i, words FROM w),
+             |bg AS (SELECT words[i] w1, words[i + 1] w2 FROM bi),
+             |c12 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+             |c2r AS (SELECT w2, CAST(sum(c12) AS BIGINT) c2r FROM c12 GROUP BY 1),
+             |nn AS (SELECT CAST(sum(c12) AS BIGINT) nn FROM c12),
+             |cand AS (SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2r.c2r, nn.nn,
+             |           c12.c12 * nn.nn lhs, c1.c1 * c2r.c2r rhs
+             |         FROM c12 JOIN c1 USING (w1) JOIN c2r USING (w2) CROSS JOIN nn
+             |         WHERE c12.c12 >= 5),
+             |eb AS (SELECT w1, w2, c12, greatest(lhs, rhs) t, least(lhs, rhs) cnt,
+             |         CASE WHEN lhs >= rhs THEN 1 ELSE -1 END sgn,
+             |         length(format('{:b}', greatest(lhs, rhs) // least(lhs, rhs))) - 1 E
+             |       FROM cand),
+             |z0 AS (SELECT w1, w2, c12, sgn, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb),
+             |fr AS (
+             |  SELECT w1, w2, c12, sgn, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT w1, w2, c12, sgn, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT w1, w2, c12, sgn * (E*65536 + frac) pmi_fp FROM fr WHERE i = 16),
+             |r AS (SELECT w1, w2, c12, pmi_fp,
+             |        CAST(row_number() OVER (ORDER BY pmi_fp DESC, w1, w2) AS BIGINT) rank
+             |      FROM sfp)
+             |SELECT w1, w2, c12, CAST(pmi_fp AS BIGINT) AS pmi_fp, rank FROM r WHERE rank <= 30""".stripMargin)
+    ),
     // Robust per-source normalization of doc length: lower-median /
     // MAD order statistics, integer 1e-4-unit z-scores.
     Q(
@@ -1353,6 +1391,66 @@ object ExtQueries {
              |      FROM e JOIN f USING (user_id))
              |SELECT cohort_day, day_offset, count(*) AS n_users
              |FROM a GROUP BY 1, 2""".stripMargin)),
+    // Multi-dimensional rollup: CUBE over (event_type, day) — all four
+    // grouping sets in one pass (Catalyst expands to a single shuffle
+    // with grouping-id). Values aggregate in exact milli-units so the
+    // rollup sums are order-independent.
+    Q(
+      "events_cube",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_type"),
+            expr("CAST(ts_ms DIV 86400000 AS BIGINT)").as("day"),
+            expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v_pts"))
+          .cube("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum("v_pts").as("sum_v_pts")),
+      Some("""WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) v_pts FROM events)
+             |SELECT event_type, day, count(*) AS n, CAST(sum(v_pts) AS BIGINT) AS sum_v_pts
+             |FROM e GROUP BY CUBE (event_type, day)""".stripMargin)
+    ),
+    // Pivot: per-user event-type count matrix (explicit value list →
+    // deterministic schema), absent combinations as 0.
+    Q(
+      "events_pivot",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L),
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+             |FROM events GROUP BY user_id""".stripMargin)
+    ),
+    // Log2-bucketed inter-event gap histogram per the whole stream: the
+    // latency/cadence distribution view. Bucket = bit-length of gap+1,
+    // pure integer.
+    Q(
+      "events_gap_histogram",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("_gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+          .where(col("_gap").isNotNull)
+          .withColumn("bucket", (length(expr("bin(_gap + 1)")) - 1).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_gaps"), min("_gap").as("min_gap"), max("_gap").as("max_gap"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events),
+             |l AS (SELECT user_id, ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+             |        ORDER BY ts_ms, event_id) gap FROM e),
+             |g AS (SELECT gap, length(format('{:b}', gap + 1)) - 1 bucket FROM l WHERE gap IS NOT NULL)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_gaps,
+             |       min(gap) AS min_gap, max(gap) AS max_gap
+             |FROM g GROUP BY 1""".stripMargin)
+    ),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     Q(
       "mm_frame_sample",

@@ -140,6 +140,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exact)
   }
 
+  test("collocations: bound pairs score positive PMI, anti-correlated pairs negative") {
+    import graft.ext.TextAnalysis
+    // "new york" always adjacent (perfect collocation); "a b" occur often
+    // but never adjacent to each other after the first tokens
+    val docs = (1 to 10).map(i => (i.toLong,
+      "new york " + Seq.fill(5)("a x b y").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 5L, k = 50)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("pmi_fp"))
+      .toMap
+    assert(got(("new", "york")) > 0L, "perfect collocation must have positive PMI")
+    assert(got(("a", "x")) > 0L)
+    // "y a" happens (between repetitions) but "a" is also followed by x
+    // constantly — the ubiquitous-token pair ranks below the bound pair
+    assert(got(("new", "york")) > got(("y", "a")))
+  }
+
   test("robustNorm: outliers cannot move the median/MAD; zero-MAD guarded") {
     import graft.ext.TextAnalysis
     val df = Seq(
