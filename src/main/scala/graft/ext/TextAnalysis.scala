@@ -644,31 +644,35 @@ object TextAnalysis {
     * via integer division (both engines truncate toward zero). No fp
     * anywhere, so the oracle hash-matches.
     *
-    * Plan: two window passes + two joins, ALL partitioned by the group
-    * key — one exchange, then per-partition sorts.
+    * Plan (audited with .explain): the OUTPUT path is exchange-free —
+    * Catalyst prunes the rank windows off it entirely once `_r`/`_n`
+    * drop, leaving scan + two BROADCAST joins; only the side-statistic
+    * derivations shuffle the corpus (once for med, twice for mad, which
+    * re-derives dev), and each aggregates to a group-cardinality-sized
+    * table before broadcasting. Three corpus shuffles is the honest
+    * price of EXACT grouped medians; at extreme scale persist the dev
+    * lineage or sample the statistics (Spark's own quantile machinery
+    * samples).
     */
   def robustNorm(df: DataFrame, idCol: String, groupCol: String, valueCol: String): DataFrame = {
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
-    val base = df.select(col(idCol), col(groupCol), col(valueCol))
-    val ranked = base
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val wv = grpW.orderBy(col(valueCol), col(idCol))
+    val ranked = df.select(col(idCol), col(groupCol), col(valueCol))
       .withColumn("_r", row_number().over(wv).cast("long"))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("_n", count(lit(1)).over(grpW))
     val med = ranked
       .where(col("_r") === expr("(_n + 1) DIV 2"))
       .select(col(groupCol), col(valueCol).as("med"))
-    val dv = base.join(med, groupCol)
+    val dv = ranked.drop("_r", "_n")
+      .join(broadcast(med), groupCol)
       .withColumn("dev", abs(col(valueCol) - col("med")))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("dev"), col(idCol))
+    val wd = grpW.orderBy(col("dev"), col(idCol))
     val mad = dv
       .withColumn("_r", row_number().over(wd).cast("long"))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("_n", count(lit(1)).over(grpW))
       .where(col("_r") === expr("(_n + 1) DIV 2"))
       .select(col(groupCol), col("dev").as("mad"))
-    dv.join(mad, groupCol)
+    dv.join(broadcast(mad), groupCol)
       .select(
         col(idCol), col(groupCol), col(valueCol), col("med"), col("mad"),
         expr(s"(($valueCol - med) * 10000) DIV greatest(mad, 1)").as("z_pts"))
