@@ -29,11 +29,20 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cnt"))
       .select("canonical_id", "cnt")
 
-  /** Distinct word n-gram shingles per document, as an array column. */
+  /** Distinct word n-gram shingles per document, as an array column.
+    * Documents shorter than `n` words yield an EMPTY array — without the
+    * guard, sequence(0, size−n) runs DESCENDING for short docs and the
+    * transform evaluates slice(words, 0, n), which throws at runtime
+    * (the typed kernels already emit zero shingles for short docs; this
+    * keeps the Catalyst path consistent).
+    */
   def shingleArray(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    when(
+      size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exploded (id, shingle) pairs. */
@@ -146,6 +155,21 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, perms: Int): DataFrame =
     shingleHashesAndSig(df, idCol, textCol, n, perms).select("id", "sig")
 
+  /** Exploded (id, band, key) LSH band keys from a signature table — the
+    * ONE definition of the band-key layout, shared by the symmetric
+    * (`minhashLshPairs`) and incremental (`incrementalPairs`) paths so
+    * the two can never drift apart (the shared DuckDB signature CTE
+    * replays exactly this).
+    */
+  private def bandedKeys(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    docs
+      .withColumn(
+        "bandKeys",
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
+
   /** Eval-set decontamination: flag training documents that share ≥
     * `minShared` distinct word n-grams with any probe (benchmark/eval)
     * document — the overlap check every pretraining pipeline runs before
@@ -205,10 +229,7 @@ object Dedup {
     // race to compute the same partitions concurrently (observed as
     // "Block rdd_* already exists" churn and a >10× wall-time blowup).
     docs.count()
-    val withSig = docs.withColumn(
-      "bandKeys",
-      transform(sequence(lit(0), lit(bands - 1)), b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
-    val banded = withSig.select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
+    val banded = bandedKeys(docs, bands, rows)
     // frequent-bucket skip: a band bucket holding > maxBucket docs is a
     // collision artifact and would contribute O(bucket²) candidate pairs —
     // dropping such buckets bounds the candidate join at ANY corpus size
@@ -605,13 +626,6 @@ object Dedup {
       tau: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
     val rows = perms / bands
-    def banded(docs: DataFrame) = docs
-      .withColumn(
-        "bandKeys",
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))))
-      .select(col("id"), posexplode(col("bandKeys")).as(Seq("band", "key")))
     // both signature tables are multi-consumer (banding + verify sets):
     // materialize before the fan-out, as in minhashLshPairs
     val bdocs = shingleHashesAndSig(base, idCol, textCol, n, perms)
@@ -620,12 +634,12 @@ object Dedup {
     val ddocs = shingleHashesAndSig(delta, idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ddocs.count()
-    val bb = banded(bdocs)
+    val bb = bandedKeys(bdocs, bands, rows)
     val capped = bb.join(
       bb.groupBy("band", "key").agg(count(lit(1)).as("_c"))
         .where(col("_c") <= maxBucket).select("band", "key"),
       Seq("band", "key"), "left_semi")
-    val candidates = banded(ddocs)
+    val candidates = bandedKeys(ddocs, bands, rows)
       .select(col("id").as("delta_id"), col("band"), col("key"))
       .join(capped.select(col("id").as("base_id"), col("band"), col("key")), Seq("band", "key"))
       .select("delta_id", "base_id")
@@ -784,6 +798,11 @@ object Dedup {
         }
       }
       .toDF(idCol, "pos", "h")
+      // two consumers (dup aggregation + the semi-join's probe side) with
+      // DIFFERENT exchange children — ReuseExchange cannot dedupe them, so
+      // without the persist the tokenize+md5 kernel pass runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count()
     val dup = wins.groupBy("h").agg(count(lit(1)).as("_c")).where(col("_c") > 1).select("h")
     val flagged = wins.join(dup, Seq("h"), "left_semi")
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -86,12 +86,15 @@ object Sampling {
   }
 
   /** Exact integer square root (floor): seed from fp sqrt, then correct
-    * the possible ±1 — exact for any non-negative Long (fp sqrt of a
-    * ≤2⁶³ value is within 1 ulp, so one correction step suffices). The
-    * DuckDB oracle replays the same seed-and-correct CASE arithmetic.
+    * the possible ±1 — exact for any non-negative Long. The seed is
+    * clamped to isqrt(Long.MaxValue)−1 = 3037000498 so the (s0+1)²
+    * correction probe cannot overflow a 64-bit lane near the top of the
+    * domain (the true root is ≤ 3037000499, still reachable via the +1
+    * step). The DuckDB oracle replays the same clamp-seed-correct CASE
+    * arithmetic.
     */
   def isqrt(x: Column): Column = {
-    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s0 = least(floor(sqrt(x.cast("double"))).cast("long"), lit(3037000498L))
     when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
       .when(s0 * s0 > x, s0 - 1)
       .otherwise(s0)

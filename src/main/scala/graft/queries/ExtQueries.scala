@@ -739,7 +739,8 @@ object ExtQueries {
           Tables.documents(s, dir), "doc_id", "source", targetTotal = 200L, salt = "mixT")
           .select(col("doc_id"), col("source"), col("grp_rank"), col("quota")),
       Some("""WITH c AS (SELECT source, count(*) c FROM documents GROUP BY 1),
-             |s0 AS (SELECT source, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) s FROM c),
+             |s0 AS (SELECT source, c,
+             |         least(CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT), 3037000498) s FROM c),
              |s1 AS (SELECT source, c,
              |         CASE WHEN (s+1)*(s+1) <= c THEN s + 1
              |              WHEN s*s > c THEN s - 1 ELSE s END w FROM s0),

@@ -12,8 +12,19 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = Sessions.get("corpusops-spec")
   import spark.implicits._
 
+  test("shingleArray: documents shorter than n yield an empty array, not a runtime error") {
+    val got = Seq((1L, "one two"), (2L, ""), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        Dedup.shingleArray($"text", 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 2))
+  }
+
   test("bloomContamination: shared trigrams hit, disjoint vocab does not") {
-    val probe = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // the 2-word probe doc exercises the short-doc path of the Catalyst
+    // shingle side (crashed before the shingleArray guard)
+    val probe = Seq((1L, "alpha beta gamma delta"), (2L, "xy zz")).toDF("doc_id", "text")
     val train = Seq(
       (10L, "x alpha beta gamma y"), // contains probe trigram "alpha beta gamma"
       (11L, "p q r s t u"), // disjoint vocab
@@ -124,19 +135,16 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("isqrt is exact at squares, neighbors, and large values") {
     val xs = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
-      999999999999L, 1000000000000L, (1L << 40) - 1, 1L << 40)
+      999999999999L, 1000000000000L, (1L << 40) - 1, 1L << 40,
+      // top of the Long domain: the (s0+1)² probe must not overflow
+      9223372030926249000L, 9223372030926249001L, Long.MaxValue)
     val got = xs.toDF("x").select(Sampling.isqrt(col("x")).as("s"))
       .collect().map(_.getLong(0))
-    val want = xs.map(x => math.sqrt(x.toDouble).toLong match {
-      case s if (s + 1) * (s + 1) <= x => s + 1
-      case s if s * s > x => s - 1
-      case s => s
-    })
-    // ground truth: largest s with s² ≤ x
+    // ground truth: largest s with s² ≤ x, in overflow-safe BigInt
     def isqrtExact(x: Long): Long =
-      Iterator.iterate(math.sqrt(x.toDouble).toLong + 2)(_ - 1).find(s => s * s <= x).get
+      Iterator.iterate(math.sqrt(x.toDouble).toLong + 2)(_ - 1)
+        .find(s => BigInt(s) * BigInt(s) <= BigInt(x)).get
     val exact = xs.map(isqrtExact)
-    assert(want == exact)
     assert(got.toSeq == exact)
   }
 
