@@ -103,4 +103,49 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_skew_join")
     assert(p.contains("_fsalt"), s"join must be salted:\n$p")
   }
+
+  test("events_funnel: per-step filters pushed to the scan; one user-key exchange") {
+    val p = plan("events_funnel")
+    assert(p.contains("EqualTo(event_type,view)") && p.contains("EqualTo(event_type,click)"),
+      "step predicates must reach the parquet scans")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"funnel is one exchange on the user key, saw $exchanges:\n$p")
+  }
+
+  test("layout_zorder: zero-shuffle narrow map, codegen'd interleave") {
+    val p = plan("layout_zorder")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 0, s"z-value assignment must not shuffle:\n$p")
+    assert(p.contains("*(1) Project"), "interleave must stay inside whole-stage codegen")
+  }
+
+  test("decontaminate_bloom: zero corpus shuffle (bitset broadcast, kernel pass)") {
+    val p = plan("decontaminate_bloom")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 0, s"bloom screen must not shuffle the corpus:\n$p")
+  }
+
+  test("text_chunks: zero-shuffle per-row chunking with pruned scan") {
+    val p = plan("text_chunks")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges == 0, s"chunking must not shuffle:\n$p")
+  }
+
+  test("text_robust_norm: output path is exchange-free; side stats broadcast") {
+    val p = plan("text_robust_norm")
+    assert(p.contains("BroadcastHashJoin"), "med/mad tables must broadcast")
+    // all shuffles live under the broadcast side-table derivations: the
+    // top-level (output) plan segment before the first BroadcastExchange
+    // must contain none
+    val head = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!head.contains("Exchange hashpartitioning"),
+      s"output path must not re-shuffle the corpus:\n$p")
+  }
+
+  test("events_cube: a single expand+aggregate pass, not one scan per grouping set") {
+    val p = plan("events_cube")
+    assert(p.contains("Expand"), "CUBE must plan through Expand")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"cube must scan once, saw $scans:\n$p")
+  }
 }
