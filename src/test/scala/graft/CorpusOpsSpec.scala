@@ -87,6 +87,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("chunk invariants, exhaustive over doc lengths 1..200: full coverage, bounded overlap, full-size windows") {
+    import graft.ext.TextAnalysis
+    val size = 24
+    val overlap = 8
+    val stride = size - overlap
+    val docs = (1 to 200).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", size, overlap)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks")))
+      .groupBy(_._1)
+    (1 to 200).foreach { n =>
+      val cs = chunks(n.toLong).map(c => (c._2, c._3)).sortBy(_._1)
+      // every token covered, no gap between consecutive chunks
+      assert(cs.head._1 == 0L && cs.last._1 + cs.last._2 == n.toLong, s"n=$n endpoints")
+      cs.sliding(2).foreach {
+        case Array((s1, len1), (s2, _)) =>
+          assert(s2 <= s1 + len1, s"n=$n gap between chunks at $s1 and $s2")
+          assert(s2 - s1 <= stride, s"n=$n stride exceeded")
+        case _ => ()
+      }
+      // all windows full-size once the doc exceeds one window
+      if (n > size) assert(cs.forall(_._2 == size.toLong), s"n=$n ragged chunk")
+      else assert(cs.toSeq == Seq((0L, n.toLong)))
+    }
+  }
+
   test("chunk: exact-multiple lengths do not emit a duplicate final window") {
     import graft.ext.TextAnalysis
     // n = 40, size 24, stride 16: mid starts {0}, final = 16 — distinct

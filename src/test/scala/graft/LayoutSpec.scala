@@ -46,6 +46,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(got(4L) == 2L)
   }
 
+  test("zValue round-trips: de-interleaving recovers (x, y) for 2000 random pairs") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(11)
+    val pairs = (1 to 2000).map(_ => (rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), bits = 16).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dx = (0 until 16).map(b => ((z >> (2 * b)) & 1L) << b).sum
+      val dy = (0 until 16).map(b => ((z >> (2 * b + 1)) & 1L) << b).sum
+      assert(dx == x && dy == y, s"z=$z decoded to ($dx,$dy), expected ($x,$y)")
+    }
+  }
+
   test("rangeBounds: balanced sizes summing to N, ordered non-overlapping ranks") {
     val df = (1 to 103).map(i => i.toLong * 7 % 101).toDF("v")
     val got = Layout.rangeBounds(df, "v", n = 8)
