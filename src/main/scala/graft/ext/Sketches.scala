@@ -129,6 +129,35 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming Count-Min: windowed frequency cells over an unbounded
+    * token stream — like `hllRegistersStream`, the cell is a plain
+    * associative aggregate (sum), so Structured Streaming maintains it
+    * natively; state is bounded by depth·width per window regardless of
+    * stream volume, and closed-window cells merge with batch cells by
+    * sum.
+    */
+  def cmsCellsStream(
+      df: DataFrame,
+      timeCol: String,
+      tokenCol: String,
+      depth: Int,
+      width: Int,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4] (md5 has 4 words), got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val cols = (0 until depth).map { j =>
+      struct(
+        lit(j.toLong).as("row_idx"),
+        (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
+    }
+    df.withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol), explode(array(cols: _*)).as("_rc"))
+      .select(col(timeCol), col("_rc.row_idx"), col("_rc.col_idx"))
+      .groupBy(window(col(timeCol), windowDuration), col("row_idx"), col("col_idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Count-Min point query for a set of probe tokens against a cells
     * table: estimate = min over rows of cell(j, h_j(token)); absent
     * cells read 0. Never underestimates the true count.

@@ -634,6 +634,53 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Corpus drift report: the tokens whose probability moved most
+    * between two corpus snapshots — the distribution-shift monitor a
+    * recurring ingest pipeline runs before a new snapshot is allowed to
+    * train. Per token, the signed fixed-point log-ratio
+    * d = log2( (c_new+1)/(T_new+V) ÷ (c_old+1)/(T_old+V) )
+    * (add-one smoothing over the union vocab V, so appearing and
+    * vanishing tokens score instead of dividing by zero), weighted by
+    * the new-snapshot count — c_new·|d| ranks by how much MASS moved,
+    * not just the ratio. Two count passes (one per snapshot, both
+    * partial-aggregated) + vocab-sized arithmetic; all products integer
+    * (same Long-domain bound as `collocations` — past ~3e9 tokens,
+    * downscale counts by a shared factor).
+    */
+  def drift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame) = df
+      .select(explode(words(col(textCol))).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+    val ca = counts(oldDf).select(col("wd"), col("c").as("ca"))
+    val cb = counts(newDf).select(col("wd"), col("c").as("cb"))
+    val joined = ca.join(cb, Seq("wd"), "full_outer")
+      .select(col("wd"), coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(
+      sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1)).as("v"))
+    val scored = joined.crossJoin(broadcast(tot))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .map { case (wd, a, b, ta, tb, v) =>
+        val lhs = (b + 1) * (ta + v)
+        val rhs = (a + 1) * (tb + v)
+        val d = if (lhs >= rhs) surprisalFp(lhs, rhs) else -surprisalFp(rhs, lhs)
+        (wd, a, b, d, (b + 1) * math.abs(d))
+      }
+      .toDF("wd", "ca", "cb", "d_fp", "moved_fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("moved_fp").desc, col("wd"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Robust per-group score normalization: median/MAD z-score of a
     * numeric column within each group — the outlier-resistant way to
     * compare quality metrics ACROSS sources whose scales differ (mean/

@@ -457,6 +457,49 @@ object ExtQueries {
              |      FROM sfp)
              |SELECT w1, w2, c12, CAST(pmi_fp AS BIGINT) AS pmi_fp, rank FROM r WHERE rank <= 30""".stripMargin)
     ),
+    // Corpus drift between two snapshots (docs split by id parity):
+    // top-30 tokens by moved mass, signed fixed-point log-ratio with
+    // add-one smoothing over the union vocab.
+    Q(
+      "corpus_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.drift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 30)
+      },
+      Some("""WITH RECURSIVE wa AS (SELECT unnest(string_split(text, ' ')) wd FROM documents WHERE doc_id % 2 = 0),
+             |wb AS (SELECT unnest(string_split(text, ' ')) wd FROM documents WHERE doc_id % 2 = 1),
+             |ca AS (SELECT wd, count(*) ca FROM wa GROUP BY 1),
+             |cb AS (SELECT wd, count(*) cb FROM wb GROUP BY 1),
+             |j AS (SELECT coalesce(ca.wd, cb.wd) wd, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+             |      FROM ca FULL OUTER JOIN cb USING (wd)),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) ta, CAST(sum(cb) AS BIGINT) tb, count(*) v FROM j),
+             |cand AS (SELECT wd, ca, cb, (cb + 1) * (ta + v) lhs, (ca + 1) * (tb + v) rhs
+             |         FROM j CROSS JOIN t),
+             |eb AS (SELECT wd, ca, cb, greatest(lhs, rhs) t, least(lhs, rhs) cnt,
+             |         CASE WHEN lhs >= rhs THEN 1 ELSE -1 END sgn,
+             |         length(format('{:b}', greatest(lhs, rhs) // least(lhs, rhs))) - 1 E
+             |       FROM cand),
+             |z0 AS (SELECT wd, ca, cb, sgn, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM eb),
+             |fr AS (
+             |  SELECT wd, ca, cb, sgn, E, z, 0::BIGINT frac, 0 i FROM z0
+             |  UNION ALL
+             |  SELECT wd, ca, cb, sgn, E,
+             |    CASE WHEN (z*z)//1073741824 >= 2147483648
+             |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+             |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+             |    i + 1
+             |  FROM fr WHERE i < 16),
+             |sfp AS (SELECT wd, ca, cb, sgn * (E*65536 + frac) d_fp,
+             |          (cb + 1) * abs(sgn * (E*65536 + frac)) moved_fp
+             |        FROM fr WHERE i = 16),
+             |r AS (SELECT wd, ca, cb, CAST(d_fp AS BIGINT) d_fp, CAST(moved_fp AS BIGINT) moved_fp,
+             |        CAST(row_number() OVER (ORDER BY moved_fp DESC, wd) AS BIGINT) rank
+             |      FROM sfp)
+             |SELECT wd, ca, cb, d_fp, moved_fp, rank FROM r WHERE rank <= 30""".stripMargin)
+    ),
     // Robust per-source normalization of doc length: lower-median /
     // MAD order statistics, integer 1e-4-unit z-scores.
     Q(

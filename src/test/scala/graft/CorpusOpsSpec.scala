@@ -192,6 +192,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("new", "york")) > got(("y", "a")))
   }
 
+  test("drift: appearing tokens score positive, vanishing negative, stable near zero") {
+    import graft.ext.TextAnalysis
+    val oldDf = Seq((1L, "stable stable gone gone gone")).toDF("doc_id", "text")
+    val newDf = Seq((2L, "stable stable fresh fresh fresh")).toDF("doc_id", "text")
+    val got = TextAnalysis.drift(oldDf, newDf, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getAs[String]("wd") -> r.getAs[Long]("d_fp"))
+      .toMap
+    assert(got("fresh") > 0L, "appearing token must have positive log-ratio")
+    assert(got("gone") < 0L, "vanishing token must have negative log-ratio")
+    assert(got("stable") == 0L, "identical counts and totals → exactly zero")
+    // moved-mass ranking puts the appearing token first (same |d| as the
+    // vanishing one, but weighted by the NEW snapshot count)
+    val ranks = TextAnalysis.drift(oldDf, newDf, "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[String]("wd") -> r.getAs[Long]("rank")).toMap
+    assert(ranks("fresh") < ranks("gone"))
+  }
+
   test("robustNorm: outliers cannot move the median/MAD; zero-MAD guarded") {
     import graft.ext.TextAnalysis
     val df = Seq(

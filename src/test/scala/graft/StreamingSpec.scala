@@ -315,6 +315,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sketches
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = Sketches
+      .cmsCellsStream(
+        mem.toDF().toDF("t", "wd"),
+        "t", "wd", depth = 2, width = 64, windowDuration = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("cms_out").start()
+    try {
+      val b1 = (1 to 200).map(i => (ts(1000), s"w${i % 40}"))
+      val b2 = (1 to 150).map(i => (ts(2000), s"w${i % 25}"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .groupBy("row_idx", "col_idx")
+        .agg(org.apache.spark.sql.functions.max("cnt").as("cnt")) // update-mode: keep final row per key
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches
+        .cmsCells((b1 ++ b2).map(_._2).toDF("wd"), "wd", depth = 2, width = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, "streaming cells must fold to the batch sketch")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances match batch steps_reached on an in-order stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{FunnelAdvance, FunnelEvent, FunnelStream}
