@@ -33,6 +33,25 @@ object Layout {
       .otherwise(raise_error(lit(s"Layout.zValue input outside [0, $max)")))
   }
 
+  /** N-dimensional Morton interleave: bit b of column i lands at
+    * position b·N + i (round-robin) — the general form of `zValue` for
+    * layouts clustered on three or more columns. Same contract: inputs
+    * already quantized to [0, 2^bits), out-of-range raises; N·bits ≤ 63.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "zValueN needs at least two columns")
+    require(bits >= 1 && cols.size * bits <= 63, s"${cols.size} cols × $bits bits exceeds a Long")
+    val n = cols.size
+    val max = 1L << bits
+    val z = (for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)).reduce(_ + _)
+    val inRange = cols.map(c => c >= 0 && c < max).reduce(_ && _)
+    when(inRange, z)
+      .otherwise(raise_error(lit(s"Layout.zValueN input outside [0, $max)")))
+  }
+
   /** Z-order clustering key + file/bucket assignment for a two-column
     * layout: adds `z_value` and `z_bucket` (the top log2(buckets) bits of
     * the interleave, i.e. the quad-tree tile the row belongs to). Writing

@@ -457,6 +457,47 @@ object ExtQueries {
              |      FROM sfp)
              |SELECT w1, w2, c12, CAST(pmi_fp AS BIGINT) AS pmi_fp, rank FROM r WHERE rank <= 30""".stripMargin)
     ),
+    // Gate report: the corpus filter's verdict distribution per
+    // (predicted language, keep) cell — the one-page summary a filter
+    // run ships; composes the fused corpusFilter output.
+    Q(
+      "corpus_gate_report",
+      (s, dir) =>
+        TextAnalysis.corpusFilter(Tables.documents(s, dir), "doc_id", "text")
+          .groupBy("lang_pred", "keep")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_words").as("total_words"),
+            round(avg("stopword_ratio"), 4).as("avg_stopword_ratio")),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+              |sc AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) n,
+              |  CAST(len(list_filter(words, t -> list_contains($stopListSql, t))) AS BIGINT) s_en,
+              |  CAST(len(list_filter(words, t -> list_contains(['der','die','das','und','ist','zu','ein'], t))) AS BIGINT) s_de,
+              |  CAST(len(list_filter(words, t -> list_contains(['le','la','les','et','est','un','une'], t))) AS BIGINT) s_fr,
+              |  CAST(len(list_filter(words, t -> list_contains(['el','los','las','y','es','un','una'], t))) AS BIGINT) s_es
+              |  FROM w),
+              |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+              |         i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) g FROM w),
+              |tc AS (SELECT doc_id, g, count(*) c FROM tg GROUP BY 1, 2),
+              |dt AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dup FROM tc GROUP BY 1),
+              |r AS (SELECT sc.doc_id, sc.n AS n_words,
+              |        round(CAST(sc.s_en AS DOUBLE) / sc.n, 4) AS stopword_ratio,
+              |        CASE WHEN sc.n > 2 THEN round(coalesce(dt.dup, 0) / CAST(sc.n - 2 AS DOUBLE), 4)
+              |             ELSE 0.0 END AS dup_trigram_ratio,
+              |        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |             WHEN s_fr >= s_es THEN 'fr'
+              |             ELSE 'es' END AS lang_pred
+              |      FROM sc LEFT JOIN dt USING (doc_id)),
+              |v AS (SELECT doc_id, n_words, stopword_ratio, lang_pred,
+              |        (n_words BETWEEN 5 AND 5000) AND stopword_ratio >= 0.05
+              |          AND dup_trigram_ratio <= 0.5 AND lang_pred = 'en' AS keep
+              |      FROM r)
+              |SELECT lang_pred, keep, count(*) AS n_docs,
+              |       CAST(sum(n_words) AS BIGINT) AS total_words,
+              |       round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+              |FROM v GROUP BY 1, 2""".stripMargin)
+    ),
     // Corpus drift between two snapshots (docs split by id parity):
     // top-30 tokens by moved mass, signed fixed-point log-ratio with
     // add-one smoothing over the union vocab.

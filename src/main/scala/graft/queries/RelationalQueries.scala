@@ -271,6 +271,25 @@ object RelationalQueries {
              |      FROM o)
              |SELECT o_orderkey, z_value, z_value >> 24 AS z_bucket FROM z""".stripMargin)
     ),
+    // Three-dimensional Z-order key over lineitem (supplier × part ×
+    // quantity, 11 bits each, round-robin interleave) — the layout key
+    // for three-predicate file skipping.
+    Q(
+      "layout_zorder3",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            Layout.zValueN(
+              Seq(col("l_suppkey"), col("l_partkey"),
+                col("l_quantity").cast("long")), bits = 11).as("z_value")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(list_sum(list_transform(range(0, 11), b ->
+             |    (((l_suppkey >> b) & 1) << (3*b))
+             |    + (((l_partkey >> b) & 1) << (3*b + 1))
+             |    + (((CAST(l_quantity AS BIGINT) >> b) & 1) << (3*b + 2)))) AS BIGINT) AS z_value
+             |FROM lineitem""".stripMargin)
+    ),
     // Exact range-partition bounds: 32 near-equal row-count buckets over
     // o_totalprice — the boundary table a balanced range-partitioned
     // write needs. No global data sort; the cumulative window runs over

@@ -61,6 +61,26 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN round-trips for 3 dimensions; rejects > 63 total bits") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 500).map(_ =>
+      (rng.nextInt(1 << 11).toLong, rng.nextInt(1 << 11).toLong, rng.nextInt(1 << 11).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits = 11).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, c, z) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      def dim(i: Int) = (0 until 11).map(bb => ((z >> (3 * bb + i)) & 1L) << bb).sum
+      assert(dim(0) == a && dim(1) == b && dim(2) == c)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits = 22)
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
   test("rangeBounds: balanced sizes summing to N, ordered non-overlapping ranks") {
     val df = (1 to 103).map(i => i.toLong * 7 % 101).toDF("v")
     val got = Layout.rangeBounds(df, "v", n = 8)
