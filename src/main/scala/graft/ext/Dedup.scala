@@ -676,9 +676,13 @@ object Dedup {
       .where(size(col("hs")) > 0)
       .select(col("id"), posexplode(col("sig")).as(Seq("k", "v")))
     val src = df.select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"))
+    // groups × perms rows — materialize so the self-join's two sides
+    // don't each re-run the corpus signature kernel
     val kv = sigs.join(src, "id")
       .groupBy(col("grp"), col("k"))
       .agg(min(col("v")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kv.count()
     kv.as("a")
       .join(kv.as("b"), col("a.k") === col("b.k") && col("a.grp") < col("b.grp"))
       .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
