@@ -254,6 +254,69 @@ object TsQueries {
              |    OVER (PARTITION BY user_id ORDER BY bt ROWS UNBOUNDED PRECEDING) AS value_ff,
              |  n IS NULL AS is_gap
              |FROM j""".stripMargin)
+    ),
+    // Linear-interpolation gap fill: absent buckets ramp between the
+    // bracketing observations (LOCF's smooth sibling). The interpolation
+    // weight is integer bucket arithmetic; the final three fp ops are
+    // written identically in both engines.
+    Q(
+      "ts_gapfill_linear",
+      (s, dir) =>
+        TsAlgebra.gapFillLinear(ev(s, dir), "user_id", "ts_ms", "value", bucketMs = 3600000L),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events),
+             |b AS (SELECT user_id, tm - tm % 3600000 AS bt, count(*) n,
+             |        CAST(floor(max(value) * 1000 + 0.5) AS BIGINT) vpts
+             |      FROM e GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 3600000, 3600000)) bt FROM s),
+             |j AS (SELECT g.user_id, g.bt, b.n, b.vpts
+             |      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bt = b.bt),
+             |w AS (SELECT user_id, bt, n, vpts,
+             |        last_value(vpts IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY bt ROWS UNBOUNDED PRECEDING) pv,
+             |        last_value(CASE WHEN n IS NOT NULL THEN bt END IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY bt ROWS UNBOUNDED PRECEDING) pt,
+             |        first_value(vpts IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY bt
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+             |        first_value(CASE WHEN n IS NOT NULL THEN bt END IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY bt
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+             |      FROM j),
+             |ip AS (SELECT user_id, bt, n,
+             |         CASE WHEN n IS NOT NULL THEN vpts
+             |              WHEN pv IS NULL THEN nv
+             |              WHEN nv IS NULL THEN pv
+             |              ELSE pv + ((nv - pv) * (bt - pt)) // (nt - pt)
+             |         END ipts
+             |       FROM w)
+             |SELECT user_id, bt AS ts_ms, coalesce(n, 0) AS n_points,
+             |  round(ipts / 1000.0, 4) AS value_interp,
+             |  n IS NULL AS is_gap
+             |FROM ip""".stripMargin)
+    ),
+    // Exact higher moments: integer milli-unit power sums (DECIMAL(38)),
+    // moment algebra in multiply/divide/sqrt only — deterministic at any
+    // partitioning, unlike the built-in fp-streaming skewness/kurtosis.
+    Q(
+      "ts_agg_moments",
+      (s, dir) => TsAlgebra.moments(ev(s, dir), "user_id", "value"),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(value * 1000 + 0.5) AS HUGEINT) p FROM events),
+             |a AS (SELECT user_id, count(*) n, sum(p) s1, sum(p*p) s2, sum(p*p*p) s3,
+             |        sum(p*p*p*p) s4 FROM e GROUP BY 1),
+             |m AS (SELECT user_id, n, s1, s2,
+             |        CAST(s1 AS DOUBLE) / n m,
+             |        CAST(s2 AS DOUBLE) / n q2,
+             |        CAST(s3 AS DOUBLE) / n q3,
+             |        CAST(s4 AS DOUBLE) / n q4
+             |      FROM a),
+             |c AS (SELECT *, q2 - m*m m2 FROM m)
+             |SELECT user_id, n,
+             |  CAST(s1 AS VARCHAR)::DECIMAL(38,0) AS s1_pts,
+             |  CAST(s2 AS VARCHAR)::DECIMAL(38,0) AS s2_pts,
+             |  CASE WHEN m2 > 0 THEN round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) END AS skewness,
+             |  CASE WHEN m2 > 0 THEN round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) END AS kurtosis_excess
+             |FROM c""".stripMargin)
     )
   )
 }

@@ -139,6 +139,99 @@ object TsAlgebra {
         col("n_points").isNull.as("is_gap"))
   }
 
+  /** Linear-interpolation gap fill: like `gapFill`, but absent buckets
+    * interpolate between the PREVIOUS and NEXT observed buckets instead
+    * of carrying the last value forward — the alignment mode for smooth
+    * signals (LOCF steps; interpolation ramps). Two ignore-nulls window
+    * passes (backward last + forward first, SAME partitioning — one
+    * exchange) recover the bracketing observations and their bucket
+    * times; the interpolation itself runs ENTIRELY in integer
+    * milli-units — pv + (nv−pv)·Δt DIV span — because the fp form
+    * `a + b·c` is exactly where compiled engines may emit a fused
+    * multiply-add and diverge in the last ulp (observed against DuckDB).
+    * Only the final /1000 display division is fp. Grid edges (before the
+    * first / after the last observation) fall back to the one available
+    * side.
+    */
+  def gapFillLinear(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val b = df
+      .groupBy(col(keyCol), (col(tsCol) - col(tsCol) % bucketMs).as("bt"))
+      .agg(count(lit(1)).as("n_points"), max(col(valCol)).as("vmax"))
+      .withColumn("vpts", expr("CAST(floor(vmax * 1000 + 0.5) AS BIGINT)"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min("bt").as("mn"), max("bt").as("mx"))
+      .select(col(keyCol), explode(sequence(col("mn"), col("mx"), lit(bucketMs))).as("bt"))
+    val W = org.apache.spark.sql.expressions.Window
+    val back = W.partitionBy(keyCol).orderBy("bt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = W.partitionBy(keyCol).orderBy("bt").rowsBetween(W.currentRow, W.unboundedFollowing)
+    grid
+      .join(b, Seq(keyCol, "bt"), "left")
+      .withColumn("_pv", last(col("vpts"), ignoreNulls = true).over(back))
+      .withColumn("_pt", last(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col("vpts"), ignoreNulls = true).over(fwd))
+      .withColumn("_nt", first(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(fwd))
+      .withColumn(
+        "_ipts",
+        when(col("n_points").isNotNull, col("vpts"))
+          .when(col("_pv").isNull, col("_nv"))
+          .when(col("_nv").isNull, col("_pv"))
+          .otherwise(col("_pv") +
+            expr("(_nv - _pv) * (bt - _pt) DIV (_nt - _pt)")))
+      .select(
+        col(keyCol),
+        col("bt").as("ts_ms"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        round(col("_ipts") / lit(1000.0), 4).as("value_interp"),
+        col("n_points").isNull.as("is_gap"))
+  }
+
+  /** Exact higher moments per series — skewness and excess kurtosis from
+    * raw power sums computed in EXACT integer domain: values quantize to
+    * milli-units, Σv, Σv², Σv³, Σv⁴ accumulate as DECIMAL(38,0) (order-
+    * independent at any partitioning), and only the FINAL moment algebra
+    * is fp — a fixed formula evaluated on identical integer inputs by
+    * both engines, so the round(4) outputs hash-match. The built-in
+    * skewness/kurtosis aggregates stream fp partials whose rounding
+    * depends on partition order; this formulation is the deterministic
+    * upgrade (same single partial-agg exchange).
+    */
+  def moments(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(
+        col(keyCol),
+        expr(s"CAST(floor($valCol * 1000 + 0.5) AS DECIMAL(38,0))").as("_p"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_p")).as("s1"),
+        sum(col("_p") * col("_p")).as("s2"),
+        sum(col("_p") * col("_p") * col("_p")).as("s3"),
+        sum(col("_p") * col("_p") * col("_p") * col("_p")).as("s4"))
+      // m2/m3/m4 via the textbook raw→central conversion, using ONLY
+      // multiply / divide / sqrt (all IEEE correctly-rounded — `pow` is
+      // libm and may differ in the last ulp between engines); the oracle
+      // mirrors the exact expression text so every rounding step matches
+      .withColumn("m", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("q2", expr("CAST(s2 AS DOUBLE) / n"))
+      .withColumn("q3", expr("CAST(s3 AS DOUBLE) / n"))
+      .withColumn("q4", expr("CAST(s4 AS DOUBLE) / n"))
+      .withColumn("m2", expr("q2 - m*m"))
+      .select(
+        col(keyCol), col("n"),
+        col("s1").cast("decimal(38,0)").as("s1_pts"),
+        col("s2").cast("decimal(38,0)").as("s2_pts"),
+        expr("""CASE WHEN m2 > 0 THEN
+               |  round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4)
+               |END""".stripMargin).as("skewness"),
+        expr("""CASE WHEN m2 > 0 THEN
+               |  round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4)
+               |END""".stripMargin).as("kurtosis_excess"))
+
   /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
     * codegen'd, partial-aggregatable, no UDAF.
     */

@@ -157,4 +157,34 @@ class TsAlgebraSpec extends AnyFunSuite {
       .where(org.apache.spark.sql.functions.col("key_b") === 4L).collect()
     assert(flat.nonEmpty && flat.forall(_.isNullAt(flat.head.fieldIndex("pearson_r"))))
   }
+
+  test("gapFillLinear: gaps ramp between brackets; edges fall back; present buckets keep their value") {
+    // buckets at 0,10,...: observed v=10 @0 and v=40 @30 → gaps at 10,20
+    // interpolate 20, 30; leading/trailing grid is span-bounded
+    val rows = Seq((1L, 0L, 10.0), (1L, 30L, 40.0), (1L, 35L, 20.0)).toDF("k", "t", "v")
+    val out = graft.ts.TsAlgebra.gapFillLinear(rows, "k", "t", "v", bucketMs = 10L)
+      .collect()
+      .map(r => r.getAs[Long]("ts_ms") -> (r.getAs[Double]("value_interp"), r.getAs[Boolean]("is_gap")))
+      .toMap
+    assert(out(0L) == ((10.0, false)))
+    assert(out(10L) == ((20.0, true)), "1/3 of the way from 10 to 40")
+    assert(out(20L) == ((30.0, true)))
+    assert(out(30L) == ((40.0, false)), "bucket max of 40 and 20 is 40")
+    assert(out.size == 4)
+  }
+
+  test("moments: symmetric series → zero skew; right tail → positive; constant → null") {
+    val sym = (1 to 5).map(i => (1L, i.toDouble)) // 1..5 symmetric
+    val tail = Seq.fill(9)((2L, 1.0)) :+ ((2L, 100.0)) // heavy right tail
+    val const = Seq.fill(4)((3L, 7.0))
+    val out = graft.ts.TsAlgebra.moments((sym ++ tail ++ const).toDF("k", "v"), "k", "v")
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        (Option(r.getAs[java.lang.Double]("skewness")), Option(r.getAs[java.lang.Double]("kurtosis_excess"))))
+      .toMap
+    assert(out(1L)._1.contains(0.0))
+    assert(out(1L)._2.exists(k => math.abs(k - (-1.3)) < 0.01), "uniform 1..5 excess kurtosis = -1.3")
+    assert(out(2L)._1.exists(_ > 2.0), "right tail must skew positive")
+    assert(out(3L) == ((None, None)), "zero variance → null moments")
+  }
 }
