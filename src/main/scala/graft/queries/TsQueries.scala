@@ -295,6 +295,29 @@ object TsQueries {
              |  n IS NULL AS is_gap
              |FROM ip""".stripMargin)
     ),
+    // OHLC resample: one bucketed pass composing open (value at min ts),
+    // high, low, close (value at max ts) — the downsample every TS
+    // dashboard draws; all four from ONE partial-aggregated groupBy.
+    Q(
+      "ts_resample_ohlc",
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(col("user_id"), (col("ts_ms") - col("ts_ms") % 86400000L).as("bucket_ms"))
+          .agg(
+            min_by(col("value"), col("ts_ms")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts_ms")).as("close"),
+            count(lit(1)).as("n_points")),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events)
+             |SELECT user_id, tm - tm % 86400000 AS bucket_ms,
+             |  arg_min(value, tm) AS open,
+             |  max(value) AS high,
+             |  min(value) AS low,
+             |  arg_max(value, tm) AS close,
+             |  count(*) AS n_points
+             |FROM e GROUP BY 1, 2""".stripMargin)
+    ),
     // Exact higher moments: integer milli-unit power sums (DECIMAL(38)),
     // moment algebra in multiply/divide/sqrt only — deterministic at any
     // partitioning, unlike the built-in fp-streaming skewness/kurtosis.
