@@ -115,15 +115,23 @@ object Sketches {
     * union + sum. Point estimates (`cmsEstimate`) are upper bounds:
     * min over rows of the addressed cells.
     */
-  def cmsCells(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+  /** The (row_idx, col_idx) cell addresses of a token — THE one
+    * definition of the CMS hash layout, shared by the batch cells, the
+    * streaming cells, and the point-query addressing (they must stay
+    * identical or estimates stop folding).
+    */
+  private def cmsAddr(tokenCol: String, depth: Int, width: Int): Seq[Column] = {
     require(depth >= 1 && depth <= 4, s"depth must be in [1,4] (md5 has 4 words), got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    val cols = (0 until depth).map { j =>
+    (0 until depth).map { j =>
       struct(
         lit(j.toLong).as("row_idx"),
         (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
     }
-    df.select(explode(array(cols: _*)).as("_rc"))
+  }
+
+  def cmsCells(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    df.select(explode(array(cmsAddr(tokenCol, depth, width): _*)).as("_rc"))
       .select(col("_rc.row_idx"), col("_rc.col_idx"))
       .groupBy("row_idx", "col_idx")
       .agg(count(lit(1)).as("cnt"))
@@ -144,15 +152,8 @@ object Sketches {
       width: Int,
       windowDuration: String,
       watermarkDelay: String): DataFrame = {
-    require(depth >= 1 && depth <= 4, s"depth must be in [1,4] (md5 has 4 words), got $depth")
-    require(width >= 2, s"width must be >= 2, got $width")
-    val cols = (0 until depth).map { j =>
-      struct(
-        lit(j.toLong).as("row_idx"),
-        (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
-    }
     df.withWatermark(timeCol, watermarkDelay)
-      .select(col(timeCol), explode(array(cols: _*)).as("_rc"))
+      .select(col(timeCol), explode(array(cmsAddr(tokenCol, depth, width): _*)).as("_rc"))
       .select(col(timeCol), col("_rc.row_idx"), col("_rc.col_idx"))
       .groupBy(window(col(timeCol), windowDuration), col("row_idx"), col("col_idx"))
       .agg(count(lit(1)).as("cnt"))
@@ -163,13 +164,8 @@ object Sketches {
     * cells read 0. Never underestimates the true count.
     */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
-    val addr = (0 until depth).map { j =>
-      struct(
-        lit(j.toLong).as("row_idx"),
-        (conv(substring(md5(col(tokenCol)), 1 + 8 * j, 8), 16, 10).cast("long") % width).as("col_idx"))
-    }
     probes
-      .select(col(tokenCol), explode(array(addr: _*)).as("_rc"))
+      .select(col(tokenCol), explode(array(cmsAddr(tokenCol, depth, width): _*)).as("_rc"))
       .select(col(tokenCol), col("_rc.row_idx"), col("_rc.col_idx"))
       .join(broadcast(cells), Seq("row_idx", "col_idx"), "left")
       .groupBy(col(tokenCol))

@@ -641,7 +641,7 @@ object TextAnalysis {
     * d = log2( (c_new+1)/(T_new+V) ÷ (c_old+1)/(T_old+V) )
     * (add-one smoothing over the union vocab V, so appearing and
     * vanishing tokens score instead of dividing by zero), weighted by
-    * the new-snapshot count — c_new·|d| ranks by how much MASS moved,
+    * the smoothed new-snapshot count — (c_new+1)·|d| ranks by how much MASS moved,
     * not just the ratio. Two count passes (one per snapshot, both
     * partial-aggregated) + vocab-sized arithmetic; all products integer
     * (same Long-domain bound as `collocations` — past ~3e9 tokens,

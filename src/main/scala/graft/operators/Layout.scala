@@ -22,15 +22,9 @@ object Layout {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val max = 1L << bits
-    val z = (0 until bits)
-      .map { b =>
-        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
-          shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
-      }
-      .reduce(_ + _)
-    when(x >= 0 && x < max && y >= 0 && y < max, z)
-      .otherwise(raise_error(lit(s"Layout.zValue input outside [0, $max)")))
+    // the 2-D layout (bit b of x at 2b, of y at 2b+1) is exactly the
+    // N-dim round-robin at N = 2 — one interleave implementation
+    zValueN(Seq(x, y), bits)
   }
 
   /** N-dimensional Morton interleave: bit b of column i lands at

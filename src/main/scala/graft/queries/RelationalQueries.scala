@@ -272,23 +272,49 @@ object RelationalQueries {
              |SELECT o_orderkey, z_value, z_value >> 24 AS z_bucket FROM z""".stripMargin)
     ),
     // Three-dimensional Z-order key over lineitem (supplier × part ×
-    // quantity, 11 bits each, round-robin interleave) — the layout key
-    // for three-predicate file skipping.
+    // quantity, 11 bits each, round-robin interleave). Coordinates are
+    // RANGE-QUANTIZED to the grid from the data's own [min, max] span —
+    // ((v − min)·2048) DIV (max − min + 1) — so the key is valid at ANY
+    // scale factor (raw l_partkey outgrows 11 bits past sf0.01; a raw
+    // modulo would wrap and destroy clustering). All-integer, mirrored
+    // in the oracle.
     Q(
       "layout_zorder3",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"), col("l_partkey"), col("l_quantity").cast("long").as("l_qty"))
+        val bounds = li.agg(
+          min("l_suppkey").as("s0"), max("l_suppkey").as("s1"),
+          min("l_partkey").as("p0"), max("l_partkey").as("p1"),
+          min("l_qty").as("q0"), max("l_qty").as("q1"))
+        def quant(v: String, lo: String, hi: String) =
+          expr(s"CAST((($v - $lo) * 2048) DIV ($hi - $lo + 1) AS BIGINT)")
+        li.crossJoin(broadcast(bounds))
           .select(
             col("l_orderkey"), col("l_linenumber"),
             Layout.zValueN(
-              Seq(col("l_suppkey"), col("l_partkey"),
-                col("l_quantity").cast("long")), bits = 11).as("z_value")),
-      Some("""SELECT l_orderkey, l_linenumber,
+              Seq(
+                quant("l_suppkey", "s0", "s1"),
+                quant("l_partkey", "p0", "p1"),
+                quant("l_qty", "q0", "q1")), bits = 11).as("z_value"))
+      },
+      Some("""WITH b AS (SELECT min(l_suppkey) s0, max(l_suppkey) s1,
+             |                  min(l_partkey) p0, max(l_partkey) p1,
+             |                  min(CAST(l_quantity AS BIGINT)) q0,
+             |                  max(CAST(l_quantity AS BIGINT)) q1 FROM lineitem),
+             |q AS (SELECT l_orderkey, l_linenumber,
+             |        ((l_suppkey - s0) * 2048) // (s1 - s0 + 1) x,
+             |        ((l_partkey - p0) * 2048) // (p1 - p0 + 1) y,
+             |        ((CAST(l_quantity AS BIGINT) - q0) * 2048) // (q1 - q0 + 1) z
+             |      FROM lineitem CROSS JOIN b)
+             |SELECT l_orderkey, l_linenumber,
              |  CAST(list_sum(list_transform(range(0, 11), b ->
-             |    (((l_suppkey >> b) & 1) << (3*b))
-             |    + (((l_partkey >> b) & 1) << (3*b + 1))
-             |    + (((CAST(l_quantity AS BIGINT) >> b) & 1) << (3*b + 2)))) AS BIGINT) AS z_value
-             |FROM lineitem""".stripMargin)
+             |    (((x >> b) & 1) << (3*b))
+             |    + (((y >> b) & 1) << (3*b + 1))
+             |    + (((z >> b) & 1) << (3*b + 2)))) AS BIGINT) AS z_value
+             |FROM q""".stripMargin)
     ),
     // Exact range-partition bounds: 32 near-equal row-count buckets over
     // o_totalprice — the boundary table a balanced range-partitioned

@@ -295,27 +295,32 @@ object TsQueries {
              |  n IS NULL AS is_gap
              |FROM ip""".stripMargin)
     ),
-    // OHLC resample: one bucketed pass composing open (value at min ts),
-    // high, low, close (value at max ts) — the downsample every TS
-    // dashboard draws; all four from ONE partial-aggregated groupBy.
+    // OHLC resample: duplicate timestamps collapse to their max value
+    // FIRST (deterministic — min_by/max_by over a duplicated key would
+    // depend on encounter order), then one bucketed pass composes open
+    // (value at min ts), high, low, close (value at max ts) and the RAW
+    // point count.
     Q(
       "ts_resample_ohlc",
       (s, dir) =>
         ev(s, dir)
+          .groupBy(col("user_id"), col("ts_ms"))
+          .agg(max(col("value")).as("value"), count(lit(1)).as("_c"))
           .groupBy(col("user_id"), (col("ts_ms") - col("ts_ms") % 86400000L).as("bucket_ms"))
           .agg(
             min_by(col("value"), col("ts_ms")).as("open"),
             max(col("value")).as("high"),
             min(col("value")).as("low"),
             max_by(col("value"), col("ts_ms")).as("close"),
-            count(lit(1)).as("n_points")),
-      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events)
+            sum(col("_c")).as("n_points")),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, max(value) AS value, count(*) c
+             |           FROM events GROUP BY 1, 2)
              |SELECT user_id, tm - tm % 86400000 AS bucket_ms,
              |  arg_min(value, tm) AS open,
              |  max(value) AS high,
              |  min(value) AS low,
              |  arg_max(value, tm) AS close,
-             |  count(*) AS n_points
+             |  CAST(sum(c) AS BIGINT) AS n_points
              |FROM e GROUP BY 1, 2""".stripMargin)
     ),
     // Exact higher moments: integer milli-unit power sums (DECIMAL(38)),

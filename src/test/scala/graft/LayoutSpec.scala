@@ -28,7 +28,7 @@ class LayoutSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("y"), bits = 3))
         .collect()
     }
-    assert(ex.getMessage.contains("zValue input outside"))
+    assert(ex.getMessage.contains("input outside"))
   }
 
   test("zorder buckets are the quad-tree tile: same tile → same bucket") {
