@@ -137,6 +137,31 @@ object Sampling {
       .where(col("grp_rank") <= col("quota"))
   }
 
+  /** Weighted sampling without replacement (sequential Poisson / Ohlsson
+    * PPS): priority = u/w with u the exact dyadic md5 fraction and w the
+    * row's weight; the n SMALLEST priorities win, so inclusion odds are
+    * proportional to weight. One fp division per row on exactly-
+    * representable operands (single IEEE op — engine-identical; the
+    * rank-equivalent Efraimidis–Spirakis u^(1/w) form needs pow/log,
+    * which are libm and NOT correctly rounded). Deterministic ties by
+    * id. The global top-n rank is a TakeOrdered-shaped bound — at scale
+    * Spark's distributed top-k, never a full sort.
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_prio"), col(idCol))
+    df.withColumn("_prio", hashFraction(col(idCol), salt) / col(weightCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= n)
+      .drop("_prio")
+  }
+
   /** Source-weighted mixing: per-group sampling weight w ≥ 0 applied as
     * floor(w) guaranteed copies plus one more with probability frac(w)
     * (so w = 2.5 → 2 or 3 copies per row, expectation 2.5). w < 1 is

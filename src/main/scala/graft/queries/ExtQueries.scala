@@ -836,6 +836,22 @@ object ExtQueries {
              |      FROM documents)
              |SELECT r.doc_id, r.source, r.grp_rank, q.quota
              |FROM r JOIN q USING (source) WHERE grp_rank <= quota""".stripMargin)),
+    // Weighted (PPS) sampling: sequential-Poisson priorities u/w — the
+    // 100 longest-biased docs win proportionally to length; exact dyadic
+    // u and a single fp division keep both engines identical.
+    Q(
+      "sample_weighted",
+      (s, dir) =>
+        Sampling.sampleWeighted(Tables.documents(s, dir), "doc_id", "n_chars", n = 100, salt = "pps")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("sample_rank")),
+      Some("""WITH p AS (SELECT doc_id, source, n_chars,
+             |    (('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |     / 4294967296.0) / n_chars prio
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |        CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) sample_rank
+             |      FROM p)
+             |SELECT doc_id, source, n_chars, sample_rank FROM r WHERE sample_rank <= 100""".stripMargin)),
     Q(
       "mix_weighted",
       (s, dir) =>

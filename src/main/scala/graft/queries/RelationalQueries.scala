@@ -22,6 +22,42 @@ object RelationalQueries {
     */
   private def epochMs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
 
+  /** Orders with (customer, order-day) RANGE-QUANTIZED onto the full
+    * 16-bit Z-order grid from the data's own [min, max] span — the
+    * prerequisite for a non-degenerate interleave (raw values leave the
+    * high bits constant). Shared by the z-order layout queries.
+    */
+  private def zorderQuantizedOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").as("cx"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("cy"))
+    val bounds = o.agg(
+      min("cx").as("x0"), max("cx").as("x1"),
+      min("cy").as("y0"), max("cy").as("y1"))
+    o.crossJoin(broadcast(bounds))
+      .select(
+        col("o_orderkey"),
+        expr("CAST(((cx - x0) * 65536) DIV (x1 - x0 + 1) AS BIGINT)").as("x"),
+        expr("CAST(((cy - y0) * 65536) DIV (y1 - y0 + 1) AS BIGINT)").as("y"))
+  }
+
+  /** The matching DuckDB prep + interleave, ending in `z(o_orderkey, x, y, z_value)`. */
+  private val zorderQuantCte =
+    """o AS (SELECT o_orderkey, o_custkey cx,
+      |          epoch_ms(o_orderdate) // 86400000 cy FROM orders),
+      |bn AS (SELECT min(cx) x0, max(cx) x1, min(cy) y0, max(cy) y1 FROM o),
+      |q AS (SELECT o_orderkey,
+      |        ((cx - x0) * 65536) // (x1 - x0 + 1) x,
+      |        ((cy - y0) * 65536) // (y1 - y0 + 1) y
+      |      FROM o CROSS JOIN bn),
+      |z AS (SELECT o_orderkey, x, y,
+      |        CAST(list_sum(list_transform(range(0, 16), b ->
+      |          (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) z_value
+      |      FROM q)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // TPC-H Q1-style scan + aggregate; the shipdate filter and 7-column
     // projection reach the parquet scan (PushedFilters / ReadSchema).
@@ -249,27 +285,43 @@ object RelationalQueries {
              |  AND dd.d * 86400000 <= st.session_end""".stripMargin)
     ),
     // Z-order layout key over orders: customer × order-day interleave,
-    // 16 bits each, 256 quad-tree buckets. Sorting files by z_value makes
-    // parquet footer stats prune on EITHER column; the oracle replays the
-    // identical shift/mask interleave.
+    // 16 bits each, 256 quad-tree buckets. Coordinates RANGE-QUANTIZE to
+    // the grid from the data's own [min, max] span — raw values leave
+    // the top interleave bits constant (all rows in one bucket) because
+    // neither column fills 16 bits. Sorting files by z_value makes
+    // parquet footer stats prune on EITHER column; the oracle replays
+    // the identical quantize + shift/mask interleave.
     Q(
       "layout_zorder",
       (s, dir) =>
-        Layout.zorder(
-          Tables.orders(s, dir)
-            .select(
-              col("o_orderkey"),
-              col("o_custkey").as("x"),
-              expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("y")),
-          "x", "y", bits = 16, buckets = 256)
+        Layout.zorder(zorderQuantizedOrders(s, dir), "x", "y", bits = 16, buckets = 256)
           .select(col("o_orderkey"), col("z_value"), col("z_bucket")),
-      Some("""WITH o AS (SELECT o_orderkey, o_custkey x,
-             |               epoch_ms(o_orderdate) // 86400000 y FROM orders),
-             |z AS (SELECT o_orderkey,
-             |        CAST(list_sum(list_transform(range(0, 16), b ->
-             |          (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) z_value
-             |      FROM o)
+      Some(s"""WITH $zorderQuantCte
              |SELECT o_orderkey, z_value, z_value >> 24 AS z_bucket FROM z""".stripMargin)
+    ),
+    // The pruning proof for the Z-order layout: per-bucket min/max
+    // footer stats on BOTH (quantized) dimensions, plus the would-scan
+    // verdict for a fixed single-column probe (quantized customer grid
+    // cells 100–200). A linear layout gives every file the full span of
+    // the second column; the z-layout bounds both — the
+    // scan_for_probe=false rows are the skipped files.
+    Q(
+      "layout_zorder_stats",
+      (s, dir) =>
+        Layout.zorder(zorderQuantizedOrders(s, dir), "x", "y", bits = 16, buckets = 256)
+          .groupBy("z_bucket")
+          .agg(
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("scan_for_probe", !(col("x_max") < 100 || col("x_min") > 200)),
+      Some(s"""WITH $zorderQuantCte,
+             |g AS (SELECT z_value >> 24 AS z_bucket, min(x) x_min, max(x) x_max,
+             |        min(y) y_min, max(y) y_max, count(*) n_rows
+             |      FROM z GROUP BY 1)
+             |SELECT z_bucket, x_min, x_max, y_min, y_max, n_rows,
+             |       NOT (x_max < 100 OR x_min > 200) AS scan_for_probe
+             |FROM g""".stripMargin)
     ),
     // Three-dimensional Z-order key over lineitem (supplier × part ×
     // quantity, 11 bits each, round-robin interleave). Coordinates are

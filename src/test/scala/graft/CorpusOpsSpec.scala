@@ -230,6 +230,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((7L, 0L, 0L)) && got(6L) == ((7L, 0L, 0L)) && got(7L) == ((7L, 0L, 0L)))
   }
 
+  test("sampleWeighted: dominant weights win, cap holds, deterministic under repartitioning") {
+    val rows = (1 to 400).map(i => (i.toLong, if (i <= 4) 1000000L else 1L))
+    val df = rows.toDF("doc_id", "w")
+    val a = Sampling.sampleWeighted(df.repartition(7), "doc_id", "w", n = 50, salt = "s")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.sampleWeighted(df.repartition(3), "doc_id", "w", n = 50, salt = "s")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b, "picks must be a pure function of (salt, ids, weights)")
+    assert(a.size == 50)
+    // a weight 10^6 times larger has priority u/w ~10^6 smaller — the
+    // four heavy rows are effectively guaranteed in a 50-of-400 sample
+    assert(Set(1L, 2L, 3L, 4L).subsetOf(a))
+  }
+
   test("mixTemperature: quotas proportional to sqrt(count), small sources upweighted") {
     val rows = (1 to 100).map(i => (i.toLong, "big")) ++ (101 to 125).map(i => (i.toLong, "small"))
     val df = rows.toDF("doc_id", "source")
