@@ -336,7 +336,9 @@ object Similarity {
         expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").as("q"))
       .groupBy("label", "dim")
       .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
-      .withColumn("centroid", round(col("sum_q") / (col("n") * lit(1000000.0)), 4))
+      // + 0.0 canonicalizes IEEE −0.0 (a tiny negative mean rounds to
+      // −0.0 on engines that keep the sign; the compare is textual)
+      .withColumn("centroid", round(col("sum_q") / (col("n") * lit(1000000.0)), 4) + lit(0.0))
 
   /** Filtered ANN: IVF probe with a metadata predicate applied to the
     * CORPUS side BEFORE the cell join — pre-filtering, the shape that

@@ -1247,7 +1247,7 @@ object ExtQueries {
              |        CAST(floor(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) q
              |      FROM x)
              |SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
-             |       round(sum(q) / (count(*) * 1000000.0), 4) AS centroid
+             |       round(sum(q) / (count(*) * 1000000.0), 4) + 0.0 AS centroid
              |FROM q GROUP BY 1, 2""".stripMargin)),
     // Filtered ANN: the same IVF probe with a label predicate applied to
     // the corpus side BEFORE the cell join (pre-filtering — k results

@@ -342,8 +342,8 @@ object TsQueries {
              |SELECT user_id, n,
              |  CAST(s1 AS VARCHAR)::DECIMAL(38,0) AS s1_pts,
              |  CAST(s2 AS VARCHAR)::DECIMAL(38,0) AS s2_pts,
-             |  CASE WHEN m2 > 0 THEN round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) END AS skewness,
-             |  CASE WHEN m2 > 0 THEN round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) END AS kurtosis_excess
+             |  CASE WHEN m2 > 0 THEN round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) + 0.0 END AS skewness,
+             |  CASE WHEN m2 > 0 THEN round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) + 0.0 END AS kurtosis_excess
              |FROM c""".stripMargin)
     )
   )

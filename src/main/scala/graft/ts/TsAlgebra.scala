@@ -225,11 +225,12 @@ object TsAlgebra {
         col(keyCol), col("n"),
         col("s1").cast("decimal(38,0)").as("s1_pts"),
         col("s2").cast("decimal(38,0)").as("s2_pts"),
+        // + 0.0 canonicalizes IEEE −0.0 (textual compare downstream)
         expr("""CASE WHEN m2 > 0 THEN
-               |  round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4)
+               |  round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) + 0.0
                |END""".stripMargin).as("skewness"),
         expr("""CASE WHEN m2 > 0 THEN
-               |  round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4)
+               |  round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) + 0.0
                |END""".stripMargin).as("kurtosis_excess"))
 
   /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
