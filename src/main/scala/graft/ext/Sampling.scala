@@ -144,8 +144,14 @@ object Sampling {
     * representable operands (single IEEE op — engine-identical; the
     * rank-equivalent Efraimidis–Spirakis u^(1/w) form needs pow/log,
     * which are libm and NOT correctly rounded). Deterministic ties by
-    * id. The global top-n rank is a TakeOrdered-shaped bound — at scale
-    * Spark's distributed top-k, never a full sort.
+    * id. The top-n is an orderBy+limit — TakeOrderedAndProject's
+    * distributed per-partition heaps at ANY n (a rank-filter window
+    * would only rewrite to a group-limit below
+    * spark.sql.optimizer.windowGroupLimitThreshold); the rank window
+    * runs over the n survivors only. Weights must be positive and
+    * non-null — a NULL priority would rank differently across engines
+    * (NULLS FIRST vs LAST) and a non-positive one breaks the
+    * proportional-inclusion contract, so bad weights raise instead.
     */
   def sampleWeighted(
       df: DataFrame,
@@ -154,11 +160,15 @@ object Sampling {
       n: Int,
       salt: String): DataFrame = {
     require(n > 0, "n must be positive")
+    val wOk = when(col(weightCol).isNotNull && col(weightCol) > 0, col(weightCol))
+      .otherwise(raise_error(lit(s"sampleWeighted requires positive non-null $weightCol")))
+    val top = df
+      .withColumn("_prio", hashFraction(col(idCol), salt) / wOk)
+      .orderBy(col("_prio"), col(idCol))
+      .limit(n)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_prio"), col(idCol))
-    df.withColumn("_prio", hashFraction(col(idCol), salt) / col(weightCol))
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
-      .where(col("sample_rank") <= n)
+    top.withColumn("sample_rank", row_number().over(w).cast("long"))
       .drop("_prio")
   }
 

@@ -30,10 +30,11 @@ object RelationalQueries {
   private def zorderQuantizedOrders(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val o = Tables.orders(s, dir)
+      .withColumn("_ms", epochMs(col("o_orderdate")))
       .select(
         col("o_orderkey"),
         col("o_custkey").as("cx"),
-        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("cy"))
+        expr("CAST(_ms DIV 86400000 AS BIGINT)").as("cy"))
     val bounds = o.agg(
       min("cx").as("x0"), max("cx").as("x1"),
       min("cy").as("y0"), max("cy").as("y1"))

@@ -244,6 +244,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 3L, 4L).subsetOf(a))
   }
 
+  test("sampleWeighted raises on null or non-positive weights instead of mis-ranking") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "w")
+    val ex = intercept[Exception] {
+      Sampling.sampleWeighted(df, "doc_id", "w", n = 2, salt = "s").collect()
+    }
+    assert(ex.getMessage.contains("positive non-null"))
+  }
+
   test("mixTemperature: quotas proportional to sqrt(count), small sources upweighted") {
     val rows = (1 to 100).map(i => (i.toLong, "big")) ++ (101 to 125).map(i => (i.toLong, "small"))
     val df = rows.toDF("doc_id", "source")

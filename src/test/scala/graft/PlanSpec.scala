@@ -121,6 +121,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"z-value assignment must not shuffle the data:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "quantization bounds must broadcast")
+    // codegen wrapping is applied at AQE stage execution and is not
+    // visible in the pre-execution plan display, so it is asserted
+    // structurally instead: the output path is Project-only (codegen-
+    // supported operators), with no interpreted-only node between the
+    // scan and the interleave
+    assert(!p.contains("mapPartitions") && !p.contains("DeserializeToObject"),
+      "interleave path must stay in codegen-capable declarative operators")
   }
 
   test("decontaminate_bloom: zero corpus shuffle (bitset broadcast, kernel pass)") {
