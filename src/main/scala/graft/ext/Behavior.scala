@@ -97,6 +97,35 @@ object Behavior {
       .where(col("rank") <= k)
   }
 
+  /** DAU / trailing-WAU stickiness per day: distinct users active that
+    * day over distinct users active in the trailing 7 days. The WAU side
+    * uses the explode-contribution rewrite — each (user, active-day)
+    * fact contributes to the 7 target days it falls inside, then one
+    * distinct count per target day — an equi-aggregation instead of the
+    * quadratic self-range-join; contribution fan-out is the window
+    * length, constant at any scale. Days past the observed range are
+    * trimmed. All integer day arithmetic.
+    */
+  def dauWau(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol), expr(s"CAST($tsCol DIV 86400000 AS BIGINT)").as("_day"))
+      .distinct()
+    val maxDay = days.agg(max("_day").as("_mx"))
+    val dau = days.groupBy(col("_day").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .withColumn("day", explode(sequence(col("_day"), col("_day") + 6)))
+      .select(col(userCol), col("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("_mx"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(
+        col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+  }
+
   /** Cohort retention: users are cohorted by the epoch day of their FIRST
     * event; for each (cohort_day, day_offset) the count of distinct
     * cohort users active that day. The day-0 row is the cohort size.

@@ -1481,6 +1481,22 @@ object ExtQueries {
              |  CAST(CASE WHEN s3_ms IS NOT NULL THEN 3
              |            WHEN s2_ms IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS steps_reached
              |FROM s3""".stripMargin)),
+    // DAU / trailing-7-day WAU stickiness: the WAU side is the
+    // explode-contribution rewrite (each active-day fact feeds the 7
+    // target days containing it) — never a self-range-join.
+    Q(
+      "events_dau_wau",
+      (s, dir) => Behavior.dauWau(Tables.events(s, dir), "user_id", "ts_ms"),
+      Some("""WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 d FROM events),
+             |mx AS (SELECT max(d) mx FROM d),
+             |dau AS (SELECT d AS day, count(*) dau FROM d GROUP BY 1),
+             |c AS (SELECT DISTINCT user_id, d.d + o.o AS day
+             |      FROM d CROSS JOIN (SELECT unnest(range(0, 7)) o) o),
+             |wau AS (SELECT day, count(*) wau FROM c CROSS JOIN mx
+             |        WHERE day <= mx GROUP BY 1)
+             |SELECT dau.day, dau.dau, wau.wau,
+             |       round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+             |FROM dau JOIN wau USING (day)""".stripMargin)),
     // Cohort retention: cohort by first-event epoch day, distinct active
     // users per (cohort_day, day_offset). All integer day arithmetic.
     Q(

@@ -78,6 +78,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 2)
   }
 
+  test("dauWau: trailing-7-day distinct union, day-range trim, stickiness bounds") {
+    val day = 86400000L
+    // u1 active days 0 and 8; u2 active day 1 only
+    val e = Seq(
+      ("u1", 0L), ("u1", 10L), // same-day dup counts once
+      ("u1", 8 * day),
+      ("u2", day + 5)
+    ).toDF("user_id", "ts_ms")
+    val got = Behavior.dauWau(e, "user_id", "ts_ms")
+      .collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+      .toMap
+    assert(got(0L) == ((1L, 1L)), "day 0: u1 only; trailing window holds u1 only")
+    assert(got(1L) == ((1L, 2L)), "day 1: u2 active; trailing 7 days saw u1 and u2")
+    assert(got(8L) == ((1L, 1L)), "day 8: u1 returns; day-1 activity aged out of the window")
+    // only days with DAU > 0 are emitted (inner join), window never exceeds range
+    assert(got.keySet == Set(0L, 1L, 8L))
+    assert(got.values.forall { case (d, w) => d <= w })
+  }
+
   test("retention: cohort day from first event, distinct users per offset") {
     val day = 86400000L
     val e = Seq(
