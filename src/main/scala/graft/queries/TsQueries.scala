@@ -330,20 +330,18 @@ object TsQueries {
       "ts_agg_moments",
       (s, dir) => TsAlgebra.moments(ev(s, dir), "user_id", "value"),
       Some("""WITH e AS (SELECT user_id, CAST(floor(value * 1000 + 0.5) AS HUGEINT) p FROM events),
-             |a AS (SELECT user_id, count(*) n, sum(p) s1, sum(p*p) s2, sum(p*p*p) s3,
+             |a AS (SELECT user_id, CAST(count(*) AS HUGEINT) n, sum(p) s1, sum(p*p) s2, sum(p*p*p) s3,
              |        sum(p*p*p*p) s4 FROM e GROUP BY 1),
-             |m AS (SELECT user_id, n, s1, s2,
-             |        CAST(s1 AS DOUBLE) / n m,
-             |        CAST(s2 AS DOUBLE) / n q2,
-             |        CAST(s3 AS DOUBLE) / n q3,
-             |        CAST(s4 AS DOUBLE) / n q4
-             |      FROM a),
-             |c AS (SELECT *, q2 - m*m m2 FROM m)
-             |SELECT user_id, n,
+             |c AS (SELECT user_id, n, s1, s2,
+             |        n*s2 - s1*s1 a2,
+             |        n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 b3,
+             |        n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 c4
+             |      FROM a)
+             |SELECT user_id, CAST(n AS BIGINT) AS n,
              |  CAST(s1 AS VARCHAR)::DECIMAL(38,0) AS s1_pts,
              |  CAST(s2 AS VARCHAR)::DECIMAL(38,0) AS s2_pts,
-             |  CASE WHEN m2 > 0 THEN round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) + 0.0 END AS skewness,
-             |  CASE WHEN m2 > 0 THEN round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) + 0.0 END AS kurtosis_excess
+             |  CASE WHEN a2 > 0 THEN round(CAST(b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))), 4) + 0.0 END AS skewness,
+             |  CASE WHEN a2 > 0 THEN round(CAST(c4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3, 4) + 0.0 END AS kurtosis_excess
              |FROM c""".stripMargin)
     )
   )

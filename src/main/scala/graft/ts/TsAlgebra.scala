@@ -194,12 +194,23 @@ object TsAlgebra {
   /** Exact higher moments per series — skewness and excess kurtosis from
     * raw power sums computed in EXACT integer domain: values quantize to
     * milli-units, Σv, Σv², Σv³, Σv⁴ accumulate as DECIMAL(38,0) (order-
-    * independent at any partitioning), and only the FINAL moment algebra
-    * is fp — a fixed formula evaluated on identical integer inputs by
-    * both engines, so the round(4) outputs hash-match. The built-in
-    * skewness/kurtosis aggregates stream fp partials whose rounding
-    * depends on partition order; this formulation is the deterministic
-    * upgrade (same single partial-agg exchange).
+    * independent at any partitioning), then the raw→central conversion
+    * ALSO stays integer: the n-powers cancel, giving
+    *   A = n·s2 − s1²                       (= n²·m2)
+    *   B = n²·s3 − 3n·s1·s2 + 2s1³          (= n³·m3)
+    *   C = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴  (= n⁴·m4)
+    *   skewness = B / A^{3/2},  kurtosis_excess = C / A² − 3.
+    * The ONLY fp ops are two decimal→double casts, one sqrt, one
+    * multiply, one divide, one subtract — each IEEE correctly-rounded
+    * with a fixed shape, so no engine-side FMA fusion or association
+    * difference can flip an ulp at a round(4) boundary (the r5 failure
+    * mode: the multi-term fp polynomial diverged on one row). The
+    * built-in skewness/kurtosis aggregates stream fp partials whose
+    * rounding depends on partition order; this formulation is the
+    * deterministic upgrade (same single partial-agg exchange).
+    * Magnitude: C ≤ ~n⁴·p⁴ — fits DECIMAL(38) up to ~10⁹ point·milli
+    * units per key (verified ≤2.3e28 on the fixtures); beyond that,
+    * anchor-center the quantized values first (shift-invariant sums).
     */
   def moments(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     df.select(
@@ -212,25 +223,21 @@ object TsAlgebra {
         sum(col("_p") * col("_p")).as("s2"),
         sum(col("_p") * col("_p") * col("_p")).as("s3"),
         sum(col("_p") * col("_p") * col("_p") * col("_p")).as("s4"))
-      // m2/m3/m4 via the textbook raw→central conversion, using ONLY
-      // multiply / divide / sqrt (all IEEE correctly-rounded — `pow` is
-      // libm and may differ in the last ulp between engines); the oracle
-      // mirrors the exact expression text so every rounding step matches
-      .withColumn("m", expr("CAST(s1 AS DOUBLE) / n"))
-      .withColumn("q2", expr("CAST(s2 AS DOUBLE) / n"))
-      .withColumn("q3", expr("CAST(s3 AS DOUBLE) / n"))
-      .withColumn("q4", expr("CAST(s4 AS DOUBLE) / n"))
-      .withColumn("m2", expr("q2 - m*m"))
+      .withColumn("a2", expr("n*s2 - s1*s1"))
+      .withColumn("b3", expr("n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1"))
+      .withColumn("c4", expr("n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1"))
       .select(
         col(keyCol), col("n"),
         col("s1").cast("decimal(38,0)").as("s1_pts"),
         col("s2").cast("decimal(38,0)").as("s2_pts"),
         // + 0.0 canonicalizes IEEE −0.0 (textual compare downstream)
-        expr("""CASE WHEN m2 > 0 THEN
-               |  round((q3 - 3*m*q2 + 2*m*m*m) / (m2 * sqrt(m2)), 4) + 0.0
+        expr("""CASE WHEN a2 > 0 THEN
+               |  round(CAST(b3 AS DOUBLE)
+               |        / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))), 4) + 0.0
                |END""".stripMargin).as("skewness"),
-        expr("""CASE WHEN m2 > 0 THEN
-               |  round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (m2*m2) - 3, 4) + 0.0
+        expr("""CASE WHEN a2 > 0 THEN
+               |  round(CAST(c4 AS DOUBLE)
+               |        / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3, 4) + 0.0
                |END""".stripMargin).as("kurtosis_excess"))
 
   /** A1–A12 — every reference aggregator is a Spark built-in (SURVEY §2.3):
