@@ -73,26 +73,88 @@ object Layout {
     * range and size. This is the boundary table a balanced global sort /
     * range-partitioned write needs.
     *
-    * Shape: ONE partial-aggregated shuffle to per-value counts, a
-    * cumulative window over the DISTINCT-value table (orders of magnitude
-    * smaller than the rows; at extreme distinct cardinality sample first
-    * — Spark's own RangePartitioner does), then a broadcast overlap-join
-    * of the n bucket rank-ranges against the value spans. No global sort
-    * of the data itself, no collect: bounds come out as a DataFrame of n
-    * rows. Bucket sizes are closed-form (floor arithmetic), not counted —
-    * heavy values that straddle a boundary split exactly as a rank-order
-    * cut would.
+    * Shape: ONE partial-aggregated shuffle to per-value counts, then the
+    * global cumulative count via a DISTRIBUTED two-level prefix sum — no
+    * single-partition exchange even when the column is near-unique and
+    * the distinct table ≈ the data:
+    *   1. Each distinct value gets a DETERMINISTIC partition id: a
+    *      monotone double proxy of the value (identity for numerics,
+    *      epoch for date/time, leading-7-bytes integer for strings —
+    *      byte order = binary collation order), linearly split over the
+    *      broadcast global [min, max] into `spark.sql.shuffle.partitions`
+    *      contiguous ranges. Deterministic by construction — unlike
+    *      `repartitionByRange`, whose per-RDD-id sampling seeds could
+    *      assign DIFFERENT boundaries to the two consumers of this table
+    *      unless exchange reuse happens to fire. Balance is heuristic
+    *      (linear in proxy space), degrading to fewer effective
+    *      partitions on pathological distributions — a perf, never a
+    *      correctness, concern since the within-partition window sort
+    *      spills.
+    *   2. Cumulate WITHIN each pid under a window PARTITIONED by pid
+    *      (executor-parallel, spill-safe); per-pid totals form a table of
+    *      ≤ `spark.sql.shuffle.partitions`+2 rows (bounded by CONFIG, not
+    *      data); each pid's offset = sum of totals of lower pids via a
+    *      triangular broadcast join over that tiny table — deliberately a
+    *      join, not a global window, so the plan contains no
+    *      unpartitioned WindowExec at any cardinality.
+    * Then a broadcast overlap-join of the n bucket rank-ranges against
+    * the value spans. No global sort of the data itself, no collect:
+    * bounds come out as a DataFrame of n rows, identical to the
+    * single-window formulation (prefix sums of longs are exact, so the
+    * partitioning cannot change the result). Bucket sizes are closed-form
+    * (floor arithmetic), not counted — heavy values that straddle a
+    * boundary split exactly as a rank-order cut would.
     */
   def rangeBounds(df: DataFrame, valueCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be positive")
+    import org.apache.spark.sql.types._
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // monotone (non-strict) double proxy of the sort order; unsupported
+    // types fall back to a constant = single cumulation partition (the
+    // pre-r6 behavior, acceptable at the low cardinality such types carry)
+    def proxy(name: String): Column = df.schema(valueCol).dataType match {
+      case _: NumericType => col(name).cast(DoubleType)
+      case TimestampType => col(name).cast(DoubleType)
+      case DateType => col(name).cast(TimestampType).cast(DoubleType)
+      case StringType =>
+        expr(s"CAST(conv(hex(rpad(CAST(`$name` AS BINARY), 7, x'00')), 16, 10) AS DOUBLE)")
+      case _ => lit(0.0)
+    }
+    val stats = df.agg(
+      min(proxy(valueCol)).as("pmin"),
+      max(proxy(valueCol)).as("pmax"),
+      count(lit(1)).as("N"))
     val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("v"))
-    val spans = counts
-      .withColumn("cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats.select("pmin", "pmax")))
+      .withColumn("_px", proxy("v"))
+      // NaN sorts above every double in Spark ordering → top pid; NULL
+      // sorts first → pid −1; NULL/NaN min−max edge cases all collapse to
+      // monotone assignments (degraded balance, never a wrong rank)
+      .withColumn(
+        "pid",
+        when(col("_px").isNaN, lit(p - 1)).otherwise(coalesce(
+          when(col("pmax") <= col("pmin"), lit(0)).otherwise(least(
+            lit(p - 1),
+            greatest(lit(0), floor((col("_px") - col("pmin")) / (col("pmax") - col("pmin")) * p).cast(IntegerType)))),
+          lit(-1))))
+      .select(col("v"), col("cnt"), col("pid"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("v"))
+    val local = counts.withColumn(
+      "local_cum",
+      sum("cnt").over(localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ptot = counts.groupBy(col("pid")).agg(sum("cnt").as("ptot"))
+    // exclusive prefix over the config-bounded totals table — triangular
+    // broadcast join keeps the plan free of unpartitioned windows
+    val offsets = ptot.as("a")
+      .join(broadcast(ptot.as("b")), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.ptot")), lit(0L)).as("offset"))
+    val spans = local
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("cum_lo", col("cum") - col("cnt") + 1)
-    val total = counts.agg(sum("cnt").as("N"))
     val buckets = df.sparkSession.range(1, n + 1).toDF("bucket")
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(stats.select("N")))
       // bucket b covers ranks [ (b-1)·N DIV n + 1 , b·N DIV n ]
       .withColumn("r_lo", expr(s"(bucket - 1) * N DIV $n + 1"))
       .withColumn("r_hi", expr(s"bucket * N DIV $n"))

@@ -108,4 +108,71 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("bucket")).toSeq == Seq(2L, 4L, 5L))
     assert(got.map(_.getAs[Long]("n_rows")).sum == 3L)
   }
+
+  test("rangeBounds: no unpartitioned Window at any point in the physical plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = (1 to 5000).map(i => i.toLong * 2654435761L % 1000003L).toDF("v")
+    val q = Layout.rangeBounds(df, "v", n = 32)
+    q.collect() // finalizes the AQE plan
+    // AQE wraps finished stages in leaf QueryStageExec nodes — a plain
+    // TreeNode.collect stops at them, so recurse through every wrapper
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Nil }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case s: QueryStageExec => windows(s.plan)
+        case r: ReusedExchangeExec => windows(r.child)
+        case _ => Nil
+      }
+      self ++ nested ++ p.children.flatMap(windows)
+    }
+    val ws = windows(q.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the within-partition cumulation window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned WindowExec in rangeBounds plan: $w"))
+  }
+
+  test("rangeBounds: distributed prefix sum matches a single-window oracle on a near-unique column") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(17)
+    val vals = (1 to 4000).map(_ => rng.nextDouble() * 1e6)
+    val df = vals.toDF("v")
+    val got = Layout.rangeBounds(df, "v", n = 16).orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n_rows")))
+    // oracle: the pre-r6 single global window formulation
+    val counts = df.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+    val spans = counts
+      .withColumn("cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_lo", col("cum") - col("cnt") + 1)
+    val total = counts.agg(sum("cnt").as("N"))
+    val buckets = spark.range(1, 17).toDF("bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("r_lo", expr("(bucket - 1) * N DIV 16 + 1"))
+      .withColumn("r_hi", expr("bucket * N DIV 16"))
+      .where(col("r_hi") >= col("r_lo"))
+    val exp = spans
+      .join(broadcast(buckets), col("cum_lo") <= col("r_hi") && col("cum") >= col("r_lo"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        min(col("r_hi") - col("r_lo") + 1).as("n_rows"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n_rows")))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("rangeBounds: string column — proxy split preserves exact rank cuts incl. nulls") {
+    val df = (Seq.tabulate(300)(i => f"doc_${(i * 37) % 100}%03d_${i}%04d") ++ Seq(null, null))
+      .toDF("v")
+    val got = Layout.rangeBounds(df, "v", n = 7).orderBy("bucket").collect()
+    val sizes = got.map(_.getAs[Long]("n_rows"))
+    assert(sizes.sum == 302L)
+    assert(sizes.max - sizes.min <= 1)
+    val his = got.flatMap(r => Option(r.getAs[String]("hi")))
+    assert(his.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
 }
