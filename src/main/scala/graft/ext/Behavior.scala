@@ -88,13 +88,26 @@ object Behavior {
             array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol).as("t")))),
             x => x.getField("t")),
           "->").as("path"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_sessions").desc, col("path"))
-    paths
+    // top-k as orderBy+limit → TakeOrderedAndProject (per-partition heap
+    // + driver merge of k rows) — NOT a global rank window, whose single
+    // partition would have to sort the whole path-counts table (path
+    // cardinality approaches session count at scale). Ranks attach to
+    // the ≤k survivors via a triangular broadcast self-join (k² bounded
+    // by the parameter, not the data), keeping the plan free of
+    // unpartitioned WindowExec nodes.
+    val top = paths
       .groupBy("path")
       .agg(count(lit(1)).as("n_sessions"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+    top.as("a")
+      .join(
+        broadcast(top.as("b")),
+        col("b.n_sessions") > col("a.n_sessions") ||
+          (col("b.n_sessions") === col("a.n_sessions") && col("b.path") < col("a.path")),
+        "left")
+      .groupBy(col("a.path").as("path"), col("a.n_sessions").as("n_sessions"))
+      .agg((count(col("b.path")) + 1).as("rank"))
   }
 
   /** DAU / trailing-WAU stickiness per day: distinct users active that

@@ -147,8 +147,11 @@ object Sampling {
     * id. The top-n is an orderBy+limit — TakeOrderedAndProject's
     * distributed per-partition heaps at ANY n (a rank-filter window
     * would only rewrite to a group-limit below
-    * spark.sql.optimizer.windowGroupLimitThreshold); the rank window
-    * runs over the n survivors only. Weights must be positive and
+    * spark.sql.optimizer.windowGroupLimitThreshold); ranks attach to
+    * the ≤n survivors via a triangular broadcast self-join on the
+    * (priority, id) keys — n² bounded by the parameter, not the data,
+    * and the plan stays free of unpartitioned WindowExec nodes.
+    * Weights must be positive and
     * non-null — a NULL priority would rank differently across engines
     * (NULLS FIRST vs LAST) and a non-positive one breaks the
     * proportional-inclusion contract, so bad weights raise instead.
@@ -166,10 +169,17 @@ object Sampling {
       .withColumn("_prio", hashFraction(col(idCol), salt) / wOk)
       .orderBy(col("_prio"), col(idCol))
       .limit(n)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_prio"), col(idCol))
-    top.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .drop("_prio")
+    val keys = top.select(col(idCol).as("_id"), col("_prio"))
+    val ranks = keys.as("a")
+      .join(
+        broadcast(keys.as("b")),
+        col("b._prio") < col("a._prio") ||
+          (col("b._prio") === col("a._prio") && col("b._id") < col("a._id")),
+        "left")
+      .groupBy(col("a._id").as("_id"))
+      .agg((count(col("b._id")) + 1).as("sample_rank"))
+    top.join(broadcast(ranks), col(idCol) === col("_id"))
+      .drop("_id", "_prio")
   }
 
   /** Source-weighted mixing: per-group sampling weight w ≥ 0 applied as
