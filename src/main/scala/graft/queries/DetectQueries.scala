@@ -497,6 +497,56 @@ object DetectQueries {
               |       b.n AS data_points_analyzed, coalesce(wc.c, 0) AS anomalies_found,
               |       b.s AS start_ms, b.e AS end_ms, b.e - b.s AS duration_ms
               |FROM base b LEFT JOIN wc ON b.k = wc.k""".stripMargin)
+    ),
+    // D13 refinement through the EP2 facade: derivative windows whose
+    // exact_timestamp is re-pinned by an absolute_threshold re-score of
+    // each window's slice (ties → latest ts, mirroring refineExact's
+    // max_by(ts, struct(score, ts))). The slices run through the same
+    // scoring kernels under synthetic per-window keys — fully
+    // distributed, no per-window driver jobs.
+    Q(
+      "anomaly_refined",
+      (s, dir) => {
+        val cfg = DetectorConfig(
+          refineAlgorithmName = Some("absolute_threshold"),
+          absoluteThresholdUpper = Some(150.0),
+          absoluteThresholdLower = Some(1.0))
+        graft.client.Graft.monitor(Tables.events(s, dir), cols, detCfg = cfg)
+          .anomalies
+          .select(
+            keyAsLong.as("user_id"), col("startTsMs").as("start_ms"),
+            col("endTsMs").as("end_ms"), round(col("anomalyScore"), 4).as("anomaly_score"),
+            col("exactTsMs").as("exact_ms"))
+      },
+      Some(s"""WITH RECURSIVE $ptsCte, $dscoreCte, $windowsCte,
+              |sliced AS (
+              |  SELECT w.k, w.start_ms, w.end_ms, w.mscore, p.ts_ms,
+              |         greatest(p.v - 150.0, 1.0 - p.v, 0.0) AS rs
+              |  FROM wins w JOIN pts p
+              |    ON p.k = w.k AND p.ts_ms BETWEEN w.start_ms AND w.end_ms),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY k, start_ms
+              |                               ORDER BY rs DESC, ts_ms DESC) rn
+              |  FROM sliced)
+              |SELECT k AS user_id, start_ms, end_ms,
+              |       round(mscore, 4) AS anomaly_score, ts_ms AS exact_ms
+              |FROM ranked WHERE rn = 1""".stripMargin)
+    ),
+    // D14 score_only through the EP2 facade: detection short-circuits
+    // after scoring (anomalies stays empty), scores flow out unchanged —
+    // verified against the same EMA recursive-CTE oracle as the direct
+    // kernel query.
+    Q(
+      "anomaly_score_only",
+      (s, dir) =>
+        asOut(
+          graft.client.Graft
+            .monitor(
+              Tables.events(s, dir), cols,
+              detCfg = DetectorConfig(algorithmName = "exp_avg_detector", scoreOnly = true))
+            .scores),
+      Some(s"""WITH RECURSIVE $ptsCte, $escoreCte
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM escore""".stripMargin)
     )
   )
 }
