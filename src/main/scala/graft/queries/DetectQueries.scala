@@ -547,6 +547,40 @@ object DetectQueries {
             .scores),
       Some(s"""WITH RECURSIVE $ptsCte, $escoreCte
               |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM escore""".stripMargin)
+    ),
+    // Streaming parity: the Structured Streaming monitor (exp_avg EMA
+    // state in the state store + absolute D11 threshold), batch-replayed
+    // one micro-batch per day so EmaState crosses ~30 batch boundaries,
+    // against the same recursive-CTE EMA the batch kernel oracles use.
+    // The stream kernel drops a point whose ts does not advance its key
+    // (late/dup policy) — with per-batch (ts, value) sorting that keeps
+    // the MIN value of each duplicated timestamp, mirrored by the
+    // oracle's min(v) GROUP BY. Scores here are the RAW |v − ema| devs
+    // (the documented batch/stream divergence: stddev normalization
+    // needs the whole series).
+    Q(
+      "anomaly_stream_monitor",
+      (s, dir) =>
+        graft.streaming.Replay
+          .monitorCfgReplay(
+            pts(s, dir),
+            DetectorConfig(algorithmName = "exp_avg_detector", scoreThreshold = Some(30.0)),
+            p => p.tsMs / 86400000L)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            round(col("ema"), 4).as("ema"), round(col("dev"), 4).as("dev"),
+            col("isAnomaly").as("is_anomaly")),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |d AS (SELECT k, ts_ms, min(v) v FROM pts GROUP BY k, ts_ms),
+              |rd AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM d),
+              |sema AS (
+              |  SELECT k, ts_ms, v, rn, v AS ema FROM rd WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn, 0.2*p.v + (1 - 0.2)*e.ema
+              |  FROM rd p JOIN sema e ON p.k = e.k AND p.rn = e.rn + 1)
+              |SELECT k AS user_id, ts_ms, v AS value, round(ema, 4) AS ema,
+              |       round(abs(v - ema), 4) AS dev, abs(v - ema) > 30.0 AS is_anomaly
+              |FROM sema""".stripMargin)
     )
   )
 }

@@ -222,14 +222,17 @@ object MonitorStream {
     *    the batch normalized score — the documented batch/stream
     *    divergence; pick the threshold for the raw-dev scale.
     */
-  def monitorStreamCfg(points: Dataset[TsSample], cfg: graft.config.DetectorConfig): DataFrame = {
+  def monitorStreamCfg(
+      points: Dataset[TsSample],
+      cfg: graft.config.DetectorConfig,
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): DataFrame = {
     val thr = cfg.scoreThreshold.getOrElse(throw new IllegalArgumentException(
       "streaming monitoring requires an absolute score_threshold: percent-of-max (set " +
         "explicitly, or the batch default when both thresholds are unset) needs the whole " +
         "series and is batch-only (SURVEY §7.5)"))
     val scores = cfg.algorithmName match {
-      case "exp_avg_detector" => emaScores(points, cfg.smoothingFactor)
-      case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor)
+      case "exp_avg_detector" => emaScores(points, cfg.smoothingFactor, stateTtlMs = stateTtlMs)
+      case "derivative_detector" => derivativeScores(points, cfg.smoothingFactor, stateTtlMs = stateTtlMs)
       case other => throw new IllegalArgumentException(
         s"streaming monitoring supports exp_avg_detector / derivative_detector, got $other")
     }
