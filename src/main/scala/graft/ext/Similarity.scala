@@ -384,9 +384,18 @@ object Similarity {
   final case class PqIndex(
       ivf: IvfIndex,
       books: Array[Array[Array[Double]]], // [m][ksub][subDim]
-      coded: DataFrame, // (id, vec, nrm, cell, codes)
+      coded: DataFrame, // (id, cell, codes [, vec, nrm when unsplit])
       m: Int,
-      ksub: Int)
+      ksub: Int,
+      // split storage (readPqIndex): raw vectors live in a SEPARATE file
+      // from the codes, so the ADC scan's input file carries no vector
+      // bytes at all and the refine step late-materializes from here
+      vectorsSplit: Option[DataFrame] = None) {
+    /** (id, vec, nrm) side for probe-cell selection, the query vectors,
+      * and the exact re-rank; the in-memory build keeps them on `coded`.
+      */
+    def vectorSide: DataFrame = vectorsSplit.getOrElse(coded)
+  }
 
   /** Nearest sub-centroid by L2 over the subvector, first strict minimum
     * wins ties (== `row_number() OVER (ORDER BY dist, cid)` in the SQL
@@ -532,7 +541,7 @@ object Similarity {
     val spark = index.coded.sparkSession
     import spark.implicits._
     val subDim = index.books(0)(0).length
-    val probes = probeCells(index.coded, index.ivf.centroids, queryPred, nprobe)
+    val probes = probeCells(index.vectorSide, index.ivf.centroids, queryPred, nprobe)
     val bc = spark.sparkContext.broadcast(index.books)
     val mSub = index.m
     // ADC over the probed cells: equi-join on cell, CODES-ONLY candidate
@@ -562,14 +571,15 @@ object Similarity {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("id").asc)
     val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     // late-materialize: only the ≤ refine survivors per query fetch their
-    // raw vector (join back to the index) and the query vector (tiny
-    // broadcast) for the exact re-rank
-    val queries = index.coded.where(queryPred)
+    // raw vector (join back to the vector side — a separate file under
+    // split storage) and the query vector (tiny broadcast) for the exact
+    // re-rank
+    val queries = index.vectorSide.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     adcScored
       .withColumn("ar", row_number().over(wAdc))
       .where(col("ar") <= refine)
-      .join(index.coded.select(col("id"), col("vec"), col("nrm")), "id")
+      .join(index.vectorSide.select(col("id"), col("vec"), col("nrm")), "id")
       .join(broadcast(queries), "query_id")
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(wk))
@@ -594,12 +604,15 @@ object Similarity {
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
 
-  /** Persist an IVF-PQ index: the IVF layout plus codebooks (one tiny
-    * parquet) and the coded corpus PARTITIONED BY CELL — probes read
-    * codes from their nprobe cell directories only; the raw vectors ride
-    * along for the exact re-rank (at extreme scale, store codes and
-    * vectors as separate column groups and late-materialize the vectors
-    * for the refine set only — same layout, second file).
+  /** Persist an IVF-PQ index in SPLIT column groups: the IVF layout
+    * (centroids + the vector-carrying `assigned` corpus, cell-
+    * partitioned), codebooks (one tiny parquet), and a CODES-ONLY file
+    * `(id, cell, codes)` partitioned by cell. The ADC probe scans the
+    * codes file exclusively — no vector bytes in its input at all (~m
+    * bytes/vector instead of dims·4) — and the exact re-rank
+    * late-materializes raw vectors for the ≤ refine survivors from the
+    * `assigned` file, which doubles as the vector column group instead
+    * of storing the vectors a second time.
     */
   def writePqIndex(index: PqIndex, path: String): Unit = {
     writeIvfIndex(index.ivf, path)
@@ -609,17 +622,24 @@ object Similarity {
       yield (mm, j, index.books(mm)(j).toSeq))
       .toDF("m", "cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    index.coded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/coded")
+    index.coded.select(col("id"), col("cell"), col("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** Reopen a persisted IVF-PQ index; `pqProbe` works on it unchanged. */
+  /** Reopen a persisted IVF-PQ index; `pqProbe` works on it unchanged,
+    * with its ADC stage reading the codes file only (the vector side is
+    * the IVF `assigned` file, touched just for queries + refine).
+    */
   def readPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
     val rows = spark.read.parquet(s"$path/codebooks").collect()
     val m = rows.map(_.getAs[Int]("m")).max + 1
     val ksub = rows.map(_.getAs[Int]("cid")).max + 1
     val books = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach(r => books(r.getAs[Int]("m"))(r.getAs[Int]("cid")) = r.getSeq[Double](2).toArray)
-    PqIndex(readIvfIndex(spark, path), books, spark.read.parquet(s"$path/coded"), m, ksub)
+    val ivf = readIvfIndex(spark, path)
+    PqIndex(
+      ivf, books, spark.read.parquet(s"$path/codes"), m, ksub,
+      vectorsSplit = Some(ivf.assigned))
   }
 
   /** One-shot convenience: build + probe. Prefer `buildIvfIndex` once +

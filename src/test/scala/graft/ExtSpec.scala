@@ -150,6 +150,10 @@ class ExtSpec extends AnyFunSuite {
     Similarity.writePqIndex(pq, dir)
     val reopened = Similarity.readPqIndex(spark, dir)
     assert(reopened.m == pq.m && reopened.ksub == pq.ksub)
+    // split column groups: the ADC scan's input file carries codes only —
+    // no vector bytes can flow before the refine cut
+    assert(reopened.vectorsSplit.isDefined && !reopened.coded.columns.contains("vec"),
+      "split storage: ADC input must be the codes-only file")
     (0 until pq.m).foreach(mm => (0 until pq.ksub).foreach(j =>
       assert(java.util.Arrays.equals(reopened.books(mm)(j), pq.books(mm)(j)))))
     val a = Similarity.pqProbe(pq, col("id") < 5, k = 5, nprobe = 6).collect()
