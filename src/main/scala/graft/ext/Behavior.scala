@@ -40,6 +40,11 @@ object Behavior {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    // each step adds a join stage; a pathological step list would build
+    // an unplannable k-join tree — real funnels are short, so cap it
+    // (longer sequences belong to the path-mining kernel, not chained
+    // joins)
+    require(steps.size <= 16, s"funnel supports at most 16 steps, got ${steps.size}")
     val s1 = events
       .where(col(typeCol) === steps.head)
       .groupBy(col(userCol))

@@ -729,20 +729,25 @@ object Dedup {
     require(mBits >= 64 && mBits <= (1 << 26), s"mBits out of sane range: $mBits")
     val spark = train.sparkSession
     import spark.implicits._
-    // probe positions: distinct shingles → k positions each → distinct.
-    // The collect is bounded by mBits (≤ 8 MiB of longs at the cap), not
-    // by the probe corpus size — the whole point of the Bloom variant.
-    val probePos = shingles(probe, idCol, textCol, n)
+    // probe bitset built by AGGREGATION: shingle → k positions → per-word
+    // bit_or — the collect is the word table, mBits/64 longs (8 MiB at
+    // the 2^26 cap), independent of probe corpus size. Collecting raw
+    // positions instead would be bounded by mBits POSITIONS (512 MiB of
+    // longs at the cap) — the aggregation keeps the driver payload at
+    // the bitset's own size, the whole point of the Bloom variant.
+    val words = shingles(probe, idCol, textCol, n)
       .select(col("g")).distinct()
       .as[String]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap(g => bloomPositions(md, g, mBits, k))
       }
-      .distinct()
+      .toDF("pos")
+      .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
       .collect()
     val bits = new Array[Long]((mBits + 63) / 64)
-    probePos.foreach(p => bits(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    words.foreach(r => bits(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
     val bc = spark.sparkContext.broadcast(bits)
     train
       .select(col(idCol).cast("long"), col(textCol))

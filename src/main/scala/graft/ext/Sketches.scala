@@ -91,7 +91,15 @@ object Sketches {
     */
   def hllEstimate(registers: DataFrame, groupCol: String, p: Int): DataFrame = {
     val m = 1L << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // the standard HLL alpha_m: measured constants for the small register
+    // counts where the asymptotic formula carries a systematic bias
+    // (Flajolet et al. 2007, §4), asymptotic form from m = 128 up
+    val alpha = m match {
+      case 16L => 0.673
+      case 32L => 0.697
+      case 64L => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     val scale = 1099511627776L // 2^40
     registers
       .groupBy(col(groupCol))
