@@ -13,7 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // replay-harness queries exist for the correctness gate: they feed a
+    // MemoryStream from the driver one micro-batch at a time, so their
+    // wall time measures the replay harness, not a distributed operator —
+    // excluded here (Verify still runs them)
+    val skip = Set("anomaly_stream_monitor")
+    val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1)).sortBy(_._1)
     // warm pass: JIT + codegen + parquet footer caches (BASELINE.md
     // measurement plan: warm JVM, median of 3)
     ordered.foreach { case (_, fn) =>

@@ -24,6 +24,24 @@ object TextAnalysis {
 
   def words(text: Column): Column = split(text, " ")
 
+  /** Global top-k with ranks, scale-safe: orderBy+limit (TakeOrdered-
+    * AndProject's per-partition heaps — never a single-partition sort of
+    * the whole scored table, which grows with the corpus) and ranks
+    * attached to the ≤k survivors via a triangular broadcast self-join
+    * (k² bounded by the parameter, not the data). `sortKey` must be a
+    * TOTAL order — struct() of the sort fields with numeric descending
+    * fields negated.
+    */
+  private def rankedTopK(df: DataFrame, k: Int, sortKey: Column): DataFrame = {
+    val top = df.withColumn("_sk", sortKey).orderBy(col("_sk")).limit(k)
+    val sks = top.select(col("_sk"))
+    val ranks = sks.as("a")
+      .join(broadcast(sks.as("b")), col("b._sk") < col("a._sk"), "left")
+      .groupBy(col("a._sk").as("_sk"))
+      .agg((count(col("b._sk")) + 1).as("rank"))
+    top.join(broadcast(ranks), "_sk").drop("_sk")
+  }
+
   /** Token counting: whitespace words + a BPE-ish subword estimate
     * (ceil(len/4) pieces per word — the ~4-chars-per-token rule).
     */
@@ -561,9 +579,7 @@ object TextAnalysis {
       .as[(String, Long, Long)]
       .map { case (wd, dfw, d) => (wd, surprisalFp(2 * d + 2, 2 * dfw + 1)) }
       .toDF("wd", "idf_fp")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_fp").desc, col(idCol))
-    tf.join(dl, idCol)
+    val scored = tf.join(dl, idCol)
       .join(broadcast(idf), "wd")
       .crossJoin(broadcast(tot))
       .withColumn(
@@ -572,8 +588,7 @@ object TextAnalysis {
                |     DIV (CAST(A AS DECIMAL(38,0)) * 10 * tf + 3*A + 9*dl*D) AS BIGINT)""".stripMargin))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), sum("term_fp").as("score_fp"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    rankedTopK(scored, k, struct((-col("score_fp")).as("s"), col(idCol).as("i")))
       .select(col(idCol), col("rank"), col("n_hits"), col("score_fp"))
   }
 
@@ -627,11 +642,8 @@ object TextAnalysis {
         (w1, w2, cc, pmi)
       }
       .toDF("w1", "w2", "c12", "pmi_fp")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    rankedTopK(scored, k, struct((-col("pmi_fp")).as("s"), col("w1").as("a"), col("w2").as("b")))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_fp"), col("rank"))
   }
 
   /** Corpus drift report: the tokens whose probability moved most
@@ -674,11 +686,8 @@ object TextAnalysis {
         (wd, a, b, d, (b + 1) * math.abs(d))
       }
       .toDF("wd", "ca", "cb", "d_fp", "moved_fp")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("moved_fp").desc, col("wd"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    rankedTopK(scored, k, struct((-col("moved_fp")).as("s"), col("wd").as("w")))
+      .select(col("wd"), col("ca"), col("cb"), col("d_fp"), col("moved_fp"), col("rank"))
   }
 
   /** Robust per-group score normalization: median/MAD z-score of a
