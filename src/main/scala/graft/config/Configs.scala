@@ -87,7 +87,14 @@ final case class TsQueryConfig(
     align: Align = Align.Epoch,
     latest: Boolean = false,
     bucketTimestamp: BucketTs = BucketTs.Start,
-    reversed: Boolean = false) {
+    reversed: Boolean = false,
+    // Declares the value column as fixed-decimal (e.g. Some(2) for cent
+    // values). Bucketed `avg` then runs in EXACT scaled-integer
+    // arithmetic with half-up rounding to 4 decimals — the true mean of
+    // fixed-decimal values regularly lands exactly on the rounding
+    // half-way point, where IEEE-double averaging is engine-dependent.
+    // None (default) keeps plain floating-point aggregation.
+    valueDecimals: Option[Int] = None) {
   // Reference validation: aggregation requires a bucket size and vice versa
   // (/root/reference/potoos/models/config.py:57-60).
   require(

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass mergeable sketches for corpus profiling at 100 TB scale:
@@ -178,5 +179,72 @@ object Sketches {
       .join(broadcast(cells), Seq("row_idx", "col_idx"), "left")
       .groupBy(col(tokenCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** Equi-width histogram cells for approximate quantiles — the third
+    * mergeable sketch, same algebra as the CMS/HLL tables: ONE
+    * partial-aggregated groupBy produces at most `bins` rows per group no
+    * matter the input size, and two corpora's histograms merge by
+    * union + `mergeHistograms`. The value column is first projected onto
+    * an EXACT integer unit lane (`unit = round(v · unitScale)`, e.g.
+    * cents for money columns) so binning, ranks, and interpolation all
+    * run in integer arithmetic — the whole sketch replays bit-identically
+    * in SQL. `binUnits` is the bin width in units; values outside
+    * [0, bins·binUnits) clamp into the edge bins.
+    */
+  def histogramCells(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      unitScale: Int,
+      binUnits: Long,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && binUnits >= 1, s"need bins >= 2 and binUnits >= 1, got $bins/$binUnits")
+    df.select(
+        col(groupCol),
+        expr(s"CAST(round($valueCol * $unitScale, 0) AS BIGINT)").as("_u"))
+      .withColumn("bin", least(greatest(expr(s"_u DIV $binUnits"), lit(0L)), lit(bins - 1L)))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram cell tables (union the inputs first): bins fold by
+    * sum — the groupBy algebra IS the sketch's merge operator.
+    */
+  def mergeHistograms(cells: DataFrame, groupCol: String): DataFrame =
+    cells.groupBy(col(groupCol), col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Interpolated quantiles (per-mille points, e.g. 500 = p50) from a
+    * histogram cell table. Integer arithmetic end to end: target rank =
+    * ⌈q·total/1000⌉, the owning bin is the one whose cumulative count
+    * first reaches it, and the within-bin linear interpolation
+    * `(target − cum_before) · binUnits DIV cnt` stays in units; the only
+    * floating-point op is the final divide by `unitScale`. The windows
+    * are PARTITIONED by group over the cell table (≤ `bins` rows per
+    * group) — no global sort, no single-partition exchange, regardless of
+    * input scale.
+    */
+  def histogramQuantiles(
+      cells: DataFrame,
+      groupCol: String,
+      qMille: Seq[Int],
+      unitScale: Int,
+      binUnits: Long): DataFrame = {
+    require(qMille.nonEmpty && qMille.forall(q => q >= 1 && q <= 1000), s"qMille out of (0,1000]: $qMille")
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cc = cells
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("bin"))))
+      .withColumn("total", sum(col("cnt")).over(byGroup))
+    cc.select(
+        col(groupCol), col("bin"), col("cnt"), col("cum"), col("total"),
+        explode(array(qMille.map(q => lit(q.toLong)): _*)).as("q_mille"))
+      .withColumn("target", greatest(expr("(q_mille * total + 999) DIV 1000"), lit(1L)))
+      .where(col("cum") >= col("target") && col("cum") - col("cnt") < col("target"))
+      .withColumn(
+        "est_units",
+        col("bin") * binUnits + expr(s"((target - (cum - cnt)) * $binUnits) DIV cnt"))
+      .select(
+        col(groupCol), col("q_mille"), col("est_units"),
+        round(col("est_units") / unitScale.toDouble, 4).as("est_value"))
   }
 }

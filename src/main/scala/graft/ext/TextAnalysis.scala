@@ -227,8 +227,15 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),
-        sum("pts").as("sum_rarity_pts"),
-        round((sum("pts") / lit(1000000.0)) / count(lit(1)), 4).as("avg_rarity"))
+        sum("pts").as("sum_rarity_pts"))
+      // mean rarity rounded half-up to 4 decimals in the INTEGER domain
+      // (avg = sum/(10⁶·n); r = ⌊sum/(100·n) + ½⌋): the true mean lands
+      // exactly on the half-way point often enough (sf0.1 doc 3040:
+      // 30.01245) that rounding the fp quotient diverges between engines
+      .select(
+        col(idCol), col("n_words"), col("sum_rarity_pts"),
+        (expr("(CAST(sum_rarity_pts AS DECIMAL(38,0)) * 2 + 100 * n_words) DIV (200 * n_words)")
+          / 10000.0).as("avg_rarity"))
   }
 
   /** Fixed-point log2(t/cnt) in 2⁻¹⁶-bit units, floor-truncating — the
@@ -293,8 +300,13 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),
-        sum("sfp").as("sum_xent_fp"),
-        round((sum("sfp") / lit(65536.0)) / count(lit(1)), 4).as("xent_bits"))
+        sum("sfp").as("sum_xent_fp"))
+      // 4-decimal half-up in integer domain (avg = s/(65536·n)) — see
+      // `rarity` for why fp-quotient rounding diverges between engines
+      .select(
+        col(idCol), col("n_words"), col("sum_xent_fp"),
+        (expr("(CAST(sum_xent_fp AS DECIMAL(38,0)) * 20000 + 65536 * n_words) DIV (131072 * n_words)")
+          / 10000.0).as("xent_bits"))
   }
 
   /** Bigram-LM conditional cross-entropy: per document, the average
@@ -340,8 +352,11 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum("sfp").as("sum_xent2_fp"),
-        round((sum("sfp") / lit(65536.0)) / count(lit(1)), 4).as("xent2_bits"))
+        sum("sfp").as("sum_xent2_fp"))
+      .select(
+        col(idCol), col("n_bigrams"), col("sum_xent2_fp"),
+        (expr("(CAST(sum_xent2_fp AS DECIMAL(38,0)) * 20000 + 65536 * n_bigrams) DIV (131072 * n_bigrams)")
+          / 10000.0).as("xent2_bits"))
   }
 
   /** Per-group top-k n-grams (heavy hitters): the corpus-observability

@@ -61,4 +61,30 @@ object Skew {
       else joined.withColumn(dimKeyCol, col("_dimkey"))
     restored.drop("_fsalt", "_dsalt", "_dimkey")
   }
+
+  /** Join-key skew diagnostic — the planning step that decides whether
+    * `saltedJoin` is needed and with how many salts. One partial-aggregated
+    * groupBy builds the key-frequency table; the top-k hot keys surface via
+    * orderBy().limit(k) (TakeOrderedAndProject — no global sort, no
+    * single-partition window) and the one-row total is broadcast back. Per
+    * hot key: `share` of all rows, `skew_ratio` = its count over the mean
+    * rows-per-key (1.0 = perfectly uniform), and `salt_rec` =
+    * ⌈skew_ratio⌉ — the salt count that spreads the hot key's rows back to
+    * roughly mean-partition size, the sizing rule documented on
+    * `saltedJoin`.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
+    top
+      .crossJoin(broadcast(totals))
+      .select(
+        col(keyCol), col("cnt"),
+        round(col("cnt") / col("total"), 4).as("share"),
+        round(col("cnt") / col("total") * col("n_keys"), 4).as("skew_ratio"),
+        ceil(col("cnt") / col("total") * col("n_keys")).cast("long").as("salt_rec"))
+  }
 }

@@ -111,18 +111,35 @@ object DetectQueries {
   /** Daily-average series with its one-day-lagged self as baseline (D7/D8
     * baseline join).
     */
+  /** Exact day-bucket average, 4-decimal half-up in INTEGER domain (cent
+    * sums; r = ⌊(sc·10⁴ + d/2)/d⌋, d = 100·n) — the true mean of cent
+    * values lands exactly on the 4-decimal half-way point often enough
+    * (sf0.1: user 522) that double `avg` + `round` diverges between
+    * engines (Spark rounds the binary expansion, DuckDB the shortest
+    * decimal repr). Identical formula in `dailyCte` and `TsQueries`'
+    * ts_agg_avg.
+    */
+  private def exactDailyAvg(s: SparkSession, dir: String): DataFrame =
+    TsAlgebra.query(
+      Tables.events(s, dir),
+      TsQueryConfig(
+        aggregationType = Some("avg"), bucketSizeMs = Some(T.Day), valueDecimals = Some(2)),
+      cols)
+
+  private val exactDailyAvgSql =
+    """((sum(CAST(round(value*100) AS BIGINT)) * 20000 + 100 * count(*))
+      |       // (200 * count(*))) / 10000.0""".stripMargin
+
   private val dailyCte =
-    """daily AS (SELECT user_id k, epoch_ms(ts) - epoch_ms(ts) % 86400000 tm, avg(value) v
+    s"""daily AS (SELECT user_id k, epoch_ms(ts) - epoch_ms(ts) % 86400000 tm,
+      |       $exactDailyAvgSql v
       |          FROM events GROUP BY 1, 2),
       |j AS (SELECT c.k, c.tm, c.v, p.v bv
       |      FROM daily c JOIN daily p ON c.k = p.k AND c.tm = p.tm + 86400000)""".stripMargin
 
   private def dailyWithBaseline(s: SparkSession, dir: String): (Dataset[TsSample], DataFrame) = {
     import s.implicits._
-    val daily = TsAlgebra.query(
-      Tables.events(s, dir),
-      TsQueryConfig(aggregationType = Some("avg"), bucketSizeMs = Some(T.Day)),
-      cols)
+    val daily = exactDailyAvg(s, dir)
     val p = daily
       .select(col("user_id").cast("string").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
       .as[TsSample]
@@ -352,8 +369,12 @@ object DetectQueries {
       (s, dir) => {
         val raw = pts(s, dir)
         val hod = expr(s"(tsMs % ${T.Day}) DIV 3600000")
+        // baseline must be BIT-identical across engines (it feeds the
+        // score): exact cent-integer sum, one correctly-rounded fp divide
+        // — fp `avg` differs by summation order between engines
         val prof = raw.groupBy(col("seriesKey"), hod.as("hod"))
-          .agg(avg("value").as("baseline"))
+          .agg((sum(round(col("value") * 100, 0).cast("long")).cast("double")
+            / (count(lit(1)) * 100.0)).as("baseline"))
         val joined = raw.toDF().withColumn("hod", hod).join(prof, Seq("seriesKey", "hod"))
         Detectors
           .diffPercentFromJoined(joined, thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
@@ -362,7 +383,8 @@ object DetectQueries {
             col("value"), round(col("score"), 4).as("score"))
       },
       Some(s"""WITH $ptsCte,
-              |prof AS (SELECT k, (ts_ms % ${T.Day}) // 3600000 hod, avg(v) bv
+              |prof AS (SELECT k, (ts_ms % ${T.Day}) // 3600000 hod,
+              |           CAST(sum(CAST(round(v*100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) bv
               |         FROM pts GROUP BY 1, 2),
               |j AS (SELECT p.k, p.ts_ms, p.v, pr.bv
               |      FROM pts p JOIN prof pr
@@ -403,10 +425,7 @@ object DetectQueries {
       (s, dir) => {
         val raw = Tables.events(s, dir)
           .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
-        val daily = TsAlgebra.query(
-          Tables.events(s, dir),
-          TsQueryConfig(aggregationType = Some("avg"), bucketSizeMs = Some(T.Day)),
-          cols)
+        val daily = exactDailyAvg(s, dir)
         // daily avg becomes valid at the END of its day
         val baseline = daily.select(
           col("user_id").as("seriesKey"),
@@ -421,7 +440,8 @@ object DetectQueries {
             col("value"), round(col("score"), 4).as("score"))
       },
       Some(s"""WITH daily AS (
-              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm, avg(value) bv
+              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
+              |       $exactDailyAvgSql bv
               |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
               |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
               |j AS (SELECT p.k, p.ts_ms, p.v, d.bv

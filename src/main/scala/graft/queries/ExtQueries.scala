@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Behavior, Dedup, Multimodal, Packing, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Behavior, Dedup, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
+import graft.streaming.DedupStream
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -255,7 +256,7 @@ object ExtQueries {
              |SELECT doc_id,
              |  count(*) AS n_words,
              |  CAST(sum(pts) AS BIGINT) AS sum_rarity_pts,
-             |  round((sum(pts) / 1000000.0) / count(*), 4) AS avg_rarity
+             |  ((sum(pts) * 2 + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_rarity
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
     // Unigram-LM cross-entropy (model-based quality filter). The oracle
@@ -284,7 +285,7 @@ object ExtQueries {
              |p AS (SELECT doc_id, sfp FROM w JOIN sfp USING (wd))
              |SELECT doc_id, count(*) AS n_words,
              |  CAST(sum(sfp) AS BIGINT) AS sum_xent_fp,
-             |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent_bits
+             |  ((sum(sfp) * 20000 + 65536 * count(*)) // (131072 * count(*))) / 10000.0 AS xent_bits
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
     // Fused one-pass keep/drop filter (length + stopword density +
@@ -345,7 +346,7 @@ object ExtQueries {
              |p AS (SELECT doc_id, sfp FROM bg JOIN sfp USING (w1, w2))
              |SELECT doc_id, count(*) AS n_bigrams,
              |  CAST(sum(sfp) AS BIGINT) AS sum_xent2_fp,
-             |  round((sum(sfp) / 65536.0) / count(*), 4) AS xent2_bits
+             |  ((sum(sfp) * 20000 + 65536 * count(*)) // (131072 * count(*))) / 10000.0 AS xent2_bits
              |FROM p GROUP BY doc_id""".stripMargin)
     ),
     // Per-doc top-5 tf·idf keywords. idf is the same fixed-point log2
@@ -940,6 +941,76 @@ object ExtQueries {
              |x AS (SELECT p.wd, CAST(coalesce(cnt.c, 0) AS BIGINT) exact_cnt
              |      FROM p LEFT JOIN (SELECT wd, count(*) c FROM t GROUP BY 1) cnt USING (wd))
              |SELECT e.wd, e.est_cnt, x.exact_cnt FROM e JOIN x USING (wd)""".stripMargin)
+    ),
+    // Histogram-sketch quantiles of l_extendedprice per returnflag:
+    // cents-integer bins, p50/p90/p99 by integer rank interpolation. The
+    // cells are built on the two l_linenumber parity halves SEPARATELY and
+    // merged — proving the sketch's merge algebra against an oracle that
+    // computes over the whole table in one pass.
+    Q(
+      "sketch_quantile",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        def half(parity: Int) = Sketches.histogramCells(
+          li.where(col("l_linenumber") % 2 === parity),
+          "l_returnflag", "l_extendedprice", unitScale = 100, binUnits = 11000L, bins = 1000)
+        val merged = Sketches.mergeHistograms(half(0).unionByName(half(1)), "l_returnflag")
+        Sketches.histogramQuantiles(
+          merged, "l_returnflag", qMille = Seq(500, 900, 990), unitScale = 100, binUnits = 11000L)
+      },
+      Some("""WITH u AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) u
+             |            FROM lineitem),
+             |b AS (SELECT l_returnflag, LEAST(GREATEST(u // 11000, 0), 999) bin FROM u),
+             |c AS (SELECT l_returnflag, bin, count(*) cnt FROM b GROUP BY 1, 2),
+             |cc AS (SELECT l_returnflag, bin, cnt,
+             |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) cum,
+             |         sum(cnt) OVER (PARTITION BY l_returnflag) total FROM c),
+             |q AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) q_mille),
+             |sel AS (SELECT cc.*, q.q_mille,
+             |          GREATEST((q.q_mille * cc.total + 999) // 1000, 1) target
+             |        FROM cc CROSS JOIN q)
+             |SELECT l_returnflag, q_mille,
+             |  CAST(bin * 11000 + ((target - (cum - cnt)) * 11000) // cnt AS BIGINT) AS est_units,
+             |  round((bin * 11000 + ((target - (cum - cnt)) * 11000) // cnt) / 100.0, 4) AS est_value
+             |FROM sel WHERE cum >= target AND cum - cnt < target""".stripMargin)
+    ),
+    // Ingest-time profiling of every documents column from one scan:
+    // nulls, exact distincts, native-typed min/max, mean repr length.
+    Q(
+      "profile_stats",
+      (s, dir) =>
+        Profile.profile(
+          Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str,
+           |  round(sum(length(CAST($c AS VARCHAR))) / count($c), 4) AS avg_repr_len
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+    // Streaming exact dedup, batch-replayed for the oracle: arrivals feed
+    // a MemoryStream in 30 ascending-docId micro-batches, so dedup state
+    // genuinely crosses batch boundaries; first arrival per md5 wins →
+    // the oracle is min(doc_id) per hash. Excluded from Bench (replay
+    // harness measures the driver loop, not the operator).
+    Q(
+      "stream_dedup",
+      (s, dir) => {
+        val arrivals = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (lit(T.From) + col("doc_id") * 1000L).as("ts_ms"),
+            md5(col("text")).as("hash"))
+          .collect()
+          .map(r => DedupStream.DocArrival(r.getLong(0), r.getLong(1), r.getString(2)))
+        DedupStream.dedupReplay(arrivals.toSeq, s, chunks = 30)
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${T.From} + doc_id * 1000 AS ts_ms, md5(text) hash
+              |          FROM documents)
+              |SELECT hash, min(doc_id) AS doc_id, min(ts_ms) AS ts_ms FROM h GROUP BY hash""".stripMargin)
     ),
     // Eval-set decontamination: training docs (doc_id >= 20) sharing >= 2
     // distinct trigrams with any probe doc (doc_id < 20). The probe side

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Layout, RangeJoin, Skew}
+import graft.sources.Bucketed
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -64,31 +65,55 @@ object RelationalQueries {
     // projection reach the parquet scan (PushedFilters / ReadSchema).
     Q(
       "q1_agg",
-      (s, dir) =>
+      (s, dir) => {
+        // money algebra in EXACT cent integers: disc_price lives on a
+        // 10⁻⁴-dollar grid and charge on 10⁻⁶ — their true sums land
+        // exactly on the half-cent boundary, where fp `round` is
+        // engine-dependent (Spark rounds the binary expansion, DuckDB the
+        // shortest decimal repr). Plain sums of the 2-decimal inputs stay
+        // fp: their grid keeps them 0.005 away from any boundary.
+        val qc = round(col("l_quantity") * 100, 0).cast("long")
+        val pc = round(col("l_extendedprice") * 100, 0).cast("long")
+        val dc = round(col("l_discount") * 100, 0).cast("long")
+        val tc = round(col("l_tax") * 100, 0).cast("long")
         Tables.lineitem(s, dir)
           .where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-              .as("sum_charge"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_extendedprice"), 4).as("avg_price"),
-            round(avg("l_discount"), 4).as("avg_disc"),
-            count(lit(1)).as("count_order")),
-      Some(s"""SELECT l_returnflag, l_linestatus,
+            sum((pc * (lit(100L) - dc)).cast("decimal(28,0)")).as("_sdp"),
+            sum((pc * (lit(100L) - dc) * (lit(100L) + tc)).cast("decimal(28,0)")).as("_sch"),
+            sum(qc).as("_sqc"), sum(pc).as("_spc"), sum(dc).as("_sdc"),
+            count(lit(1)).as("count_order"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("sum_base_price"),
+            (expr("(_sdp + 50) DIV 100") / 100.0).as("sum_disc_price"),
+            (expr("(_sch + 5000) DIV 10000") / 100.0).as("sum_charge"),
+            (expr("(CAST(_sqc AS DECIMAL(38,0)) * 20000 + 100 * count_order) DIV (200 * count_order)")
+              / 10000.0).as("avg_qty"),
+            (expr("(CAST(_spc AS DECIMAL(38,0)) * 20000 + 100 * count_order) DIV (200 * count_order)")
+              / 10000.0).as("avg_price"),
+            (expr("(CAST(_sdc AS DECIMAL(38,0)) * 20000 + 100 * count_order) DIV (200 * count_order)")
+              / 10000.0).as("avg_disc"),
+            col("count_order"))
+      },
+      Some(s"""WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+              |    CAST(round(l_quantity*100) AS BIGINT) qc,
+              |    CAST(round(l_extendedprice*100) AS BIGINT) pc,
+              |    CAST(round(l_discount*100) AS BIGINT) dc,
+              |    CAST(round(l_tax*100) AS BIGINT) tc
+              |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff')
+              |SELECT l_returnflag, l_linestatus,
               |  round(sum(l_quantity), 2) AS sum_qty,
               |  round(sum(l_extendedprice), 2) AS sum_base_price,
-              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-              |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-              |  round(avg(l_quantity), 4) AS avg_qty,
-              |  round(avg(l_extendedprice), 4) AS avg_price,
-              |  round(avg(l_discount), 4) AS avg_disc,
+              |  ((sum(pc * (100 - dc)) + 50) // 100) / 100.0 AS sum_disc_price,
+              |  ((sum(pc * (100 - dc) * (100 + tc)) + 5000) // 10000) / 100.0 AS sum_charge,
+              |  ((sum(qc) * 20000 + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_qty,
+              |  ((sum(pc) * 20000 + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_price,
+              |  ((sum(dc) * 20000 + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_disc,
               |  count(*) AS count_order
-              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff'
-              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+              |FROM b GROUP BY l_returnflag, l_linestatus""".stripMargin)
     ),
     // TPC-H Q3-style: broadcast the filtered customer dim into the
     // orders⋈lineitem join, top-10 by revenue.
@@ -205,6 +230,51 @@ object RelationalQueries {
              |JOIN supplier
              |  ON (CASE WHEN l_orderkey % 5 > 0 THEN 1 ELSE l_suppkey END) = s_suppkey
              |GROUP BY s_name""".stripMargin)
+    ),
+    // Skew diagnostic over the same synthesized hot key q_skew_join joins
+    // on: detects the hot key (~80% of rows), reports its share and skew
+    // ratio, and recommends the salt count — the planning step before
+    // reaching for Skew.saltedJoin.
+    Q(
+      "q_skew_report",
+      (s, dir) => {
+        val keyed = Tables.lineitem(s, dir)
+          .withColumn("skew_key",
+            when(col("l_orderkey") % 5 > 0, lit(1L)).otherwise(col("l_suppkey")))
+        Skew.keySkewReport(keyed, "skew_key", k = 5)
+      },
+      Some("""WITH c AS (SELECT (CASE WHEN l_orderkey % 5 > 0 THEN 1 ELSE l_suppkey END) skew_key,
+             |             count(*) cnt
+             |           FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(cnt) total, count(*) n_keys FROM c),
+             |top AS (SELECT skew_key, cnt FROM c ORDER BY cnt DESC, skew_key LIMIT 5)
+             |SELECT skew_key, cnt, round(cnt / total, 4) AS share,
+             |  round(cnt / total * n_keys, 4) AS skew_ratio,
+             |  CAST(ceil(cnt / total * n_keys) AS BIGINT) AS salt_rec
+             |FROM top CROSS JOIN t""".stripMargin)
+    ),
+    // Fact-fact join over bucketed storage: lineitem and orders are first
+    // written bucketed+sorted on the order key (one amortized shuffle),
+    // then joined with NO exchange on either side — the 100 TB co-located
+    // join. BucketedJoinSpec pins the exchange-free plan; results equal
+    // the plain join (the oracle) by construction.
+    Q(
+      "q_bucket_join",
+      (s, dir) => {
+        val li = Bucketed.ensureBucketed(s, dir, "lineitem", "l_orderkey", buckets = 8)
+        val ord = Bucketed.ensureBucketed(s, dir, "orders", "o_orderkey", buckets = 8)
+        s.table(li)
+          .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)
     ),
     // Range join via bucketized equi-join: per-user quartile windows
     // derived from each series' [min, max] span (all-integer bounds);

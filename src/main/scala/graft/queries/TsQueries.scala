@@ -21,7 +21,29 @@ object TsQueries {
     * with ~1e-9 cross-engine error → 2 decimals; the rest → 4).
     */
   private val roundedAggs =
-    Map("avg" -> 4, "sum" -> 4, "range" -> 4, "std.p" -> 4, "std.s" -> 4, "var.p" -> 2, "var.s" -> 2)
+    Map("sum" -> 4, "range" -> 4, "std.p" -> 4, "std.s" -> 4, "var.p" -> 2, "var.s" -> 2)
+
+  /** Day-bucket average in EXACT arithmetic (valueDecimals = 2): the true
+    * mean of cent values regularly lands exactly on the 4-decimal
+    * half-way point (sf0.1: user 522's day mean is exactly 56.35625),
+    * where engines disagree about a double's rounding direction: Spark
+    * rounds the exact binary expansion (…449999… → down) while DuckDB
+    * rounds the shortest decimal representation (…45 → up). The library's
+    * fixed-decimal mode keeps everything integer until one final divide.
+    */
+  private def avgQuery(s: SparkSession, dir: String): DataFrame =
+    TsAlgebra.query(
+      ev(s, dir),
+      TsQueryConfig(
+        aggregationType = Some("avg"), bucketSizeMs = Some(T.Day), valueDecimals = Some(2)),
+      cols)
+
+  private val avgOracleSql: String =
+    s"""WITH g AS (SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} AS ts_ms,
+       |             sum(CAST(round(value*100) AS BIGINT)) sc, count(*) n
+       |           FROM events GROUP BY 1, 2)
+       |SELECT user_id, ts_ms, ((sc * 20000 + 100 * n) // (200 * n)) / 10000.0 AS value
+       |FROM g""".stripMargin
 
   private def aggQuery(agg: String)(s: SparkSession, dir: String): DataFrame = {
     val cfg = TsQueryConfig(aggregationType = Some(agg), bucketSizeMs = Some(T.Day))
@@ -126,7 +148,7 @@ object TsQueries {
              |  FROM events) WHERE rn <= 5""".stripMargin)
     ),
     // A1–A12: time-bucketed aggregation, 1-day buckets, epoch-aligned
-    Q("ts_agg_avg", aggQuery("avg"), Some(aggOracle("round(avg(value), 4)"))),
+    Q("ts_agg_avg", avgQuery _, Some(avgOracleSql)),
     Q("ts_agg_sum", aggQuery("sum"), Some(aggOracle("round(sum(value), 4)"))),
     Q("ts_agg_min", aggQuery("min"), Some(aggOracle("min(value)"))),
     Q("ts_agg_max", aggQuery("max"), Some(aggOracle("max(value)"))),
@@ -153,12 +175,14 @@ object TsQueries {
         val cfg = TsQueryConfig(
           fromTimeMs = Some(T.From), toTimeMs = Some(T.To),
           aggregationType = Some("avg"), bucketSizeMs = Some(21600000L),
-          align = Align.At(1704106800000L), bucketTimestamp = BucketTs.Mid)
-        TsAlgebra.query(ev(s, dir), cfg, cols).withColumn("value", round(col("value"), 4))
+          align = Align.At(1704106800000L), bucketTimestamp = BucketTs.Mid,
+          valueDecimals = Some(2))
+        TsAlgebra.query(ev(s, dir), cfg, cols)
       },
       Some(s"""SELECT user_id,
               |  epoch_ms(ts) - ((epoch_ms(ts) - 1704106800000) % 21600000) + 10800000 AS ts_ms,
-              |  round(avg(value), 4) AS value
+              |  ((sum(CAST(round(value*100) AS BIGINT)) * 20000 + 100 * count(*))
+              |     // (200 * count(*))) / 10000.0 AS value
               |FROM events
               |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
               |GROUP BY 1, 2""".stripMargin)
@@ -201,12 +225,14 @@ object TsQueries {
     Q(
       "ts_moving_agg",
       (s, dir) =>
-        TsAlgebra.movingAgg(ev(s, dir), "user_id", "ts_ms", "value", window = 7)
+        TsAlgebra.movingAgg(
+          ev(s, dir), "user_id", "ts_ms", "value", window = 7, valueDecimals = Some(2))
           .select(
             col("user_id"), col("ts_ms"), col("value"),
             col("mov_avg"), col("mov_min"), col("mov_max"), col("mov_n")),
       Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, value,
-             |  round(avg(value) OVER w, 4) AS mov_avg,
+             |  ((sum(CAST(round(value*100) AS BIGINT)) OVER w * 20000 + 100 * count(*) OVER w)
+             |     // (200 * count(*) OVER w)) / 10000.0 AS mov_avg,
              |  min(value) OVER w AS mov_min,
              |  max(value) OVER w AS mov_max,
              |  count(*) OVER w AS mov_n
@@ -230,7 +256,7 @@ object TsQueries {
               |       count(*) AS n_buckets,
               |       round(CASE WHEN stddev_pop(x.bv) > 0 AND stddev_pop(y.bv) > 0
               |                  THEN covar_pop(x.bv, y.bv) / (stddev_pop(x.bv) * stddev_pop(y.bv))
-              |             END, 4) AS pearson_r
+              |             END, 4) + 0.0 AS pearson_r
               |FROM b x JOIN b y ON x.bt = y.bt AND x.user_id < y.user_id
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
     ),

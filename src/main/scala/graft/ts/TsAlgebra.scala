@@ -76,9 +76,26 @@ object TsAlgebra {
           case BucketTs.End => bucketStart + lit(b)
           case BucketTs.Mid => bucketStart + lit(b / 2)
         }
-        out
-          .groupBy(key.as(cols.key), label.as(cols.ts))
-          .agg(aggExpr(aggName, value, ts).as(cols.value))
+        (aggName, cfg.valueDecimals) match {
+          case ("avg", Some(d)) =>
+            // exact fixed-decimal mean: integer unit sums, half-up to 4
+            // decimals in the integer domain (r = ⌊sc·10⁴/(scale·n) + ½⌋),
+            // one final fp divide — see TsQueryConfig.valueDecimals
+            val scale = math.pow(10, d).toLong
+            out
+              .groupBy(key.as(cols.key), label.as(cols.ts))
+              .agg(
+                sum(round(value * scale, 0).cast("long")).as("_sc"),
+                count(value).as("_n"))
+              .select(
+                col(cols.key), col(cols.ts),
+                (expr(s"(CAST(_sc AS DECIMAL(38,0)) * 20000 + $scale * _n) DIV (${2 * scale} * _n)")
+                  / 10000.0).as(cols.value))
+          case _ =>
+            out
+              .groupBy(key.as(cols.key), label.as(cols.ts))
+              .agg(aggExpr(aggName, value, ts).as(cols.value))
+        }
       case None =>
         out.select(key.as(cols.key), ts.as(cols.ts), value.as(cols.value))
     }
@@ -304,13 +321,31 @@ object TsAlgebra {
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      window: Int): DataFrame = {
+      window: Int,
+      valueDecimals: Option[Int] = None): DataFrame = {
     require(window > 0, "window must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(tsCol)
       .rowsBetween(-(window - 1), 0)
-    df.select(col(keyCol), col(tsCol), col(valueCol))
-      .withColumn("mov_avg", round(avg(col(valueCol)).over(w), 4))
+    val base = df.select(col(keyCol), col(tsCol), col(valueCol))
+    val withAvg = valueDecimals match {
+      case Some(d) =>
+        // exact fixed-decimal moving mean (TsQueryConfig.valueDecimals
+        // semantics): short frames (n < window at series starts) make
+        // half-way means common, where fp round is engine-dependent
+        val scale = math.pow(10, d).toLong
+        base
+          .withColumn("_sc", sum(round(col(valueCol) * scale, 0).cast("long")).over(w))
+          .withColumn("_n", count(lit(1)).over(w))
+          .withColumn(
+            "mov_avg",
+            expr(s"(CAST(_sc AS DECIMAL(38,0)) * 20000 + $scale * _n) DIV (${2 * scale} * _n)")
+              / 10000.0)
+          .drop("_sc", "_n")
+      case None =>
+        base.withColumn("mov_avg", round(avg(col(valueCol)).over(w), 4))
+    }
+    withAvg
       .withColumn("mov_min", min(col(valueCol)).over(w))
       .withColumn("mov_max", max(col(valueCol)).over(w))
       .withColumn("mov_n", count(lit(1)).over(w))
@@ -348,7 +383,9 @@ object TsAlgebra {
       .groupBy(col(s"x.$keyCol").as("key_a"), col(s"y.$keyCol").as("key_b"))
       .agg(
         count(lit(1)).as("n_buckets"),
-        round(when(sx > 0 && sy > 0, cv / (sx * sy)), 4).as("pearson_r"))
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative covariance rounds
+        // to the negative zero on some engines) — same guard as emb_centroids
+        (round(when(sx > 0 && sy > 0, cv / (sx * sy)), 4) + lit(0.0)).as("pearson_r"))
       .where(col("n_buckets") >= minBuckets)
   }
 

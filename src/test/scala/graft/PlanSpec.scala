@@ -159,4 +159,25 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"cube must scan once, saw $scans:\n$p")
   }
+
+  test("q_skew_report: hot keys via TakeOrderedAndProject; one-row totals broadcast") {
+    val p = plan("q_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), "top-k keys must not globally sort")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort allowed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row totals must broadcast")
+  }
+
+  test("sketch_quantile: all windows partitioned — no single-partition exchange") {
+    val p = plan("sketch_quantile")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"quantile windows must stay partitioned by group:\n$p")
+  }
+
+  test("profile_stats: all columns profiled from one scan (distincts via Expand)") {
+    val p = plan("profile_stats")
+    assert(p.contains("Expand"), "multiple countDistincts must rewrite through Expand")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must scan once, saw $scans:\n$p")
+  }
 }

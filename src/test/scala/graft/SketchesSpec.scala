@@ -66,4 +66,37 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole == merged)
   }
+
+  test("histogram: quantile estimates within one bin width of the exact percentile") {
+    // values 0.01 .. 100.00 uniformly; unitScale 100 → units 1..10000,
+    // binUnits 100 → 100 bins of width 1.00
+    val vals = (1 to 10000).map(i => ("g", i / 100.0)).toDF("grp", "v")
+    val cells = Sketches.histogramCells(vals, "grp", "v", unitScale = 100, binUnits = 100L, bins = 100)
+    val qs = Sketches.histogramQuantiles(cells, "grp", Seq(500, 900, 990), unitScale = 100, binUnits = 100L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(qs(500L) - 50.0) <= 1.0, s"p50 ${qs(500L)}")
+    assert(math.abs(qs(900L) - 90.0) <= 1.0, s"p90 ${qs(900L)}")
+    assert(math.abs(qs(990L) - 99.0) <= 1.0, s"p99 ${qs(990L)}")
+  }
+
+  test("histogram: cells of two halves merge by sum into the whole-input cells") {
+    val a = (1 to 5000).map(i => ("g", i / 100.0)).toDF("grp", "v")
+    val b = (3000 to 8000).map(i => ("g", i / 100.0)).toDF("grp", "v")
+    val whole = Sketches.histogramCells(a.union(b), "grp", "v", 100, 100L, 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = Sketches.mergeHistograms(
+        Sketches.histogramCells(a, "grp", "v", 100, 100L, 100)
+          .unionByName(Sketches.histogramCells(b, "grp", "v", 100, 100L, 100)),
+        "grp")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(whole == merged)
+  }
+
+  test("histogram: out-of-range values clamp into the edge bins") {
+    val vals = Seq(("g", -5.0), ("g", 0.5), ("g", 99.5), ("g", 250.0)).toDF("grp", "v")
+    val cells = Sketches.histogramCells(vals, "grp", "v", 100, 100L, 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(cells(0L) == 2L, "negative clamps to bin 0") // -5.0 and 0.5
+    assert(cells(99L) == 2L, "overflow clamps to the last bin") // 99.5 and 250.0
+  }
 }

@@ -382,4 +382,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(reached == maxStep.map { case (k, v) => k -> v.toLong })
     } finally q.stop()
   }
+
+  test("streaming dedup: first arrival wins across micro-batch boundaries") {
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.DocArrival
+    val arrivals = Seq(
+      DocArrival(1, 1000, "A"), DocArrival(2, 2000, "B"),
+      DocArrival(3, 3000, "A"), // dup of A in a later chunk
+      DocArrival(4, 4000, "C"), DocArrival(5, 5000, "B"), // dup of B
+      DocArrival(6, 6000, "A")) // dup of A again
+    val out = DedupStream.dedupReplay(arrivals, spark, chunks = 3)
+      .collect().map(r => r.getAs[String]("hash") -> r.getAs[Long]("doc_id")).toMap
+    assert(out == Map("A" -> 1L, "B" -> 2L, "C" -> 4L))
+  }
+
+  test("streaming dedup: a duplicate past the watermark horizon re-emits (documented divergence)") {
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.DocArrival
+    val arrivals = Seq(
+      // t=0 is avoided: a row AT the initial zero watermark is dropped as late
+      DocArrival(1, 5000L, "X"), // batch 1: X enters state (expiry 6s)
+      DocArrival(2, 200000L, "Y"), // batch 2: watermark advances to 199s at commit
+      DocArrival(3, 200000L, "Z"), // batch 3: runs under watermark 199s → X evicted at cleanup
+      DocArrival(4, 200001L, "X")) // batch 4: dup of X after eviction → re-emitted
+    val rows = DedupStream.dedupReplay(arrivals, spark, chunks = 4, watermarkDelay = "1 second")
+      .collect().map(r => r.getAs[String]("hash"))
+    assert(rows.count(_ == "X") == 2, s"evicted key must re-emit, got ${rows.toSeq}")
+    assert(rows.count(_ == "Y") == 1)
+  }
 }
