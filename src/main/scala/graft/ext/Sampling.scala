@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling, split assignment, and source-weighted data
@@ -208,5 +209,57 @@ object Sampling {
       .where(col("_copies") > 0)
       .withColumn("copy", explode(sequence(lit(0), col("_copies") - 1)))
       .drop("_copies")
+  }
+
+  /** Token-budget curation — the corpus-assembly step after scoring:
+    * per group (source/language), keep documents in descending-quality
+    * order until the group's token budget is exhausted. The document that
+    * CROSSES the budget line is still kept (standard "fill to at least
+    * the budget" contract — dropping it would under-fill every group by
+    * up to one document), everything after it is cut.
+    *
+    * One window per group ordered by (quality desc, id): the running
+    * token total BEFORE each doc decides admission — admitted iff
+    * `cum − tokens < budget`. Partitioned window (a group's docs per
+    * frame), one hash shuffle, no global sort — the same shape at any
+    * corpus size; ties on quality are broken by id so the kept set is
+    * deterministic and incremental re-runs are stable.
+    */
+  def budgetCap(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      qualityCol: String,
+      tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .where(col("cum_tokens") - col(tokensCol) < budgetTokens)
+  }
+
+  /** Deterministic global shuffle into training shards — the last step
+    * before a corpus feeds a trainer: break source/time locality so every
+    * shard is an unbiased corpus sample, reproducibly (same salt → same
+    * order, for restartable jobs and ablation parity).
+    *
+    * `shard` = first 4 md5 bytes of (salt, id) mod nShards — uniform and
+    * independent of the shard count's data layout; `pos` = md5-order rank
+    * WITHIN the shard. The only sort is per shard (a partitioned window),
+    * so at 100 TB this is one hash shuffle + per-shard local sorts —
+    * never a global order-by. Collision-free tie-break on id keeps the
+    * permutation total.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int, salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
   }
 }

@@ -214,6 +214,34 @@ object Sketches {
   def mergeHistograms(cells: DataFrame, groupCol: String): DataFrame =
     cells.groupBy(col(groupCol), col("bin")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming histogram cells: the third streaming sketch, same native
+    * state story as `hllRegistersStream`/`cmsCellsStream` — a count per
+    * (window, group, bin) is an associative sum the state store maintains
+    * directly; state ≤ bins per group-window, evicted at watermark close.
+    * Output windows merge with batch cells via `mergeHistograms` and feed
+    * the same `histogramQuantiles` — a live latency-percentile dashboard
+    * whose math is identical to the batch sketch.
+    */
+  def histogramCellsStream(
+      df: DataFrame,
+      timeCol: String,
+      groupCol: String,
+      valueCol: String,
+      unitScale: Int,
+      binUnits: Long,
+      bins: Int,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    require(bins >= 2 && binUnits >= 1, s"need bins >= 2 and binUnits >= 1, got $bins/$binUnits")
+    df.withWatermark(timeCol, watermarkDelay)
+      .select(
+        col(timeCol), col(groupCol),
+        expr(s"CAST(round($valueCol * $unitScale, 0) AS BIGINT)").as("_u"))
+      .withColumn("bin", least(greatest(expr(s"_u DIV $binUnits"), lit(0L)), lit(bins - 1L)))
+      .groupBy(window(col(timeCol), windowDuration), col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Interpolated quantiles (per-mille points, e.g. 500 = p50) from a
     * histogram cell table. Integer arithmetic end to end: target rank =
     * ⌈q·total/1000⌉, the owning bin is the one whose cumulative count

@@ -764,4 +764,32 @@ object TextAnalysis {
       md5(col(textCol)).as("fp"),
       when(size(w) >= 5, shingleMin).otherwise(md5(col(textCol))).as("shingle_min"))
   }
+
+  /** Inverted-index build: token → flat postings (doc, term frequency,
+    * ordered 0-based positions) plus the token's document frequency — the
+    * offline artifact behind `bm25TopK`-style retrieval, materialized once
+    * and range-partitioned by token at serving time.
+    *
+    * Scale shape: posexplode → ONE partial-aggregated shuffle on
+    * (token, doc) builds the postings; df comes from a window PARTITIONED
+    * by token over the postings table (≤ docs-containing-token rows per
+    * frame, never a global sort). Positions are compacted to a CSV string
+    * (sort_array first — explode order is not contractual), keeping the
+    * row flat for storage and for the SQL oracle.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String, minDf: Int = 1): DataFrame = {
+    val posting = df
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+      .groupBy(col("token"), col(idCol))
+      .agg(
+        count(lit(1)).as("tf"),
+        concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
+    posting
+      .withColumn(
+        "df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("token"))).cast("long"))
+      .where(col("df") >= minDf)
+      .select(col("token"), col("df"), col(idCol), col("tf"), col("positions"))
+  }
 }

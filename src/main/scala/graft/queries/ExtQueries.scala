@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Behavior, Dedup, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Behavior, Compaction, Dedup, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import graft.streaming.DedupStream
 import org.apache.spark.sql.functions._
 
@@ -1683,6 +1683,178 @@ object ExtQueries {
              |  1 + strlen(text) % 3 AS channels,
              |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
              |FROM documents""".stripMargin)
+    ),
+    // Changelog MERGE: apply a synthesized CDC delta (seq 0 retags every
+    // doc_id%5==0, seq 1 deletes every doc_id%7==0, seq 2 re-sources every
+    // doc_id%35==1) to the documents snapshot; latest seq per key wins, a
+    // winning delete drops the key. Overlap keys (%35==0) prove the order:
+    // the seq-1 delete outranks the seq-0 upsert.
+    Q(
+      "merge_changelog",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val delta = base.where(col("doc_id") % 5 === 0)
+          .select(
+            col("doc_id"), lit("xx").as("lang"), col("source"),
+            (col("n_chars") + 1).as("n_chars"), lit(0L).as("seq"), lit("upsert").as("op"))
+          .unionByName(
+            base.where(col("doc_id") % 7 === 0)
+              .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+                lit(1L).as("seq"), lit("delete").as("op")))
+          .unionByName(
+            base.where(col("doc_id") % 35 === 1)
+              .select(col("doc_id"), col("lang"), lit("merged").as("source"), col("n_chars"),
+                lit(2L).as("seq"), lit("upsert").as("op")))
+        Merge.applyChangelog(base, delta, "doc_id", "seq", "op")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, source, n_chars, -1 seq, 'upsert' op FROM documents),
+             |delta AS (
+             |  SELECT doc_id, 'xx' lang, source, n_chars + 1 n_chars, 0 seq, 'upsert' op
+             |  FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, source, n_chars, 1, 'delete' FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, 'merged', n_chars, 2, 'upsert' FROM documents WHERE doc_id % 35 = 1),
+             |u AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+             |      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+             |SELECT doc_id, lang, source, n_chars FROM u WHERE rn = 1 AND op <> 'delete'""".stripMargin)
+    ),
+    // Small-file compaction planning: files simulated as 20-doc runs per
+    // source (bytes = run's total n_chars); first-fit-in-file-order bins
+    // at a 50 KB target, partition-parallel per source.
+    Q(
+      "compact_plan",
+      (s, dir) => {
+        val files = Tables.documents(s, dir)
+          .groupBy(col("source"), expr("doc_id DIV 20").as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes"))
+        Compaction.plan(files, "source", "file_id", "bytes", targetBytes = 50000L)
+      },
+      Some("""WITH f AS (SELECT source, doc_id // 20 file_id,
+             |            CAST(sum(n_chars) AS BIGINT) bytes
+             |           FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, file_id, bytes,
+             |        CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+             |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+             |      FROM f)
+             |SELECT source, file_id, bytes, (cum - bytes) // 50000 AS bin FROM c""".stripMargin)
+    ),
+    // Deterministic global shuffle into 8 training shards: md5 hash-order
+    // breaks source/time locality; per-shard md5-rank positions (no global
+    // sort — one partitioned window).
+    Q(
+      "shard_shuffle",
+      (s, dir) =>
+        Sampling.shardShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", nShards = 8, salt = "r6"),
+      Some("""WITH h AS (SELECT doc_id,
+             |            ('0x' || substr(md5('r6:' || doc_id), 1, 8))::BIGINT hv
+             |          FROM documents)
+             |SELECT doc_id, hv % 8 AS shard,
+             |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+             |FROM h""".stripMargin)
+    ),
+    // Int8-quantized brute-force ANN: codes-only scan (8x less IO than the
+    // float path), all-integer quantization/dots/norms, one final fp
+    // divide. Recall vs float cosine asserted in ScalaTest.
+    Q(
+      "sim_int8_topk",
+      (s, dir) => {
+        val codes = Similarity.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.int8TopK(codes, col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH u AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) u
+             |          FROM embeddings),
+             |s AS (SELECT vec_id, u,
+             |        GREATEST(list_aggregate(list_transform(u, x -> abs(x)), 'max'), 1) s
+             |      FROM u),
+             |c AS (SELECT vec_id,
+             |        list_transform(u, x -> CAST(sign(x) AS BIGINT) * (((abs(x) * 254) + s) // (s * 2))) code
+             |      FROM s),
+             |q AS (SELECT vec_id query_id, code qcode FROM c WHERE vec_id < 10),
+             |p AS (SELECT q.query_id, a.vec_id neighbor_id,
+             |        list_sum(list_transform(range(1, 65), i -> a.code[i] * q.qcode[i])) dt,
+             |        list_sum(list_transform(a.code, x -> x * x)) na,
+             |        list_sum(list_transform(q.qcode, x -> x * x)) nb
+             |      FROM q JOIN c a ON a.vec_id <> q.query_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CASE WHEN na > 0 AND nb > 0
+             |             THEN CAST(dt AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END cosine_q,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY
+             |          CASE WHEN na > 0 AND nb > 0
+             |               THEN CAST(dt AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END DESC,
+             |          neighbor_id) rank
+             |      FROM p)
+             |SELECT query_id, rank, neighbor_id, round(cosine_q, 4) AS cosine_q
+             |FROM r WHERE rank <= 5""".stripMargin)
+    ),
+    // Inverted-index build: token -> flat postings (doc, tf, 0-based
+    // position list) + document frequency; the offline retrieval artifact
+    // behind BM25. df >= 3 prunes the long hapax tail.
+    Q(
+      "text_inverted_index",
+      (s, dir) =>
+        TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text", minDf = 3),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) token,
+             |            generate_subscripts(string_split(text, ' '), 1) - 1 pos
+             |          FROM documents),
+             |p AS (SELECT token, doc_id, count(*) tf,
+             |        string_agg(pos, ',' ORDER BY pos) positions
+             |      FROM t WHERE token <> '' GROUP BY 1, 2),
+             |d AS (SELECT *, count(*) OVER (PARTITION BY token) df FROM p)
+             |SELECT token, df, doc_id, tf, positions FROM d WHERE df >= 3""".stripMargin)
+    ),
+    // Token-budget curation: per source, keep docs in descending-quality
+    // (here n_chars) order until 800 tokens; the crossing doc is kept.
+    Q(
+      "sample_budget_cap",
+      (s, dir) =>
+        Sampling.budgetCap(
+          Tables.documents(s, dir)
+            .select(
+              col("doc_id"), col("source"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("tokens")),
+          "doc_id", "source", "n_chars", "tokens", budgetTokens = 800L),
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) tokens
+             |          FROM documents),
+             |c AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY source
+             |                       ORDER BY n_chars DESC, doc_id
+             |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens
+             |      FROM d)
+             |SELECT doc_id, source, n_chars, tokens, cum_tokens
+             |FROM c WHERE cum_tokens - tokens < 800""".stripMargin)
+    ),
+    // Streaming sessionization, batch-replayed for the oracle: events feed
+    // a MemoryStream in 20 ts-ordered chunks so session state merges
+    // across micro-batches; closed-session output must equal the batch
+    // sessionizer (the same oracle SQL as session_stats, gap 30 min).
+    // Excluded from Bench (the replay harness measures the driver loop).
+    Q(
+      "stream_sessions",
+      (s, dir) => {
+        import graft.streaming.MonitorStream
+        val arrivals = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_ms"))
+          .collect()
+          .map(r => MonitorStream.SessEvent(r.getLong(0), r.getLong(1)))
+        MonitorStream.sessionReplay(arrivals.toSeq, s, chunks = 20, gapMs = 1800000L)
+      },
+      Some("""WITH n AS (SELECT user_id, epoch_ms(ts) ts_ms,
+             |            CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+             |                   OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+             |                 OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+             |            THEN 1 ELSE 0 END nw
+             |          FROM events),
+             |g AS (SELECT user_id, ts_ms,
+             |        sum(nw) OVER (PARTITION BY user_id ORDER BY ts_ms
+             |                      ROWS UNBOUNDED PRECEDING) sid
+             |      FROM n)
+             |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+             |  max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin)
     )
   )
 }

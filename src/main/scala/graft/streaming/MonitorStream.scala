@@ -301,4 +301,47 @@ object MonitorStream {
           }
       }
   }
+
+  /** One sessionizable arrival for `sessionReplay`. */
+  final case class SessEvent(key: Long, tsMs: Long)
+
+  /** Bounded batch-replay of `sessionStats` for the driver oracle (same
+    * contract as DedupStream.dedupReplay): arrivals feed a MemoryStream in
+    * ts-ordered chunks so session state genuinely merges across
+    * micro-batch boundaries, then a far-future sentinel (key −1) advances
+    * the watermark twice to close and emit every real session. Streaming
+    * output must equal the BATCH sessionizer on the same events — the
+    * parity the spec pins per-case, here driver-checked corpus-wide.
+    */
+  def sessionReplay(
+      arrivals: Seq[SessEvent],
+      spark: org.apache.spark.sql.SparkSession,
+      chunks: Int,
+      gapMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(chunks >= 1, "need at least one chunk")
+    val sorted = arrivals.sortBy(e => (e.tsMs, e.key))
+    val perChunk = math.max(1, math.ceil(sorted.size.toDouble / chunks).toInt)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEvent]
+    val out = sessionStats(
+      mem.toDS().select(col("key").as("seriesKey"), timestamp_millis(col("tsMs")).as("ts")),
+      gapMs, watermark)
+    val table = s"sess_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
+    try {
+      sorted.grouped(perChunk).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val flush = sorted.lastOption.map(_.tsMs).getOrElse(0L) + (1L << 40)
+      mem.addData(SessEvent(-1L, flush)); q.processAllAvailable()
+      mem.addData(SessEvent(-1L, flush + (1L << 40))); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table).where(col("seriesKey") =!= -1L)
+      .select(
+        col("seriesKey").cast("long").as("user_id"),
+        col("session_start"), col("session_end"), col("duration_ms"), col("n_events"))
+  }
 }

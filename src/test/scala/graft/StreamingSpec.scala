@@ -315,6 +315,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram cells fold to the batch sketch and feed the same quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sketches
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = Sketches
+      .histogramCellsStream(
+        mem.toDF().toDF("t", "grp", "v"),
+        "t", "grp", "v", unitScale = 100, binUnits = 100L, bins = 100,
+        windowDuration = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("hist_out").start()
+    try {
+      val b1 = (1 to 5000).map(i => (ts(1000), "g", i / 100.0))
+      val b2 = (3000 to 8000).map(i => (ts(2000), "g", i / 100.0))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // update-mode sink keeps superseded counts — the max per key is final
+      val streamCells = spark.table("hist_out")
+        .groupBy("grp", "bin").agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+      val got = streamCells.collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+      val batch = Sketches
+        .histogramCells((b1 ++ b2).map(x => (x._2, x._3)).toDF("grp", "v"), "grp", "v", 100, 100L, 100)
+        .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+      assert(got == batch, "streaming cells must fold to the batch sketch")
+      val p50 = Sketches.histogramQuantiles(streamCells, "grp", Seq(500), 100, 100L)
+        .collect().head.getDouble(3)
+      assert(math.abs(p50 - 40.0) <= 1.1, s"p50 over merged windows $p50") // median of the union
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Sketches
