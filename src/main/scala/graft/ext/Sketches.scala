@@ -181,6 +181,27 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Join-cardinality estimation from two Count-Min sketches — the
+    * optimizer trick behind "how big is A ⋈ B on this key" without
+    * touching either table again: the inner product of two CMS rows,
+    * Σ_c a[j,c]·b[j,c], upper-bounds the true join size
+    * Σ_key cntA(key)·cntB(key) (collisions only ADD mass), and the min
+    * over the depth rows is the standard tightened estimate. Both sides'
+    * cells are depth·width rows regardless of table size, so the estimate
+    * costs a tiny cell join — this is how a planner decides
+    * broadcast-vs-shuffle or pre-sizes shuffle partitions at 100 TB.
+    * All-integer (cell counts, products, sums) → replays exactly in SQL.
+    */
+  def cmsJoinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val perRow = cellsA.as("a")
+      .join(cellsB.as("b"), Seq("row_idx", "col_idx"))
+      .groupBy(col("row_idx"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("inner_product"))
+    // a depth row with zero overlapping cells means a zero product —
+    // absent from the inner join, so the empty-min coalesces to 0
+    perRow.agg(coalesce(min(col("inner_product")), lit(0L)).as("est_join_rows"))
+  }
+
   /** Equi-width histogram cells for approximate quantiles — the third
     * mergeable sketch, same algebra as the CMS/HLL tables: ONE
     * partial-aggregated groupBy produces at most `bins` rows per group no

@@ -942,6 +942,38 @@ object ExtQueries {
              |      FROM p LEFT JOIN (SELECT wd, count(*) c FROM t GROUP BY 1) cnt USING (wd))
              |SELECT e.wd, e.est_cnt, x.exact_cnt FROM e JOIN x USING (wd)""".stripMargin)
     ),
+    // CMS join-cardinality estimation: |events ⋈ hot-events on user_id|
+    // predicted from two tiny cell tables (min over depth rows of the
+    // inner product — never below the true size), next to the exact
+    // Σ cntA·cntB. The planner's broadcast-vs-shuffle decision input.
+    Q(
+      "sketch_join_size",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"), col("value"))
+        val a = Sketches.cmsCells(ev.select("k"), "k", depth = 4, width = 1024)
+        val b = Sketches.cmsCells(ev.where(col("value") >= 75).select("k"), "k", depth = 4, width = 1024)
+        val exact = ev
+          .groupBy("k")
+          .agg(
+            count(lit(1)).as("ca"),
+            sum(when(col("value") >= 75, 1L).otherwise(0L)).as("cb"))
+          .agg(sum(col("ca") * col("cb")).as("exact_join_rows"))
+        Sketches.cmsJoinSizeEstimate(a, b).crossJoin(exact)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) k, value FROM events),
+             |js AS (SELECT unnest(range(0, 4)) j),
+             |ca AS (SELECT j, ('0x' || substr(md5(k), 1 + 8*j, 8))::BIGINT % 1024 c, count(*) cnt
+             |       FROM e CROSS JOIN js GROUP BY 1, 2),
+             |cb AS (SELECT j, ('0x' || substr(md5(k), 1 + 8*j, 8))::BIGINT % 1024 c, count(*) cnt
+             |       FROM e CROSS JOIN js WHERE value >= 75 GROUP BY 1, 2),
+             |ip AS (SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) p
+             |       FROM ca JOIN cb ON ca.j = cb.j AND ca.c = cb.c GROUP BY 1),
+             |est AS (SELECT CAST(coalesce(min(p), 0) AS BIGINT) est_join_rows FROM ip),
+             |x AS (SELECT CAST(sum(ca * cb) AS BIGINT) exact_join_rows FROM
+             |       (SELECT k, count(*) ca, sum(CASE WHEN value >= 75 THEN 1 ELSE 0 END) cb
+             |        FROM e GROUP BY 1))
+             |SELECT est_join_rows, exact_join_rows FROM est CROSS JOIN x""".stripMargin)
+    ),
     // Histogram-sketch quantiles of l_extendedprice per returnflag:
     // cents-integer bins, p50/p90/p99 by integer rank interpolation. The
     // cells are built on the two l_linenumber parity halves SEPARATELY and

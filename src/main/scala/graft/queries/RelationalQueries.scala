@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Layout, RangeJoin, Skew}
+import graft.operators.{BloomJoin, Layout, RangeJoin, Skew}
 import graft.sources.Bucketed
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -275,6 +275,30 @@ object RelationalQueries {
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin)
+    ),
+    // Bloom semi-join reduction: lineitem is pre-filtered by a Bloom
+    // bitset of the urgent order keys BEFORE the join's exchange — at
+    // scale the non-matching ~80% of the fact table never shuffles.
+    // False positives die in the real join (result-invisible rewrite:
+    // the oracle is the plain join); no-FN + prune rate pinned in spec.
+    Q(
+      "q_bloom_join",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        BloomJoin
+          .bloomPrunedJoin(
+            Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+            urgent, "l_orderkey", "o_orderkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2).as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_items,
+             |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
     ),
     // Range join via bucketized equi-join: per-user quartile windows
     // derived from each series' [min, max] span (all-integer bounds);

@@ -180,4 +180,21 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"profile must scan once, saw $scans:\n$p")
   }
+
+  test("round-6 pipeline operators: every window is partitioned — no single-partition exchange") {
+    for (q <- Seq(
+        "merge_changelog", "compact_plan", "shard_shuffle",
+        "sample_budget_cap", "text_inverted_index")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must not collapse to one partition:\n$p")
+    }
+  }
+
+  test("sim_int8_topk: query side broadcasts; corpus never shuffles before the top-k window") {
+    val p = plan("sim_int8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the small query side must broadcast")
+    assert(!p.contains("Exchange SinglePartition"), s"no single-partition exchange:\n$p")
+  }
 }
