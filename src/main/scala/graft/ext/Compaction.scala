@@ -28,9 +28,10 @@ object Compaction {
 
   /** Assign output bins. `files` must have one row per file with
     * `partCol` (table-partition key), `fileCol` (orderable file id) and
-    * `bytesCol`. Oversized files (> targetBytes) get a bin of their own:
-    * the running total places them alone because first-fit is in file
-    * order and the DIV boundary advances past them.
+    * `bytesCol`. An oversized file (> targetBytes) joins whatever bin its
+    * pre-file running total falls in (possibly with earlier small files),
+    * but no LATER file ever shares it: the running total jumps past at
+    * least one full boundary, so the next file starts a fresh bin.
     */
   def plan(files: DataFrame, partCol: String, fileCol: String, bytesCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")

@@ -43,7 +43,11 @@ object Profile {
         col(s"_nd_$c").as("n_distinct"),
         col(s"_min_$c").as("min_str"),
         col(s"_max_$c").as("max_str"),
-        round(col(s"_len_$c") / col(s"_nn_$c"), 4).as("avg_repr_len"))
+        // 4-decimal half-up in the integer domain (lengths and counts
+        // are non-negative) — fp round of an integer-ratio mean is the
+        // engine-divergent class scrubbed from every other average here
+        (expr(s"(CAST(_len_$c AS DECIMAL(38,0)) * 20000 + _nn_$c) DIV (2 * _nn_$c)") / 10000.0)
+          .as("avg_repr_len"))
     }
     wide.select(explode(array(entries: _*)).as("_p")).select("_p.*")
   }

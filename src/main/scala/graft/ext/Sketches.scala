@@ -193,13 +193,17 @@ object Sketches {
     * All-integer (cell counts, products, sums) → replays exactly in SQL.
     */
   def cmsJoinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
-    val perRow = cellsA.as("a")
+    val overlap = cellsA.as("a")
       .join(cellsB.as("b"), Seq("row_idx", "col_idx"))
       .groupBy(col("row_idx"))
       .agg(sum(col("a.cnt") * col("b.cnt")).as("inner_product"))
-    // a depth row with zero overlapping cells means a zero product —
-    // absent from the inner join, so the empty-min coalesces to 0
-    perRow.agg(coalesce(min(col("inner_product")), lit(0L)).as("est_join_rows"))
+    // a depth row with ZERO overlapping cells has inner product 0 and is
+    // absent from the inner join — it must still participate in the min
+    // (it proves the join is empty), so re-anchor on every depth row of
+    // the a-side sketch (any non-empty input populates all of them)
+    cellsA.select(col("row_idx")).distinct()
+      .join(overlap, Seq("row_idx"), "left")
+      .agg(coalesce(min(coalesce(col("inner_product"), lit(0L))), lit(0L)).as("est_join_rows"))
   }
 
   /** Equi-width histogram cells for approximate quantiles — the third

@@ -111,13 +111,14 @@ object DetectQueries {
   /** Daily-average series with its one-day-lagged self as baseline (D7/D8
     * baseline join).
     */
-  /** Exact day-bucket average, 4-decimal half-up in INTEGER domain (cent
-    * sums; r = ⌊(sc·10⁴ + d/2)/d⌋, d = 100·n) — the true mean of cent
-    * values lands exactly on the 4-decimal half-way point often enough
-    * (sf0.1: user 522) that double `avg` + `round` diverges between
-    * engines (Spark rounds the binary expansion, DuckDB the shortest
-    * decimal repr). Identical formula in `dailyCte` and `TsQueries`'
-    * ts_agg_avg.
+  /** Exact day-bucket average, 4-decimal half-away-from-zero in INTEGER
+    * domain (cent sums; r = sign(sc)·⌊(|sc|·10⁴ + d/2)/d⌋, d = 100·n —
+    * sign-magnitude because integer DIV truncates toward zero in both
+    * engines) — the true mean of cent values lands exactly on the
+    * 4-decimal half-way point often enough (sf0.1: user 522) that double
+    * `avg` + `round` diverges between engines (Spark rounds the binary
+    * expansion, DuckDB the shortest decimal repr). Identical formula in
+    * `dailyCte` and `TsQueries`' ts_agg_avg.
     */
   private def exactDailyAvg(s: SparkSession, dir: String): DataFrame =
     TsAlgebra.query(
@@ -127,8 +128,9 @@ object DetectQueries {
       cols)
 
   private val exactDailyAvgSql =
-    """((sum(CAST(round(value*100) AS BIGINT)) * 20000 + 100 * count(*))
-      |       // (200 * count(*))) / 10000.0""".stripMargin
+    """CAST(sign(sum(CAST(round(value*100) AS BIGINT))) AS BIGINT)
+      |  * ((abs(sum(CAST(round(value*100) AS BIGINT))) * 20000 + 100 * count(value))
+      |       // (200 * count(value))) / 10000.0""".stripMargin
 
   private val dailyCte =
     s"""daily AS (SELECT user_id k, epoch_ms(ts) - epoch_ms(ts) % 86400000 tm,
@@ -374,7 +376,7 @@ object DetectQueries {
         // — fp `avg` differs by summation order between engines
         val prof = raw.groupBy(col("seriesKey"), hod.as("hod"))
           .agg((sum(round(col("value") * 100, 0).cast("long")).cast("double")
-            / (count(lit(1)) * 100.0)).as("baseline"))
+            / (count(col("value")) * 100.0)).as("baseline")) // non-null count matches the null-skipping sum
         val joined = raw.toDF().withColumn("hod", hod).join(prof, Seq("seriesKey", "hod"))
         Detectors
           .diffPercentFromJoined(joined, thresholdUpper = Some(20.0), thresholdLower = Some(20.0))
@@ -384,7 +386,7 @@ object DetectQueries {
       },
       Some(s"""WITH $ptsCte,
               |prof AS (SELECT k, (ts_ms % ${T.Day}) // 3600000 hod,
-              |           CAST(sum(CAST(round(v*100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) bv
+              |           CAST(sum(CAST(round(v*100) AS BIGINT)) AS DOUBLE) / (count(v) * 100.0) bv
               |         FROM pts GROUP BY 1, 2),
               |j AS (SELECT p.k, p.ts_ms, p.v, pr.bv
               |      FROM pts p JOIN prof pr

@@ -968,7 +968,8 @@ object ExtQueries {
              |       FROM e CROSS JOIN js WHERE value >= 75 GROUP BY 1, 2),
              |ip AS (SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) p
              |       FROM ca JOIN cb ON ca.j = cb.j AND ca.c = cb.c GROUP BY 1),
-             |est AS (SELECT CAST(coalesce(min(p), 0) AS BIGINT) est_join_rows FROM ip),
+             |est AS (SELECT CAST(coalesce(min(coalesce(ip.p, 0)), 0) AS BIGINT) est_join_rows
+             |        FROM js LEFT JOIN ip ON js.j = ip.j),
              |x AS (SELECT CAST(sum(ca * cb) AS BIGINT) exact_join_rows FROM
              |       (SELECT k, count(*) ca, sum(CASE WHEN value >= 75 THEN 1 ELSE 0 END) cb
              |        FROM e GROUP BY 1))
@@ -1020,7 +1021,8 @@ object ExtQueries {
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_str,
            |  CAST(max($c) AS VARCHAR) AS max_str,
-           |  round(sum(length(CAST($c AS VARCHAR))) / count($c), 4) AS avg_repr_len
+           |  ((CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) * 20000 + count($c))
+           |     // (2 * count($c))) / 10000.0 AS avg_repr_len
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"))),
     // Streaming exact dedup, batch-replayed for the oracle: arrivals feed

@@ -29,7 +29,9 @@ object TsQueries {
     * where engines disagree about a double's rounding direction: Spark
     * rounds the exact binary expansion (…449999… → down) while DuckDB
     * rounds the shortest decimal representation (…45 → up). The library's
-    * fixed-decimal mode keeps everything integer until one final divide.
+    * fixed-decimal mode keeps everything integer until one final divide;
+    * the sign-magnitude form (sign·⌊(|sc|·10⁴ + d/2)/d⌋) stays exact for
+    * negative means too, where truncating DIV would mis-round.
     */
   private def avgQuery(s: SparkSession, dir: String): DataFrame =
     TsAlgebra.query(
@@ -40,9 +42,10 @@ object TsQueries {
 
   private val avgOracleSql: String =
     s"""WITH g AS (SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day} AS ts_ms,
-       |             sum(CAST(round(value*100) AS BIGINT)) sc, count(*) n
+       |             sum(CAST(round(value*100) AS BIGINT)) sc, count(value) n
        |           FROM events GROUP BY 1, 2)
-       |SELECT user_id, ts_ms, ((sc * 20000 + 100 * n) // (200 * n)) / 10000.0 AS value
+       |SELECT user_id, ts_ms,
+       |  CAST(sign(sc) AS BIGINT) * ((abs(sc) * 20000 + 100 * n) // (200 * n)) / 10000.0 AS value
        |FROM g""".stripMargin
 
   private def aggQuery(agg: String)(s: SparkSession, dir: String): DataFrame = {
@@ -181,8 +184,9 @@ object TsQueries {
       },
       Some(s"""SELECT user_id,
               |  epoch_ms(ts) - ((epoch_ms(ts) - 1704106800000) % 21600000) + 10800000 AS ts_ms,
-              |  ((sum(CAST(round(value*100) AS BIGINT)) * 20000 + 100 * count(*))
-              |     // (200 * count(*))) / 10000.0 AS value
+              |  CAST(sign(sum(CAST(round(value*100) AS BIGINT))) AS BIGINT)
+              |    * ((abs(sum(CAST(round(value*100) AS BIGINT))) * 20000 + 100 * count(value))
+              |       // (200 * count(value))) / 10000.0 AS value
               |FROM events
               |WHERE epoch_ms(ts) >= ${T.From} AND epoch_ms(ts) <= ${T.To}
               |GROUP BY 1, 2""".stripMargin)
@@ -231,8 +235,9 @@ object TsQueries {
             col("user_id"), col("ts_ms"), col("value"),
             col("mov_avg"), col("mov_min"), col("mov_max"), col("mov_n")),
       Some("""SELECT user_id, epoch_ms(ts) AS ts_ms, value,
-             |  ((sum(CAST(round(value*100) AS BIGINT)) OVER w * 20000 + 100 * count(*) OVER w)
-             |     // (200 * count(*) OVER w)) / 10000.0 AS mov_avg,
+             |  CAST(sign(sum(CAST(round(value*100) AS BIGINT)) OVER w) AS BIGINT)
+             |    * ((abs(sum(CAST(round(value*100) AS BIGINT)) OVER w) * 20000 + 100 * count(value) OVER w)
+             |       // (200 * count(value) OVER w)) / 10000.0 AS mov_avg,
              |  min(value) OVER w AS mov_min,
              |  max(value) OVER w AS mov_max,
              |  count(*) OVER w AS mov_n

@@ -34,7 +34,9 @@ object Bucketed {
       bucketCol: String,
       buckets: Int): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"graft_${table}_b${buckets}_$safe"
+    // bucketCol is part of the identity: the same table bucketed on a
+    // different key is a DIFFERENT physical layout
+    val name = s"graft_${table}_${bucketCol.toLowerCase}_b${buckets}_$safe"
     built.getOrElseUpdate(name, {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       // the in-memory catalog forgets tables across JVMs but their

@@ -78,9 +78,12 @@ object TsAlgebra {
         }
         (aggName, cfg.valueDecimals) match {
           case ("avg", Some(d)) =>
-            // exact fixed-decimal mean: integer unit sums, half-up to 4
-            // decimals in the integer domain (r = ⌊sc·10⁴/(scale·n) + ½⌋),
-            // one final fp divide — see TsQueryConfig.valueDecimals
+            // exact fixed-decimal mean: integer unit sums, rounded to 4
+            // decimals half-AWAY-FROM-ZERO in the integer domain
+            // (r = sign(sc)·⌊(|sc|·10⁴ + scale·n/2)/(scale·n)⌋; integer
+            // DIV truncates toward zero in Spark AND DuckDB, so the
+            // magnitude form is the one that stays exact for negative
+            // means too), one final fp divide — TsQueryConfig.valueDecimals
             val scale = math.pow(10, d).toLong
             out
               .groupBy(key.as(cols.key), label.as(cols.ts))
@@ -89,7 +92,9 @@ object TsAlgebra {
                 count(value).as("_n"))
               .select(
                 col(cols.key), col(cols.ts),
-                (expr(s"(CAST(_sc AS DECIMAL(38,0)) * 20000 + $scale * _n) DIV (${2 * scale} * _n)")
+                (expr(s"""CAST(sign(_sc) AS DECIMAL(2,0))
+                         | * ((abs(CAST(_sc AS DECIMAL(38,0))) * 20000 + $scale * _n)
+                         |      DIV (${2 * scale} * _n))""".stripMargin)
                   / 10000.0).as(cols.value))
           case _ =>
             out
@@ -332,14 +337,19 @@ object TsAlgebra {
       case Some(d) =>
         // exact fixed-decimal moving mean (TsQueryConfig.valueDecimals
         // semantics): short frames (n < window at series starts) make
-        // half-way means common, where fp round is engine-dependent
+        // half-way means common, where fp round is engine-dependent.
+        // Same sign-magnitude half-away-from-zero form as `query`'s avg
+        // (truncating DIV would mis-round negative means); _n counts
+        // non-null values, matching the sum's null-skipping.
         val scale = math.pow(10, d).toLong
         base
           .withColumn("_sc", sum(round(col(valueCol) * scale, 0).cast("long")).over(w))
-          .withColumn("_n", count(lit(1)).over(w))
+          .withColumn("_n", count(col(valueCol)).over(w))
           .withColumn(
             "mov_avg",
-            expr(s"(CAST(_sc AS DECIMAL(38,0)) * 20000 + $scale * _n) DIV (${2 * scale} * _n)")
+            expr(s"""CAST(sign(_sc) AS DECIMAL(2,0))
+                    | * ((abs(CAST(_sc AS DECIMAL(38,0))) * 20000 + $scale * _n)
+                    |      DIV (${2 * scale} * _n))""".stripMargin)
               / 10000.0)
           .drop("_sc", "_n")
       case None =>

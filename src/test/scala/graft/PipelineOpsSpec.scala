@@ -34,8 +34,8 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("compaction: first-fit bins never split a file and respect file order") {
     val files = Seq(
-      ("p", 1L, 40L), ("p", 2L, 40L), ("p", 3L, 40L), // 40+40 fit, 3rd spills
-      ("p", 4L, 250L), // oversized: own bin
+      ("p", 1L, 40L), ("p", 2L, 40L), ("p", 3L, 40L), // all admit: pre-file cum < 100
+      ("p", 4L, 250L), // oversized: starts past the boundary, alone in bin 1
       ("p", 5L, 10L),
       ("q", 1L, 10L) // other partition independent
     ).toDF("part", "file_id", "bytes")

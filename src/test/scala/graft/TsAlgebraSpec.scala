@@ -187,4 +187,23 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(out(2L)._1.exists(_ > 2.0), "right tail must skew positive")
     assert(out(3L) == ((None, None)), "zero variance → null moments")
   }
+
+  test("exact fixed-decimal avg rounds negative means half-away-from-zero (not toward zero)") {
+    // 8 values summing to -1 cent: mean = -0.00125 $, a 4-decimal
+    // half-way point; truncating DIV would give -0.0012
+    val rows = ((1 to 7).map(i => (1L, i * 1000L, 0.0, i.toLong)) :+ ((1L, 8000L, -0.01, 8L)))
+    val out = TsAlgebra
+      .query(
+        df(rows: _*),
+        TsQueryConfig(
+          aggregationType = Some("avg"), bucketSizeMs = Some(86400000L), valueDecimals = Some(2)),
+        cols)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Double]("v") == -0.0013, s"got ${out.head}")
+    val mov = TsAlgebra
+      .movingAgg(df(rows: _*), "k", "ts", "v", window = 8, valueDecimals = Some(2))
+      .orderBy(org.apache.spark.sql.functions.col("ts").desc)
+      .limit(1).collect().head.getAs[Double]("mov_avg")
+    assert(mov == -0.0013, s"movingAgg last frame mean must round away from zero, got $mov")
+  }
 }
