@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Behavior, Compaction, Dedup, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Behavior, Compaction, Dedup, Integrity, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import graft.streaming.DedupStream
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,42 @@ object ExtQueries {
       |         FROM uq CROSS JOIN c2 c) WHERE r = 1)""".stripMargin
 
   /** Shared DuckDB CTE: embeddings upcast to double with norms. */
+  /** The merged-documents snapshot shared by merge_changelog (the MERGE
+    * itself) and snapshot_diff (its reconciliation twin): base + a
+    * synthesized delta (seq 0 retags %5, seq 1 deletes %7, seq 2
+    * re-sources %35==1) through Merge.applyChangelog.
+    */
+  private def mergedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val delta = base.where(col("doc_id") % 5 === 0)
+      .select(
+        col("doc_id"), lit("xx").as("lang"), col("source"),
+        (col("n_chars") + 1).as("n_chars"), lit(0L).as("seq"), lit("upsert").as("op"))
+      .unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            lit(1L).as("seq"), lit("delete").as("op")))
+      .unionByName(
+        base.where(col("doc_id") % 35 === 1)
+          .select(col("doc_id"), col("lang"), lit("merged").as("source"), col("n_chars"),
+            lit(2L).as("seq"), lit("upsert").as("op")))
+    Merge.applyChangelog(base, delta, "doc_id", "seq", "op")
+  }
+
+  /** DuckDB CTE chain replaying `mergedDocs`, ending at `merged`. */
+  private val mergeCtes =
+    """base AS (SELECT doc_id, lang, source, n_chars, -1 seq, 'upsert' op FROM documents),
+      |delta AS (
+      |  SELECT doc_id, 'xx' lang, source, n_chars + 1 n_chars, 0 seq, 'upsert' op
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 1, 'delete' FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, 'merged', n_chars, 2, 'upsert' FROM documents WHERE doc_id % 35 = 1),
+      |u AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+      |      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)),
+      |merged AS (SELECT doc_id, lang, source, n_chars FROM u WHERE rn = 1 AND op <> 'delete')""".stripMargin
+
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e)""".stripMargin
@@ -1725,33 +1761,61 @@ object ExtQueries {
     // the seq-1 delete outranks the seq-0 upsert.
     Q(
       "merge_changelog",
+      (s, dir) => mergedDocs(s, dir),
+      Some(s"""WITH $mergeCtes
+             |SELECT doc_id, lang, source, n_chars FROM merged""".stripMargin)
+    ),
+    // Snapshot reconciliation: diff the merged snapshot against its base —
+    // must reproduce exactly the changelog's effect (%7 removed, %5
+    // changed lang+n_chars, %35==1 changed source, nothing added). The
+    // validation twin of merge_changelog, one full-outer join.
+    Q(
+      "snapshot_diff",
       (s, dir) => {
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        val delta = base.where(col("doc_id") % 5 === 0)
-          .select(
-            col("doc_id"), lit("xx").as("lang"), col("source"),
-            (col("n_chars") + 1).as("n_chars"), lit(0L).as("seq"), lit("upsert").as("op"))
-          .unionByName(
-            base.where(col("doc_id") % 7 === 0)
-              .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-                lit(1L).as("seq"), lit("delete").as("op")))
-          .unionByName(
-            base.where(col("doc_id") % 35 === 1)
-              .select(col("doc_id"), col("lang"), lit("merged").as("source"), col("n_chars"),
-                lit(2L).as("seq"), lit("upsert").as("op")))
-        Merge.applyChangelog(base, delta, "doc_id", "seq", "op")
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        Integrity.snapshotDiff(base, mergedDocs(s, dir), "doc_id", Seq("lang", "source", "n_chars"))
       },
-      Some("""WITH base AS (SELECT doc_id, lang, source, n_chars, -1 seq, 'upsert' op FROM documents),
-             |delta AS (
-             |  SELECT doc_id, 'xx' lang, source, n_chars + 1 n_chars, 0 seq, 'upsert' op
-             |  FROM documents WHERE doc_id % 5 = 0
-             |  UNION ALL
-             |  SELECT doc_id, lang, source, n_chars, 1, 'delete' FROM documents WHERE doc_id % 7 = 0
-             |  UNION ALL
-             |  SELECT doc_id, lang, 'merged', n_chars, 2, 'upsert' FROM documents WHERE doc_id % 35 = 1),
-             |u AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
-             |      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
-             |SELECT doc_id, lang, source, n_chars FROM u WHERE rn = 1 AND op <> 'delete'""".stripMargin)
+      Some(s"""WITH $mergeCtes
+             |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+             |  CASE WHEN b.doc_id IS NULL THEN 'added'
+             |       WHEN a.doc_id IS NULL THEN 'removed'
+             |       WHEN b.lang IS DISTINCT FROM a.lang OR b.source IS DISTINCT FROM a.source
+             |            OR b.n_chars IS DISTINCT FROM a.n_chars THEN 'changed'
+             |       ELSE 'unchanged' END AS change,
+             |  CASE WHEN b.doc_id IS NOT NULL AND a.doc_id IS NOT NULL
+             |            AND (b.lang IS DISTINCT FROM a.lang OR b.source IS DISTINCT FROM a.source
+             |                 OR b.n_chars IS DISTINCT FROM a.n_chars)
+             |       THEN concat_ws(',',
+             |              CASE WHEN b.lang IS DISTINCT FROM a.lang THEN 'lang' END,
+             |              CASE WHEN b.source IS DISTINCT FROM a.source THEN 'source' END,
+             |              CASE WHEN b.n_chars IS DISTINCT FROM a.n_chars THEN 'n_chars' END)
+             |       ELSE '' END AS changed_cols
+             |FROM documents b FULL OUTER JOIN merged a ON b.doc_id = a.doc_id
+             |WHERE NOT (b.doc_id IS NOT NULL AND a.doc_id IS NOT NULL
+             |           AND b.lang IS NOT DISTINCT FROM a.lang
+             |           AND b.source IS NOT DISTINCT FROM a.source
+             |           AND b.n_chars IS NOT DISTINCT FROM a.n_chars)""".stripMargin)
+    ),
+    // Referential-integrity report: events validated against the "active"
+    // customer subset (c_custkey < 100) — null FKs, orphan FKs (users
+    // 100+), duplicated parent keys. The ingest-QA gate before joins.
+    Q(
+      "q_integrity",
+      (s, dir) =>
+        Integrity.referentialReport(
+          Tables.events(s, dir).select(col("user_id")),
+          "user_id",
+          Tables.customer(s, dir).where(col("c_custkey") < 100),
+          "c_custkey"),
+      Some("""SELECT 'null_fk' AS check, count(*) AS n_violations FROM events WHERE user_id IS NULL
+             |UNION ALL
+             |SELECT 'orphan_fk', count(*) FROM events e
+             |WHERE user_id IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+             |UNION ALL
+             |SELECT 'dup_pk', CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+             |  (SELECT count(*) c FROM customer WHERE c_custkey < 100 GROUP BY c_custkey HAVING count(*) > 1)""".stripMargin)
     ),
     // Small-file compaction planning: files simulated as 20-doc runs per
     // source (bytes = run's total n_chars); first-fit-in-file-order bins
@@ -1839,6 +1903,26 @@ object ExtQueries {
              |      FROM t WHERE token <> '' GROUP BY 1, 2),
              |d AS (SELECT *, count(*) OVER (PARTITION BY token) df FROM p)
              |SELECT token, df, doc_id, tf, positions FROM d WHERE df >= 3""".stripMargin)
+    ),
+    // Stream-stream interval join (attribution): every event is a "view",
+    // hot events (value >= 75) are "actions"; pairs form when an action
+    // lands within 10 min after a view of the same user. Replayed through
+    // two MemoryStreams in 10 chunks — pairs genuinely form from buffered
+    // state across micro-batches; oracle = the batch interval join.
+    // Excluded from Bench (replay harness measures the driver loop).
+    Q(
+      "stream_join",
+      (s, dir) => {
+        import graft.streaming.JoinStream
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"), col("value")).collect()
+        val views = ev.map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        val actions = ev.filter(_.getDouble(2) >= 75).map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        JoinStream.joinReplay(views.toSeq, actions.toSeq, s, chunks = 10, horizonMs = 600000L)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms, value FROM events)
+             |SELECT v.user_id, v.ts_ms AS v_ts, a.ts_ms AS a_ts
+             |FROM e v JOIN e a ON v.user_id = a.user_id AND a.value >= 75
+             |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
     ),
     // Token-budget curation: per source, keep docs in descending-quality
     // (here n_chars) order until 800 tokens; the crossing doc is kept.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Compaction, Merge, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Compaction, Integrity, Merge, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -116,6 +116,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     val kept = Sampling.budgetCap(docs, "id", "grp", "q", "tokens", budgetTokens = 100L)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L), "ids 1 (cum 80) and 2 (crossing) keep; 3 cut")
+  }
+
+  test("referential report: null, orphan, and dup-pk counts on a known fixture") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None, Some(9L)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("pk")
+    val out = Integrity.referentialReport(child, "fk", parent, "pk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("null_fk" -> 1L, "orphan_fk" -> 2L, "dup_pk" -> 2L))
+  }
+
+  test("snapshot diff: classifies added/removed/changed with the differing column list") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "v", "n")
+    val after = Seq((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L)).toDF("k", "v", "n")
+    val out = Integrity.snapshotDiff(before, after, "k", Seq("v", "n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(
+      2L -> ("changed", "v,n"),
+      3L -> ("removed", ""),
+      4L -> ("added", "")))
+    val withSame = Integrity.snapshotDiff(before, after, "k", Seq("v", "n"), includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(withSame(1L) == "unchanged")
+  }
+
+  test("snapshot diff of a changelog apply reproduces exactly the changelog's effect") {
+    val base = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("k", "v")
+    val delta = Seq((2L, "y", 0L, "upsert"), (3L, "x", 0L, "delete"), (4L, "z", 0L, "upsert"))
+      .toDF("k", "v", "seq", "op")
+    val merged = Merge.applyChangelog(base, delta, "k", "seq", "op")
+    val diff = Integrity.snapshotDiff(base, merged, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
   test("inverted index: tf, df, ordered positions on known docs; minDf prunes") {

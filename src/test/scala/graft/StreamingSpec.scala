@@ -413,6 +413,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: pairs form across micro-batches and match the batch join") {
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.JoinEvent
+    val views = Seq(
+      JoinEvent(1, 1000), JoinEvent(1, 50000), JoinEvent(2, 2000))
+    val actions = Seq(
+      JoinEvent(1, 3000), // within 10s of view@1000
+      JoinEvent(1, 55000), // within 10s of view@50000 only
+      JoinEvent(2, 30000), // outside every horizon
+      JoinEvent(3, 1000)) // key with no views
+    val got = JoinStream.joinReplay(views, actions, spark, chunks = 3, horizonMs = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1000L, 3000L), (1L, 50000L, 55000L)))
+  }
+
   test("streaming dedup: first arrival wins across micro-batch boundaries") {
     import graft.streaming.DedupStream
     import graft.streaming.DedupStream.DocArrival
