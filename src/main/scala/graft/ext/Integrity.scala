@@ -14,13 +14,14 @@ object Integrity {
     *
     *   - `null_fk`   — child rows with a NULL key (can never join)
     *   - `orphan_fk` — child rows whose key has no parent (left anti join)
-    *   - `dup_pk`    — parent keys appearing more than once (fan-out risk:
-    *                   a dup parent silently multiplies child rows in joins)
+    *   - `dup_pk`    — total rows belonging to duplicated parent keys
+    *                   (a key with 2 rows reports 2 — the join fan-out
+    *                   multiplier, not the distinct offending-key count)
     *
-    * Scale shape: the orphan check is a LEFT ANTI join on the key (one
-    * hash shuffle, or broadcast when the parent key set is small); dup_pk
-    * is a partial-aggregated groupBy; null_fk is a scan-side count. All
-    * three are single-pass, no driver state; the report is 3 rows.
+    * Scale shape: three independent jobs, each at most one hash shuffle —
+    * the orphan check is a LEFT ANTI join on the key (broadcast when the
+    * parent key set is small), dup_pk a partial-aggregated groupBy,
+    * null_fk a scan-side count. No driver state; the report is 3 rows.
     */
   def referentialReport(
       child: DataFrame,
@@ -32,8 +33,11 @@ object Integrity {
     val nullFk = child.where(col(childKey).isNull)
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("null_fk").as("check"), col("n_violations"))
+    // Parent key is aliased before the join: with the common childKey ==
+    // parentKey naming (custkey/custkey) the raw reference is ambiguous.
     val orphan = child.where(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)).distinct(), col(childKey) === col(parentKey), "left_anti")
+      .join(parent.select(col(parentKey).as("_graft_pk")).distinct(),
+        col(childKey) === col("_graft_pk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("orphan_fk").as("check"), col("n_violations"))
     val dupPk = parent.groupBy(col(parentKey)).agg(count(lit(1)).as("_c"))
@@ -61,6 +65,8 @@ object Integrity {
       compareCols: Seq[String],
       includeUnchanged: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
+    require(!compareCols.contains(keyCol),
+      s"keyCol '$keyCol' must not be in compareCols (it is the join key; listing it would duplicate b_/a_ columns)")
     val b = before.select((keyCol +: compareCols).map(c => col(c).as(s"b_$c")): _*)
     val a = after.select((keyCol +: compareCols).map(c => col(c).as(s"a_$c")): _*)
     val joined = b.join(a, col(s"b_$keyCol") === col(s"a_$keyCol"), "full_outer")

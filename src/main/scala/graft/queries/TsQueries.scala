@@ -369,8 +369,8 @@ object TsQueries {
              |        n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 c4
              |      FROM a)
              |SELECT user_id, CAST(n AS BIGINT) AS n,
-             |  CAST(s1 AS VARCHAR)::DECIMAL(38,0) AS s1_pts,
-             |  CAST(s2 AS VARCHAR)::DECIMAL(38,0) AS s2_pts,
+             |  CAST(s1 AS BIGINT) AS s1_pts,
+             |  CAST(s2 AS BIGINT) AS s2_pts,
              |  CASE WHEN a2 > 0 THEN round(CAST(b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))), 4) + 0.0 END AS skewness,
              |  CASE WHEN a2 > 0 THEN round(CAST(c4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3, 4) + 0.0 END AS kurtosis_excess
              |FROM c""".stripMargin)

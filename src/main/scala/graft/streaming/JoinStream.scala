@@ -54,6 +54,8 @@ object JoinStream {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     require(chunks >= 1, "need at least one chunk")
+    require(views.forall(_.key != -1L) && actions.forall(_.key != -1L),
+      "key -1 is reserved for the watermark-flush sentinel; remap real events first")
     val vs = views.sortBy(e => (e.tsMs, e.key))
     val as = actions.sortBy(e => (e.tsMs, e.key))
     val memV = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[JoinEvent]

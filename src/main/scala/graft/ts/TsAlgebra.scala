@@ -234,6 +234,12 @@ object TsAlgebra {
     * units per key (verified ≤2.3e28 on the fixtures); beyond that,
     * anchor-center the quantized values first (shift-invariant sums).
     */
+  /** DECIMAL(38,0) → BIGINT with a loud overflow guard (no silent wrap). */
+  private def bigintChecked(c: String): Column =
+    expr(s"""CASE WHEN abs($c) > CAST(9223372036854775807 AS DECIMAL(38,0))
+            |  THEN CAST(raise_error('moments: $c exceeds BIGINT; anchor-center values first') AS BIGINT)
+            |  ELSE CAST($c AS BIGINT) END""".stripMargin)
+
   def moments(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     df.select(
         col(keyCol),
@@ -250,8 +256,14 @@ object TsAlgebra {
       .withColumn("c4", expr("n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1"))
       .select(
         col(keyCol), col("n"),
-        col("s1").cast("decimal(38,0)").as("s1_pts"),
-        col("s2").cast("decimal(38,0)").as("s2_pts"),
+        // Exposed power sums go out as BIGINT: the DECIMAL(38,0) physical
+        // encoding is not hash-stable across writers (Spark parquet
+        // FIXED_LEN_BYTE_ARRAY vs DuckDB's cast path), while the values
+        // themselves are ~7 orders of magnitude below 2^63. Accumulation
+        // above stays DECIMAL(38); the guard fails loudly on overflow
+        // instead of wrapping.
+        bigintChecked("s1").as("s1_pts"),
+        bigintChecked("s2").as("s2_pts"),
         // + 0.0 canonicalizes IEEE −0.0 (textual compare downstream)
         expr("""CASE WHEN a2 > 0 THEN
                |  round(CAST(b3 AS DOUBLE)
