@@ -25,8 +25,67 @@ final case class MediaMeta(
   */
 object Multimodal {
 
-  /** STUB — stands in for e.g. an image header parse. Pure function of the
-    * payload so tests and the SQL oracle can reproduce it exactly.
+  /** Real image-header decode via `javax.imageio` (ships in the JDK — no
+    * new dependency): sniffs the container by magic bytes, then reads
+    * dimensions and band count from the HEADER only — `setInput(…,
+    * seekForwardOnly, ignoreMetadata)` + `getWidth/getImageTypes` never
+    * touch pixel data, the right cost when the payload column is TBs of
+    * media. Payloads no registered reader recognizes (or that fail to
+    * parse) fall back to `decodeStub`, so a mixed/corrupt 100 TB batch
+    * degrades per-row instead of failing the job.
+    *
+    * JDK readers cover png/gif/bmp/jpeg/wbmp/tiff; band counts are what
+    * the reader's first `ImageTypeSpecifier` reports (3 for rgb png/bmp,
+    * 1 for palette gif).
+    */
+  def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return decodeStub(id, payload)
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(id, payload)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val types = r.getImageTypes(0)
+          MediaMeta(
+            id = id,
+            n_bytes = payload.length.toLong,
+            width = r.getWidth(0),
+            height = r.getHeight(0),
+            channels = if (types.hasNext) types.next().getNumBands else 0,
+            format = r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => decodeStub(id, payload) }
+    finally iis.close()
+  }
+
+  /** Deterministic fixture encoder: a REAL png/gif/bmp byte stream of the
+    * given dimensions (JDK `ImageIO` writers, fixed pixel fill) — lets the
+    * decode path be oracle-checked end-to-end: the oracle predicts the
+    * dimensions from the id arithmetic that chose them, the engine must
+    * recover them from the actual encoded bytes.
+    */
+  def synthImage(format: String, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** STUB fallback for payloads that are not decodable images — stands in
+    * for e.g. a sidecar-metadata parse. Pure function of the payload so
+    * tests and the SQL oracle can reproduce it exactly.
     */
   def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
@@ -39,8 +98,10 @@ object Multimodal {
       format = if (n % 2 == 0) "png" else "jpeg")
   }
 
-  /** Batch "decode" over a binary payload column: one decoder per
-    * partition via mapPartitions (the real-codec batch shape).
+  /** Batch decode over a binary payload column: one decoder per
+    * partition via mapPartitions (the real-codec batch shape). Image
+    * payloads get a real `javax.imageio` header parse; everything else
+    * falls back to the deterministic stub.
     */
   def imageMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -48,8 +109,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (real codec handle)
-        rows.map { case (id, payload) => decodeStub(id, payload) }
+        // ImageIO's reader registry is JVM-global (one scan per executor);
+        // a non-JDK codec's per-partition handle would init here
+        rows.map { case (id, payload) => decodeMeta(id, payload) }
       }
   }
 

@@ -604,6 +604,57 @@ object Similarity {
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
 
+  /** Index MAINTENANCE: append a delta of new vectors to a built index
+    * WITHOUT refitting the quantizer — the operation a daily-ingest
+    * pipeline runs (refitting 100 TB of vectors nightly is the
+    * anti-pattern; assigning the day's delta to frozen centroids is one
+    * broadcast-argmin map pass over the delta only). The frozen-centroid
+    * assignment is the same `nearestCell` argmin the builder's final pass
+    * uses, so an appended index is bit-identical to one whose corpus had
+    * included the delta at assign time (given the same centroids), and
+    * `ivfProbe`/recall reporting work on it unchanged. `ivfFits` does not
+    * move — tests pin the no-refit contract.
+    */
+  def ivfAppend(index: IvfIndex, delta: DataFrame, idCol: String, embCol: String): IvfIndex = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val cs = index.centroids.collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // nlist × dims doubles — tiny at any corpus size
+    val bc = spark.sparkContext.broadcast(cs)
+    val assignedDelta = prepared(delta, idCol, embCol)
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, v, nr) =>
+        val u = if (nr > 0) v.map(_ / nr) else v
+        (id, v, nr, nearestCell(bc.value, u))
+      }
+      .toDF("id", "vec", "nrm", "cell")
+    val merged = index.assigned.unionByName(assignedDelta)
+    merged.persist()
+    merged.count()
+    IvfIndex(index.centroids, merged)
+  }
+
+  /** Persisted-index twin of `ivfAppend`: assign the delta to the frozen
+    * centroids of the index at `path` and APPEND its rows to the
+    * cell-partitioned corpus — dynamic partition overwrite semantics are
+    * not needed because an append only ADDS files, and only under the
+    * cell= directories the delta actually touches; untouched cells'
+    * files are never rewritten. Returns the reopened merged index.
+    */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      idCol: String,
+      embCol: String): IvfIndex = {
+    val idx = readIvfIndex(spark, path)
+    val onlyDelta = ivfAppend(IvfIndex(idx.centroids, idx.assigned.limit(0)), delta, idCol, embCol)
+    onlyDelta.assigned.write.partitionBy("cell").mode("append").parquet(s"$path/assigned")
+    onlyDelta.assigned.unpersist(blocking = false)
+    readIvfIndex(spark, path)
+  }
+
   /** Persist an IVF-PQ index in SPLIT column groups: the IVF layout
     * (centroids + the vector-carrying `assigned` corpus, cell-
     * partitioned), codebooks (one tiny parquet), and a CODES-ONLY file

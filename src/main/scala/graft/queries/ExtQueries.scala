@@ -22,6 +22,12 @@ object ExtQueries {
   /** Per-table IVF-PQ index cache (same offline-build contract). */
   private val pqIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
 
+  /** Per-table appended-IVF cache: base (vec_id %10 != 0) builds the
+    * index once, the delta (%10 == 0) appends to frozen centroids — the
+    * daily-ingest maintenance path, cached like the other indexes.
+    */
+  private val ivfAppendIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+
   /** Per-table duplicate-cluster cache: a real pipeline computes the
     * cluster table once and feeds every downstream consumer (labeling,
     * representative selection, reporting); `clusters` leaves its final
@@ -50,10 +56,13 @@ object ExtQueries {
     * iterations on exact 1e-6-quantized integer sums). Ends with
     * `uq(id, v, nrm, uv, q, bucket)`, final centroids `c2(cid, cvec)`,
     * and cell assignment `af(id, cell)`. Used by the IVF and IVF-PQ
-    * oracles.
+    * oracles. `fitPred` restricts which rows TRAIN the quantizer
+    * (seeds + both Lloyd passes); assignment `af` always covers every
+    * row — `TRUE` replays `buildIvfIndex`, a base predicate replays
+    * build-on-base + `ivfAppend` of the rest (frozen-centroid argmin).
     */
-  private val ivfBuildCte =
-    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+  private def ivfCteFor(fitPred: String) =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
       |u AS (SELECT vec_id id, v, nrm,
       |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm) ELSE v END uv FROM n),
@@ -64,24 +73,25 @@ object ExtQueries {
       |                 uv[d] * ((((1103515245 * (k*64 + (d-1)) + 12345) % 2147483648) / 2147483648.0) - 0.5))) > 0
       |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
       |       FROM u),
+      |uqf AS (SELECT * FROM uq WHERE $fitPred),
       |seeds AS (SELECT bucket cid, uv cvec FROM (
       |            SELECT bucket, uv, row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(id AS VARCHAR)), id) r
-      |            FROM uq) WHERE r = 1),
+      |            FROM uqf) WHERE r = 1),
       |a1 AS (SELECT id, q, cid FROM (
-      |         SELECT uq.id, uq.q, s.cid,
-      |                row_number() OVER (PARTITION BY uq.id ORDER BY
-      |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*s.cvec[i])) DESC, s.cid) r
-      |         FROM uq CROSS JOIN seeds s) WHERE r = 1),
+      |         SELECT uqf.id, uqf.q, s.cid,
+      |                row_number() OVER (PARTITION BY uqf.id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> uqf.uv[i]*s.cvec[i])) DESC, s.cid) r
+      |         FROM uqf CROSS JOIN seeds s) WHERE r = 1),
       |s1 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
       |       FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
       |c1 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
       |         SELECT cid, sv, sqrt(list_sum(list_transform(sv, x -> x*x))) nr FROM (
       |           SELECT cid, list(CAST(sm AS DOUBLE) ORDER BY dim) sv FROM s1 GROUP BY cid))),
       |a2 AS (SELECT id, q, cid FROM (
-      |         SELECT uq.id, uq.q, c.cid,
-      |                row_number() OVER (PARTITION BY uq.id ORDER BY
-      |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
-      |         FROM uq CROSS JOIN c1 c) WHERE r = 1),
+      |         SELECT uqf.id, uqf.q, c.cid,
+      |                row_number() OVER (PARTITION BY uqf.id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> uqf.uv[i]*c.cvec[i])) DESC, c.cid) r
+      |         FROM uqf CROSS JOIN c1 c) WHERE r = 1),
       |s2 AS (SELECT cid, d.d dim, sum(q[d.d + 1]) sm
       |       FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) d) d GROUP BY 1, 2),
       |c2 AS (SELECT cid, CASE WHEN nr > 0 THEN list_transform(sv, x -> x/nr) ELSE sv END cvec FROM (
@@ -92,6 +102,13 @@ object ExtQueries {
       |                row_number() OVER (PARTITION BY uq.id ORDER BY
       |                  list_sum(list_transform(range(1, 65), i -> uq.uv[i]*c.cvec[i])) DESC, c.cid) r
       |         FROM uq CROSS JOIN c2 c) WHERE r = 1)""".stripMargin
+
+  private val ivfBuildCte = ivfCteFor("TRUE")
+
+  /** Fit on vec_id % 10 <> 0 (the "base"), assign everything — the SQL
+    * replay of buildIvfIndex(base) + ivfAppend(delta) for sim_ivf_append.
+    */
+  private val ivfAppendCte = ivfCteFor("id % 10 <> 0")
 
   /** Shared DuckDB CTE: embeddings upcast to double with norms. */
   /** The merged-documents snapshot shared by merge_changelog (the MERGE
@@ -1304,6 +1321,38 @@ object ExtQueries {
              |      FROM cand)
              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
              |FROM r WHERE rank <= 5""".stripMargin)),
+    // Index MAINTENANCE: build the coarse quantizer on the base corpus
+    // (vec_id % 10 != 0), APPEND the delta (%10 == 0) to the frozen
+    // centroids — no refit (ScalaTest pins ivfFits) — then probe the
+    // merged index. The oracle replays fit-on-base + assign-everything
+    // step for step (ivfCteFor with the base fit predicate).
+    Q(
+      "sim_ivf_append",
+      (s, dir) => {
+        val idx = ivfAppendIdx.getOrElseUpdate(dir, {
+          val emb = Tables.embeddings(s, dir)
+          val base = Similarity.buildIvfIndex(
+            emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+          Similarity.ivfAppend(base, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        })
+        Similarity.ivfProbe(idx, col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH $ivfAppendCte,
+             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+             |pr AS (SELECT query_id, qv, qnrm, cid FROM (
+             |         SELECT q.query_id, q.qv, q.qnrm, c.cid,
+             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+             |cand AS (SELECT p.query_id, uq.id,
+             |           list_sum(list_transform(range(1, 65), i -> uq.v[i]*p.qv[i])) / (uq.nrm * p.qnrm) cosine
+             |         FROM pr p JOIN af a ON a.cell = p.cid JOIN uq ON uq.id = a.id AND uq.id <> p.query_id),
+             |r AS (SELECT query_id, id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+             |      FROM cand)
+             |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+             |FROM r WHERE rank <= 5""".stripMargin)),
     // Index self-evaluation: recall@5 of the IVF probe against the exact
     // brute-force ranks, per query — the report a production ANN index
     // ships with. Both pipelines replay in the oracle (shared prep CTE).
@@ -1736,22 +1785,47 @@ object ExtQueries {
       Some("""SELECT doc_id, d.d AS dim,
              |  round(('0x' || substr(md5(text), d.d*2 + 1, 2))::BIGINT / 255.0, 4) AS value
              |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) d) d""".stripMargin)),
+    // REAL image decode: payloads are genuine png/gif/bmp streams encoded
+    // by ImageIO writers with dimensions chosen from doc_id (%4==3 rows
+    // stay raw text → stub fallback). The oracle predicts width/height/
+    // bands from the id arithmetic; the engine must recover them from the
+    // actual encoded bytes — a real header parse, not a replayed hash.
+    // (Band counts: rgb png/bmp → 3, palette gif → 1.) n_bytes is
+    // codec-dependent and deliberately not projected.
     Q(
       "mm_image_meta",
-      (s, dir) =>
-        Multimodal.imageMeta(
-          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "doc_id", "payload")
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val payload = (id % 4) match {
+                case 0 => Multimodal.synthImage("png", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                case 1 => Multimodal.synthImage("gif", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                case 2 => Multimodal.synthImage("bmp", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              }
+              (id, payload)
+            }
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.imageMeta(payloads, "doc_id", "payload")
           .toDF()
           .select(
-            col("id").as("doc_id"), col("n_bytes"),
+            col("id").as("doc_id"),
             col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-            col("channels").cast("long").as("channels"), col("format")),
-      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-             |  1 + strlen(text) % 64 AS width,
-             |  1 + (strlen(text) * 7) % 64 AS height,
-             |  1 + strlen(text) % 3 AS channels,
-             |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+            col("channels").cast("long").as("channels"), col("format"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 4 < 3 THEN 1 + doc_id % 64 ELSE 1 + strlen(text) % 64 END AS width,
+             |  CASE WHEN doc_id % 4 < 3 THEN 1 + (doc_id * 3) % 64 ELSE 1 + (strlen(text) * 7) % 64 END AS height,
+             |  CASE WHEN doc_id % 4 = 1 THEN 1
+             |       WHEN doc_id % 4 < 3 THEN 3
+             |       ELSE 1 + strlen(text) % 3 END AS channels,
+             |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+             |       ELSE CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END END AS format
              |FROM documents""".stripMargin)
     ),
     // Changelog MERGE: apply a synthesized CDC delta (seq 0 retags every
@@ -1922,6 +1996,26 @@ object ExtQueries {
       Some("""WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms, value FROM events)
              |SELECT v.user_id, v.ts_ms AS v_ts, a.ts_ms AS a_ts
              |FROM e v JOIN e a ON v.user_id = a.user_id AND a.value >= 75
+             |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
+    ),
+    // Attribution-LOSS report: the same stream-stream interval join LEFT
+    // OUTER — unmatched views emit with a null action timestamp once the
+    // watermark proves no action can still arrive in their horizon.
+    // Oracle = the batch left join. Excluded from Bench (replay harness
+    // measures the driver loop).
+    Q(
+      "stream_join_outer",
+      (s, dir) => {
+        import graft.streaming.JoinStream
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"), col("value")).collect()
+        val views = ev.map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        val actions = ev.filter(_.getDouble(2) >= 75).map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        JoinStream.joinReplay(views.toSeq, actions.toSeq, s, chunks = 10, horizonMs = 600000L,
+          joinType = "left_outer")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms, value FROM events)
+             |SELECT v.user_id, v.ts_ms AS v_ts, a.ts_ms AS a_ts
+             |FROM e v LEFT JOIN e a ON v.user_id = a.user_id AND a.value >= 75
              |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
     ),
     // Token-budget curation: per source, keep docs in descending-quality

@@ -55,25 +55,14 @@ object DedupStream {
       watermarkDelay: String = "3650 days"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    require(chunks >= 1, "need at least one chunk")
     val sorted = arrivals.sortBy(_.docId)
-    val perChunk = math.max(1, math.ceil(sorted.size.toDouble / chunks).toInt)
     val mem = MemoryStream[DocArrival]
     val out = dedupStream(
       mem.toDS().select(
         col("docId"), col("tsMs"),
         timestamp_millis(col("tsMs")).as("eventTime"), col("hash")),
       "eventTime", "hash", watermarkDelay)
-    val table = s"dedup_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .start()
-    try sorted.grouped(perChunk).foreach { chunk =>
-      mem.addData(chunk: _*)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(table).select(col("docId").as("doc_id"), col("tsMs").as("ts_ms"), col("hash"))
+    Replay.runSink(spark, out)(q => Replay.feedChunks(q, mem, Replay.chunked(sorted, chunks)))
+      .select(col("docId").as("doc_id"), col("tsMs").as("ts_ms"), col("hash"))
   }
 }

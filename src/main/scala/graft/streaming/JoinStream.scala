@@ -25,18 +25,26 @@ object JoinStream {
 
   /** views(vKey, vTime: timestamp) ⋈ actions(aKey, aTime: timestamp) on
     * key equality with aTime in [vTime, vTime + horizonMs].
+    *
+    * `joinType` "inner" emits pairs as they form; "left_outer" ALSO emits
+    * each unmatched view with null action columns once the watermark
+    * proves no action can still arrive in its horizon — the
+    * attribution-LOSS report (which views never converted), produced with
+    * the same bounded state as the inner join.
     */
   def intervalJoin(
       views: DataFrame,
       actions: DataFrame,
       horizonMs: Long,
-      watermark: String): DataFrame =
+      watermark: String,
+      joinType: String = "inner"): DataFrame =
     views.withWatermark("vTime", watermark)
       .join(
         actions.withWatermark("aTime", watermark),
         expr(s"""vKey = aKey AND
                 |aTime >= vTime AND
-                |aTime <= vTime + INTERVAL $horizonMs MILLISECONDS""".stripMargin))
+                |aTime <= vTime + INTERVAL $horizonMs MILLISECONDS""".stripMargin),
+        joinType)
 
   /** Bounded batch-replay for the driver oracle (the dedupReplay /
     * sessionReplay contract): both sides feed MemoryStreams in ts-ordered
@@ -50,10 +58,10 @@ object JoinStream {
       spark: org.apache.spark.sql.SparkSession,
       chunks: Int,
       horizonMs: Long,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    require(chunks >= 1, "need at least one chunk")
     require(views.forall(_.key != -1L) && actions.forall(_.key != -1L),
       "key -1 is reserved for the watermark-flush sentinel; remap real events first")
     val vs = views.sortBy(e => (e.tsMs, e.key))
@@ -63,27 +71,20 @@ object JoinStream {
     val out = intervalJoin(
       memV.toDS().select(col("key").as("vKey"), timestamp_millis(col("tsMs")).as("vTime")),
       memA.toDS().select(col("key").as("aKey"), timestamp_millis(col("tsMs")).as("aTime")),
-      horizonMs, watermark)
-    val table = s"join_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
-    def chunked(s: Seq[JoinEvent]) = {
-      val per = math.max(1, math.ceil(s.size.toDouble / chunks).toInt)
-      s.grouped(per).toSeq
-    }
-    try {
-      val (cv, ca) = (chunked(vs), chunked(as))
+      horizonMs, watermark, joinType)
+    Replay.runSink(spark, out) { q =>
+      val (cv, ca) = (Replay.chunked(vs, chunks), Replay.chunked(as, chunks))
       (0 until math.max(cv.size, ca.size)).foreach { i =>
         cv.lift(i).foreach(c => memV.addData(c: _*))
         ca.lift(i).foreach(c => memA.addData(c: _*))
         q.processAllAvailable()
       }
-      val flush = (vs ++ as).map(_.tsMs).maxOption.getOrElse(0L) + (1L << 40)
-      memV.addData(JoinEvent(-1L, flush)); memA.addData(JoinEvent(-1L, flush))
-      q.processAllAvailable()
-      memV.addData(JoinEvent(-1L, flush + (1L << 40))); memA.addData(JoinEvent(-1L, flush + (1L << 40)))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(table).where(col("vKey") =!= -1L)
+      // both sides must advance: the join's effective watermark is the MIN
+      // over inputs, and the outer side only emits null-matches once it
+      // passes vTime + horizon
+      Replay.flushSentinels(q, Seq(memV, memA),
+        (vs ++ as).map(_.tsMs).maxOption.getOrElse(0L), ts => JoinEvent(-1L, ts))
+    }.where(col("vKey") =!= -1L)
       .select(
         col("vKey").as("user_id"),
         unix_millis(col("vTime")).as("v_ts"),

@@ -321,25 +321,18 @@ object MonitorStream {
       watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    require(chunks >= 1, "need at least one chunk")
+    require(arrivals.forall(_.key != -1L),
+      "key -1 is reserved for the watermark-flush sentinel; remap real events first")
     val sorted = arrivals.sortBy(e => (e.tsMs, e.key))
-    val perChunk = math.max(1, math.ceil(sorted.size.toDouble / chunks).toInt)
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEvent]
     val out = sessionStats(
       mem.toDS().select(col("key").as("seriesKey"), timestamp_millis(col("tsMs")).as("ts")),
       gapMs, watermark)
-    val table = s"sess_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
-    try {
-      sorted.grouped(perChunk).foreach { chunk =>
-        mem.addData(chunk: _*)
-        q.processAllAvailable()
-      }
-      val flush = sorted.lastOption.map(_.tsMs).getOrElse(0L) + (1L << 40)
-      mem.addData(SessEvent(-1L, flush)); q.processAllAvailable()
-      mem.addData(SessEvent(-1L, flush + (1L << 40))); q.processAllAvailable()
-    } finally q.stop()
-    spark.table(table).where(col("seriesKey") =!= -1L)
+    Replay.runSink(spark, out) { q =>
+      Replay.feedChunks(q, mem, Replay.chunked(sorted, chunks))
+      Replay.flushSentinels(q, Seq(mem), sorted.lastOption.map(_.tsMs).getOrElse(0L),
+        ts => SessEvent(-1L, ts))
+    }.where(col("seriesKey") =!= -1L)
       .select(
         col("seriesKey").cast("long").as("user_id"),
         col("session_start"), col("session_end"), col("duration_ms"), col("n_events"))

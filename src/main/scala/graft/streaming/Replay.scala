@@ -21,6 +21,55 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object Replay {
 
+  /** The shared replay driver: start `out` against an append-mode memory
+    * sink, run `feed` (add micro-batches, advance watermarks), stop the
+    * query even on failure, return the sink table. Every replay harness
+    * (monitor, dedup, sessions, inner/outer join) is this loop plus a
+    * feed body.
+    */
+  def runSink(spark: org.apache.spark.sql.SparkSession, out: DataFrame)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val table = s"replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
+    try feed(q) finally q.stop()
+    spark.table(table)
+  }
+
+  /** Split an already-sorted input into at most `chunks` contiguous
+    * micro-batches.
+    */
+  def chunked[T](sorted: Seq[T], chunks: Int): Seq[Seq[T]] = {
+    require(chunks >= 1, "need at least one chunk")
+    val per = math.max(1, math.ceil(sorted.size.toDouble / chunks).toInt)
+    sorted.grouped(per).toSeq
+  }
+
+  /** Feed each chunk as its own micro-batch — state genuinely crosses
+    * batch boundaries through the state store between calls.
+    */
+  def feedChunks[T](
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      mem: MemoryStream[T],
+      cs: Seq[Seq[T]]): Unit =
+    cs.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+
+  /** Two far-future sentinel rounds: a watermark update becomes effective
+    * one micro-batch AFTER the batch carrying the max event time, so one
+    * sentinel advances the watermark and the second gives stateful
+    * operators the batch in which to emit/evict final state. `mk(ts)`
+    * builds the sentinel event (callers reserve key −1 and filter it out
+    * of the sink).
+    */
+  def flushSentinels[T](
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      mems: Seq[MemoryStream[T]],
+      maxTs: Long,
+      mk: Long => T): Unit =
+    Seq(1L, 2L).foreach { m =>
+      mems.foreach(_.addData(mk(maxTs + (m << 40))))
+      q.processAllAvailable()
+    }
+
   /** Replay `points` through `monitorStreamCfg(cfg)` in ascending order
     * of `chunkKey` (e.g. the event's day), one micro-batch per chunk.
     * The state TTL defaults to effectively-infinite so the replay is a
@@ -37,19 +86,9 @@ object Replay {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     // bounded by construction: replay inputs are verification-scale
-    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1)
+    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
     val mem = MemoryStream[TsSample]
     val out = MonitorStream.monitorStreamCfg(mem.toDS(), cfg, stateTtlMs)
-    val table = s"replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(table)
-      .start()
-    try chunks.foreach { case (_, rows) =>
-      mem.addData(rows.toSeq: _*)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(table)
+    runSink(spark, out)(q => feedChunks(q, mem, chunks))
   }
 }

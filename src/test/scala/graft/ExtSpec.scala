@@ -582,6 +582,31 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
+  test("real image decode: header parse recovers synthesized png/gif/bmp dims; text falls back to stub") {
+    import spark.implicits._
+    // real encoded streams: the decoder must read dims out of the bytes
+    for ((fmt, bands) <- Seq(("png", 3), ("gif", 1), ("bmp", 3))) {
+      val bytes = Multimodal.synthImage(fmt, 37, 11)
+      val m = Multimodal.decodeMeta(1L, bytes)
+      assert(m == graft.ext.MediaMeta(1L, bytes.length.toLong, 37, 11, bands, fmt), s"$fmt: $m")
+    }
+    // undecodable payload → the deterministic stub, not a throw
+    assert(Multimodal.decodeMeta(7L, "abcdef".getBytes) ==
+      graft.ext.MediaMeta(7L, 6L, 7, 43, 1, "png"))
+    assert(Multimodal.decodeMeta(8L, Array.emptyByteArray).format.nonEmpty)
+    // distributed path: mixed image + text payloads in one partition
+    val payloads = Seq(
+      (10L, Multimodal.synthImage("png", 5, 9)),
+      (11L, Multimodal.synthImage("bmp", 64, 1)),
+      (12L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageMeta(payloads, "doc_id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(out(10L).width == 5 && out(10L).height == 9 && out(10L).format == "png")
+    assert(out(11L).width == 64 && out(11L).height == 1 && out(11L).format == "bmp")
+    assert(out(12L).width == (1 + 10 % 64) && out(12L).format == "png") // strlen 10 → stub
+  }
+
   test("IVF top-k: valid ranks, quantified recall vs brute force (deterministic quantizer)") {
     // The test embeddings are uniform random on the 64-sphere (no planted
     // cluster structure — verified: within-label avg cosine equals the
@@ -611,6 +636,42 @@ class ExtSpec extends AnyFunSuite {
     // cell may dominate: cap every cell at 2x its fair share
     assert(sizes.max <= 2 * n / 8, s"degenerate giant cell: ${sizes.mkString(",")}")
     assert(sizes.min >= n / 32, s"near-empty cell wastes a probe: ${sizes.mkString(",")}")
+  }
+
+  test("IVF append: frozen-centroid delta assignment — no refit, consistent cells, recall floor, persisted append") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where(col("vec_id") % 10 =!= 0)
+    val delta = e.where(col("vec_id") % 10 === 0)
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    val fits0 = Similarity.ivfFits
+    val appended = Similarity.ivfAppend(idx, delta, "vec_id", "embedding")
+    val hits = Similarity.ivfProbe(appended, col("id") < 5, k = 5, nprobe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(Similarity.ivfFits == fits0, "append/probe must not refit the quantizer")
+    // cell consistency: re-assigning the FULL corpus to the same frozen
+    // centroids reproduces exactly the cells build(base)+append(delta) chose
+    val refAssign = Similarity.ivfAppend(
+      Similarity.IvfIndex(idx.centroids, idx.assigned.limit(0)), e, "vec_id", "embedding")
+    val a = appended.assigned.select("id", "cell").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"))).toSet
+    val b = refAssign.assigned.select("id", "cell").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"))).toSet
+    assert(a == b, "appended cells diverge from frozen-centroid reassignment")
+    assert(a.size == e.count(), "merged index must cover base + delta")
+    // recall floor vs brute force over the merged corpus (same setting as
+    // the build-on-full test: nlist=8, nprobe=6)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect hits).size.toDouble / exact.size
+    assert(recall >= 0.75, s"appended-index recall too low: $recall")
+    // persisted path: delta files append under touched cell dirs only;
+    // the reopened merged index probes identically
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.writeIvfIndex(idx, dir)
+    val reopened = Similarity.appendIvfIndex(spark, dir, delta, "vec_id", "embedding")
+    val hits2 = Similarity.ivfProbe(reopened, col("id") < 5, k = 5, nprobe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(hits2 == hits, "persisted append probe diverges from in-memory append")
   }
 
   test("IVF-PQ top-k: ADC + re-rank tracks the plain IVF probe; quantified recall") {

@@ -428,6 +428,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L, 3000L), (1L, 50000L, 55000L)))
   }
 
+  test("stream-stream interval join LEFT OUTER: unmatched views emit null actions at watermark expiry") {
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.JoinEvent
+    val views = Seq(
+      JoinEvent(1, 1000), JoinEvent(1, 50000), JoinEvent(2, 2000))
+    val actions = Seq(
+      JoinEvent(1, 3000), // pairs with view@1000
+      JoinEvent(1, 55000), // pairs with view@50000
+      JoinEvent(2, 30000), // outside view@2000's horizon → that view is unmatched
+      JoinEvent(3, 1000)) // key with no views
+    val got = JoinStream.joinReplay(views, actions, spark, chunks = 3, horizonMs = 10000L,
+        joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 1000L, 3000L), (1L, 50000L, 55000L),
+      (2L, 2000L, -1L))) // the attribution loss: a view that never converted
+  }
+
   test("streaming dedup: first arrival wins across micro-batch boundaries") {
     import graft.streaming.DedupStream
     import graft.streaming.DedupStream.DocArrival
