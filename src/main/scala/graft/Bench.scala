@@ -17,7 +17,8 @@ object Bench {
     // MemoryStream from the driver one micro-batch at a time, so their
     // wall time measures the replay harness, not a distributed operator —
     // excluded here (Verify still runs them)
-    val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_sessions", "stream_join")
+    val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_sessions", "stream_join",
+      "stream_join_outer")
     val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1)).sortBy(_._1)
     // warm pass: JIT + codegen + parquet footer caches (BASELINE.md
     // measurement plan: warm JVM, median of 3)
