@@ -12,6 +12,16 @@ final case class MediaMeta(
     channels: Int,
     format: String)
 
+/** One decoded audio record. */
+final case class AudioMeta(
+    id: Long,
+    n_bytes: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    format: String)
+
 /** Multimodal-column plumbing (builder brief): media as opaque BINARY
   * columns with typed metadata, batch-decoded executor-side.
   *
@@ -113,6 +123,79 @@ object Multimodal {
         // a non-JDK codec's per-partition handle would init here
         rows.map { case (id, payload) => decodeMeta(id, payload) }
       }
+  }
+
+  /** Real audio-header decode via `javax.sound.sampled` (JDK built-in):
+    * `getAudioFileFormat` reads ONLY the container header (RIFF/AIFF/AU
+    * chunks) — no sample data is decoded, the right cost when the payload
+    * column is TBs of audio. Unrecognized payloads fall back to
+    * `audioStub` per-row, like `decodeMeta`.
+    */
+  def decodeAudio(id: Long, payload: Array[Byte]): AudioMeta =
+    try {
+      val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = f.getFormat
+      AudioMeta(
+        id = id,
+        n_bytes = payload.length.toLong,
+        sample_rate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        bits = fmt.getSampleSizeInBits,
+        n_frames = f.getFrameLength.toLong,
+        format = f.getType.toString.toLowerCase)
+    } catch { case _: Exception => audioStub(id, payload) }
+
+  /** STUB fallback for non-audio payloads — deterministic arithmetic on
+    * the byte length so the SQL oracle replays it exactly.
+    */
+  def audioStub(id: Long, payload: Array[Byte]): AudioMeta = {
+    val n = payload.length.toLong
+    AudioMeta(
+      id = id,
+      n_bytes = n,
+      sample_rate = (8000 + (n % 3) * 4000).toInt,
+      channels = (1 + n % 2).toInt,
+      bits = 8,
+      n_frames = n,
+      format = "raw")
+  }
+
+  /** Deterministic fixture encoder: a canonical 16-bit little-endian PCM
+    * WAV (hand-built RIFF header + fmt + data chunks — byte-deterministic,
+    * unlike a codec encoder) with a fixed sample fill. Total size is
+    * exactly 44 + nFrames·channels·2 bytes, so the oracle can predict
+    * `n_bytes` too.
+    */
+  def synthWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { bb.put(((i * 37) & 0xff).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Batch audio decode over a binary payload column — the audio twin of
+    * `imageMeta`, same mapPartitions batch shape.
+    */
+  def audioMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, payload) => decodeAudio(id, payload) })
   }
 
   /** "Video" frame sampling: every `everyN`-th frame of the payload's

@@ -1852,6 +1852,51 @@ object ExtQueries {
              |       ELSE CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END END AS format
              |FROM documents""".stripMargin)
     ),
+    // REAL audio decode: payloads are canonical PCM WAV streams
+    // (hand-built RIFF — byte-deterministic) with rate/channels/frames
+    // chosen from doc_id; %3==2 rows stay raw text → stub fallback. The
+    // oracle predicts every field INCLUDING n_bytes (44 + frames·ch·2)
+    // from the id arithmetic; the engine must recover them from the
+    // actual RIFF header via javax.sound.sampled.
+    Q(
+      "mm_audio_meta",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val payload =
+                if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                else Multimodal.synthWav(
+                  (8000 * (1 + id % 3)).toInt, (1 + id % 2).toInt, (1 + id % 200).toInt)
+              (id, payload)
+            }
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.audioMeta(payloads, "doc_id", "payload")
+          .toDF()
+          .select(
+            col("id").as("doc_id"), col("n_bytes"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("bits").cast("long").as("bits"),
+            col("n_frames"), col("format"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen(text) AS BIGINT)
+             |       ELSE 44 + (1 + doc_id % 200) * (1 + doc_id % 2) * 2 END AS n_bytes,
+             |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (strlen(text) % 3) * 4000
+             |       ELSE 8000 * (1 + doc_id % 3) END AS sample_rate,
+             |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 2
+             |       ELSE 1 + doc_id % 2 END AS channels,
+             |  CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 16 END AS bits,
+             |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen(text) AS BIGINT)
+             |       ELSE CAST(1 + doc_id % 200 AS BIGINT) END AS n_frames,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'raw' ELSE 'wave' END AS format
+             |FROM documents""".stripMargin)
+    ),
     // Changelog MERGE: apply a synthesized CDC delta (seq 0 retags every
     // doc_id%5==0, seq 1 deletes every doc_id%7==0, seq 2 re-sources every
     // doc_id%35==1) to the documents snapshot; latest seq per key wins, a

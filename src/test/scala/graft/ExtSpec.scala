@@ -582,6 +582,24 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
+  test("real audio decode: RIFF header parse recovers synthesized WAV params; text falls back to stub") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(44100, 2, 123)
+    assert(wav.length == 44 + 123 * 2 * 2)
+    val m = Multimodal.decodeAudio(5L, wav)
+    assert(m == graft.ext.AudioMeta(5L, wav.length.toLong, 44100, 2, 16, 123L, "wave"), s"got $m")
+    // non-audio → deterministic stub, not a throw
+    val s6 = Multimodal.decodeAudio(9L, "sixchr".getBytes)
+    assert(s6 == graft.ext.AudioMeta(9L, 6L, 8000, 1, 8, 6L, "raw"), s"got $s6")
+    // distributed path, mixed payloads
+    val out = Multimodal.audioMeta(
+      Seq((1L, Multimodal.synthWav(8000, 1, 10)), (2L, "text".getBytes))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(a => a.id -> a).toMap
+    assert(out(1L).sample_rate == 8000 && out(1L).n_frames == 10L && out(1L).format == "wave")
+    assert(out(2L).format == "raw" && out(2L).n_frames == 4L)
+  }
+
   test("real image decode: header parse recovers synthesized png/gif/bmp dims; text falls back to stub") {
     import spark.implicits._
     // real encoded streams: the decoder must read dims out of the bytes
