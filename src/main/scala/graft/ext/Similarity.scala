@@ -522,6 +522,50 @@ object Similarity {
     PqIndex(ivf, books, coded, m, ksub)
   }
 
+  /** Index MAINTENANCE for the PQ scale path — the codes twin of
+    * `ivfAppend`: assign the delta to the FROZEN coarse centroids and
+    * encode it with the FROZEN codebooks (the same argmin the builder's
+    * encode pass runs), so neither quantizer refits (`ivfFits` does not
+    * move) and a day's ingest costs one broadcast-argmin map pass over
+    * the delta only. The appended index probes identically to one whose
+    * corpus had included the delta at encode time.
+    */
+  def pqAppend(index: PqIndex, delta: DataFrame, idCol: String, embCol: String): PqIndex = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val subDim = index.books(0)(0).length
+    val mSub = index.m
+    val cs = index.ivf.centroids.collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(cs)
+    val bcB = spark.sparkContext.broadcast(index.books)
+    val deltaCoded = prepared(delta, idCol, embCol)
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, v, nr) =>
+        val (u, _) = unitAndQ(v, nr)
+        val cell = nearestCell(bcC.value, u)
+        val codes = Array.tabulate(mSub)(mm => nearestSub(bcB.value(mm), u, mm * subDim, subDim))
+        (id, v, nr, cell, codes)
+      }
+      .toDF("id", "vec", "nrm", "cell", "codes")
+    val mergedAssigned = index.ivf.assigned
+      .unionByName(deltaCoded.select("id", "vec", "nrm", "cell"))
+    mergedAssigned.persist()
+    mergedAssigned.count()
+    // the coded side mirrors the storage layout: unsplit builds carry the
+    // vectors on `coded`, split storage keeps codes-only columns
+    val mergedCoded =
+      if (index.vectorsSplit.isEmpty) index.coded.unionByName(deltaCoded)
+      else index.coded.unionByName(deltaCoded.select("id", "cell", "codes"))
+    mergedCoded.persist()
+    mergedCoded.count()
+    PqIndex(
+      IvfIndex(index.ivf.centroids, mergedAssigned), index.books, mergedCoded,
+      mSub, index.ksub,
+      vectorsSplit = index.vectorsSplit.map(_ => mergedAssigned))
+  }
+
   /** IVF-PQ ANN probe: coarse cells as in `ivfProbe`, then ASYMMETRIC
     * DISTANCE (ADC) scoring — the query's exact unit subvectors dotted
     * with each candidate's CODEWORDS (sum over subspaces in index order,

@@ -28,6 +28,11 @@ object ExtQueries {
     */
   private val ivfAppendIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
 
+  /** Per-table appended-PQ cache — base-trained codebooks, frozen-encode
+    * delta (the PQ twin of `ivfAppendIdx`).
+    */
+  private val pqAppendIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
+
   /** Per-table duplicate-cluster cache: a real pipeline computes the
     * cluster table once and feeds every downstream consumer (labeling,
     * representative selection, reporting); `clusters` leaves its final
@@ -133,6 +138,81 @@ object ExtQueries {
     * replay of buildIvfIndex(base) + ivfAppend(delta) for sim_ivf_append.
     */
   private val ivfAppendCte = ivfCteFor("id % 10 <> 0")
+
+  /** PQ fit + encode CTE chain, composing after `ivfCteFor(...)`: the
+    * codebook fit (md5-ranked seeds, 2 Lloyd rounds on exact integer
+    * sums, memberless cells keep their codeword) trains on `uqf` — the
+    * same population that trained the coarse quantizer — while the
+    * final `codes` CTE encodes EVERY row (`uq`) against the finished
+    * codebooks, mirroring buildPqOn (fitPred TRUE) and pqAppend (base
+    * fitPred: frozen-codebook encode of the delta).
+    */
+  private val pqFitCte =
+    """pqseeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 snum, uv
+      |            FROM uqf ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+      |cb0 AS (SELECT mm.m, s.snum cid, list_transform(range(1, 9), d -> s.uv[mm.m*8 + d]) cvec
+      |        FROM (SELECT unnest(range(0, 8)) m) mm CROSS JOIN pqseeds s),
+      |g1 AS (SELECT id, m, cid FROM (
+      |         SELECT uqf.id, cb.m, cb.cid,
+      |                row_number() OVER (PARTITION BY uqf.id, cb.m ORDER BY
+      |                  list_sum(list_transform(range(1, 9), d ->
+      |                    (uqf.uv[cb.m*8 + d] - cb.cvec[d]) * (uqf.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+      |         FROM uqf CROSS JOIN cb0 cb) WHERE r = 1),
+      |m1 AS (SELECT g.m, g.cid, dd.d dim, sum(uqf.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
+      |       FROM g1 g JOIN uqf ON uqf.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
+      |       GROUP BY 1, 2, 3),
+      |cb1 AS (SELECT cb0.m, cb0.cid, coalesce(mn.cvec, cb0.cvec) cvec
+      |        FROM cb0 LEFT JOIN (
+      |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
+      |          FROM m1 GROUP BY m, cid) mn ON mn.m = cb0.m AND mn.cid = cb0.cid),
+      |g2 AS (SELECT id, m, cid FROM (
+      |         SELECT uqf.id, cb.m, cb.cid,
+      |                row_number() OVER (PARTITION BY uqf.id, cb.m ORDER BY
+      |                  list_sum(list_transform(range(1, 9), d ->
+      |                    (uqf.uv[cb.m*8 + d] - cb.cvec[d]) * (uqf.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+      |         FROM uqf CROSS JOIN cb1 cb) WHERE r = 1),
+      |m2 AS (SELECT g.m, g.cid, dd.d dim, sum(uqf.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
+      |       FROM g2 g JOIN uqf ON uqf.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
+      |       GROUP BY 1, 2, 3),
+      |cb2 AS (SELECT cb1.m, cb1.cid, coalesce(mn.cvec, cb1.cvec) cvec
+      |        FROM cb1 LEFT JOIN (
+      |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
+      |          FROM m2 GROUP BY m, cid) mn ON mn.m = cb1.m AND mn.cid = cb1.cid),
+      |codes AS (SELECT id, m, cid FROM (
+      |            SELECT uq.id, cb.m, cb.cid,
+      |                   row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
+      |                     list_sum(list_transform(range(1, 9), d ->
+      |                       (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
+      |            FROM uq CROSS JOIN cb2 cb) WHERE r = 1)""".stripMargin
+
+  /** Shared IVF-PQ probe tail (queries id < 10, nprobe 4, ADC in
+    * subspace order, refine 60, exact-cosine top-5).
+    */
+  private val pqProbeSql =
+    """qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
+      |pr AS (SELECT query_id, qv, qnrm, quv, cid FROM (
+      |         SELECT q.query_id, q.qv, q.qnrm, q.quv, c.cid,
+      |                row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
+      |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
+      |cand AS (SELECT p.query_id, p.qv, p.qnrm, p.quv, a.id
+      |         FROM pr p JOIN af a ON a.cell = p.cid AND a.id <> p.query_id),
+      |contrib AS (SELECT c.query_id, c.id, k.m,
+      |              list_sum(list_transform(range(1, 9), d -> c.quv[k.m*8 + d] * cb.cvec[d])) ct
+      |            FROM cand c JOIN codes k ON k.id = c.id
+      |            JOIN cb2 cb ON cb.m = k.m AND cb.cid = k.cid),
+      |adc AS (SELECT query_id, id, list_sum(list(ct ORDER BY m)) adc FROM contrib GROUP BY 1, 2),
+      |ref AS (SELECT query_id, id FROM (
+      |          SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, id) ar
+      |          FROM adc) WHERE ar <= 60),
+      |rr AS (SELECT f.query_id, uq.id,
+      |         list_sum(list_transform(range(1, 65), i -> uq.v[i] * q.qv[i])) / (uq.nrm * q.qnrm) cosine
+      |       FROM ref f JOIN uq ON uq.id = f.id JOIN qy q ON q.query_id = f.query_id)
+      |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+      |FROM (SELECT query_id, id, cosine,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+      |      FROM rr)
+      |WHERE rank <= 5""".stripMargin
 
   /** Shared DuckDB CTE: embeddings upcast to double with norms. */
   /** The merged-documents snapshot shared by merge_changelog (the MERGE
@@ -1512,67 +1592,25 @@ object ExtQueries {
         Similarity.pqProbe(idx, col("id") < 10, k = 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      Some(s"""WITH $ivfBuildCte,
-             |pqseeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 snum, uv
-             |            FROM uq ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
-             |cb0 AS (SELECT mm.m, s.snum cid, list_transform(range(1, 9), d -> s.uv[mm.m*8 + d]) cvec
-             |        FROM (SELECT unnest(range(0, 8)) m) mm CROSS JOIN pqseeds s),
-             |g1 AS (SELECT id, m, cid FROM (
-             |         SELECT uq.id, cb.m, cb.cid,
-             |                row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
-             |                  list_sum(list_transform(range(1, 9), d ->
-             |                    (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
-             |         FROM uq CROSS JOIN cb0 cb) WHERE r = 1),
-             |m1 AS (SELECT g.m, g.cid, dd.d dim, sum(uq.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
-             |       FROM g1 g JOIN uq ON uq.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
-             |       GROUP BY 1, 2, 3),
-             |cb1 AS (SELECT cb0.m, cb0.cid, coalesce(mn.cvec, cb0.cvec) cvec
-             |        FROM cb0 LEFT JOIN (
-             |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
-             |          FROM m1 GROUP BY m, cid) mn ON mn.m = cb0.m AND mn.cid = cb0.cid),
-             |g2 AS (SELECT id, m, cid FROM (
-             |         SELECT uq.id, cb.m, cb.cid,
-             |                row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
-             |                  list_sum(list_transform(range(1, 9), d ->
-             |                    (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
-             |         FROM uq CROSS JOIN cb1 cb) WHERE r = 1),
-             |m2 AS (SELECT g.m, g.cid, dd.d dim, sum(uq.q[g.m*8 + dd.d + 1]) sm, count(*) cnt
-             |       FROM g2 g JOIN uq ON uq.id = g.id CROSS JOIN (SELECT unnest(range(0, 8)) d) dd
-             |       GROUP BY 1, 2, 3),
-             |cb2 AS (SELECT cb1.m, cb1.cid, coalesce(mn.cvec, cb1.cvec) cvec
-             |        FROM cb1 LEFT JOIN (
-             |          SELECT m, cid, list((CAST(sm AS DOUBLE) / 1000000.0) / cnt ORDER BY dim) cvec
-             |          FROM m2 GROUP BY m, cid) mn ON mn.m = cb1.m AND mn.cid = cb1.cid),
-             |codes AS (SELECT id, m, cid FROM (
-             |            SELECT uq.id, cb.m, cb.cid,
-             |                   row_number() OVER (PARTITION BY uq.id, cb.m ORDER BY
-             |                     list_sum(list_transform(range(1, 9), d ->
-             |                       (uq.uv[cb.m*8 + d] - cb.cvec[d]) * (uq.uv[cb.m*8 + d] - cb.cvec[d]))) ASC, cb.cid) r
-             |            FROM uq CROSS JOIN cb2 cb) WHERE r = 1),
-             |qy AS (SELECT uq.id query_id, uq.v qv, uq.nrm qnrm, uq.uv quv FROM uq WHERE uq.id < 10),
-             |pr AS (SELECT query_id, qv, qnrm, quv, cid FROM (
-             |         SELECT q.query_id, q.qv, q.qnrm, q.quv, c.cid,
-             |                row_number() OVER (PARTITION BY q.query_id ORDER BY
-             |                  list_sum(list_transform(range(1, 65), i -> (q.quv[i]-c.cvec[i])*(q.quv[i]-c.cvec[i]))) ASC, c.cid) r
-             |         FROM qy q CROSS JOIN c2 c) WHERE r <= 4),
-             |cand AS (SELECT p.query_id, p.qv, p.qnrm, p.quv, a.id
-             |         FROM pr p JOIN af a ON a.cell = p.cid AND a.id <> p.query_id),
-             |contrib AS (SELECT c.query_id, c.id, k.m,
-             |              list_sum(list_transform(range(1, 9), d -> c.quv[k.m*8 + d] * cb.cvec[d])) ct
-             |            FROM cand c JOIN codes k ON k.id = c.id
-             |            JOIN cb2 cb ON cb.m = k.m AND cb.cid = k.cid),
-             |adc AS (SELECT query_id, id, list_sum(list(ct ORDER BY m)) adc FROM contrib GROUP BY 1, 2),
-             |ref AS (SELECT query_id, id FROM (
-             |          SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, id) ar
-             |          FROM adc) WHERE ar <= 60),
-             |rr AS (SELECT f.query_id, uq.id,
-             |         list_sum(list_transform(range(1, 65), i -> uq.v[i] * q.qv[i])) / (uq.nrm * q.qnrm) cosine
-             |       FROM ref f JOIN uq ON uq.id = f.id JOIN qy q ON q.query_id = f.query_id)
-             |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
-             |FROM (SELECT query_id, id, cosine,
-             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
-             |      FROM rr)
-             |WHERE rank <= 5""".stripMargin)),
+      Some(s"WITH $ivfBuildCte,\n$pqFitCte,\n$pqProbeSql")),
+    // PQ index MAINTENANCE: coarse quantizer AND codebooks train on the
+    // base (vec_id % 10 != 0); the delta is assigned to frozen centroids
+    // and encoded with frozen codebooks (pqAppend — no refit of either
+    // quantizer, ScalaTest pins ivfFits). Oracle = the same PQ replay
+    // with fit CTEs over the base population and encode over everything.
+    Q(
+      "sim_ivfpq_append",
+      (s, dir) => {
+        val idx = pqAppendIdx.getOrElseUpdate(dir, {
+          val emb = Tables.embeddings(s, dir)
+          val base = Similarity.buildPqOn(Similarity.buildIvfIndex(
+            emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding"))
+          Similarity.pqAppend(base, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        })
+        Similarity.pqProbe(idx, col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"WITH $ivfAppendCte,\n$pqFitCte,\n$pqProbeSql")),
     // LSH-bucketed ANN — scale path; recall asserted in ScalaTest. The
     // hyperplanes are a deterministic integer LCG, so the ENTIRE path
     // (8 tables × 4 sign bits → bucket equi-join → distinct candidates →

@@ -692,6 +692,38 @@ class ExtSpec extends AnyFunSuite {
     assert(hits2 == hits, "persisted append probe diverges from in-memory append")
   }
 
+  test("PQ append: frozen-codebook delta encode — no refit, codes match frozen re-encode, probe parity") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where(col("vec_id") % 10 =!= 0)
+    val delta = e.where(col("vec_id") % 10 === 0)
+    val pqBase = Similarity.buildPqIndex(base, "vec_id", "embedding", nlist = 8, iters = 2)
+    val fits0 = Similarity.ivfFits
+    val appended = Similarity.pqAppend(pqBase, delta, "vec_id", "embedding")
+    val hits = Similarity.pqProbe(appended, col("id") < 5, k = 5, nprobe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(Similarity.ivfFits == fits0, "append/probe must not refit")
+    assert(appended.coded.count() == e.count(), "merged codes must cover base + delta")
+    // codebooks are the base's, untouched
+    (0 until pqBase.m).foreach { mm =>
+      (0 until pqBase.ksub).foreach { j =>
+        assert(appended.books(mm)(j) eq pqBase.books(mm)(j), "codebooks must be frozen")
+      }
+    }
+    // code consistency: re-encoding the FULL corpus against the same
+    // frozen index reproduces exactly the codes build(base)+append(delta)
+    // produced
+    val refCodes = Similarity.pqAppend(
+      pqBase.copy(ivf = Similarity.IvfIndex(pqBase.ivf.centroids, pqBase.ivf.assigned.limit(0)),
+        coded = pqBase.coded.limit(0)),
+      e, "vec_id", "embedding")
+    val a = appended.coded.select("id", "cell", "codes").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"), r.getSeq[Int](2))).toSet
+    val b = refCodes.coded.select("id", "cell", "codes").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"), r.getSeq[Int](2))).toSet
+    assert(a == b, "appended codes diverge from frozen re-encode")
+    assert(hits.nonEmpty)
+  }
+
   test("IVF-PQ top-k: ADC + re-rank tracks the plain IVF probe; quantified recall") {
     val e = Tables.embeddings(spark, sf)
     val pq = Similarity.buildPqIndex(e, "vec_id", "embedding", nlist = 8, iters = 2)
