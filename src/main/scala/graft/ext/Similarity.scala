@@ -101,6 +101,45 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("c"), 4).as("cosine"))
   }
 
+  /** Embedding near-dup pairs AT SCALE — the bucketed path the
+    * `cosinePairs` guard points to: candidates come from equi-joins on
+    * `nTables` independent sign-hash buckets (the OR-construction that
+    * buys recall), are deduplicated per (id_a, id_b), then EXACTLY
+    * verified with the index-order dot ≥ tau. All-pairs never
+    * materializes — cost is Σ bucket sizes², not n² — and precision is
+    * exact (false candidates die at the verify); recall is the LSH
+    * OR-construction's, quantified in ExtSpec against the exact kernel.
+    * True duplicates (identical vectors) hash to the same bucket in
+    * EVERY table, so they are always found.
+    */
+  def lshPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      nBits: Int = 6,
+      nTables: Int = 8): DataFrame = {
+    val p = prepared(df, idCol, embCol).select(col("id"), col("vec"), col("nrm"))
+    val tabs = (0 until nTables).map { t =>
+      p.select(
+        col("id"), col("vec"), col("nrm"),
+        lit(t).as("t"), lshBucket(col("vec"), dims, nBits, t).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val left = tabs.select(
+      col("t"), col("bucket"), col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val right = tabs.select(
+      col("t"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    left.join(right, Seq("t", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      // the kept duplicate is arbitrary but carries identical vectors, so
+      // the verify below is duplicate-invariant
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component via an LCG over the
     * (bit, dim) index — rational arithmetic, reproducible on any engine.
     */

@@ -929,6 +929,33 @@ object ExtQueries {
               |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
               |SELECT va, vb, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.4""".stripMargin)
     ),
+    // Embedding near-dup AT SCALE: the bucketed path cosinePairs' guard
+    // points to — LSH-bucket candidates (8 tables × 6 sign bits, the
+    // sim_lsh_topk hyperplanes) + exact cosine verify ≥ τ. Approximate ≠
+    // unverifiable: the oracle replays bucketing, pair dedup, and the
+    // verify, so the hash must match exactly. Recall vs the exact kernel
+    // and the dup-always-found property are pinned in ExtSpec.
+    Q(
+      "dedup_embedding_lsh",
+      (s, dir) =>
+        Similarity.lshPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4, dims = 64),
+      Some(s"""WITH $embCte,
+              |b AS (SELECT vec_id, v, nrm, t.t,
+              |        list_sum(list_transform(range(0, 6), k ->
+              |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+              |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
+              |                          / 2147483648.0) - 0.5))) > 0
+              |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+              |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
+              |cand AS (SELECT DISTINCT a.vec_id ida, c.vec_id idb
+              |         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+              |p AS (SELECT ida, idb,
+              |        list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) cosine
+              |      FROM cand JOIN n na ON na.vec_id = ida JOIN n nb ON nb.vec_id = idb)
+              |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
+              |FROM p WHERE cosine >= 0.4""".stripMargin)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).
@@ -2124,6 +2151,29 @@ object ExtQueries {
              |SELECT v.user_id, v.ts_ms AS v_ts, a.ts_ms AS a_ts
              |FROM e v LEFT JOIN e a ON v.user_id = a.user_id AND a.value >= 75
              |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
+    ),
+    // Stream-STATIC enrichment: the fact stream left-joins a broadcast
+    // dimension (users %3==0 → segment %7) — stateless, no watermark, the
+    // cheapest streaming join shape; facts without a dimension row keep
+    // nulls. Oracle = the batch left join. Excluded from Bench (replay
+    // harness measures the driver loop).
+    Q(
+      "stream_enrich",
+      (s, dir) => {
+        import graft.streaming.EnrichStream
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"), col("value")).collect()
+        val facts = ev.map(r => EnrichStream.FactEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val dim = Tables.events(s, dir).select(col("user_id")).distinct()
+          .where(col("user_id") % 3 === 0)
+          .select(col("user_id").as("key"), (col("user_id") % 7).as("segment"))
+        EnrichStream.enrichReplay(facts.toSeq, dim, s, chunks = 10)
+          .select(
+            col("key").as("user_id"), col("tsMs").as("ts_ms"), col("value"), col("segment"))
+      },
+      Some("""WITH f AS (SELECT user_id, epoch_ms(ts) ts_ms, value FROM events),
+             |d AS (SELECT DISTINCT user_id, user_id % 7 AS segment FROM events WHERE user_id % 3 = 0)
+             |SELECT f.user_id, f.ts_ms, f.value, d.segment
+             |FROM f LEFT JOIN d USING (user_id)""".stripMargin)
     ),
     // Token-budget curation: per source, keep docs in descending-quality
     // (here n_chars) order until 800 tokens; the crossing doc is kept.

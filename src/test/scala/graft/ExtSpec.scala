@@ -656,6 +656,27 @@ class ExtSpec extends AnyFunSuite {
     assert(sizes.min >= n / 32, s"near-empty cell wastes a probe: ${sizes.mkString(",")}")
   }
 
+  test("LSH near-dup pairs: exact-verified subset, true duplicates always found, quantified recall") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    val lsh = Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.3, dims = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), "the exact verify must kill every false candidate")
+    // uniform-sphere τ=0.3 is the OR-construction's worst case (analytic
+    // per-pair hit ≈ 0.3 at 8 tables × 6 bits); clustered real embeddings
+    // do far better — assert a conservative floor
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"OR-construction recall too low: $recall")
+    // a TRUE duplicate shares every table's bucket — must always be found
+    val dup = e.where(col("vec_id") === 0).withColumn("vec_id", lit(999999L))
+    val pairs = Similarity.lshPairs(e.unionByName(dup), "vec_id", "embedding", tau = 0.99, dims = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
+  }
+
   test("IVF append: frozen-centroid delta assignment — no refit, consistent cells, recall floor, persisted append") {
     val e = Tables.embeddings(spark, sf)
     val base = e.where(col("vec_id") % 10 =!= 0)

@@ -448,6 +448,30 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 2000L, -1L))) // the attribution loss: a view that never converted
   }
 
+  test("stream-static enrichment: broadcast left join, nulls pass through, batch parity, no state store") {
+    import spark.implicits._
+    import graft.streaming.EnrichStream
+    import graft.streaming.EnrichStream.FactEvent
+    val facts = Seq(
+      FactEvent(1, 1000, 1.5), FactEvent(2, 2000, 2.5),
+      FactEvent(1, 3000, 3.5), FactEvent(9, 4000, 9.5))
+    val dim = Seq((1L, "gold"), (9L, "trial")).toDF("key", "segment")
+    val got = EnrichStream.enrichReplay(facts, dim, spark, chunks = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("tsMs"), r.getAs[String]("segment")))
+      .toSet
+    assert(got == Set(
+      (1L, 1000L, "gold"), (1L, 3000L, "gold"),
+      (2L, 2000L, null), // no dim row → nulls, never dropped
+      (9L, 4000L, "trial")))
+    // the batch twin of the same operator must broadcast the dimension
+    // (stream side unshuffled — the property that makes this shape cheap)
+    val batchPlan = EnrichStream
+      .enrich(facts.toDF(), dim, "key")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+  }
+
   test("streaming dedup: first arrival wins across micro-batch boundaries") {
     import graft.streaming.DedupStream
     import graft.streaming.DedupStream.DocArrival
