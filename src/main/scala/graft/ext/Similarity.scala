@@ -120,22 +120,19 @@ object Similarity {
       dims: Int,
       nBits: Int = 6,
       nTables: Int = 8): DataFrame = {
-    val p = prepared(df, idCol, embCol).select(col("id"), col("vec"), col("nrm"))
-    val tabs = (0 until nTables).map { t =>
-      p.select(
-        col("id"), col("vec"), col("nrm"),
-        lit(t).as("t"), lshBucket(col("vec"), dims, nBits, t).as("bucket"))
-    }.reduce(_.unionByName(_))
-    val left = tabs.select(
-      col("t"), col("bucket"), col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
-    val right = tabs.select(
-      col("t"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
-    left.join(right, Seq("t", "bucket"))
+    // ONE corpus scan emits every (doc, table) bucket row (the shared
+    // typed kernel — a union of per-table scans would read the corpus
+    // nTables times at 100 TB); table prefix in the key keeps tables from
+    // cross-matching
+    val bucketed = lshBucketed(prepared(df, idCol, embCol), dims, nBits, nTables)
+    val left = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val right = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    left.join(right, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      // the kept duplicate is arbitrary but carries identical vectors, so
-      // the verify below is duplicate-invariant
+      // a pair colliding in several tables carries identical vectors each
+      // time — the pair-key dedup keeps an arbitrary, equivalent one
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", cosine_sim(col("va"), col("vb")))
       .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -790,31 +787,17 @@ object Similarity {
       iters: Int = 2): DataFrame =
     ivfProbe(buildIvfIndex(df, idCol, embCol, nlist, iters), queryPred, k, nprobe)
 
-  /** ANN top-k: LSH-bucket the corpus into `nTables` independent hash
-    * tables (OR-construction: a true neighbor is found if it collides in
-    * ANY table — recall rises with nTables while each table's candidate
-    * set stays an equi-join on a short bucket key). Candidates are the
-    * distinct union over tables; exact cosine ranks them.
+  /** ONE corpus scan → one row per (doc, table) with a table-prefixed
+    * bucket key (tables never cross-match). Bucketing runs in a typed
+    * kernel, not Catalyst array lambdas — the nTables × nBits plane dots
+    * inline into pathological generated code (the measured lambda-JIT
+    * cliff, see Dedup) — with the SAME integer LCG planes, so the SQL
+    * oracles replay it exactly. Shared by `lshTopK` and `lshPairs`.
     */
-  def lshTopK(
-      df: DataFrame,
-      idCol: String,
-      embCol: String,
-      queryPred: Column,
-      k: Int,
-      dims: Int,
-      nBits: Int,
-      nTables: Int = 8): DataFrame = {
-    val spark = df.sparkSession
+  private def lshBucketed(all: DataFrame, dims: Int, nBits: Int, nTables: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val all = prepared(df, idCol, embCol)
-    // One row per (doc, table): bucket keys are table-prefixed so tables
-    // never cross-match; the big side is never shuffled (broadcast probe).
-    // Bucketing runs in a typed kernel, not Catalyst array lambdas — the
-    // nTables x nBits plane dots inline into pathological generated code
-    // (the measured lambda-JIT cliff, see Dedup) — with the SAME integer
-    // LCG planes, so the SQL oracle replays it exactly.
-    val bucketed = all
+    all
       .select(col("id"), col("vec"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
@@ -836,6 +819,24 @@ object Similarity {
         }
       }
       .toDF("id", "vec", "nrm", "bucket")
+  }
+
+  /** ANN top-k: LSH-bucket the corpus into `nTables` independent hash
+    * tables (OR-construction: a true neighbor is found if it collides in
+    * ANY table — recall rises with nTables while each table's candidate
+    * set stays an equi-join on a short bucket key). Candidates are the
+    * distinct union over tables; exact cosine ranks them.
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      dims: Int,
+      nBits: Int,
+      nTables: Int = 8): DataFrame = {
+    val bucketed = lshBucketed(prepared(df, idCol, embCol), dims, nBits, nTables)
     val q = bucketed.where(queryPred)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"), col("bucket"))
     val scored = bucketed
