@@ -69,7 +69,11 @@ class PlanSpec extends AnyFunSuite {
   test("dedup_minhash_lsh: banded candidates join on short keys; no cartesian anywhere") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH banding must never produce an all-pairs join")
-    assert(p.contains("InMemoryTableScan"), "signature table must be reused from the materialized cache")
+    // since round 7 the pair graph is a PARQUET ARTIFACT (survives bench
+    // isolation's clearCache), so consumers must read the artifact file —
+    // never re-derive the signature+banding pipeline
+    assert(p.contains("graft_pairs_"), s"pair table must be read from the persisted artifact:\n$p")
+    assert(!p.contains("md5("), "a consumer plan containing the signature pipeline means the artifact was bypassed")
   }
 
   test("anomaly_exp_avg_chunked: chunk passes hash-partition by (key, chunk) — no single-task stage") {
