@@ -125,13 +125,20 @@ object Similarity {
     // nTables times at 100 TB); table prefix in the key keeps tables from
     // cross-matching
     val bucketed = lshBucketed(prepared(df, idCol, embCol), dims, nBits, nTables)
-    val left = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val right = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    left.join(right, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      // a pair colliding in several tables carries identical vectors each
-      // time — the pair-key dedup keeps an arbitrary, equivalent one
-      .dropDuplicates("id_a", "id_b")
+    // candidate generation moves IDS ONLY: candidates outnumber the
+    // corpus (Σ bucket² rows before the pair dedup), so the self-join and
+    // the distinct shuffle 16-byte pairs, not dims·8-byte vectors —
+    // vectors late-materialize per SIDE for just the surviving pairs
+    val ids = bucketed.select(col("bucket"), col("id"))
+    val cand = ids
+      .join(ids.withColumnRenamed("id", "id_b"), Seq("bucket"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val vecs = prepared(df, idCol, embCol).select(col("id"), col("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("va"), col("vb")))
       .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
