@@ -51,4 +51,26 @@ object Profile {
     }
     wide.select(explode(array(entries: _*)).as("_p")).select("_p.*")
   }
+
+  /** The 100 TB distinct-count path the `profile` scaladoc promises: per-
+    * column cardinality via `Sketches.hllRegisters`/`hllEstimate` instead
+    * of the exact Expand-rewritten `countDistinct`. ONE scan emits a
+    * (col_name, value) row per non-null cell (the same cols× Expand shape
+    * as the exact profiler), then the register aggregation shuffles at
+    * most cols · 2^p one-long rows — constant size in the row count,
+    * mergeable across table shards by union+max. Values hash through
+    * their string representation so every column type shares one
+    * register layout. Output: `hllEstimate`'s
+    * (col_name, n_zero_buckets, sum_fp, est_distinct).
+    */
+  def profileSketch(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "profileSketch needs at least one column")
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("_e"))
+      .select("_e.*")
+      .where(col("value").isNotNull)
+    Sketches.hllEstimate(
+      Sketches.hllRegisters(stacked, "col_name", "value", p), "col_name", p)
+  }
 }

@@ -1209,6 +1209,39 @@ object ExtQueries {
            |     // (2 * count($c))) / 10000.0 AS avg_repr_len
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"))),
+    // The 100 TB profiler: per-column distinct cardinality via HLL
+    // registers (cols · 256 one-long rows shuffle, constant in the row
+    // count) instead of the exact Expand countDistinct. Same md5 register
+    // arithmetic as sketch_hll, so the whole estimate replays in SQL;
+    // accuracy vs the exact counts is pinned in ExtSpec.
+    Q(
+      "profile_sketch",
+      (s, dir) =>
+        Profile.profileSketch(
+          Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8),
+      Some((Seq(
+        "SELECT 'doc_id' col_name, CAST(doc_id AS VARCHAR) vs FROM documents WHERE doc_id IS NOT NULL",
+        "SELECT 'text', text FROM documents WHERE text IS NOT NULL",
+        "SELECT 'lang', lang FROM documents WHERE lang IS NOT NULL",
+        "SELECT 'source', source FROM documents WHERE source IS NOT NULL",
+        "SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE n_chars IS NOT NULL")
+        .mkString("WITH v AS (\n", "\nUNION ALL\n", ")") +
+        """
+          |, h AS (SELECT col_name, ('0x' || substr(md5(vs), 1, 15))::BIGINT h FROM v),
+          |b AS (SELECT col_name, h % 256 bucket, h // 256 rest FROM h),
+          |r AS (SELECT col_name, bucket,
+          |        CASE WHEN rest = 0 THEN 53
+          |             ELSE 53 - length(format('{:b}', rest)) END rank FROM b),
+          |reg AS (SELECT col_name, bucket, max(rank) register FROM r GROUP BY 1, 2),
+          |ag AS (SELECT col_name, count(*) nb,
+          |         CAST(sum(1099511627776 // (1::BIGINT << register)) AS BIGINT) s
+          |       FROM reg GROUP BY 1)
+          |SELECT col_name, 256 - nb AS n_zero_buckets,
+          |  CAST(s + (256 - nb) * 1099511627776 AS BIGINT) AS sum_fp,
+          |  round((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 256 * 256
+          |        * (1099511627776.0 / (s + (256 - nb) * 1099511627776)), 4) AS est_distinct
+          |FROM ag""".stripMargin))),
     // Streaming exact dedup, batch-replayed for the oracle: arrivals feed
     // a MemoryStream in 30 ascending-docId micro-batches, so dedup state
     // genuinely crosses batch boundaries; first arrival per md5 wins →

@@ -582,6 +582,26 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
+  test("profileSketch: per-column HLL cardinality (+ linear-counting correction) tracks exact distincts") {
+    val t = Tables.documents(spark, sf)
+    val rows = graft.ext.Profile.profileSketch(t, Seq("doc_id", "source", "lang"), p = 8).collect()
+    val m = 256.0
+    // the operator emits the RAW estimate + n_zero_buckets by contract;
+    // apply the standard small-range linear-counting correction here
+    val corrected = rows.map { r =>
+      val raw = r.getAs[Double]("est_distinct")
+      val v = r.getAs[Long]("n_zero_buckets").toDouble
+      val est = if (raw <= 2.5 * m && v > 0) m * math.log(m / v) else raw
+      r.getAs[String]("col_name") -> est
+    }.toMap
+    Seq("doc_id", "source", "lang").foreach { c =>
+      val exact = t.select(col(c)).where(col(c).isNotNull).distinct().count().toDouble
+      val est = corrected(c)
+      val rel = math.abs(est - exact) / math.max(exact, 1.0)
+      assert(rel < 0.2, s"$c: corrected $est vs exact $exact (rel err $rel)")
+    }
+  }
+
   test("real audio decode: RIFF header parse recovers synthesized WAV params; text falls back to stub") {
     import spark.implicits._
     val wav = Multimodal.synthWav(44100, 2, 123)
