@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("md5("), "a consumer plan containing the signature pipeline means the artifact was bypassed")
   }
 
+  test("dedup_embedding_lsh: bucket equi-join candidates, never a cartesian") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH pair generation must never degrade to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"candidates must come from an equi-join on the bucket key:\n$p")
+  }
+
+  test("profile_sketch: register aggregation — no exact-distinct Expand rewrite") {
+    val p = plan("profile_sketch")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      "the sketch profiler must never fall back to exact countDistinct")
+    assert(!p.contains("Expand"),
+      s"per-column stacking is a Generate, not the countDistinct Expand rewrite:\n$p")
+  }
+
   test("anomaly_exp_avg_chunked: chunk passes hash-partition by (key, chunk) — no single-task stage") {
     val p = plan("anomaly_exp_avg_chunked")
     assert(!p.contains("SinglePartition"), s"chunked fold must not serialize onto one partition:\n$p")
