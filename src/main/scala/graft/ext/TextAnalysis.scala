@@ -54,6 +54,25 @@ object TextAnalysis {
         .as("n_subtokens"))
   }
 
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs whose
+    * semantics are identical in Java regex and RE2 (so the SQL oracle
+    * replays it): a token is an optionally-space-prefixed letter run,
+    * digit run, or punctuation run. The real BPE merge table is a model
+    * artifact; the PRE-tokenization is what decides token-count scaling,
+    * and this is the deterministic core of it.
+    */
+  val BpeIshPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Token counting with the BPE-ish regex next to the whitespace count —
+    * the pair a budgeted pretraining pipeline needs (budgets are in model
+    * tokens, filters reason in words). Pure per-row map, zero shuffle.
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(words(col(textCol))).as("n_words"),
+      size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0))).as("n_bpe_tokens"))
+
   /** Quality scoring: length / word stats / stopword density — the
     * standard cheap quality filters for pretraining corpora.
     */

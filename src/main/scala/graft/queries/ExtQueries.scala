@@ -333,6 +333,21 @@ object ExtQueries {
              |       w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
              |FROM documents""".stripMargin)
     ),
+    // BPE-ish pre-tokenizer counts next to the whitespace counts — model-
+    // token budgets vs word-level filters. The regex uses only constructs
+    // with identical Java-regex/RE2 semantics, so DuckDB replays it.
+    Q(
+      "text_bpe_tokens",
+      (s, dir) =>
+        TextAnalysis.bpeTokenStats(Tables.documents(s, dir), "doc_id", "text")
+          .select(
+            col("doc_id"), col("n_words").cast("long").as("n_words"),
+            col("n_bpe_tokens").cast("long").as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents""".stripMargin)
+    ),
     Q(
       "text_quality",
       (s, dir) =>

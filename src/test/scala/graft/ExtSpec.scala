@@ -582,6 +582,22 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
+  test("BPE-ish tokenizer: letter/digit/punct runs with space prefixes, hand-checked counts") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "hello world"), // 2 words, 2 bpe tokens
+      (2L, "don't stop-me now2day"), // don / ' / t / stop / - / me / now / 2 / day = 9
+      (3L, "abc123!!"), // abc / 123 / !! = 3
+      (4L, "")) // empty → 0 bpe (split gives [""] → 1 "word")
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bpeTokenStats(fixture, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_words"), r.getAs[Int]("n_bpe_tokens"))).toMap
+    assert(out(1L) == ((2, 2)))
+    assert(out(2L) == ((3, 9)))
+    assert(out(3L) == ((1, 3)))
+    assert(out(4L) == ((1, 0)))
+  }
+
   test("profileSketch: per-column HLL cardinality (+ linear-counting correction) tracks exact distincts") {
     val t = Tables.documents(spark, sf)
     val rows = graft.ext.Profile.profileSketch(t, Seq("doc_id", "source", "lang"), p = 8).collect()
