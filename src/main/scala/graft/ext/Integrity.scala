@@ -47,6 +47,25 @@ object Integrity {
     nullFk.unionByName(orphan).unionByName(dupPk)
   }
 
+  /** Functional-dependency violation report: rows of `determinant`
+    * values that map to MORE than one `dependent` value — the check
+    * behind "doc_id determines source", "user determines signup
+    * cohort", or any other invariant an ingest assumes and a bad join
+    * or merge silently breaks. Emits one row per violating determinant
+    * with its distinct dependent count and total row mass.
+    *
+    * Scale shape: one partial-aggregated groupBy on the determinant
+    * (count + countDistinct via Spark's standard Expand rewrite, 2×
+    * input to one exchange); output is only the violators.
+    */
+  def fdViolations(df: DataFrame, determinant: String, dependent: String): DataFrame =
+    df.where(col(determinant).isNotNull)
+      .groupBy(col(determinant))
+      .agg(
+        countDistinct(col(dependent)).as("n_dependent_values"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_dependent_values") > 1)
+
   /** Snapshot reconciliation: classify every key across two versions of a
     * table as added / removed / changed / unchanged, with the list of
     * differing columns for `changed` rows. The validation twin of

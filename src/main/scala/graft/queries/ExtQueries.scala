@@ -2200,6 +2200,20 @@ object ExtQueries {
              |FROM e v LEFT JOIN e a ON v.user_id = a.user_id AND a.value >= 75
              |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
     ),
+    // Functional-dependency check: sources whose docs span multiple
+    // languages (the "determinant maps to >1 dependent value" report —
+    // the invariant a bad merge silently breaks). One partial-aggregated
+    // groupBy; output is only the violators.
+    Q(
+      "q_fd_check",
+      (s, dir) =>
+        Integrity.fdViolations(
+          Tables.documents(s, dir).select(col("source"), col("lang")), "source", "lang"),
+      Some("""SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_dependent_values,
+             |  count(*) AS n_rows
+             |FROM documents WHERE source IS NOT NULL
+             |GROUP BY source HAVING count(DISTINCT lang) > 1""".stripMargin)
+    ),
     // Stream-STATIC enrichment: the fact stream left-joins a broadcast
     // dimension (users %3==0 → segment %7) — stateless, no watermark, the
     // cheapest streaming join shape; facts without a dimension row keep

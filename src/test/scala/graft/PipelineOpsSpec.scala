@@ -126,6 +126,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map("null_fk" -> 1L, "orphan_fk" -> 2L, "dup_pk" -> 2L))
   }
 
+  test("fd violations: determinants mapping to >1 dependent value, with row mass") {
+    val rows = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"), // s1 → {en, de}: violation, 3 rows
+      ("s2", "fr"), ("s2", "fr"), // s2 holds the FD
+      (null.asInstanceOf[String], "en")) // null determinant never reported
+      .toDF("src", "lng")
+    val out = Integrity.fdViolations(rows, "src", "lng")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("s1" -> ((2L, 3L))))
+  }
+
   test("snapshot diff: classifies added/removed/changed with the differing column list") {
     val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "v", "n")
     val after = Seq((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L)).toDF("k", "v", "n")
