@@ -112,6 +112,21 @@ object Similarity {
     * True duplicates (identical vectors) hash to the same bucket in
     * EVERY table, so they are always found.
     */
+  /** Occupancy-aware hash length: LSH pair cost is Σ bucket² per table,
+    * so the expected bucket size must stay ~constant as the corpus grows
+    * — a FIXED nBits at 10× the corpus is 100× the candidates (measured:
+    * 57 s → 9 s at 10× by moving 6 → 10 bits, BENCH_NOTES r7). Choose
+    * nBits = ceil(log2(n / targetBucket)), clamped to [4, 16]; recompute
+    * per index build, not per probe. Longer hashes trade marginal-τ
+    * recall for candidate volume; identical vectors collide at any
+    * length.
+    */
+  def lshBitsFor(n: Long, targetBucket: Int = 32): Int = {
+    val cells = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, cells - 1))
+    math.max(4, math.min(16, bits))
+  }
+
   def lshPairs(
       df: DataFrame,
       idCol: String,

@@ -713,6 +713,14 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
   }
 
+  test("lshBitsFor: occupancy-constant hash sizing with clamps") {
+    assert(Similarity.lshBitsFor(2000) == 6) // 2000/32 = 62.5 → ceil log2 = 6
+    assert(Similarity.lshBitsFor(20000) == 10) // 625 → 10
+    assert(Similarity.lshBitsFor(10) == 4) // floor clamp
+    assert(Similarity.lshBitsFor(100000000L) == 16) // ceiling clamp
+    assert(Similarity.lshBitsFor(2048, targetBucket = 64) == 5)
+  }
+
   test("IVF append: frozen-centroid delta assignment — no refit, consistent cells, recall floor, persisted append") {
     val e = Tables.embeddings(spark, sf)
     val base = e.where(col("vec_id") % 10 =!= 0)
