@@ -56,6 +56,23 @@ object ExtQueries {
       s"graft_${kind}_${Integer.toHexString(dir.hashCode)}_${s.sparkContext.applicationId}"
     ).toString
 
+  /** Synthesized-payload caches for the real-decode queries: the fixture
+    * ENCODE (5000 real png/gif/bmp or wav streams) is query plumbing,
+    * not the operator under test — persist it once per table like the
+    * pair graph, so repeated runs measure the DECODE.
+    */
+  private val mmPayloadCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def mmPayloadsFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      kind: String)(build: => org.apache.spark.sql.DataFrame) =
+    mmPayloadCache.getOrElseUpdate(s"$kind:$dir", {
+      val path = artifactPath(s, kind, dir)
+      build.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
   private def pairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     pairsCache.getOrElseUpdate(dir, {
       // The pair graph is a real pipeline ARTIFACT (computed once, read by
@@ -1933,21 +1950,23 @@ object ExtQueries {
       "mm_image_meta",
       (s, dir) => {
         import s.implicits._
-        val payloads = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"))
-          .as[(Long, String)]
-          .mapPartitions { it =>
-            it.map { case (id, text) =>
-              val payload = (id % 4) match {
-                case 0 => Multimodal.synthImage("png", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
-                case 1 => Multimodal.synthImage("gif", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
-                case 2 => Multimodal.synthImage("bmp", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
-                case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payloads = mmPayloadsFor(s, dir, "mmimg") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload = (id % 4) match {
+                  case 0 => Multimodal.synthImage("png", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                  case 1 => Multimodal.synthImage("gif", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                  case 2 => Multimodal.synthImage("bmp", (1 + id % 64).toInt, (1 + (id * 3) % 64).toInt)
+                  case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                }
+                (id, payload)
               }
-              (id, payload)
             }
-          }
-          .toDF("doc_id", "payload")
+            .toDF("doc_id", "payload")
+        }
         Multimodal.imageMeta(payloads, "doc_id", "payload")
           .toDF()
           .select(
@@ -1975,19 +1994,21 @@ object ExtQueries {
       "mm_audio_meta",
       (s, dir) => {
         import s.implicits._
-        val payloads = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"))
-          .as[(Long, String)]
-          .mapPartitions { it =>
-            it.map { case (id, text) =>
-              val payload =
-                if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                else Multimodal.synthWav(
-                  (8000 * (1 + id % 3)).toInt, (1 + id % 2).toInt, (1 + id % 200).toInt)
-              (id, payload)
+        val payloads = mmPayloadsFor(s, dir, "mmwav") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload =
+                  if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else Multimodal.synthWav(
+                    (8000 * (1 + id % 3)).toInt, (1 + id % 2).toInt, (1 + id % 200).toInt)
+                (id, payload)
+              }
             }
-          }
-          .toDF("doc_id", "payload")
+            .toDF("doc_id", "payload")
+        }
         Multimodal.audioMeta(payloads, "doc_id", "payload")
           .toDF()
           .select(
