@@ -625,12 +625,32 @@ object Dedup {
       bands: Int = 4,
       tau: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
-    val rows = perms / bands
-    // both signature tables are multi-consumer (banding + verify sets):
+    // the base signature table is multi-consumer (banding + verify sets):
     // materialize before the fan-out, as in minhashLshPairs
     val bdocs = shingleHashesAndSig(base, idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bdocs.count()
+    incrementalPairsOn(bdocs, delta, idCol, textCol, n, perms, bands, tau, maxBucket)
+  }
+
+  /** Stored-index form of `incrementalPairs`: `baseSig` is the output of
+    * `shingleHashesAndSig` over the base corpus, read back from storage —
+    * the artifact a daily pipeline maintains (and appends each ingest's
+    * delta signatures to), so a run pays one signature kernel pass over
+    * the DELTA only, never re-signaturing the 100 TB base.
+    */
+  def incrementalPairsOn(
+      baseSig: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
+    val rows = perms / bands
+    val bdocs = baseSig
     val ddocs = shingleHashesAndSig(delta, idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ddocs.count()
