@@ -360,6 +360,31 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
   }
 
+  /** Incremental cluster maintenance — the daily-ingest path for the
+    * cluster table: fold a new batch's pair edges into an EXISTING label
+    * table without re-walking the historical pair graph. Each base
+    * cluster collapses to STAR edges (member → canonical id), which
+    * preserve exactly the base connectivity, so label propagation over
+    * (star edges ∪ delta edges) converges to the same canonical
+    * min-labels as a full recompute over every pair ever seen — the spec
+    * and the driver oracle pin that equality — while iterating over a
+    * graph of #members + #delta edges, independent of the historical
+    * pair count. Delta edges may merge existing clusters or introduce
+    * new nodes; both resolve to the global min id as usual.
+    */
+  def incrementalClusters(
+      baseClusters: DataFrame, // (doc_id, canonical_id[, cluster_size]) — `clusters` output
+      deltaPairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxIter: Int = 25): DataFrame =
+    clusters(
+      baseClusters
+        .select(col("doc_id").cast("long").as("da"), col("canonical_id").cast("long").as("db"))
+        .unionByName(
+          deltaPairs.select(col(aCol).cast("long").as("da"), col(bCol).cast("long").as("db"))),
+      maxIter = maxIter)
+
   /** Cluster-representative selection — the "keep best, drop rest" step
     * a dedup pipeline runs after `clusters`: per duplicate cluster, keep
     * the member maximizing (quality, lowest id). Canonical-by-min-id

@@ -860,6 +860,27 @@ object ExtQueries {
               |SELECT doc_id, canonical_id,
               |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
               |FROM comp""".stripMargin)),
+    // Incremental cluster maintenance: cluster the "historical" pairs
+    // (both ends >= 20), collapse to star edges, then fold in the
+    // "new-ingest" pairs (any end < 20). Must equal the full recompute
+    // over every pair — the oracle IS dedup_clusters' closure over the
+    // whole graph, so the star-edge equivalence is hash-checked.
+    Q(
+      "dedup_clusters_incr",
+      (s, dir) => {
+        val pairs = pairsFor(s, dir)
+        val base = Dedup.clusters(pairs.where(col("da") >= 20 && col("db") >= 20))
+        Dedup.incrementalClusters(base, pairs.where(col("da") < 20 || col("db") < 20))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a)
+              |SELECT doc_id, canonical_id,
+              |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |FROM comp""".stripMargin)),
     // Representative selection over the MinHash-LSH clusters: per cluster
     // keep the doc with the most words (ties → lowest id) — the "keep
     // best, drop rest" step after clustering. Oracle: the recursive-CTE

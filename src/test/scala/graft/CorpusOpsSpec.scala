@@ -123,6 +123,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 16L))
   }
 
+  test("incremental clusters: star-edge fold-in equals full recompute; delta merges base clusters") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val basePairs = Seq((10L, 11L), (12L, 13L)).toDF("da", "db") // {10,11} and {12,13}
+    val deltaPairs = Seq(
+      (11L, 12L), // merges the two base clusters
+      (1L, 13L), // new node with a NEW global min id
+      (20L, 21L)) // entirely fresh cluster
+      .toDF("da", "db")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    val incr = toMap(Dedup.incrementalClusters(Dedup.clusters(basePairs), deltaPairs))
+    val full = toMap(Dedup.clusters(basePairs.unionByName(deltaPairs)))
+    assert(incr == full, "star-edge fold-in must reproduce the full recompute exactly")
+    assert(incr(10L) == ((1L, 5L)), "merged component re-canonicalizes to the new global min")
+    assert(incr(20L) == ((20L, 2L)))
+  }
+
   test("incrementalPairs: delta re-crawls hit their base twin; novel docs pass clean") {
     val base = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
