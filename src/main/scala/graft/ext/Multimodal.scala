@@ -82,10 +82,12 @@ object Multimodal {
   def synthImage(format: String, width: Int, height: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // the fill spreads across all 24 bits so pixel-domain features have
+    // non-degenerate channels; lossless formats round-trip it exactly
     var y = 0
     while (y < height) {
       var x = 0
-      while (x < width) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      while (x < width) { img.setRGB(x, y, (x * 1000003 + y * 4099) & 0xffffff); x += 1 }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -214,6 +216,60 @@ object Multimodal {
       explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))).as("frame_idx"))
       .withColumn("byte_offset", col("frame_idx") * 256L)
   }
+
+  /** REAL pixel-domain feature extraction: full `ImageIO.read` decode
+    * (unlike `decodeMeta`'s header-only parse — this is the path that
+    * pays for pixels) and per-channel mean intensity over the raster.
+    * Lossless formats (png/bmp) reproduce their input pixels exactly, so
+    * the oracle can predict the means in closed form from a synthesized
+    * fill; lossy/palette or undecodable payloads emit NULL means (their
+    * dimensions still report when the header parses). One decoder pass
+    * per row inside mapPartitions — the same batch seam a model encoder
+    * drops into.
+    */
+  def imagePixelFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) (id, 0, 0, 0L, 0L, 0L, false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, sr, sg, sb, true)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "_sr", "_sg", "_sb", "_ok")
+      .select(
+        col("id"), col("width"), col("height"),
+        meanExpr("_sr").as("mean_r"), meanExpr("_sg").as("mean_g"), meanExpr("_sb").as("mean_b"))
+  }
+
+  /** 4-decimal half-up channel mean in the integer domain (sums and
+    * pixel counts are non-negative) — the engine-divergence-free form of
+    * round(sum/npix, 4).
+    */
+  private def meanExpr(sumCol: String): org.apache.spark.sql.Column =
+    when(
+      col("_ok"),
+      expr(s"(CAST($sumCol AS DECIMAL(38,0)) * 20000 + width * height) DIV (2 * width * height)") / 10000.0)
 
   /** STUB feature extraction: a `dims`-dim "embedding" derived from the
     * payload's md5 bytes, scaled to [0, 1]. Stands in for model inference;

@@ -2018,6 +2018,57 @@ object ExtQueries {
              |       ELSE CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END END AS format
              |FROM documents""".stripMargin)
     ),
+    // REAL pixel decode: full ImageIO.read over lossless png/bmp payloads
+    // (%3==2 rows stay text → null means). The oracle predicts the
+    // per-channel means in CLOSED FORM from the synthesis fill
+    // v(x,y) = (x*1000003 + y*4099) & 0xffffff — the engine must
+    // reproduce them from actual decoded pixels, proving the pixel path,
+    // not just the header parse.
+    Q(
+      "mm_image_features",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmpix") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload = (id % 3) match {
+                  case 0 => Multimodal.synthImage("png", (1 + id % 48).toInt, (1 + (id * 5) % 48).toInt)
+                  case 1 => Multimodal.synthImage("bmp", (1 + id % 48).toInt, (1 + (id * 5) % 48).toInt)
+                  case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                }
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.imagePixelFeatures(payloads, "doc_id", "payload")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 48 AS w, 1 + (doc_id * 5) % 48 AS h
+             |          FROM documents WHERE doc_id % 3 < 2),
+             |px AS (SELECT doc_id, w, h,
+             |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v
+             |       FROM d
+             |       JOIN (SELECT unnest(range(0, 48)) x) x ON x.x < w
+             |       JOIN (SELECT unnest(range(0, 48)) y) y ON y.y < h),
+             |s AS (SELECT doc_id, w, h,
+             |        sum((v >> 16) & 255) sr, sum((v >> 8) & 255) sg, sum(v & 255) sb
+             |      FROM px GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  ((sr * 20000 + w * h) // (2 * w * h)) / 10000.0 AS mean_r,
+             |  ((sg * 20000 + w * h) // (2 * w * h)) / 10000.0 AS mean_g,
+             |  ((sb * 20000 + w * h) // (2 * w * h)) / 10000.0 AS mean_b
+             |FROM s
+             |UNION ALL
+             |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), NULL, NULL, NULL
+             |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+    ),
     // REAL audio decode: payloads are canonical PCM WAV streams
     // (hand-built RIFF — byte-deterministic) with rate/channels/frames
     // chosen from doc_id; %3==2 rows stay raw text → stub fallback. The

@@ -636,6 +636,34 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L).format == "raw" && out(2L).n_frames == 4L)
   }
 
+  test("pixel features: decoded channel means match the closed form; undecodable rows emit nulls") {
+    import spark.implicits._
+    // closed-form sums for a 37x21 fill (verified against a direct
+    // BufferedImage round-trip): compute expectations in-test
+    val (w, h) = (37, 21)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 1000003 + y * 4099) & 0xffffff
+      er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+    }
+    def mean(s: Long) = ((s * 20000 + w * h) / (2L * w * h)) / 10000.0
+    val payloads = Seq(
+      (1L, Multimodal.synthImage("png", w, h)),
+      (2L, Multimodal.synthImage("bmp", w, h)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imagePixelFeatures(payloads, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Double]("mean_r") == mean(er), s"id $id r")
+      assert(r.getAs[Double]("mean_g") == mean(eg), s"id $id g")
+      assert(r.getAs[Double]("mean_b") == mean(eb), s"id $id b")
+    }
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_r")), "undecodable → null means")
+  }
+
   test("real image decode: header parse recovers synthesized png/gif/bmp dims; text falls back to stub") {
     import spark.implicits._
     // real encoded streams: the decoder must read dims out of the bytes
