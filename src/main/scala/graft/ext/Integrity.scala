@@ -33,11 +33,13 @@ object Integrity {
     val nullFk = child.where(col(childKey).isNull)
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("null_fk").as("check"), col("n_violations"))
-    // Parent key is aliased before the join: with the common childKey ==
-    // parentKey naming (custkey/custkey) the raw reference is ambiguous.
-    val orphan = child.where(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey).as("_graft_pk")).distinct(),
-        col(childKey) === col("_graft_pk"), "left_anti")
+    // DataFrame-scoped references: with the common childKey == parentKey
+    // naming (custkey/custkey) an unscoped col() is ambiguous, and a
+    // renamed magic column could itself collide with a child column.
+    val childNn = child.where(col(childKey).isNotNull)
+    val parentKeys = parent.select(col(parentKey)).distinct()
+    val orphan = childNn
+      .join(parentKeys, childNn(childKey) === parentKeys(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("orphan_fk").as("check"), col("n_violations"))
     val dupPk = parent.groupBy(col(parentKey)).agg(count(lit(1)).as("_c"))

@@ -217,13 +217,33 @@ object Multimodal {
       .withColumn("byte_offset", col("frame_idx") * 256L)
   }
 
+  /** Formats whose decode is bit-exact and decoder-independent — the only
+    * ones `imagePixelFeatures` computes means for.
+    */
+  private val LosslessFormats = Set("png", "bmp")
+
+  /** Whether any registered ImageIO reader recognizes the payload (i.e.
+    * `decodeMeta` would take the real-header path, not the stub).
+    */
+  private def hasImageReader(payload: Array[Byte]): Boolean = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) false
+    else
+      try javax.imageio.ImageIO.getImageReaders(iis).hasNext
+      finally iis.close()
+  }
+
   /** REAL pixel-domain feature extraction: full `ImageIO.read` decode
     * (unlike `decodeMeta`'s header-only parse — this is the path that
     * pays for pixels) and per-channel mean intensity over the raster.
-    * Lossless formats (png/bmp) reproduce their input pixels exactly, so
-    * the oracle can predict the means in closed form from a synthesized
-    * fill; lossy/palette or undecodable payloads emit NULL means (their
-    * dimensions still report when the header parses). One decoder pass
+    * Means are computed ONLY for lossless formats (png/bmp), whose
+    * decoded pixels are bit-exact on any decoder — so the oracle can
+    * predict them in closed form from a synthesized fill. Lossy or
+    * palette formats (jpeg quantization and gif palettes are
+    * decoder-dependent) report their header dimensions with NULL means
+    * rather than silently emitting non-reproducible numbers;
+    * undecodable payloads report 0×0 and NULL means. One decoder pass
     * per row inside mapPartitions — the same batch seam a model encoder
     * drops into.
     */
@@ -234,25 +254,32 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: Exception => null }
-          if (img == null) (id, 0, 0, 0L, 0L, 0L, false)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                x += 1
+          val meta = decodeMeta(id, payload)
+          if (!LosslessFormats.contains(meta.format) || !hasImageReader(payload)) {
+            // header dims when a real container parsed; 0x0 otherwise
+            val (w, h) = if (hasImageReader(payload)) (meta.width, meta.height) else (0, 0)
+            (id, w, h, 0L, 0L, 0L, false)
+          } else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+            if (img == null) (id, 0, 0, 0L, 0L, 0L, false)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              (id, w, h, sr, sg, sb, true)
             }
-            (id, w, h, sr, sg, sb, true)
           }
         }
       }
@@ -267,9 +294,12 @@ object Multimodal {
     * round(sum/npix, 4).
     */
   private def meanExpr(sumCol: String): org.apache.spark.sql.Column =
+    // dimensions widen to BIGINT before multiplying: a gigapixel raster's
+    // 2·w·h overflows 32-bit arithmetic (ANSI failure or silent wrap)
     when(
       col("_ok"),
-      expr(s"(CAST($sumCol AS DECIMAL(38,0)) * 20000 + width * height) DIV (2 * width * height)") / 10000.0)
+      expr(s"""(CAST($sumCol AS DECIMAL(38,0)) * 20000 + CAST(width AS BIGINT) * height)
+              | DIV (2 * CAST(width AS BIGINT) * height)""".stripMargin) / 10000.0)
 
   /** STUB feature extraction: a `dims`-dim "embedding" derived from the
     * payload's md5 bytes, scaled to [0, 1]. Stands in for model inference;

@@ -101,17 +101,6 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("c"), 4).as("cosine"))
   }
 
-  /** Embedding near-dup pairs AT SCALE — the bucketed path the
-    * `cosinePairs` guard points to: candidates come from equi-joins on
-    * `nTables` independent sign-hash buckets (the OR-construction that
-    * buys recall), are deduplicated per (id_a, id_b), then EXACTLY
-    * verified with the index-order dot ≥ tau. All-pairs never
-    * materializes — cost is Σ bucket sizes², not n² — and precision is
-    * exact (false candidates die at the verify); recall is the LSH
-    * OR-construction's, quantified in ExtSpec against the exact kernel.
-    * True duplicates (identical vectors) hash to the same bucket in
-    * EVERY table, so they are always found.
-    */
   /** Occupancy-aware hash length: LSH pair cost is Σ bucket² per table,
     * so the expected bucket size must stay ~constant as the corpus grows
     * — a FIXED nBits at 10× the corpus is 100× the candidates (measured:
@@ -127,19 +116,37 @@ object Similarity {
     math.max(4, math.min(16, bits))
   }
 
+  /** Embedding near-dup pairs AT SCALE — the bucketed path the
+    * `cosinePairs` guard points to: candidates come from equi-joins on
+    * `nTables` independent sign-hash buckets (the OR-construction that
+    * buys recall), are deduplicated per (id_a, id_b), then EXACTLY
+    * verified with the index-order dot ≥ tau. All-pairs never
+    * materializes — cost is Σ bucket sizes², not n² — and precision is
+    * exact (false candidates die at the verify); recall is the LSH
+    * OR-construction's, quantified in ExtSpec against the exact kernel.
+    * True duplicates (identical vectors) hash to the same bucket in
+    * EVERY table, so they are always found.
+    *
+    * `nBits <= 0` (the default) sizes the hash from the corpus count via
+    * `lshBitsFor` — one count job, the occupancy that keeps candidate
+    * volume linear as the corpus grows. Pass an explicit value only to
+    * pin a reproducible layout (e.g. for an oracle replay).
+    */
   def lshPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       tau: Double,
       dims: Int,
-      nBits: Int = 6,
+      nBits: Int = 0,
       nTables: Int = 8): DataFrame = {
+    val prep = prepared(df, idCol, embCol)
+    val bits = if (nBits > 0) nBits else lshBitsFor(prep.count())
     // ONE corpus scan emits every (doc, table) bucket row (the shared
     // typed kernel — a union of per-table scans would read the corpus
     // nTables times at 100 TB); table prefix in the key keeps tables from
     // cross-matching
-    val bucketed = lshBucketed(prepared(df, idCol, embCol), dims, nBits, nTables)
+    val bucketed = lshBucketed(prep, dims, bits, nTables)
     // candidate generation moves IDS ONLY: candidates outnumber the
     // corpus (Σ bucket² rows before the pair dedup), so the self-join and
     // the distinct shuffle 16-byte pairs, not dims·8-byte vectors —

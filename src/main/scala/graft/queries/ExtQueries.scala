@@ -33,20 +33,6 @@ object ExtQueries {
     */
   private val pqAppendIdx = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
 
-  /** Per-table duplicate-cluster cache: a real pipeline computes the
-    * cluster table once and feeds every downstream consumer (labeling,
-    * representative selection, reporting); `clusters` leaves its final
-    * label table persisted, so the cached handle reuses it.
-    */
-  private val clusterCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
-  /** Per-table MinHash-LSH pair cache: the pair graph feeds three
-    * consumers (the pair query, clustering, degree stats) — a real
-    * pipeline computes it once. Persisted: it is the root of the cluster
-    * iteration and the stats rollup.
-    */
-  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
   /** Session-scoped artifact path: appId-suffixed so a fresh process never
     * reads a stale artifact written by older code.
     */
@@ -72,32 +58,36 @@ object ExtQueries {
     artifactCache.getOrElseUpdate(s"$kind:$dir", {
       val path = artifactPath(s, kind, dir)
       build.write.mode("overwrite").parquet(path)
+      // paths are appId-suffixed (never reused across JVMs), so delete on
+      // exit — repeated bench/verify runs must not grow tmp without bound
+      deleteOnExit(new java.io.File(path))
       s.read.parquet(path)
     })
 
+  private def deleteOnExit(root: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+
+  // The pair graph and label table are real pipeline ARTIFACTS (computed
+  // once, read by the pair query, clustering, degree stats, keep-best):
+  // persisted to parquet, not just executor memory — bench isolation
+  // calls clearCache() between queries, which would silently re-derive
+  // the whole signature+banding pipeline (and the label-propagation
+  // fixpoint) per consumer; the on-disk artifact survives and each
+  // consumer pays a parquet scan instead.
   private def pairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    pairsCache.getOrElseUpdate(dir, {
-      // The pair graph is a real pipeline ARTIFACT (computed once, read by
-      // the pair query, clustering, and degree stats), so persist it to
-      // parquet, not just executor memory: bench isolation calls
-      // clearCache() between queries, which would silently re-derive the
-      // whole signature+banding pipeline per consumer — the on-disk
-      // artifact survives and each consumer pays a parquet scan instead.
-      val path = artifactPath(s, "pairs", dir)
+    artifactFor(s, dir, "pairs") {
       Dedup.minhashLshPairs(
-          Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
-    })
+        Tables.documents(s, dir), "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+    }
 
   private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    clusterCache.getOrElseUpdate(dir, {
-      // same artifact treatment: the label-propagation fixpoint runs once;
-      // consumers (clusters query, keep-best representatives) re-read it
-      val path = artifactPath(s, "clusters", dir)
-      Dedup.clusters(pairsFor(s, dir)).write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
-    })
+    artifactFor(s, dir, "clusters")(Dedup.clusters(pairsFor(s, dir)))
 
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
     * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
@@ -1004,8 +994,10 @@ object ExtQueries {
     Q(
       "dedup_embedding_lsh",
       (s, dir) =>
+        // nBits pinned at 6: the oracle replays this exact bucket layout;
+        // production callers omit it and get occupancy-aware sizing
         Similarity.lshPairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4, dims = 64),
+          Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6),
       Some(s"""WITH $embCte,
               |b AS (SELECT vec_id, v, nrm, t.t,
               |        list_sum(list_transform(range(0, 6), k ->

@@ -725,7 +725,7 @@ class ExtSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, sf)
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", tau = 0.3)
       .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
-    val lsh = Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.3, dims = 64)
+    val lsh = Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.3, dims = 64, nBits = 6)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(lsh.nonEmpty)
     assert(lsh.subsetOf(exact), "the exact verify must kill every false candidate")
@@ -736,6 +736,7 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"OR-construction recall too low: $recall")
     // a TRUE duplicate shares every table's bucket — must always be found
     val dup = e.where(col("vec_id") === 0).withColumn("vec_id", lit(999999L))
+    // auto-sized nBits path: identical vectors collide at any hash length
     val pairs = Similarity.lshPairs(e.unionByName(dup), "vec_id", "embedding", tau = 0.99, dims = 64)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
