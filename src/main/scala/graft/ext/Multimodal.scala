@@ -48,28 +48,37 @@ object Multimodal {
     * the reader's first `ImageTypeSpecifier` reports (3 for rgb png/bmp,
     * 1 for palette gif).
     */
-  def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta = {
+  def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta =
+    decodeMetaReal(id, payload).getOrElse(decodeStub(id, payload))
+
+  /** The real-header-parse half of `decodeMeta`: `Some(meta)` when a
+    * registered reader recognized AND parsed the payload, `None`
+    * otherwise. Exposed separately so callers that must distinguish
+    * "really decoded" from "stub arithmetic" (e.g. `imagePixelFeatures`)
+    * pay exactly one ImageInputStream per row.
+    */
+  def decodeMetaReal(id: Long, payload: Array[Byte]): Option[MediaMeta] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    if (iis == null) return decodeStub(id, payload)
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeStub(id, payload)
+      if (!readers.hasNext) None
       else {
         val r = readers.next()
         try {
           r.setInput(iis, true, true)
           val types = r.getImageTypes(0)
-          MediaMeta(
+          Some(MediaMeta(
             id = id,
             n_bytes = payload.length.toLong,
             width = r.getWidth(0),
             height = r.getHeight(0),
             channels = if (types.hasNext) types.next().getNumBands else 0,
-            format = r.getFormatName.toLowerCase)
+            format = r.getFormatName.toLowerCase))
         } finally r.dispose()
       }
-    } catch { case _: Exception => decodeStub(id, payload) }
+    } catch { case _: Exception => None }
     finally iis.close()
   }
 
@@ -222,18 +231,6 @@ object Multimodal {
     */
   private val LosslessFormats = Set("png", "bmp")
 
-  /** Whether any registered ImageIO reader recognizes the payload (i.e.
-    * `decodeMeta` would take the real-header path, not the stub).
-    */
-  private def hasImageReader(payload: Array[Byte]): Boolean = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    if (iis == null) false
-    else
-      try javax.imageio.ImageIO.getImageReaders(iis).hasNext
-      finally iis.close()
-  }
-
   /** REAL pixel-domain feature extraction: full `ImageIO.read` decode
     * (unlike `decodeMeta`'s header-only parse — this is the path that
     * pays for pixels) and per-channel mean intensity over the raster.
@@ -254,32 +251,34 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val meta = decodeMeta(id, payload)
-          if (!LosslessFormats.contains(meta.format) || !hasImageReader(payload)) {
-            // header dims when a real container parsed; 0x0 otherwise
-            val (w, h) = if (hasImageReader(payload)) (meta.width, meta.height) else (0, 0)
-            (id, w, h, 0L, 0L, 0L, false)
-          } else {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              catch { case _: Exception => null }
-            if (img == null) (id, 0, 0, 0L, 0L, 0L, false)
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                  x += 1
+          // one header parse per row; the Option distinguishes a real
+          // container (header dims) from undecodable (0x0) without a
+          // second ImageInputStream
+          decodeMetaReal(id, payload) match {
+            case None => (id, 0, 0, 0L, 0L, 0L, false)
+            case Some(meta) if !LosslessFormats.contains(meta.format) =>
+              (id, meta.width, meta.height, 0L, 0L, 0L, false)
+            case Some(_) =>
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                catch { case _: Exception => null }
+              if (img == null) (id, 0, 0, 0L, 0L, 0L, false)
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                (id, w, h, sr, sg, sb, true)
               }
-              (id, w, h, sr, sg, sb, true)
-            }
           }
         }
       }

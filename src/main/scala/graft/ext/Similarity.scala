@@ -140,8 +140,13 @@ object Similarity {
       dims: Int,
       nBits: Int = 0,
       nTables: Int = 8): DataFrame = {
-    val prep = prepared(df, idCol, embCol)
-    val bits = if (nBits > 0) nBits else lshBitsFor(prep.count())
+    // prep feeds up to four scans (the sizing count, the bucketing pass,
+    // and the two late-materialize vector joins) — persist once so they
+    // share a single materialization instead of re-running the normalize
+    // pipeline per consumer; the count below forces it eagerly
+    val prep = prepared(df, idCol, embCol).persist()
+    val n = prep.count()
+    val bits = if (nBits > 0) nBits else lshBitsFor(n)
     // ONE corpus scan emits every (doc, table) bucket row (the shared
     // typed kernel — a union of per-table scans would read the corpus
     // nTables times at 100 TB); table prefix in the key keeps tables from
@@ -157,7 +162,10 @@ object Similarity {
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
-    val vecs = prepared(df, idCol, embCol).select(col("id"), col("vec"))
+    val vecs = prep.select(col("id"), col("vec"))
+    // the cached prep must outlive this call (the returned plan is lazy
+    // and reads it at the caller's first action) — eviction is LRU's
+    // job, and an evicted block recomputes, never corrupts
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
@@ -750,6 +758,16 @@ object Similarity {
     * not needed because an append only ADDS files, and only under the
     * cell= directories the delta actually touches; untouched cells'
     * files are never rewritten. Returns the reopened merged index.
+    *
+    * IDEMPOTENT under replay: the delta is anti-joined against the ids
+    * already in the index, so re-running the same delta (a retried batch
+    * after a partial failure) appends nothing the second time. The
+    * anti-join shuffles only the 8-byte id column of each side, not
+    * vectors. Note files written by a PARTIALLY-failed previous append
+    * count as "already present" — this gives at-most-once per id, the
+    * right contract for an index (a duplicated id would double-count in
+    * probes); a torn multi-file delta write should be retried with the
+    * same delta, which completes the missing ids.
     */
   def appendIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -758,7 +776,10 @@ object Similarity {
       idCol: String,
       embCol: String): IvfIndex = {
     val idx = readIvfIndex(spark, path)
-    val onlyDelta = ivfAppend(IvfIndex(idx.centroids, idx.assigned.limit(0)), delta, idCol, embCol)
+    val existing = idx.assigned.select(col("id").as("__existing_id"))
+    val fresh = delta.join(
+      existing, col(idCol).cast("long") === col("__existing_id"), "left_anti")
+    val onlyDelta = ivfAppend(IvfIndex(idx.centroids, idx.assigned.limit(0)), fresh, idCol, embCol)
     onlyDelta.assigned.write.partitionBy("cell").mode("append").parquet(s"$path/assigned")
     onlyDelta.assigned.unpersist(blocking = false)
     readIvfIndex(spark, path)

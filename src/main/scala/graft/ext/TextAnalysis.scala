@@ -57,11 +57,14 @@ object TextAnalysis {
   /** GPT-2-style pre-tokenizer regex, restricted to constructs whose
     * semantics are identical in Java regex and RE2 (so the SQL oracle
     * replays it): a token is an optionally-space-prefixed letter run,
-    * digit run, or punctuation run. The real BPE merge table is a model
+    * digit run, or punctuation run. Whitespace is spelled as the explicit
+    * class `[ \t\n\f\r]` rather than `\s` because the engines disagree on
+    * `\s` itself (Java includes vertical tab \x0B, RE2 does not); with the
+    * explicit class, VT counts as punctuation in BOTH engines. The real BPE merge table is a model
     * artifact; the PRE-tokenization is what decides token-count scaling,
     * and this is the deterministic core of it.
     */
-  val BpeIshPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  val BpeIshPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\f\\r]+"
 
   /** Token counting with the BPE-ish regex next to the whitespace count —
     * the pair a budgeted pretraining pipeline needs (budgets are in model

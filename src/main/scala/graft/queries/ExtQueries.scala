@@ -49,13 +49,17 @@ object ExtQueries {
     * runs measure the DECODE) and the incremental-dedup base signature
     * index (the stored artifact a daily pipeline maintains).
     */
-  private val artifactCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  // ConcurrentHashMap.computeIfAbsent (unlike TrieMap.getOrElseUpdate)
+  // runs the build closure at most once per key even under concurrent
+  // callers — two racers must not both overwrite-write the same parquet
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]
 
   private def artifactFor(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       kind: String)(build: => org.apache.spark.sql.DataFrame) =
-    artifactCache.getOrElseUpdate(s"$kind:$dir", {
+    artifactCache.computeIfAbsent(s"$kind:$dir", _ => {
       val path = artifactPath(s, kind, dir)
       build.write.mode("overwrite").parquet(path)
       // paths are appId-suffixed (never reused across JVMs), so delete on
@@ -354,7 +358,7 @@ object ExtQueries {
             col("n_bpe_tokens").cast("long").as("n_bpe_tokens")),
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+             |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpe_tokens
              |FROM documents""".stripMargin)
     ),
     Q(
