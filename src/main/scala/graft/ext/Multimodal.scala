@@ -209,21 +209,126 @@ object Multimodal {
       .mapPartitions(rows => rows.map { case (id, payload) => decodeAudio(id, payload) })
   }
 
-  /** "Video" frame sampling: every `everyN`-th frame of the payload's
-    * frame count (STUB: frame count = 1 + n_bytes/256, offsets at 256-byte
-    * strides — a real demuxer drops in at the same seam). One row per
-    * sampled frame via explode — the 1→N row shape a frame extractor
-    * needs; downstream per-frame decode batches with `imageMeta`.
+  /** Deterministic fixture encoder: a minimal RIFF/AVI-shaped container
+    * (hand-built like `synthWav` — byte-deterministic, no codec):
+    *
+    * {{{
+    * RIFF <len> "AVI "                       bytes  0..11
+    *   LIST <len> "movi"                     bytes 12..23 ("movi" at 20)
+    *     n × ("00dc" <frameBytes> data)      chunk k header at 24+k·(8+F)
+    *   "idx1" <16·n>  n × entry              after the movi LIST
+    * }}}
+    *
+    * where each idx1 entry is the real AVI shape — fourcc "00dc", flags
+    * 0x10 (keyframe), OFFSET RELATIVE TO THE "movi" FOURCC of the
+    * chunk header, chunk size. Frame k's data therefore sits at absolute
+    * offset 32 + k·(8+F), and the whole payload is 32 + n·(24+F) bytes —
+    * both closed-form in (n, F), so the oracle predicts what the engine
+    * must recover by parsing the index chunk.
+    */
+  def synthAvi(nFrames: Int, frameBytes: Int): Array[Byte] = {
+    val chunk = 8 + frameBytes
+    val moviLen = 4 + nFrames * chunk // "movi" fourcc + chunks
+    val idxLen = 16 * nFrames
+    val total = 12 + 8 + moviLen + 8 + idxLen
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviLen).put("movi".getBytes("US-ASCII"))
+    var k = 0
+    while (k < nFrames) {
+      bb.put("00dc".getBytes("US-ASCII")).putInt(frameBytes)
+      var i = 0
+      while (i < frameBytes) { bb.put((((k * 131) + i * 37) & 0xff).toByte); i += 1 }
+      k += 1
+    }
+    bb.put("idx1".getBytes("US-ASCII")).putInt(idxLen)
+    k = 0
+    while (k < nFrames) {
+      bb.put("00dc".getBytes("US-ASCII"))
+        .putInt(0x10)            // AVIIF_KEYFRAME
+        .putInt(4 + k * chunk)   // chunk header, relative to "movi" fourcc
+        .putInt(frameBytes)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** REAL container-index parse: walk the RIFF chunk tree, locate the
+    * "movi" LIST (for the offset base) and the "idx1" chunk, and return
+    * the ABSOLUTE data offset of each indexed frame — `Some(offsets)`
+    * only when the payload is a well-formed RIFF/AVI with a usable
+    * index; `None` otherwise (caller falls back to the stub). Touches
+    * only chunk headers and the 16-byte index entries — never frame
+    * data — the right cost when the payload column is TBs of video.
+    */
+  def parseAviFrames(payload: Array[Byte]): Option[Array[Long]] = {
+    if (payload.length < 24) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int) = new String(payload, at, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val riffEnd = math.min(payload.length.toLong, 8L + bb.getInt(4))
+    var pos = 12L
+    var moviFourccPos = -1L
+    var idx1Pos = -1L
+    var idx1Len = 0
+    // top-level chunk walk (chunks are 2-byte aligned per RIFF)
+    while (pos + 8 <= riffEnd && (moviFourccPos < 0 || idx1Pos < 0)) {
+      val id = fourcc(pos.toInt)
+      val len = bb.getInt(pos.toInt + 4)
+      if (len < 0 || pos + 8 + len > riffEnd) return None
+      if (id == "LIST" && len >= 4 && fourcc(pos.toInt + 8) == "movi")
+        moviFourccPos = pos + 8
+      else if (id == "idx1") { idx1Pos = pos + 8; idx1Len = len }
+      pos += 8 + len + (len & 1)
+    }
+    if (moviFourccPos < 0 || idx1Pos < 0 || idx1Len % 16 != 0) return None
+    val n = idx1Len / 16
+    val out = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      val e = (idx1Pos + 16L * k).toInt
+      val rel = bb.getInt(e + 8).toLong // chunk header, relative to "movi"
+      val dataAt = moviFourccPos + rel + 8
+      if (dataAt + bb.getInt(e + 12) > riffEnd) return None
+      out(k) = dataAt
+      k += 1
+    }
+    Some(out)
+  }
+
+  /** Video frame sampling: every `everyN`-th frame, one row per sampled
+    * frame — the 1→N row shape a frame extractor needs; downstream
+    * per-frame decode batches with `imageMeta`.
+    *
+    * Payloads that parse as RIFF/AVI get REAL offsets: `parseAviFrames`
+    * reads the container's idx1 index and emits the actual byte position
+    * of each frame's data (a real demuxer's seek table). Unparseable
+    * payloads fall back to the deterministic stub (frame count =
+    * 1 + n_bytes/256, 256-byte strides) so a mixed/corrupt batch
+    * degrades per-row instead of failing the job — the `decodeMeta`
+    * contract applied to video.
     */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String, everyN: Int): DataFrame = {
-    val nBytes = length(col(payloadCol).cast("binary")).cast("long")
-    val nFrames = lit(1L) + (nBytes / 256L).cast("long")
-    df.select(
-      col(idCol).cast("long").as("id"),
-      nBytes.as("n_bytes"),
-      nFrames.as("n_frames"),
-      explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))).as("frame_idx"))
-      .withColumn("byte_offset", col("frame_idx") * 256L)
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nBytes = payload.length.toLong
+          parseAviFrames(payload) match {
+            case Some(offsets) =>
+              Iterator.range(0, offsets.length, everyN)
+                .map(k => (id, nBytes, offsets.length.toLong, k.toLong, offsets(k)))
+            case None =>
+              val nFrames = 1L + nBytes / 256L
+              (0L until nFrames by everyN.toLong).iterator
+                .map(k => (id, nBytes, nFrames, k, k * 256L))
+          }
+        }
+      }
+      .toDF("id", "n_bytes", "n_frames", "frame_idx", "byte_offset")
   }
 
   /** Formats whose decode is bit-exact and decoder-independent — the only

@@ -1943,17 +1943,48 @@ object ExtQueries {
              |FROM g GROUP BY 1""".stripMargin)
     ),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
+    // REAL video-container demux: %3<2 payloads are hand-built RIFF/AVI
+    // streams (synthAvi — byte-deterministic, like synthWav) whose frame
+    // count and sizes are chosen from doc_id; %3==2 rows stay raw text →
+    // stub fallback. The oracle predicts n_bytes/n_frames/byte_offset in
+    // closed form from the synthesis arithmetic (frame k's data at
+    // 32 + k·(8+F)); the engine must recover the SAME offsets by parsing
+    // the container's idx1 index chunk — a real seek table, not replayed
+    // arithmetic.
     Q(
       "mm_frame_sample",
-      (s, dir) =>
-        Multimodal.frameSample(
-          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "doc_id", "payload", everyN = 3)
-          .withColumnRenamed("id", "doc_id"),
-      Some("""WITH f AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-             |  CAST(1 + strlen(text)//256 AS BIGINT) AS n_frames FROM documents)
-             |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx*256 AS byte_offset
-             |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM f)""".stripMargin)
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmavi") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload =
+                  if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else Multimodal.synthAvi(
+                    (1 + id % 20).toInt, (64 + (id % 4) * 16).toInt)
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.frameSample(payloads, "doc_id", "payload", everyN = 3)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH avi AS (SELECT doc_id, 1 + doc_id % 20 AS n, 64 + (doc_id % 4) * 16 AS f
+             |            FROM documents WHERE doc_id % 3 < 2),
+             |t AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |        CAST(1 + strlen(text)//256 AS BIGINT) AS n_frames
+             |      FROM documents WHERE doc_id % 3 = 2)
+             |SELECT doc_id, CAST(32 + n * (24 + f) AS BIGINT) AS n_bytes,
+             |       CAST(n AS BIGINT) AS n_frames, frame_idx,
+             |       CAST(32 + frame_idx * (8 + f) AS BIGINT) AS byte_offset
+             |FROM (SELECT doc_id, n, f, unnest(range(0, n, 3)) AS frame_idx FROM avi)
+             |UNION ALL
+             |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx * 256 AS byte_offset
+             |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM t)""".stripMargin)
     ),
     // media → embedding (feature-extract stub on the real inference seam):
     // md5-derived features are content-dependent and replay in SQL

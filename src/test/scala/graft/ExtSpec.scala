@@ -848,6 +848,46 @@ class ExtSpec extends AnyFunSuite {
     assert(again == pqHits)
   }
 
+  test("frame sampling parses a real RIFF/AVI idx1 index; offsets match synthesis closed form") {
+    import spark.implicits._
+    val rows = (0L until 12L).map { id =>
+      val n = (1 + id % 5).toInt
+      val f = (64 + (id % 3) * 32).toInt
+      (id, Multimodal.synthAvi(n, f), n, f)
+    }
+    val df = rows.map { case (id, p, _, _) => (id, p) }.toDF("doc_id", "payload")
+    val out = Multimodal.frameSample(df, "doc_id", "payload", everyN = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("n_frames"), r.getAs[Long]("byte_offset"))).toMap
+    rows.foreach { case (id, p, n, f) =>
+      (0 until n by 2).foreach { k =>
+        val (nb, nf, off) = out((id, k.toLong))
+        assert(nb == p.length.toLong && nb == 32L + n * (24L + f))
+        assert(nf == n.toLong)
+        assert(off == 32L + k * (8L + f), s"id=$id k=$k")
+        // the offset really points at frame data: the chunk header 8 bytes
+        // earlier must read "00dc" in the actual payload
+        assert(new String(p, off.toInt - 8, 4, "US-ASCII") == "00dc")
+      }
+    }
+    // the engine reads the INDEX, not arithmetic: perturb one idx1 entry's
+    // offset field and the reported byte_offset must follow the index
+    val p0 = Multimodal.synthAvi(3, 64)
+    val idx1At = p0.length - 3 * 16 // entries at the tail
+    val bb = java.nio.ByteBuffer.wrap(p0).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val entry2 = idx1At + 2 * 16
+    bb.putInt(entry2 + 8, bb.getInt(entry2 + 8) - 72) // point frame 2 at frame 1's chunk
+    val perturbed = Multimodal.frameSample(
+      Seq((99L, p0)).toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+      .collect().map(r => r.getAs[Long]("frame_idx") -> r.getAs[Long]("byte_offset")).toMap
+    assert(perturbed(2L) == perturbed(1L), "byte_offset must come from the parsed index")
+    // truncated/garbage payloads fall back to the stub arithmetic
+    val stub = Multimodal.frameSample(
+      Seq((7L, "not a container".getBytes("US-ASCII"))).toDF("doc_id", "payload"),
+      "doc_id", "payload", everyN = 1).collect()
+    assert(stub.forall(r => r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 256))
+  }
+
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
     val fs = Multimodal.frameSample(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload", everyN = 2)
