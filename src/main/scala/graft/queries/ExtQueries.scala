@@ -1018,6 +1018,37 @@ object ExtQueries {
               |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
               |FROM p WHERE cosine >= 0.4""".stripMargin)
     ),
+    // The AUTO-SIZED twin of dedup_embedding_lsh — the configuration a
+    // production caller actually runs (nBits omitted → lshBitsFor picks
+    // ceil(log2(n/32)) clamped to [4,16] from one count). The oracle
+    // derives the SAME width from count(*) (format-binary bit length —
+    // integer, no fp log2) and replays the full bucket→candidate→verify
+    // pipeline at that width, so the gate breaks if the sizing rule and
+    // the engine ever disagree. Scale-correct at ANY sf: both sides
+    // recompute nb from the corpus they read.
+    Q(
+      "dedup_embedding_lsh_auto",
+      (s, dir) =>
+        Similarity.lshPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4, dims = 64),
+      Some(s"""WITH $embCte,
+              |w AS (SELECT GREATEST(4, LEAST(16, length(format('{:b}',
+              |        GREATEST(1, (count(*) + 31)//32 - 1))))) nb FROM e),
+              |b AS (SELECT vec_id, v, nrm, t.t, w.nb,
+              |        list_sum(list_transform(range(0, w.nb), k ->
+              |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+              |                 v[d] * ((((1103515245 * ((k + t.t*w.nb) * 64 + (d-1)) + 12345) % 2147483648)
+              |                          / 2147483648.0) - 0.5))) > 0
+              |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+              |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t CROSS JOIN w),
+              |cand AS (SELECT DISTINCT a.vec_id ida, c.vec_id idb
+              |         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+              |p AS (SELECT ida, idb,
+              |        list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) cosine
+              |      FROM cand JOIN n na ON na.vec_id = ida JOIN n nb ON nb.vec_id = idb)
+              |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
+              |FROM p WHERE cosine >= 0.4""".stripMargin)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).

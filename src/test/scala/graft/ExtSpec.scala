@@ -742,6 +742,31 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
   }
 
+  test("auto-sized LSH pair set: exact-verified, superset of the fixed-6-bit row at gate scale") {
+    val e = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine")).toMap
+    val auto = pairs(Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.4, dims = 64))
+    val fixed = pairs(Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6))
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    // precision is exact either way (every candidate is cosine-verified)
+    assert(auto.keySet.subsetOf(exact) && fixed.keySet.subsetOf(exact))
+    // pair-set EQUALITY up to marginal-tau neighbors: the two widths may
+    // only disagree on pairs barely above the threshold (different
+    // hyperplane streams → different luck on weak pairs); any pair well
+    // above tau collides with near-certainty at either width, so a
+    // confident pair found by one and missed by the other is a bug
+    val margin = 0.15
+    val disagree = (auto.keySet diff fixed.keySet) ++ (fixed.keySet diff auto.keySet)
+    disagree.foreach { p =>
+      val c = auto.getOrElse(p, fixed(p))
+      assert(c < 0.4 + margin, s"confident pair $p (cosine=$c) found at one width only")
+    }
+    assert(auto.nonEmpty)
+  }
+
   test("lshBitsFor: occupancy-constant hash sizing with clamps") {
     assert(Similarity.lshBitsFor(2000) == 6) // 2000/32 = 62.5 → ceil log2 = 6
     assert(Similarity.lshBitsFor(20000) == 10) // 625 → 10
