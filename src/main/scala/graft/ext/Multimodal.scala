@@ -416,12 +416,65 @@ object Multimodal {
     Array.tabulate(dims)(i => (d(i % d.length) & 0xff) / 255.0)
   }
 
+  /** REAL pixel-derived embedding: a `grid`×`grid` downsampled map of
+    * per-cell channel means over the decoded raster (the
+    * `imagePixelFeatures` walk, binned). Pixel (x, y) lands in cell
+    * (x·grid/w, y·grid/h); dim index = (cy·grid + cx)·3 + channel; the
+    * value is mean/255 ∈ [0, 1] in 4-decimal fixed point — the same
+    * integer-exact rounding as `imagePixelFeatures`, so the oracle
+    * predicts every component in closed form from a synthesized fill.
+    * Only defined (Some) for lossless formats whose decode is bit-exact
+    * (png/bmp); cells that receive no pixels (w or h < grid) emit no
+    * entry. Sums fit a Long to ~2^41 pixels per cell — beyond any real
+    * frame.
+    */
+  def pixelGridEmbedding(payload: Array[Byte], grid: Int): Option[Array[(Long, Double)]] = {
+    val meta = decodeMetaReal(0L, payload).getOrElse(return None)
+    if (!LosslessFormats.contains(meta.format)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](grid * grid * 3)
+    val cnts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * grid + x * grid / w
+        val rgb = img.getRGB(x, y)
+        sums(cell * 3) += (rgb >> 16) & 0xff
+        sums(cell * 3 + 1) += (rgb >> 8) & 0xff
+        sums(cell * 3 + 2) += rgb & 0xff
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some((0 until grid * grid * 3).iterator.collect {
+      case dim if cnts(dim / 3) > 0 =>
+        val n = cnts(dim / 3)
+        // 4-dp half-up of sum/(n·255) in pure integer arithmetic
+        (dim.toLong, ((sums(dim) * 20000L + n * 255L) / (2L * n * 255L)) / 10000.0)
+    }.toArray)
+  }
+
   /** Batch feature extraction over a binary payload column → one row per
     * (id, dim, value): the media→embedding step of a multimodal pipeline.
     * The array form for Similarity ops is a `collect_list` over dim away;
     * the exploded form keeps the oracle on scalar columns.
+    *
+    * Losslessly-decodable payloads get a REAL embedding — the
+    * `pixelGridEmbedding` grid of per-cell channel means (3·grid² dims)
+    * computed from actual decoded pixels. Everything else falls back to
+    * the md5 `featureStub` (`dims` components): the model-inference seam
+    * stays honest for payloads whose decode is not bit-reproducible,
+    * and a mixed batch degrades per-row.
     */
-  def features(df: DataFrame, idCol: String, payloadCol: String, dims: Int = 8): DataFrame = {
+  def features(df: DataFrame, idCol: String, payloadCol: String, dims: Int = 8, grid: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
@@ -430,8 +483,12 @@ object Multimodal {
         // per-partition model handle would init here
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, payload) =>
-          val f = featureStub(md, payload, dims)
-          f.iterator.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
+          pixelGridEmbedding(payload, grid) match {
+            case Some(vals) => vals.iterator.map { case (dim, v) => (id, dim, v) }
+            case None =>
+              featureStub(md, payload, dims).iterator.zipWithIndex
+                .map { case (v, i) => (id, i.toLong, v) }
+          }
         }
       }
       .toDF("id", "dim", "value")

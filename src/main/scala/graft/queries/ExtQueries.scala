@@ -2017,20 +2017,63 @@ object ExtQueries {
              |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx * 256 AS byte_offset
              |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM t)""".stripMargin)
     ),
-    // media → embedding (feature-extract stub on the real inference seam):
-    // md5-derived features are content-dependent and replay in SQL
+    // media → embedding, REAL on lossless payloads: %3<2 rows are the
+    // same synthesized png/bmp fixtures as mm_image_features (shared
+    // "mmpix" artifact — one encode, two queries) and get a genuine
+    // pixel-derived embedding: a 2×2 grid of per-cell channel means
+    // computed from DECODED pixels (12 dims; cells binned by
+    // x·grid/w, y·grid/h). The oracle predicts every component in
+    // closed form from the synthesis fill v(x,y) = (x·1000003 + y·4099)
+    // & 0xffffff — the engine must reproduce them from actual rasters.
+    // %3==2 rows stay raw text → md5 featureStub (the honest inference
+    // seam for non-reproducible decodes), replayed by the oracle's md5
+    // arithmetic. The media→embedding→ANN chain is now real end-to-end.
     Q(
       "mm_features",
-      (s, dir) =>
-        Multimodal.features(
-          Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "doc_id", "payload", dims = 8)
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmpix") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload = (id % 3) match {
+                  case 0 => Multimodal.synthImage("png", (1 + id % 48).toInt, (1 + (id * 5) % 48).toInt)
+                  case 1 => Multimodal.synthImage("bmp", (1 + id % 48).toInt, (1 + (id * 5) % 48).toInt)
+                  case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                }
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.features(payloads, "doc_id", "payload", dims = 12, grid = 2)
           .select(
             col("id").as("doc_id"), col("dim"),
-            round(col("value"), 4).as("value")),
-      Some("""SELECT doc_id, d.d AS dim,
+            round(col("value"), 4).as("value"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 48 AS w, 1 + (doc_id * 5) % 48 AS h
+             |          FROM documents WHERE doc_id % 3 < 2),
+             |px AS (SELECT doc_id,
+             |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+             |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+             |       FROM d
+             |       JOIN (SELECT unnest(range(0, 48)) x) x ON x.x < w
+             |       JOIN (SELECT unnest(range(0, 48)) y) y ON y.y < h),
+             |c AS (SELECT doc_id, cell, count(*) n,
+             |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+             |      FROM px GROUP BY 1, 2),
+             |g AS (SELECT doc_id, cell * 3 + ch.ch AS dim,
+             |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+             |          // (2 * n * 255) / 10000.0 AS value
+             |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch)
+             |SELECT doc_id, CAST(dim AS BIGINT) AS dim, value FROM g
+             |UNION ALL
+             |SELECT doc_id, d.d AS dim,
              |  round(('0x' || substr(md5(text), d.d*2 + 1, 2))::BIGINT / 255.0, 4) AS value
-             |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) d) d""".stripMargin)),
+             |FROM documents CROSS JOIN (SELECT unnest(range(0, 12)) d) d
+             |WHERE doc_id % 3 = 2""".stripMargin)),
     // REAL image decode: payloads are genuine png/gif/bmp streams encoded
     // by ImageIO writers with dimensions chosen from doc_id (%4==3 rows
     // stay raw text → stub fallback). The oracle predicts width/height/

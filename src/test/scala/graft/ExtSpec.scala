@@ -572,6 +572,34 @@ class ExtSpec extends AnyFunSuite {
     assert(byDoc(1L) != byDoc(4L))
   }
 
+  test("pixel-grid embeddings: real decoded vectors, closed-form means, ANN-composable") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, Multimodal.synthImage("png", 2, 2)),
+      (2L, Multimodal.synthImage("png", 2, 2)), // identical image → cosine 1.0
+      (3L, Multimodal.synthImage("bmp", 16, 12)),
+      (4L, Multimodal.synthImage("png", 9, 5)),
+      (5L, "not an image".getBytes("US-ASCII"))) // → md5 stub path
+    val f = Multimodal.features(imgs.toDF("doc_id", "payload"), "doc_id", "payload", dims = 12, grid = 2)
+    val byId = f.collect().groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.map(r => r.getAs[Long]("dim") -> r.getAs[Double]("value")).sortBy(_._1)).toMap
+    // lossless w,h >= grid → all 12 dims present, real decoded values
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(byId(id).map(_._1).toSeq == (0L until 12L).toSeq))
+    // hand-computed closed form on the 2×2 png: each pixel is its own
+    // cell; fill v(1,0) = 1000003 = 0x0f4243 → cell 1 means (15,66,67)/255
+    val m = byId(1L).toMap
+    assert(m(3L) == 0.0588 && m(4L) == 0.2588 && m(5L) == 0.2627)
+    assert(byId(1L).toSeq == byId(2L).toSeq)
+    // the stub row keeps the md5 seam (12 dims, [0,1])
+    assert(byId(5L).length == 12 && byId(5L).forall { case (_, v) => v >= 0 && v <= 1 })
+    // the vectors feed ANN ops: identical images are a cosine-1.0 pair
+    val emb = f.groupBy(col("id")).agg(
+      expr("transform(array_sort(collect_list(struct(dim, value))), s -> s.value)").as("vec"))
+    val pairs = Similarity.cosinePairs(emb, "id", "vec", tau = 0.999)
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Double]("cosine")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
   test("multimodal stub decode: deterministic metadata from binary payloads") {
     val meta = Multimodal.decodeStub(7L, "abcdef".getBytes)
     assert(meta == graft.ext.MediaMeta(7L, 6L, 7, 43, 1, "png"))
