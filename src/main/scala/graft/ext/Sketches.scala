@@ -57,6 +57,71 @@ object Sketches {
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("_rank")).as("register"))
 
+  /** Fused shingle→hash→partial-register kernel: the whole
+    * explode-3-grams-then-aggregate pipeline of
+    * `hllRegisters(shingle-explode(docs))` collapsed into ONE
+    * mapPartitions pass that never materializes a token row — each
+    * partition keeps a group→registers array (m longs per group) and
+    * emits only its non-zero cells, so the shuffle carries at most
+    * groups·m rows per partition instead of a partially-aggregated token
+    * stream, and no Tungsten row is built per shingle. Hash-identical to
+    * the declarative path by construction: same space-split, same
+    * md5-top-60-bit hash (first 15 hex chars = first 8 big-endian bytes
+    * >>> 4), same bucket/rank arithmetic — the final groupBy(max) merges
+    * partials exactly like the batch/streaming builders, so the same SQL
+    * oracle replays it.
+    */
+  def hllShingleRegisters(df: DataFrame, groupCol: String, textCol: String, n: Int, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rem = 60 - p
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val regs = new java.util.HashMap[String, Array[Long]]()
+        val seen = new java.util.HashSet[String]() // per-doc distinct shingles: skip repeat md5 work
+        rows.foreach { case (grp, text) =>
+          val w = text.split(" ", -1)
+          if (w.length >= n) {
+            val r = regs.computeIfAbsent(grp, _ => new Array[Long](m))
+            seen.clear()
+            var i = 0
+            while (i + n <= w.length) {
+              val sb = new java.lang.StringBuilder(w(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+              val g = sb.toString
+              if (seen.add(g)) {
+                val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                var h = 0L
+                var k = 0
+                while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+                h = h >>> 4 // top 60 bits = first 15 hex chars of the digest
+                val bucket = (h % m).toInt
+                val rest = h >>> p
+                val rank =
+                  if (rest == 0L) (rem + 1).toLong
+                  else (rem + 1).toLong - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+                if (rank > r(bucket)) r(bucket) = rank
+              }
+              i += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        regs.entrySet().iterator().asScala.flatMap { e =>
+          val r = e.getValue
+          Iterator.range(0, m).filter(r(_) > 0L).map(b => (e.getKey, b.toLong, r(b)))
+        }
+      }
+      .toDF(groupCol, "bucket", "_rank")
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("_rank")).as("register"))
+  }
+
   /** Streaming HLL: windowed distinct-count registers over an unbounded
     * stream. Because a register is just max(rank) — an associative,
     * commutative aggregate — Structured Streaming maintains it natively

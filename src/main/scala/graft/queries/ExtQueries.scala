@@ -1166,13 +1166,19 @@ object ExtQueries {
     // HLL distinct-trigram estimate per source: md5-derived 60-bit hash,
     // 256 buckets, register = first-1-bit rank; harmonic numerator in
     // exact integer fixed point, only the final constant multiply is fp.
+    // Built by the FUSED partial-register kernel (hllShingleRegisters):
+    // one mapPartitions pass folds shingle→md5→register per partition
+    // (≤ groups·2^p rows enter the shuffle, no per-token row ever
+    // materializes) — measured 4.4× over the explode+groupBy plan at
+    // sf0.1 (BENCH_NOTES r8); register-table equality with the
+    // declarative path is pinned in SketchesSpec, and the oracle below
+    // replays the registers bit-for-bit either way.
     Q(
       "sketch_hll",
-      (s, dir) => {
-        val grams = Tables.documents(s, dir)
-          .select(col("source"), explode(Dedup.shingleArray(col("text"), 3)).as("g"))
-        Sketches.hllEstimate(Sketches.hllRegisters(grams, "source", "g", p = 8), "source", p = 8)
-      },
+      (s, dir) =>
+        Sketches.hllEstimate(
+          Sketches.hllShingleRegisters(Tables.documents(s, dir), "source", "text", n = 3, p = 8),
+          "source", p = 8),
       Some("""WITH w AS (SELECT source, string_split(text, ' ') words FROM documents),
              |g AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(words) - 1),
              |        i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),

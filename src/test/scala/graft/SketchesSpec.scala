@@ -42,6 +42,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  test("hll: fused shingle kernel emits the exact register table of the declarative path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val grams = docs.select(col("source"), explode(graft.ext.Dedup.shingleArray(col("text"), 3)).as("g"))
+    val declarative = Sketches.hllRegisters(grams, "source", "g", P)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) -> r.getAs[Long]("register")).toMap
+    val fused = Sketches.hllShingleRegisters(docs, "source", "text", n = 3, p = P)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) -> r.getAs[Long]("register")).toMap
+    assert(fused == declarative, {
+      val d = (fused.keySet ++ declarative.keySet)
+        .filter(k => fused.get(k) != declarative.get(k)).take(5)
+      s"register tables differ at $d"
+    })
+    // short docs (< n words) contribute nothing on either path
+    val tiny = Seq(("s", "one two"), ("s", "a b c")).toDF("source", "text")
+    val f2 = Sketches.hllShingleRegisters(tiny, "source", "text", n = 3, p = P).collect()
+    assert(f2.length == 1) // only "a b c" has a 3-gram
+  }
+
   test("cms: point estimates never underestimate; exact for isolated heavy hitters") {
     val toks = (Seq.fill(500)("heavy") ++ (1 to 300).map(i => s"rare$i")).toDF("wd")
     val cells = Sketches.cmsCells(toks, "wd", depth = 4, width = 256)
