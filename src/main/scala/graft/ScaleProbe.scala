@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ext.Dedup
+
+/** Scale probe for the shuffle-heavy dedup path: runs the MinHash-LSH
+  * candidate funnel (with counts, not just wall time) and the
+  * label-propagation cluster assembly (with round counts) on a given
+  * fixture dir — the measurements BENCH_NOTES' 100x tables are built
+  * from. Usage: runMain graft.ScaleProbe <sfDir> [tau] [maxBucket].
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val tau = if (args.length > 1) args(1).toDouble else 0.5
+    val maxBucket = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scaleprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val funnel = timed("minhash funnel") {
+      Dedup.minhashLshFunnel(docs, "doc_id", "text", tau = tau, maxBucket = maxBucket)
+    }
+    funnel.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
+    val pairs = timed("minhashLshPairs materialize") {
+      val p = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = tau, maxBucket = maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] pairs = ${p.count()}")
+      p
+    }
+    timed("clusters") {
+      val (cl, rounds) = Dedup.clustersWithRounds(pairs)
+      val n = cl.count()
+      println(s"[scaleprobe] cluster_rows = $n, lp_rounds = $rounds")
+    }
+    spark.stop()
+  }
+}

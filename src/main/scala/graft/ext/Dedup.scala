@@ -256,6 +256,64 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Candidate-funnel diagnostics for the MinHash-LSH path: the counts a
+    * scale probe needs to VERIFY (not infer from wall time) that the
+    * banding stays bounded as the corpus grows — banded rows, colliding
+    * buckets, buckets dropped by the frequent-bucket cap, distinct
+    * candidate pairs after the cap, and exact-verified pairs. Same
+    * pipeline stages as `minhashLshPairs`, instrumented with counts;
+    * driver-side by design (a handful of scalar aggregates).
+    */
+  def minhashLshFunnel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      maxBucket: Int = 100): Map[String, Long] = {
+    val spark = df.sparkSession
+    val rows = perms / bands
+    val docs = shingleHashesAndSig(
+      df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val banded = bandedKeys(docs, bands, rows)
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = sizes.count()
+    val nMulti = sizes.where(col("_c") > 1).count()
+    val nCapped = sizes.where(col("_c") > maxBucket).count()
+    val small = sizes.where(col("_c") <= maxBucket && col("_c") > 1).select("band", "key")
+    val kept = banded.join(small, Seq("band", "key"), "left_semi")
+    val candidates = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candidates.count()
+    val sets = docs.select(col("id"), col("hs"))
+    val nVerified = candidates
+      .join(sets.select(col("id").as("da"), col("hs").as("sha")), "da")
+      .join(sets.select(col("id").as("db"), col("hs").as("shb")), "db")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .where(col("jaccard") >= tau)
+      .count()
+    candidates.unpersist(blocking = false)
+    sizes.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    Map(
+      "n_docs" -> nDocs,
+      "n_buckets" -> nBuckets,
+      "n_buckets_multi" -> nMulti,
+      "n_buckets_capped" -> nCapped,
+      "n_candidate_pairs" -> nCand,
+      "n_verified_pairs" -> nVerified)
+  }
+
   /** Duplicate-cluster assembly: connected components over an undirected
     * near-dup pair graph (the output of `minhashLshPairs` / `simhashPairs`
     * / `ngramJaccardPairs`), labeling every member with the cluster's
@@ -281,7 +339,19 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "da",
       bCol: String = "db",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    clustersWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** `clusters` plus the number of propagation rounds it ran — the loop
+    * is eager (one labelSum action per round), so the count is exact at
+    * return. Scale probes assert the ~log(diameter) round bound here
+    * instead of inferring it from wall time.
+    */
+  def clustersWithRounds(
+      pairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxIter: Int = 25): (DataFrame, Int) = {
     // Truncate lineage at every materialization point: a persist() alone
     // keeps the FULL logical plan (the whole MinHash DAG under `pairs`,
     // plus one join-tree layer per round), and Catalyst re-analyzes and
@@ -355,9 +425,10 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Dedup.clusters exhausted maxIter=$maxIter before the label fixpoint: " +
           "members of one component may carry different canonical ids; raise maxIter")
-    labels
+    (labels
       .withColumn("cluster_size", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
-      .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size")),
+      i)
   }
 
   /** Incremental cluster maintenance — the daily-ingest path for the

@@ -770,6 +770,16 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
   }
 
+  test("minhash funnel diagnostics agree with the production pair path") {
+    val d = Tables.documents(spark, sf)
+    val f = Dedup.minhashLshFunnel(d, "doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text").count()
+    assert(f("n_verified_pairs") == pairs, s"funnel drifted from minhashLshPairs: $f vs $pairs")
+    assert(f("n_candidate_pairs") >= f("n_verified_pairs"))
+    assert(f("n_buckets") >= f("n_buckets_multi"))
+    assert(f("n_docs") == d.count())
+  }
+
   test("auto-sized LSH pair set: exact-verified, superset of the fixed-6-bit row at gate scale") {
     val e = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =
