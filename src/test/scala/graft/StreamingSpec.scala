@@ -448,6 +448,49 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 2000L, -1L))) // the attribution loss: a view that never converted
   }
 
+  test("stream-stream interval join state survives a kill-and-resume from checkpoint") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.JoinEvent
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_join_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_join_out").toString
+    val memV = MemoryStream[JoinEvent]
+    val memA = MemoryStream[JoinEvent]
+    // memory sink is not fault-tolerant; recovery needs a file sink
+    def start() = JoinStream.intervalJoin(
+        memV.toDS().select(col("key").as("vKey"), timestamp_millis(col("tsMs")).as("vTime")),
+        memA.toDS().select(col("key").as("aKey"), timestamp_millis(col("tsMs")).as("aTime")),
+        horizonMs = 5000L, watermark = "10 seconds")
+      .select(col("vKey"), unix_millis(col("vTime")).as("v_ts"), unix_millis(col("aTime")).as("a_ts"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    memV.addData(JoinEvent(1, 1000), JoinEvent(2, 1500))
+    memA.addData(JoinEvent(1, 2000)) // pair (1,1000,2000) emits pre-restart
+    q1.processAllAvailable()
+    q1.stop() // kill mid-replay: view 2 and view 1 still buffered in state
+
+    val q2 = start() // same checkpoint → join state restored
+    // these actions can only pair if the BUFFERED views survived the restart
+    memA.addData(JoinEvent(2, 4000), JoinEvent(1, 5000))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("vKey"), r.getAs[Long]("v_ts"), r.getAs[Long]("a_ts"))).toSet
+    val expected = Set((1L, 1000L, 2000L), (2L, 1500L, 4000L), (1L, 1000L, 5000L))
+    assert(got == expected, s"join state lost across restart: got $got")
+    // the post-restart output equals the batch interval join on ALL fed rows
+    val vs = Seq((1L, 1000L), (2L, 1500L)).toDF("vKey", "v_ts")
+    val as = Seq((1L, 2000L), (2L, 4000L), (1L, 5000L)).toDF("aKey", "a_ts")
+    val batch = vs.join(as, expr("vKey = aKey AND a_ts >= v_ts AND a_ts <= v_ts + 5000"))
+      .select(col("vKey"), col("v_ts"), col("a_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
   test("stream-static enrichment: broadcast left join, nulls pass through, batch parity, no state store") {
     import spark.implicits._
     import graft.streaming.EnrichStream
