@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.bridge.SqlBridge
+
+/** SQL surface for the flagship extension operators — table-valued
+  * functions so a SQL-only user can run the dedup/text pipeline from
+  * pure SQL strings, the same way `exp_avg_fold`/`derivative_fold`
+  * expose the detectors:
+  *
+  *   SELECT * FROM minhash_pairs('docs_view')        -- τ default 0.5
+  *   SELECT * FROM minhash_pairs('docs_view', 0.3)   -- explicit τ
+  *   SELECT * FROM tfidf_topk('docs_view', 5)        -- top-5 keywords/doc
+  *
+  * The argument names a table/view exposing `(doc_id, text)` (the
+  * documents convention, mirroring the fold TVFs' fixed
+  * seriesKey/tsMs/value contract). Each builder delegates to the SAME
+  * DataFrame implementation as the Scala API (`Dedup.minhashLshPairs`,
+  * `TextAnalysis.tfidfTopK`) and returns its analyzed plan, so the SQL
+  * path inherits the exact operator — banding caps, broadcast
+  * choices, fixed-point idf — with zero drift between surfaces.
+  *
+  * Unlike the fold TVFs (which stay unresolved until analysis), these
+  * builders resolve the named table via the ACTIVE session at analysis
+  * time — required because the underlying operators are eager about
+  * their own materialization points (the MinHash signature persist).
+  * Consequence: the relation must exist when the query is ANALYZED, and
+  * the signature-table persist runs then too.
+  */
+object ExtTableFunctions {
+
+  val MinhashPairsName = "minhash_pairs"
+  val TfidfTopKName = "tfidf_topk"
+
+  /** `minhash_pairs(table[, tau])` — MinHash-LSH near-dup pairs
+    * `(da, db, jaccard)` over a `(doc_id, text)` relation.
+    */
+  def minhashPairsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $MinhashPairsName(table[, tau])")
+    val table = FoldTableFunctions.stringArg(MinhashPairsName, args, 0)
+    val tau = FoldTableFunctions.doubleArg(MinhashPairsName, args, 1, 0.5)
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(
+      Dedup.minhashLshPairs(spark.table(table), "doc_id", "text", tau = tau))
+  }
+
+  /** `tfidf_topk(table, k)` — per-doc top-k tf·idf keywords
+    * `(doc_id, rank, wd, tf, score_fp)` over a `(doc_id, text)` relation.
+    */
+  def tfidfTopKBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, s"usage: $TfidfTopKName(table, k)")
+    val table = FoldTableFunctions.stringArg(TfidfTopKName, args, 0)
+    val k = FoldTableFunctions.doubleArg(TfidfTopKName, args, 1, Double.NaN).toInt
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(
+      TextAnalysis.tfidfTopK(spark.table(table), "doc_id", "text", k))
+  }
+
+  /** Runtime registration into a live session (the no-config twin of the
+    * `spark.sql.extensions=graft.functions.GraftExtensions` path).
+    */
+  def register(spark: SparkSession): Unit = {
+    SqlBridge.registerTableFunction(spark, MinhashPairsName, minhashPairsBuilder)
+    SqlBridge.registerTableFunction(spark, TfidfTopKName, tfidfTopKBuilder)
+  }
+}

@@ -37,14 +37,14 @@ object FoldTableFunctions {
   val ExpAvgName = "exp_avg_fold"
   val DerivativeName = "derivative_fold"
 
-  private def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
+  private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
     case other =>
       throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be a string literal (table/view name), got $other")
   }
 
-  private def doubleArg(fn: String, args: Seq[Expression], i: Int, default: Double): Double =
+  private[functions] def doubleArg(fn: String, args: Seq[Expression], i: Int, default: Double): Double =
     if (args.length <= i) default
     else args(i) match {
       case e if e.foldable =>

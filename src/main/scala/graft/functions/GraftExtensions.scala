@@ -52,6 +52,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
           ""),
         FoldTableFunctions.derivativeBuilder))
+    // SQL surface of the flagship extension operators (dedup/text): the
+    // builders delegate to the Scala implementations, zero drift
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.MinhashPairsName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.MinhashPairsName,
+          "minhash_pairs(table[, tau]) - MinHash-LSH near-dup pairs (da, db, jaccard) " +
+            "over a (doc_id, text) relation; same banded pipeline as Dedup.minhashLshPairs",
+          ""),
+        ExtTableFunctions.minhashPairsBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.TfidfTopKName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.TfidfTopKName,
+          "tfidf_topk(table, k) - per-doc top-k tf-idf keywords over a (doc_id, text) " +
+            "relation; fixed-point integer idf, same plan as TextAnalysis.tfidfTopK",
+          ""),
+        ExtTableFunctions.tfidfTopKBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

@@ -1049,6 +1049,55 @@ object ExtQueries {
               |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
               |FROM p WHERE cosine >= 0.4""".stripMargin)
     ),
+    // The ext SQL surface: a dedup+text pipeline from PURE SQL strings —
+    // near-dup degree per doc joined with its top tf·idf keyword, the
+    // candidates-for-removal report a SQL-only user would write. The
+    // minhash_pairs / tfidf_topk TABLE functions (ExtTableFunctions,
+    // injected by GraftExtensions) delegate to the exact Scala operators,
+    // so this row gate-proves the SQL registration path AND re-proves the
+    // operators behind it against the replayed-CTE oracle.
+    Q(
+      "ext_sql_surface",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """WITH p AS (SELECT * FROM minhash_pairs('graft_sql_docs', 0.3)),
+            |e AS (SELECT da AS doc_id FROM p UNION ALL SELECT db AS doc_id FROM p),
+            |deg AS (SELECT doc_id, count(*) AS n_dups FROM e GROUP BY doc_id),
+            |kw AS (SELECT doc_id, wd AS top_term FROM tfidf_topk('graft_sql_docs', 1))
+            |SELECT d.doc_id, d.n_dups, k.top_term
+            |FROM deg d JOIN kw k ON d.doc_id = k.doc_id""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |e AS (SELECT da AS doc_id FROM mh_pairs UNION ALL SELECT db AS doc_id FROM mh_pairs),
+              |deg AS (SELECT doc_id, count(*) n_dups FROM e GROUP BY doc_id),
+              |ttf AS (SELECT doc_id, wd, count(*) tf
+              |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents)
+              |        GROUP BY 1, 2),
+              |tdfq AS (SELECT wd, count(*) dfw FROM ttf GROUP BY 1),
+              |tnd AS (SELECT count(*) nd FROM documents),
+              |teb AS (SELECT wd, dfw cnt, nd t, length(format('{:b}', nd // dfw)) - 1 E
+              |        FROM tdfq CROSS JOIN tnd),
+              |tz0 AS (SELECT wd, E, (t * 1073741824) // (cnt * (1::BIGINT << E)) z FROM teb),
+              |tfr AS (
+              |  SELECT wd, E, z, 0::BIGINT frac, 0 i FROM tz0
+              |  UNION ALL
+              |  SELECT wd, E,
+              |    CASE WHEN (z*z)//1073741824 >= 2147483648
+              |         THEN ((z*z)//1073741824)//2 ELSE (z*z)//1073741824 END,
+              |    frac*2 + CASE WHEN (z*z)//1073741824 >= 2147483648 THEN 1 ELSE 0 END,
+              |    i + 1
+              |  FROM tfr WHERE i < 16),
+              |tsfp AS (SELECT wd, E*65536 + frac idf_fp FROM tfr WHERE i = 16),
+              |tsc AS (SELECT ttf.doc_id, ttf.wd, ttf.tf * s.idf_fp score_fp
+              |        FROM ttf JOIN tsfp s USING (wd)),
+              |tr AS (SELECT doc_id, wd, row_number() OVER (PARTITION BY doc_id
+              |         ORDER BY score_fp DESC, wd) rank FROM tsc),
+              |kw AS (SELECT doc_id, wd AS top_term FROM tr WHERE rank = 1)
+              |SELECT d.doc_id, d.n_dups, k.top_term
+              |FROM deg d JOIN kw k ON d.doc_id = k.doc_id""".stripMargin)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).

@@ -1003,6 +1003,22 @@ class ExtSpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("dev")).toMap
       // ema: 1.0, 2.0, 2.0 → dev: 0.0, 1.0, 0.0
       assert(folded == Map(10L -> 0.0, 20L -> 1.0, 30L -> 0.0))
+      // the ext TVFs (dedup/text) ride the same injection: pure-SQL
+      // near-dup pairs + keywords over a (doc_id, text) view
+      s2.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ext_docs_probe AS
+          |SELECT * FROM VALUES
+          |  (1L, 'the quick brown fox jumps over the lazy dog again and again'),
+          |  (2L, 'the quick brown fox jumps over the lazy dog again and again'),
+          |  (3L, 'completely different words about spark catalyst optimizer plans')
+          |AS t(doc_id, text)""".stripMargin)
+      val mp = s2.sql("SELECT * FROM minhash_pairs('ext_docs_probe', 0.5)").collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+      assert(mp.toSeq == Seq((1L, 2L, 1.0))) // the exact dup pair, nothing else
+      val kw = s2.sql("SELECT doc_id, wd FROM tfidf_topk('ext_docs_probe', 1)").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kw.keySet == Set(1L, 2L, 3L))
+      assert(kw(1L) == kw(2L)) // identical docs, identical top keyword
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
