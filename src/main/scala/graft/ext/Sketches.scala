@@ -365,4 +365,111 @@ object Sketches {
         col(groupCol), col("q_mille"), col("est_units"),
         round(col("est_units") / unitScale.toDouble, 4).as("est_value"))
   }
+
+  /** K-Minimum-Values (bottom-k) distinct sketch: per group, the k
+    * smallest `hash60` values over the distinct values of `valueCol`
+    * (Bar-Yossef et al. 2002 / the DataSketches "theta" family). Unlike
+    * HLL it supports SET ALGEBRA — two groups' sketches merge by
+    * re-ranking their union, and the k-smallest of the union carry exact
+    * membership bits for intersection/Jaccard estimation — which is what
+    * cross-corpus overlap auditing needs (e.g. "how much of source A is
+    * in source B" before mixing).
+    *
+    * Scale shape: the rank filter is a rank-like window, so Spark's
+    * `InferWindowGroupLimit` inserts a per-partition partial top-k BEFORE
+    * the exchange — the shuffle carries at most k rows per group per
+    * input partition, never the full distinct-hash stream. State is k
+    * longs per group, constant in corpus size. `dense_rank` (not
+    * row_number) keeps duplicate hashes on one rank so the pre-distinct
+    * stream needs no dedup shuffle first; the trailing `distinct` runs
+    * over ≤ parts·k rows per group.
+    *
+    * Every hash is md5-replayable: the whole sketch table (not just its
+    * estimate) is SQL-oracle-checkable.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("hval"))
+    df.select(col(groupCol), hash60(col(valueCol)).as("hval"))
+      .withColumn("pos", dense_rank().over(byGroup))
+      .where(col("pos") <= k) // raw rank predicate → InferWindowGroupLimit fires
+      .withColumn("pos", col("pos").cast("long"))
+      .distinct()
+  }
+
+  /** Merge KMV sketch tables (union the inputs first): re-rank and keep
+    * the k smallest per group — the bottom-k of a union is the bottom-k
+    * of the union of bottom-ks, so merging loses nothing. Output carries
+    * the same (group, hval, pos) layout as `kmvSketch`.
+    */
+  def kmvMerge(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("hval"))
+    sketches
+      .select(col(groupCol), col("hval"))
+      .distinct()
+      .withColumn("pos", row_number().over(byGroup))
+      .where(col("pos") <= k)
+      .withColumn("pos", col("pos").cast("long"))
+  }
+
+  private val KmvSpace = 1152921504606846976.0 // 2^60, the hash60 range
+
+  /** Distinct estimate from a KMV sketch: (k−1) · 2^60 / h_k with h_k the
+    * k-th smallest hash; exact count when the group holds fewer than k
+    * distinct values (the sketch IS the value set then). Like
+    * `hllEstimate`, the only floating-point steps are one divide and one
+    * multiply on integer-derived operands — identical IEEE ops on every
+    * engine.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketch
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vals"), max(col("hval")).as("hk"))
+      .select(
+        col(groupCol),
+        col("n_vals"),
+        round(
+          when(col("n_vals") < k, col("n_vals").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * (lit(KmvSpace) / col("hk"))),
+          4).as("est_distinct"))
+
+  /** Pairwise cross-group overlap from ONE KMV sketch table: for every
+    * unordered group pair (ga < gb), merge the two sketches (k smallest
+    * of the union, with membership bits) and estimate
+    * Jaccard = |bottom-k(A∪B) ∩ A ∩ B| / |bottom-k(A∪B)| plus the union
+    * cardinality — the standard KMV set-algebra estimators. When the two
+    * groups hold fewer than k distinct values combined, both outputs are
+    * EXACT. Work is pairs·k rows end to end: the group-pair frame is a
+    * broadcast, the merge a window over ≤ 2k rows per pair — nothing
+    * scales with corpus size, only with the number of groups.
+    */
+  def kmvOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val s = sketch.select(col(groupCol).cast("string").as("g"), col("hval"))
+    val names = s.select(col("g")).distinct()
+    val pairs = broadcast(
+      names.select(col("g").as("ga")).join(names.select(col("g").as("gb")), col("ga") < col("gb")))
+    val sa = pairs.join(s, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("hval"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val sb = pairs.join(s, col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("hval"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val byPair = Window.partitionBy(col("ga"), col("gb")).orderBy(col("hval"))
+    sa.union(sb)
+      .groupBy(col("ga"), col("gb"), col("hval"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("pos", row_number().over(byPair))
+      .where(col("pos") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(
+        count(lit(1)).as("n_merged"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        max(col("hval")).as("hk"))
+      .select(
+        col("ga"),
+        col("gb"),
+        round(col("n_both") / col("n_merged").cast("double"), 4).as("jaccard_est"),
+        round(
+          when(col("n_merged") < k, col("n_merged").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * (lit(KmvSpace) / col("hk"))),
+          4).as("union_est"))
+  }
 }

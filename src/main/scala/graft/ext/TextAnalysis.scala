@@ -814,4 +814,49 @@ object TextAnalysis {
       .where(col("df") >= minDf)
       .select(col("token"), col("df"), col(idCol), col("tf"), col("positions"))
   }
+
+  /** The frozen weight vector of `qualityLr`: one milli-unit integer
+    * weight per hash bucket, derived deterministically from md5 of the
+    * bucket id (range [−1000, 1000]). A stand-in for trained fasttext-
+    * style weights with the same storage/serving shape: `buckets` rows,
+    * broadcastable at any real model size (2^20 buckets ≈ 8 MB).
+    */
+  def qualityLrWeights(spark: org.apache.spark.sql.SparkSession, buckets: Int): DataFrame =
+    spark
+      .range(buckets)
+      .select(
+        col("id").as("bucket"),
+        (Sketches.hash60(concat(lit("w#"), col("id").cast("string"))) % 2001 - 1000).as("w_milli"))
+
+  /** Model-based quality scoring: a fasttext-shaped LINEAR classifier
+    * over hashed bag-of-words features — tokens hash into 2^b buckets
+    * (hashing trick: no vocabulary, collisions are part of the model),
+    * the bucket→weight table broadcast-joins onto the token stream, and
+    * the document score is the mean bucket weight. This is the serving
+    * plumbing of every learned quality filter (fasttext, logistic-reg
+    * over hashed n-grams): ONE broadcast hash join + one partial-agg
+    * groupBy per document — no shuffle grows with the model.
+    *
+    * Determinism: weights and sums are milli-unit BIGINTs; `keep`
+    * thresholds on the integer sum (sign of the mean = sign of the sum),
+    * and the mean surfaces on a FLOOR fixed-point grid
+    * (⌊mean·10⁴⌋/10⁴) — `round()` on a half-way milli-grid value
+    * string-rounds differently across engines, floor of one IEEE divide
+    * does not. The sigmoid is deliberately omitted — it is monotone, so
+    * thresholding on the raw score is equivalent and stays engine-exact.
+    */
+  def qualityLr(df: DataFrame, idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val weights = qualityLrWeights(df.sparkSession, buckets)
+    df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .withColumn("bucket", Sketches.hash60(col("tok")) % buckets)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("score_milli"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (floor(col("score_milli").cast("double") * 10.0 / col("n_tokens")) / 10000.0).as("score"),
+        (col("score_milli") > 0).as("keep"))
+  }
 }

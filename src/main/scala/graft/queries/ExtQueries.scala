@@ -377,6 +377,27 @@ object ExtQueries {
               |        / len(words), 4) AS stopword_ratio
               |FROM w""".stripMargin)
     ),
+    // Model-based quality filter: fasttext-shaped linear classifier over
+    // hashed bag-of-words (hashing trick into 4096 buckets, frozen
+    // md5-derived milli-unit weights, broadcast-join scoring, keep =
+    // sign of the integer weight sum). The oracle rebuilds the weight
+    // table from the same md5 arithmetic, so model + scoring replay
+    // end to end.
+    Q(
+      "text_quality_lr",
+      (s, dir) => TextAnalysis.qualityLr(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 bucket FROM t),
+             |wt AS (SELECT i bucket,
+             |         ('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 w
+             |       FROM range(0, 4096) r(i)),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens, CAST(sum(w) AS BIGINT) score_milli
+             |      FROM b JOIN wt USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  CAST(floor(CAST(score_milli AS DOUBLE) * 10.0 / n_tokens) AS BIGINT) / 10000.0 AS score,
+             |  score_milli > 0 AS keep
+             |FROM a""".stripMargin)
+    ),
     Q(
       "text_langid",
       (s, dir) =>
@@ -1306,6 +1327,62 @@ object ExtQueries {
              |       (SELECT k, count(*) ca, sum(CASE WHEN value >= 75 THEN 1 ELSE 0 END) cb
              |        FROM e GROUP BY 1))
              |SELECT est_join_rows, exact_join_rows FROM est CROSS JOIN x""".stripMargin)
+    ),
+    // KMV (bottom-k) distinct-token sketch per source: the 128 smallest
+    // md5-60bit token hashes; estimate (k−1)·2^60/h_k, exact under k.
+    // Complements sketch_hll with the sketch family that supports SET
+    // ALGEBRA (see sketch_kmv_overlap). Window group-limit pushdown keeps
+    // the shuffle at ≤ k rows per group per input partition.
+    Q(
+      "sketch_kmv",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        Sketches.kmvEstimate(Sketches.kmvSketch(toks, "source", "tok", k = 128), "source", k = 128)
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+             |h AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM t),
+             |r AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM h),
+             |sk AS (SELECT source, hval FROM r WHERE pos <= 128),
+             |e AS (SELECT source, CAST(count(*) AS BIGINT) n_vals, max(hval) hk FROM sk GROUP BY 1)
+             |SELECT source, n_vals,
+             |  round(CASE WHEN n_vals < 128 THEN CAST(n_vals AS DOUBLE)
+             |        ELSE 127.0 * (1152921504606846976.0 / hk) END, 4) AS est_distinct
+             |FROM e""".stripMargin)
+    ),
+    // KMV set algebra: pairwise cross-source token overlap from ONE
+    // sketch table — Jaccard = |bottom-k(A∪B) ∩ A ∩ B| / k and the union
+    // cardinality, the cross-corpus contamination/mixing audit HLL can't
+    // do. Work is pairs·k rows however large the corpus; exact when the
+    // pair holds under k distinct tokens combined.
+    Q(
+      "sketch_kmv_overlap",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        Sketches.kmvOverlap(Sketches.kmvSketch(toks, "source", "tok", k = 128), "source", k = 128)
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+             |h AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM t),
+             |r AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM h),
+             |sk AS (SELECT source g, hval FROM r WHERE pos <= 128),
+             |gs AS (SELECT DISTINCT g FROM sk),
+             |pr AS (SELECT a.g ga, b.g gb FROM gs a JOIN gs b ON a.g < b.g),
+             |u AS (SELECT pr.ga, pr.gb, sk.hval,
+             |        max(CASE WHEN sk.g = pr.ga THEN 1 ELSE 0 END) in_a,
+             |        max(CASE WHEN sk.g = pr.gb THEN 1 ELSE 0 END) in_b
+             |      FROM pr JOIN sk ON sk.g = pr.ga OR sk.g = pr.gb
+             |      GROUP BY 1, 2, 3),
+             |m AS (SELECT ga, gb, hval, in_a, in_b,
+             |        row_number() OVER (PARTITION BY ga, gb ORDER BY hval) pos FROM u),
+             |agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) n_merged,
+             |          CAST(sum(in_a * in_b) AS BIGINT) n_both, max(hval) hk
+             |        FROM m WHERE pos <= 128 GROUP BY 1, 2)
+             |SELECT ga, gb,
+             |  round(n_both / CAST(n_merged AS DOUBLE), 4) AS jaccard_est,
+             |  round(CASE WHEN n_merged < 128 THEN CAST(n_merged AS DOUBLE)
+             |        ELSE 127.0 * (1152921504606846976.0 / hk) END, 4) AS union_est
+             |FROM agg""".stripMargin)
     ),
     // Histogram-sketch quantiles of l_extendedprice per returnflag:
     // cents-integer bins, p50/p90/p99 by integer rank interpolation. The

@@ -293,4 +293,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
     assert(counts == Map("tiny" -> 4L, "big" -> 100L))
   }
+
+  test("qualityLr: weights bounded, score is the order-invariant mean, repetition leaves it fixed") {
+    import graft.ext.TextAnalysis
+    val w = TextAnalysis.qualityLrWeights(spark, 4096).collect()
+    assert(w.length == 4096)
+    assert(w.forall(r => math.abs(r.getAs[Long]("w_milli")) <= 1000))
+
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"), // same bag, different order
+      (3L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon") // doc 1 twice
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityLr(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L)._2 == got(2L)._2, "bag-of-words: token order cannot move the score")
+    assert(got(1L)._3 == got(2L)._3)
+    assert(got(3L)._1 == 2 * got(1L)._1)
+    assert(got(3L)._2 == got(1L)._2, "exact repetition keeps the mean weight fixed")
+  }
+
+  test("qualityLr: keep is the sign of the integer weight sum, never of the floored mean") {
+    import graft.ext.TextAnalysis
+    // recompute the integer sum per doc from the weight table and check
+    // keep thresholds on it (score floors toward -inf, so a tiny positive
+    // mean can surface as 0.0 while keep stays true)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val weights = TextAnalysis.qualityLrWeights(spark, 4096)
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(TextAnalysis.words(col("text"))).as("tok"))
+    val sums = toks
+      .withColumn("bucket", graft.ext.Sketches.hash60(col("tok")) % 4096)
+      .join(weights, "bucket")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("w_milli").as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
+    val got = TextAnalysis.qualityLr(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got.nonEmpty && got.forall { case (id, keep) => keep == (sums(id) > 0) })
+  }
 }

@@ -117,4 +117,55 @@ class SketchesSpec extends AnyFunSuite {
     assert(cells(0L) == 2L, "negative clamps to bin 0") // -5.0 and 0.5
     assert(cells(99L) == 2L, "overflow clamps to the last bin") // 99.5 and 250.0
   }
+
+  private val K = 128
+
+  test("kmv: estimate within 25% on 5000 distinct values (k=128 → σ≈8.9%)") {
+    val vals = (1 to 5000).map(i => ("g", s"value-$i")).toDF("grp", "v")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(vals, "grp", "v", K), "grp", K)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est too far from 5000")
+  }
+
+  test("kmv: exact count below k; duplicates do not move the sketch") {
+    val once = (1 to 50).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val thrice = (1 to 3).flatMap(_ => (1 to 50).map(i => ("g", s"v$i"))).toDF("grp", "v")
+    val e1 = Sketches.kmvEstimate(Sketches.kmvSketch(once, "grp", "v", K), "grp", K).collect().head
+    val e3 = Sketches.kmvEstimate(Sketches.kmvSketch(thrice, "grp", "v", K), "grp", K).collect().head
+    assert(e1.getAs[Double]("est_distinct") == 50.0, "under k the sketch is the exact value set")
+    assert(e1.getAs[Double]("est_distinct") == e3.getAs[Double]("est_distinct"))
+    assert(e1.getAs[Long]("n_vals") == e3.getAs[Long]("n_vals"))
+  }
+
+  test("kmv: sketches of two halves merge into the whole-corpus sketch") {
+    val a = (1 to 1500).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val b = (1000 to 2500).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val whole = Sketches.kmvSketch(a.union(b), "grp", "v", K)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = Sketches.kmvMerge(
+        Sketches.kmvSketch(a, "grp", "v", K).union(Sketches.kmvSketch(b, "grp", "v", K)), "grp", K)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(whole == merged, "bottom-k of the union == bottom-k of the union of bottom-ks")
+  }
+
+  test("kmv: overlap estimates track exact Jaccard and union within the k=128 error band") {
+    // |A| = 3000, |B| = 5000, |A∩B| = 1000 → J = 1/7, |A∪B| = 7000
+    val a = (1 to 3000).map(i => ("a", s"v$i")).toDF("grp", "v")
+    val b = (2001 to 7000).map(i => ("b", s"v$i")).toDF("grp", "v")
+    val ov = Sketches.kmvOverlap(Sketches.kmvSketch(a.union(b), "grp", "v", K), "grp", K)
+      .collect().head
+    val j = ov.getAs[Double]("jaccard_est")
+    val u = ov.getAs[Double]("union_est")
+    assert(math.abs(j - 1000.0 / 7000.0) < 0.12, s"jaccard_est $j vs exact ${1000.0 / 7000.0}")
+    assert(math.abs(u - 7000.0) / 7000.0 < 0.25, s"union_est $u vs exact 7000")
+  }
+
+  test("kmv: overlap is exact when the pair holds under k distinct values combined") {
+    val a = (1 to 40).map(i => ("a", s"v$i")).toDF("grp", "v")
+    val b = (21 to 60).map(i => ("b", s"v$i")).toDF("grp", "v")
+    val ov = Sketches.kmvOverlap(Sketches.kmvSketch(a.union(b), "grp", "v", K), "grp", K)
+      .collect().head
+    assert(ov.getAs[Double]("jaccard_est") == math.rint(20.0 / 60.0 * 1e4) / 1e4)
+    assert(ov.getAs[Double]("union_est") == 60.0)
+  }
 }
