@@ -101,6 +101,36 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("c"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): restrict exact-cosine comparison to vectors
+    * sharing an IVF coarse cell — the k-means-cluster-then-compare
+    * recipe, on the engine's own deterministic spherical quantizer
+    * (`buildIvfIndex`), so the index a pipeline already maintains for ANN
+    * doubles as its semantic-dedup partitioner.
+    *
+    * Scale shape: one self-equi-join on `cell` (pair work is Σ cell²,
+    * bounded by the quantizer's balance — nlist grows with the corpus
+    * exactly like `lshBitsFor` grows LSH bits) and the candidate join
+    * carries (cell, id, vec) rows already materialized by the index
+    * build; no all-pairs stage exists anywhere. Versus `lshPairs`: cells
+    * give RECALL within a semantic region even when sign-bit buckets
+    * split near-identical vectors; the cost is the coarse quantizer's
+    * coverage (cross-cell near-dups at the cell boundary are missed —
+    * the same recall contract SemDeDup itself accepts).
+    */
+  def semanticPairs(index: IvfIndex, tau: Double): DataFrame = {
+    val a = index.assigned.select(col("cell"), col("id"), col("vec"), col("nrm"))
+    a.as("a")
+      .join(a.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("cosine") >= tau)
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        col("a.cell").cast("long").as("cell"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Occupancy-aware hash length: LSH pair cost is Σ bucket² per table,
     * so the expected bucket size must stay ~constant as the corpus grows
     * — a FIXED nBits at 10× the corpus is 100× the candidates (measured:

@@ -1070,6 +1070,28 @@ object ExtQueries {
               |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
               |FROM p WHERE cosine >= 0.4""".stripMargin)
     ),
+    // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
+    // to vectors sharing an IVF coarse cell — the ANN index the pipeline
+    // already maintains doubles as the dedup partitioner. The oracle
+    // replays the full deterministic quantizer build (ivfBuildCte, the
+    // sim_ivf_topk chain) and the within-cell exact-cosine verify, so the
+    // cluster boundaries AND the survivors hash-match.
+    Q(
+      "dedup_semantic",
+      (s, dir) => {
+        val idx = ivfIdx.getOrElseUpdate(
+          dir, Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding"))
+        Similarity.semanticPairs(idx, tau = 0.4)
+      },
+      Some(s"""WITH $ivfBuildCte,
+              |p AS (SELECT a.id ida, b.id idb, a.cell,
+              |        list_sum(list_transform(range(1, 65), i -> ua.v[i] * ub.v[i])) / (ua.nrm * ub.nrm) cosine
+              |      FROM af a JOIN af b ON a.cell = b.cell AND a.id < b.id
+              |      JOIN uq ua ON ua.id = a.id JOIN uq ub ON ub.id = b.id)
+              |SELECT ida AS id_a, idb AS id_b, CAST(cell AS BIGINT) AS cell,
+              |  round(cosine, 4) AS cosine
+              |FROM p WHERE cosine >= 0.4""".stripMargin)
+    ),
     // The ext SQL surface: a dedup+text pipeline from PURE SQL strings —
     // near-dup degree per doc joined with its top tf·idf keyword, the
     // candidates-for-removal report a SQL-only user would write. The

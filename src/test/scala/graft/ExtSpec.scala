@@ -491,6 +491,29 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("semanticPairs: verified subset of exact pairs; within-cell recall is total; dups always pair") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding")
+    val sem = Similarity.semanticPairs(idx, tau = 0.4).collect()
+    val semSet = sem.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(sem.nonEmpty)
+    assert(semSet.subsetOf(exact), "within-cell exact cosine can never invent a pair")
+    // recall is exactly the within-cell restriction — recompute it from the assignment
+    val cellOf = idx.assigned.select(col("id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    val expected = exact.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(semSet == expected, "semanticPairs = exact pairs restricted to shared cells")
+    // an identical-vector dup lands in the same cell at any quantizer state
+    val base = e.limit(50)
+    val dup = base.where(col("vec_id") === 7).select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val idx2 = Similarity.buildIvfIndex(base.unionByName(dup), "vec_id", "embedding")
+    val got = Similarity.semanticPairs(idx2, tau = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.contains((7L, 100000L)), "planted identical vector must pair with its twin")
+  }
+
   test("cosinePairs refuses to broadcast a corpus over the row bound") {
     val e = Tables.embeddings(spark, sf)
     val ex = intercept[IllegalArgumentException] {
