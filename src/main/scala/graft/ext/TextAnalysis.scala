@@ -815,6 +815,94 @@ object TextAnalysis {
       .select(col("token"), col("df"), col(idCol), col("tf"), col("positions"))
   }
 
+  /** Real byte-pair-encoding training, vocabulary-table formulation: the
+    * corpus collapses to (word, count) ONCE, and every merge round runs
+    * over that vocabulary weighted by frequency — the standard trainer
+    * shape (Sennrich et al. 2016), and the reason BPE training scales:
+    * rounds cost O(|vocab|), not O(corpus), and the per-round reduction
+    * is one partial-aggregated groupBy + a 1-row argmax collect (the
+    * merge decision is inherently sequential — that one row per round is
+    * the entire driver traffic).
+    *
+    * Word pieces live in the DOUBLED-SPACE string form ` c  h  a  r `:
+    * adjacent-pair merge is then ONE non-overlapping left-to-right
+    * `replace(' l  r ', ' lr ')` — each match consumes only its own
+    * boundary spaces, so consecutive occurrences still match, which makes
+    * the greedy merge semantics identical in Spark and the SQL oracle by
+    * construction.
+    *
+    * Returns the merge table rows and the final vocabulary
+    * (word, cnt, s) with `s` still in doubled-space form.
+    */
+  def bpeTrainVocab(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = df
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "s",
+        expr("' ' || array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), '  ') || ' '"))
+    vocab.persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), split(trim(col("s")), "  ").as("t"))
+        .where(size(col("t")) >= 2) // sequence(1,0) would count down — and 1-piece words have no pairs
+        .select(
+          col("cnt"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getAs[String]("l")
+        val r = top(0).getAs[String]("r")
+        merges += ((rank.toLong, l, r, top(0).getAs[Long]("pc")))
+        val next = vocab
+          .withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .persist()
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** The learned merge table of `bpeTrainVocab` as a DataFrame:
+    * (merge_rank, lhs, rhs, cnt) in training order.
+    */
+  def bpeMergeTable(spark: org.apache.spark.sql.SparkSession, merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Tokenize-by-vocabulary: per-document REAL BPE token counts from the
+    * trained vocabulary — the serving half of BPE (words join the
+    * broadcast vocab→pieces map; no per-document merge loop ever runs).
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame = {
+    val np = vocab.select(col("word"), size(split(trim(col("s")), "  ")).cast("long").as("np"))
+    df.select(col(idCol), explode(words(col(textCol))).as("wd"))
+      .where(col("wd") =!= "")
+      .join(broadcast(np), col("wd") === col("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+  }
+
   /** The frozen weight vector of `qualityLr`: one milli-unit integer
     * weight per hash bucket, derived deterministically from md5 of the
     * bucket id (range [−1000, 1000]). A stand-in for trained fasttext-

@@ -633,6 +633,34 @@ class ExtSpec extends AnyFunSuite {
     out.foreach(m => assert(m.width >= 1 && m.width <= 64 && m.n_bytes > 0))
   }
 
+  test("real BPE: hand-computed merge order, greedy left-to-right pieces, serving counts") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrainVocab(docs, "text", nMerges = 2)
+    // vocab: aaab cnt 2, ab cnt 1. Round 1 pairs: (a,a)=4 (GREEDY: 2 per
+    // aaab, not 3 — overlapping occurrences don't double-count), (a,b)=3
+    // → merge (a,a). Round 2: (aa,a)=2, (a,b)=3 → merge (a,b).
+    assert(merges.map(m => (m._2, m._3, m._4)) == Seq(("a", "a", 4L), ("a", "b", 3L)))
+    val pieces = vocab.collect().map(r => r.getAs[String]("word") -> r.getAs[String]("s").trim.split("  ").toSeq).toMap
+    assert(pieces("aaab") == Seq("aa", "ab"), "greedy: ' a a a b ' → ' aa a b ' → ' aa ab '")
+    assert(pieces("ab") == Seq("ab"))
+    val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", vocab).collect().head
+    assert(counts.getAs[Long]("n_bpe_tokens") == 2 + 2 + 1, "2 pieces per aaab, 1 for ab")
+    assert(counts.getAs[Long]("n_words") == 3)
+    vocab.unpersist(blocking = false): Unit
+  }
+
+  test("real BPE: corpus repetition scales pair counts but never reorders the learned merges") {
+    import graft.ext.TextAnalysis
+    val base = Tables.documents(spark, sf).limit(120)
+    val (m1, v1) = TextAnalysis.bpeTrainVocab(base, "text", nMerges = 4)
+    val (m3, v3) = TextAnalysis.bpeTrainVocab(base.union(base).union(base), "text", nMerges = 4)
+    assert(m1.map(m => (m._1, m._2, m._3)) == m3.map(m => (m._1, m._2, m._3)))
+    assert(m3.map(_._4) == m1.map(_._4 * 3))
+    v1.unpersist(blocking = false)
+    v3.unpersist(blocking = false): Unit
+  }
+
   test("BPE-ish tokenizer: letter/digit/punct runs with space prefixes, hand-checked counts") {
     import spark.implicits._
     val fixture = Seq(
