@@ -18,7 +18,7 @@ object Bench {
     // wall time measures the replay harness, not a distributed operator —
     // excluded here (Verify still runs them)
     val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_sessions", "stream_join",
-      "stream_join_outer", "stream_enrich")
+      "stream_join_outer", "stream_enrich", "stream_kmv")
     val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1)).sortBy(_._1)
     // warm pass: JIT + codegen + parquet footer caches (BASELINE.md
     // measurement plan: warm JVM, median of 3)

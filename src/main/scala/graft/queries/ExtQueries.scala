@@ -1459,6 +1459,34 @@ object ExtQueries {
              |        ELSE 127.0 * (1152921504606846976.0 / hk) END, 4) AS est_distinct
              |FROM e""".stripMargin)
     ),
+    // Streaming KMV: the custom-state live twin of sketch_kmv — bottom-k
+    // maintained in flatMapGroupsWithState (k longs per group, forever),
+    // replayed in 25 micro-batches; the final snapshot must equal the
+    // batch sketch EXACTLY (bottom-k is arrival-order independent), so
+    // the same batch SQL oracle covers the streaming path.
+    Q(
+      "stream_kmv",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(
+            col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), col("doc_id"), Sketches.hash60(col("tok")).as("hval"))
+          .collect()
+          .map(r => graft.streaming.SketchStream.TokArrival(r.getString(0), r.getLong(1), r.getLong(2)))
+        val sketch = graft.streaming.SketchStream.kmvReplay(s, toks.toIndexedSeq, chunks = 25, k = 128)
+        Sketches.kmvEstimate(sketch.withColumnRenamed("grp", "source"), "source", k = 128)
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+             |h AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM t),
+             |r AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM h),
+             |sk AS (SELECT source, hval FROM r WHERE pos <= 128),
+             |e AS (SELECT source, CAST(count(*) AS BIGINT) n_vals, max(hval) hk FROM sk GROUP BY 1)
+             |SELECT source, n_vals,
+             |  round(CASE WHEN n_vals < 128 THEN CAST(n_vals AS DOUBLE)
+             |        ELSE 127.0 * (1152921504606846976.0 / hk) END, 4) AS est_distinct
+             |FROM e""".stripMargin)
+    ),
     // KMV set algebra: pairwise cross-source token overlap from ONE
     // sketch table — Jaccard = |bottom-k(A∪B) ∩ A ∩ B| / k and the union
     // cardinality, the cross-corpus contamination/mixing audit HLL can't

@@ -542,4 +542,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_ == "X") == 2, s"evicted key must re-emit, got ${rows.toSeq}")
     assert(rows.count(_ == "Y") == 1)
   }
+
+  test("streaming KMV: final snapshot equals the batch sketch at any chunking; state stays <= k") {
+    import graft.ext.Sketches
+    import graft.streaming.SketchStream
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    val toks = docs
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), col("doc_id"), Sketches.hash60(col("tok")).as("hval"))
+      .collect()
+      .map(r => SketchStream.TokArrival(r.getString(0), r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    val k = 32
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String](0), r.getAs[Long]("hval"), r.getAs[Long]("pos"))).toSet
+    val batch = sketchOf(Sketches.kmvSketch(
+      docs.select(col("source").as("grp"), explode(split(col("text"), " ")).as("tok")),
+      "grp", "tok", k))
+    val few = sketchOf(SketchStream.kmvReplay(spark, toks, chunks = 3, k = k))
+    val many = sketchOf(SketchStream.kmvReplay(spark, toks, chunks = 40, k = k))
+    assert(few == many, "bottom-k is arrival-order independent: chunking cannot move the snapshot")
+    assert(few == batch, "streaming final snapshot == batch kmvSketch")
+    // per-group state/snapshot boundedness
+    val perGroup = few.groupBy(_._1).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ <= k))
+  }
 }
