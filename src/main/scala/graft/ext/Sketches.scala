@@ -397,6 +397,55 @@ object Sketches {
       .distinct()
   }
 
+  /** Fused tokenize→hash→partial-bottom-k kernel: the whole
+    * explode-tokens-then-rank pipeline of `kmvSketch(token-explode(docs))`
+    * collapsed into ONE mapPartitions pass (the `hllShingleRegisters`
+    * pattern) — each partition keeps a group→TreeSet of at most k hashes
+    * and emits only those ≤ k·groups rows, so no per-token Tungsten row
+    * or shuffle entry ever exists; tokens above the partition's current
+    * k-th smallest hash don't even allocate. Hash-identical to the
+    * declarative path by construction (same single-space split, same
+    * md5-top-60-bit hash), and the trailing distinct+rank merges partials
+    * exactly like `kmvMerge` — the same SQL oracle replays it, and
+    * equality with `kmvSketch` is pinned in SketchesSpec.
+    */
+  def kmvTokenSketch(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df
+      .select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sets = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+        rows.foreach { case (grp, text) =>
+          val set = sets.computeIfAbsent(grp, _ => new java.util.TreeSet[java.lang.Long]())
+          val toks = text.split(" ", -1)
+          var i = 0
+          while (i < toks.length) {
+            val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            h = h >>> 4 // top 60 bits = first 15 hex chars of the digest
+            if (set.size < k) { set.add(h): Unit }
+            else if (h < set.last) {
+              set.add(h)
+              if (set.size > k) { set.pollLast(): Unit }
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        sets.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator().asScala.map(h => (e.getKey, h.longValue()))
+        }
+      }
+      .toDF(groupCol, "hval")
+    kmvMerge(partials, groupCol, k)
+  }
+
   /** Merge KMV sketch tables (union the inputs first): re-rank and keep
     * the k smallest per group — the bottom-k of a union is the bottom-k
     * of the union of bottom-ks, so merging loses nothing. Output carries
@@ -444,25 +493,23 @@ object Sketches {
     * scales with corpus size, only with the number of groups.
     */
   def kmvOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
-    val s = sketch.select(col(groupCol).cast("string").as("g"), col("hval"))
-    val names = s.select(col("g")).distinct()
-    val pairs = broadcast(
-      names.select(col("g").as("ga")).join(names.select(col("g").as("gb")), col("ga") < col("gb")))
-    val sa = pairs.join(s, col("g") === col("ga"))
-      .select(col("ga"), col("gb"), col("hval"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val sb = pairs.join(s, col("g") === col("gb"))
-      .select(col("ga"), col("gb"), col("hval"), lit(0).as("in_a"), lit(1).as("in_b"))
-    val byPair = Window.partitionBy(col("ga"), col("gb")).orderBy(col("hval"))
-    sa.union(sb)
-      .groupBy(col("ga"), col("gb"), col("hval"))
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-      .withColumn("pos", row_number().over(byPair))
-      .where(col("pos") <= k)
-      .groupBy(col("ga"), col("gb"))
-      .agg(
-        count(lit(1)).as("n_merged"),
-        sum(col("in_a") * col("in_b")).as("n_both"),
-        max(col("hval")).as("hk"))
+    // one aggregation packs each group's sketch into a ≤k ascending array
+    // (bounded partial state — the input is already ≤k rows per group),
+    // then the group-pair frame is a broadcast cross of #groups rows and
+    // every estimator is in-row array algebra: merged bottom-k =
+    // slice(sort(union)), membership via intersect — no per-hash shuffle,
+    // no window, pairs·k work total
+    val s = sketch
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sort_array(collect_set(col("hval"))).as("hs"))
+    s.select(col("g").as("ga"), col("hs").as("ha"))
+      .join(broadcast(s.select(col("g").as("gb"), col("hs").as("hb"))), col("ga") < col("gb"))
+      .withColumn("mk", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("n_merged", size(col("mk")).cast("long"))
+      .withColumn(
+        "n_both",
+        size(array_intersect(array_intersect(col("mk"), col("ha")), col("hb"))).cast("long"))
+      .withColumn("hk", element_at(col("mk"), -1))
       .select(
         col("ga"),
         col("gb"),

@@ -1444,11 +1444,13 @@ object ExtQueries {
     // the shuffle at ≤ k rows per group per input partition.
     Q(
       "sketch_kmv",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        Sketches.kmvEstimate(Sketches.kmvSketch(toks, "source", "tok", k = 128), "source", k = 128)
-      },
+      (s, dir) =>
+        // FUSED kernel (kmvTokenSketch): no per-token row or shuffle
+        // entry; SketchesSpec pins exact equality with the declarative
+        // kmvSketch path, and the oracle replays either identically
+        Sketches.kmvEstimate(
+          Sketches.kmvTokenSketch(Tables.documents(s, dir), "source", "text", k = 128),
+          "source", k = 128),
       Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
              |h AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM t),
              |r AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM h),
@@ -1494,11 +1496,10 @@ object ExtQueries {
     // pair holds under k distinct tokens combined.
     Q(
       "sketch_kmv_overlap",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        Sketches.kmvOverlap(Sketches.kmvSketch(toks, "source", "tok", k = 128), "source", k = 128)
-      },
+      (s, dir) =>
+        Sketches.kmvOverlap(
+          Sketches.kmvTokenSketch(Tables.documents(s, dir), "source", "text", k = 128),
+          "source", k = 128),
       Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
              |h AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM t),
              |r AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM h),

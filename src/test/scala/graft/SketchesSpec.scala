@@ -148,6 +148,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole == merged, "bottom-k of the union == bottom-k of the union of bottom-ks")
   }
 
+  test("kmv: fused token kernel emits the exact sketch of the declarative path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val declarative = Sketches.kmvSketch(
+        docs.select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        "source", "tok", K)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fused = Sketches.kmvTokenSketch(docs, "source", "text", K)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == declarative)
+  }
+
   test("kmv: overlap estimates track exact Jaccard and union within the k=128 error band") {
     // |A| = 3000, |B| = 5000, |A∩B| = 1000 → J = 1/7, |A∪B| = 7000
     val a = (1 to 3000).map(i => ("a", s"v$i")).toDF("grp", "v")
