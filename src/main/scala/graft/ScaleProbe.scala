@@ -12,8 +12,9 @@ import graft.ext.Dedup
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val tau = if (args.length > 1) args(1).toDouble else 0.5
-    val maxBucket = if (args.length > 2) args(2).toInt else 100
+    val semanticMode = args.length > 1 && args(1) == "semantic"
+    val tau = if (!semanticMode && args.length > 1) args(1).toDouble else 0.5
+    val maxBucket = if (!semanticMode && args.length > 2) args(2).toInt else 100
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -27,6 +28,22 @@ object ScaleProbe {
       val r = f
       println(f"[scaleprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
+    }
+    // semantic-dedup mode: runMain graft.ScaleProbe <sfDir> semantic [nlist]
+    // — times buildIvfIndex + within-cell pairing at the given (or
+    // occupancy-aware) nlist; the numbers behind the ivfListsFor sizing
+    // rule in BENCH_NOTES
+    if (semanticMode) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val nlist =
+        if (args.length > 2) args(2).toInt else graft.ext.Similarity.ivfListsFor(n)
+      timed(s"semanticPairs n=$n nlist=$nlist") {
+        val idx = graft.ext.Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = nlist)
+        println(s"[scaleprobe] sem_pairs = ${graft.ext.Similarity.semanticPairs(idx, 0.4).count()}")
+      }
+      spark.stop()
+      return
     }
     val docs = Tables.documents(spark, sfDir)
     val funnel = timed("minhash funnel") {

@@ -118,6 +118,35 @@ object Similarity {
     * coverage (cross-cell near-dups at the cell boundary are missed —
     * the same recall contract SemDeDup itself accepts).
     */
+  /** Occupancy-aware coarse-cell count — the IVF twin of `lshBitsFor`:
+    * within-cell pair cost is Σ cell², so the expected cell size must
+    * stay ~constant as the corpus grows; a FIXED nlist at 10× the corpus
+    * is ~100× the candidate pairs (measured on `semanticPairs` at
+    * 20k vectors: 142 s with nlist=16 vs 11.6 s at the auto nlist=256,
+    * same twins found — BENCH_NOTES r8). nlist =
+    * 2^ceil(log2(n / targetCell)) clamped to [16, 65536], a power of two
+    * so the LCG-hyperplane seeding keeps one seed region per cell id.
+    * At the sf0.1 gate (n=2000) this yields exactly the pinned nlist=16,
+    * so the oracle-replayed gate row IS the auto configuration there.
+    */
+  def ivfListsFor(n: Long, targetCell: Int = 128): Int = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    val want = math.max(1L, (n + targetCell - 1) / targetCell)
+    val bits = math.min(16, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
+    1 << bits
+  }
+
+  /** `semanticPairs` with the index built at the occupancy-aware nlist —
+    * the configuration a production semantic-dedup pass actually runs
+    * (the gate row pins nlist=16 because the oracle replays that exact
+    * quantizer; this default keeps cell sizes ~targetCell at any corpus
+    * size).
+    */
+  def semanticPairsAuto(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
+    val n = df.count()
+    semanticPairs(buildIvfIndex(df, idCol, embCol, nlist = ivfListsFor(n)), tau)
+  }
+
   def semanticPairs(index: IvfIndex, tau: Double): DataFrame = {
     val a = index.assigned.select(col("cell"), col("id"), col("vec"), col("nrm"))
     a.as("a")

@@ -514,6 +514,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got.contains((7L, 100000L)), "planted identical vector must pair with its twin")
   }
 
+  test("ivfListsFor: ~constant cell occupancy, power-of-two, clamped; auto == pinned at gate scale") {
+    import graft.ext.Similarity
+    assert(Similarity.ivfListsFor(2000) == 16, "the sf0.1 gate corpus auto-sizes to the pinned nlist")
+    assert(Similarity.ivfListsFor(20000) == 256)
+    assert(Similarity.ivfListsFor(10) == 16, "floor clamp")
+    assert(Similarity.ivfListsFor(100_000_000_000L) == 65536, "ceiling clamp")
+    for (n <- Seq(5000L, 50000L, 500000L)) {
+      val nl = Similarity.ivfListsFor(n)
+      assert((nl & (nl - 1)) == 0, "power of two for LCG seed regions")
+      assert(n.toDouble / nl <= 128.0 * 2 + 1, s"occupancy stays near target at n=$n")
+    }
+    val e = Tables.embeddings(spark, sf)
+    val auto = Similarity.semanticPairsAuto(e, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val pinned = Similarity.semanticPairs(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding"), tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(auto == pinned, "at gate scale the auto-sized build is the pinned build")
+  }
+
   test("cosinePairs refuses to broadcast a corpus over the row bound") {
     val e = Tables.embeddings(spark, sf)
     val ex = intercept[IllegalArgumentException] {
