@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over an edge table — the companion to the dedup
+  * pipeline's label-propagation components (`Dedup.clusters`): where LP
+  * answers "which docs are the same", PageRank answers "which nodes
+  * matter", the crawl-prioritization / source-authority signal of a
+  * training-data pipeline (rank domains by who syndicates whom, weight
+  * mixing toward authoritative sources).
+  *
+  * Standard distributed formulation: each iteration is ONE equi-join of
+  * the rank table onto the edge list plus one partial-aggregated groupBy
+  * on dst — no driver-side state, no collect; cost per round is
+  * O(|edges|) shuffled by node key, the textbook Pregel-on-a-join shape
+  * that scales to any edge count Spark can shuffle.
+  *
+  * Determinism: ranks live in integer MICRO-units (start 1e6 per node).
+  * Per round, a node keeps teleport mass (1−d) = 150000 micro and ships
+  * d = 850/1000 of its rank split proportionally over out-edge weights,
+  * with explicit truncating division at each step —
+  * `((rm · 850) DIV 1000) · w DIV ow` — so every engine computes the
+  * identical integers (all operands positive: truncation == floor in
+  * Spark and DuckDB alike). Mass lost to truncation and to dangling
+  * nodes (no out-edges) is dropped, not redistributed — the simple PR
+  * variant; ranks are comparison signals, not probabilities.
+  */
+object Graph {
+
+  /** `iters` PageRank rounds over weighted directed edges
+    * (srcCol, dstCol, wCol). Returns (node, rank_micro, rank) for every
+    * node appearing as a source or destination.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val e = edges.select(
+      col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(wCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew = e.join(outW, "src") // (src, dst, w, ow) — static across rounds
+    var rank = nodes.withColumn("rm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(((rm * 850) DIV 1000) * w) DIV ow").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      rank = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rm"))
+    }
+    rank.select(
+      col("node"),
+      col("rm").as("rank_micro"),
+      (col("rm") / 1000000.0).as("rank"))
+  }
+}

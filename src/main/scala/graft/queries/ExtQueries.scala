@@ -138,6 +138,23 @@ object ExtQueries {
       .map(i => s"SELECT CAST(${i + 1} AS BIGINT) merge_rank, l lhs, r rhs, CAST(pc AS BIGINT) cnt FROM m$i")
       .mkString(" UNION ALL ")
 
+  /** DuckDB replay of `Graph.pageRank` over the source-syndication graph:
+    * unrolled rank rounds r1..r$iters, each the identical truncating
+    * integer arithmetic `(((rm · 850) // 1000) · w) // ow` + 150000 micro
+    * teleport. Assumes CTEs `ew(src,dst,w,ow)` and `nd(node)` are already
+    * defined.
+    */
+  private def prCte(iters: Int): String = {
+    val sb = new StringBuilder("r0 AS (SELECT node, CAST(1000000 AS BIGINT) rm FROM nd)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |c$i AS (SELECT ew.dst node, sum((((r.rm * 850) // 1000) * ew.w) // ew.ow) m
+        |        FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1),
+        |r$i AS (SELECT nd.node, 150000 + coalesce(c$i.m, 0) rm FROM nd LEFT JOIN c$i USING (node))""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def pairsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     artifactFor(s, dir, "pairs") {
       Dedup.minhashLshPairs(
@@ -1156,6 +1173,39 @@ object ExtQueries {
               |      FROM cand JOIN n na ON na.vec_id = ida JOIN n nb ON nb.vec_id = idb)
               |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
               |FROM p WHERE cosine >= 0.4""".stripMargin)
+    ),
+    // Graph centrality: PageRank over the cross-source syndication graph
+    // (edges = cross-source near-dup pair counts from the MinHash pair
+    // artifact) — the crawl-prioritization companion to the LP cluster
+    // components. Integer micro-unit ranks with explicit truncating
+    // division each round; the oracle unrolls the identical 3 rounds.
+    Q(
+      "graph_pagerank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        val p = pairsFor(s, dir)
+        val und = p
+          .join(docs.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(docs.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .where(col("sa") =!= col("sb"))
+          .groupBy(least(col("sa"), col("sb")).as("s1"), greatest(col("sa"), col("sb")).as("s2"))
+          .agg(count(lit(1)).as("w"))
+        val sym = und.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+          .union(und.select(col("s2"), col("s1"), col("w")))
+        graft.ext.Graph.pageRank(sym, "src", "dst", "w", iters = 3)
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |ds AS (SELECT doc_id, source FROM documents),
+              |pe AS (SELECT least(a.source, b.source) s1, greatest(a.source, b.source) s2, count(*) w
+              |       FROM mh_pairs p JOIN ds a ON p.da = a.doc_id JOIN ds b ON p.db = b.doc_id
+              |       WHERE a.source <> b.source GROUP BY 1, 2),
+              |ed AS (SELECT s1 src, s2 dst, w FROM pe UNION ALL SELECT s2, s1, w FROM pe),
+              |nd AS (SELECT src node FROM ed UNION SELECT dst FROM ed),
+              |ow AS (SELECT src, sum(w) ow FROM ed GROUP BY 1),
+              |ew AS (SELECT ed.src, ed.dst, ed.w, ow.ow FROM ed JOIN ow USING (src)),
+              |${prCte(3)}
+              |SELECT node, CAST(rm AS BIGINT) AS rank_micro, rm / 1000000.0 AS rank
+              |FROM r3""".stripMargin)
     ),
     // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
     // to vectors sharing an IVF coarse cell — the ANN index the pipeline

@@ -491,6 +491,24 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("pageRank: hand-computed micro-ranks, weight-proportional split with truncation, dangling drop") {
+    import graft.ext.Graph
+    // a→b, c→b: b accumulates; a,c keep only teleport; b is dangling
+    val e1 = Seq(("a", "b", 1L), ("c", "b", 1L)).toDF("src", "dst", "w")
+    val r2 = Graph.pageRank(e1, "src", "dst", "w", iters = 2).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro")).toMap
+    // r1: b = 150000 + 2·(1000000·850)÷1000 = 1850000; a = c = 150000
+    // r2: b = 150000 + 2·(150000·850)÷1000 = 405000 (b's own mass drops: dangling)
+    assert(r2 == Map("a" -> 150000L, "b" -> 405000L, "c" -> 150000L))
+    // weight-proportional split with per-edge truncation: d→e (w2), d→f (w1)
+    val e2 = Seq(("d", "e", 2L), ("d", "f", 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(e2, "src", "dst", "w", iters = 1).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro")).toMap
+    assert(r1("e") == 150000L + (850000L * 2) / 3)
+    assert(r1("f") == 150000L + 850000L / 3)
+    assert(r1("d") == 150000L)
+  }
+
   test("semanticPairs: verified subset of exact pairs; within-cell recall is total; dups always pair") {
     val e = Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding")
