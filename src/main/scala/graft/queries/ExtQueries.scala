@@ -1242,8 +1242,11 @@ object ExtQueries {
         graft.functions.ExtTableFunctions.register(s)
         Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
         s.sql(
+          // explode(array(...)), not `FROM p UNION ALL ... FROM p`: Spark
+          // INLINES CTEs, so two references to p would run the whole
+          // minhash pipeline twice (measured 2x on this row)
           """WITH p AS (SELECT * FROM minhash_pairs('graft_sql_docs', 0.3)),
-            |e AS (SELECT da AS doc_id FROM p UNION ALL SELECT db AS doc_id FROM p),
+            |e AS (SELECT explode(array(da, db)) AS doc_id FROM p),
             |deg AS (SELECT doc_id, count(*) AS n_dups FROM e GROUP BY doc_id),
             |kw AS (SELECT doc_id, wd AS top_term FROM tfidf_topk('graft_sql_docs', 1))
             |SELECT d.doc_id, d.n_dups, k.top_term
