@@ -13,8 +13,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val semanticMode = args.length > 1 && args(1) == "semantic"
-    val tau = if (!semanticMode && args.length > 1) args(1).toDouble else 0.5
-    val maxBucket = if (!semanticMode && args.length > 2) args(2).toInt else 100
+    val ppjoinMode = args.length > 1 && args(1) == "ppjoin"
+    val namedMode = semanticMode || ppjoinMode
+    val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
+    val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 100
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -33,6 +35,16 @@ object ScaleProbe {
     // — times buildIvfIndex + within-cell pairing at the given (or
     // occupancy-aware) nlist; the numbers behind the ivfListsFor sizing
     // rule in BENCH_NOTES
+    // ppjoin-funnel mode: runMain graft.ScaleProbe <sfDir> ppjoin [tau]
+    if (ppjoinMode) {
+      val t = if (args.length > 2) args(2).toDouble else 0.5
+      val f = timed(s"ppjoin funnel tau=$t") {
+        Dedup.ppjoinFunnel(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, tau = t)
+      }
+      f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
+      spark.stop()
+      return
+    }
     if (semanticMode) {
       val emb = Tables.embeddings(spark, sfDir)
       val n = emb.count()

@@ -950,6 +950,24 @@ object ExtQueries {
           |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
           |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.3""".stripMargin)
     ),
+    // Exact set-similarity join by prefix filtering (PPJoin): LOSSLESS
+    // candidate pruning — any Jaccard ≥ τ pair must share a token in
+    // both docs' rarest-token prefixes — so the oracle is simply the
+    // exact all-pairs join: banding-style cost, zero recall loss.
+    Q(
+      "dedup_ppjoin",
+      (s, dir) => Dedup.ppjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+             |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |jc AS (SELECT da, db, CAST(i AS DOUBLE) / (na.n + nb.n - i) jaccard
+             |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
+             |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.5""".stripMargin)
+    ),
     // MinHash-LSH banding + exact verification — the 100 TB dedup path.
     // Every stage is md5-based so the whole pipeline (shingle-hash sets →
     // 16-perm signatures → 4-band bucketing with the >1,≤100 bucket cap →

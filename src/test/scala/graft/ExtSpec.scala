@@ -36,6 +36,22 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case ((a, b), _) => b == 4L || a == 4L })
   }
 
+  test("ppjoin: prefix filtering is LOSSLESS — output equals the exact unblocked Jaccard join") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard"))).toSet
+    for (tau <- Seq(0.3, 0.5, 0.7)) {
+      val pp = pairSet(Dedup.ppjoinPairs(docs, "doc_id", "text", n = 3, tau = tau))
+      val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = tau))
+      assert(pp == exact, s"tau=$tau: prefix filter must lose nothing and invent nothing")
+      assert(pp.nonEmpty, s"tau=$tau: the planted dups must appear")
+    }
+    // the funnel actually prunes: candidates well under all-pairs
+    val f = Dedup.ppjoinFunnel(docs, "doc_id", "text", n = 3, tau = 0.5)
+    assert(f("candidates") < f("all_pairs") / 10, s"prefix filter barely pruned: $f")
+    assert(f("verified_pairs") <= f("candidates"))
+  }
+
   test("MinHash-LSH pairs are a subset of exact Jaccard pairs and catch the planted dups") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
       .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
