@@ -133,6 +133,9 @@ object Dedup {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted once: the hash pass feeds four consumers (df counts,
+    // prefix build, and both verify sides) — without the persist the
+    // md5 kernel recomputes per branch
     val hashed = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -146,18 +149,19 @@ object Dedup {
             .toSet[String]
             .map(g => shingleHash32(md, g))
             .toArray
+          java.util.Arrays.sort(hs)
           (id, hs)
         }
       }
       .toDF("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n"))
     val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("dfh"), col("h"))
     val prefix = sh
       .join(dfh, "h")
       .withColumn("rn", row_number().over(byRarity))
-      .join(sizes, "id")
+      .join(hashed.select(col("id"), size(col("hs")).cast("long").as("n")), "id")
       .where(col("rn") <= col("n") - expr(s"CAST(ceil(n * $tau) AS BIGINT)") + 1)
       .select(col("id"), col("h"), col("n"))
     val cand = prefix.as("a")
@@ -165,11 +169,13 @@ object Dedup {
       .select(col("a.id").as("da"), col("b.id").as("db"), col("a.n").as("na"), col("b.n").as("nb"))
       .where(expr(s"least(na, nb) >= CAST(ceil(greatest(na, nb) * $tau) AS BIGINT)"))
       .distinct()
+    // verify = in-row sorted-array intersection on the surviving
+    // candidates (late materialization of the hash sets; no token-level
+    // join explosion)
     cand
-      .join(sh.select(col("id").as("da"), col("h")), "da")
-      .join(sh.select(col("id").as("db"), col("h")), Seq("db", "h"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("i"))
+      .join(hashed.select(col("id").as("da"), col("hs").as("hsa")), "da")
+      .join(hashed.select(col("id").as("db"), col("hs").as("hsb")), "db")
+      .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= tau)
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
