@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Sketches, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -34,6 +34,9 @@ object ExtTableFunctions {
 
   val MinhashPairsName = "minhash_pairs"
   val TfidfTopKName = "tfidf_topk"
+  val QualityLrName = "quality_lr"
+  val KmvOverlapName = "kmv_overlap"
+  val PpjoinPairsName = "ppjoin_pairs"
 
   /** `minhash_pairs(table[, tau])` — MinHash-LSH near-dup pairs
     * `(da, db, jaccard)` over a `(doc_id, text)` relation.
@@ -59,11 +62,49 @@ object ExtTableFunctions {
       TextAnalysis.tfidfTopK(spark.table(table), "doc_id", "text", k))
   }
 
+  /** `quality_lr(table)` — fasttext-shaped hashed-bag-of-words quality
+    * scores `(doc_id, n_tokens, score, keep)` over a `(doc_id, text)`
+    * relation.
+    */
+  def qualityLrBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, s"usage: $QualityLrName(table)")
+    val table = FoldTableFunctions.stringArg(QualityLrName, args, 0)
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(TextAnalysis.qualityLr(spark.table(table), "doc_id", "text"))
+  }
+
+  /** `kmv_overlap(table[, k])` — pairwise cross-source KMV token overlap
+    * `(ga, gb, jaccard_est, union_est)` over a `(source, text)` relation.
+    */
+  def kmvOverlapBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $KmvOverlapName(table[, k])")
+    val table = FoldTableFunctions.stringArg(KmvOverlapName, args, 0)
+    val k = FoldTableFunctions.doubleArg(KmvOverlapName, args, 1, 128.0).toInt
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(
+      Sketches.kmvOverlap(Sketches.kmvTokenSketch(spark.table(table), "source", "text", k), "source", k))
+  }
+
+  /** `ppjoin_pairs(table[, tau])` — EXACT prefix-filtered Jaccard pairs
+    * `(da, db, jaccard)` over a `(doc_id, text)` relation.
+    */
+  def ppjoinPairsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $PpjoinPairsName(table[, tau])")
+    val table = FoldTableFunctions.stringArg(PpjoinPairsName, args, 0)
+    val tau = FoldTableFunctions.doubleArg(PpjoinPairsName, args, 1, 0.5)
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(
+      Dedup.ppjoinPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau))
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
   def register(spark: SparkSession): Unit = {
     SqlBridge.registerTableFunction(spark, MinhashPairsName, minhashPairsBuilder)
     SqlBridge.registerTableFunction(spark, TfidfTopKName, tfidfTopKBuilder)
+    SqlBridge.registerTableFunction(spark, QualityLrName, qualityLrBuilder)
+    SqlBridge.registerTableFunction(spark, KmvOverlapName, kmvOverlapBuilder)
+    SqlBridge.registerTableFunction(spark, PpjoinPairsName, ppjoinPairsBuilder)
   }
 }

@@ -76,6 +76,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "relation; fixed-point integer idf, same plan as TextAnalysis.tfidfTopK",
           ""),
         ExtTableFunctions.tfidfTopKBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.QualityLrName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.QualityLrName,
+          "quality_lr(table) - hashed-bag-of-words linear quality scores " +
+            "(doc_id, n_tokens, score, keep) over a (doc_id, text) relation",
+          ""),
+        ExtTableFunctions.qualityLrBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.KmvOverlapName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.KmvOverlapName,
+          "kmv_overlap(table[, k]) - pairwise cross-source KMV token overlap " +
+            "(ga, gb, jaccard_est, union_est) over a (source, text) relation",
+          ""),
+        ExtTableFunctions.kmvOverlapBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.PpjoinPairsName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.PpjoinPairsName,
+          "ppjoin_pairs(table[, tau]) - EXACT prefix-filtered Jaccard pairs " +
+            "(da, db, jaccard) over a (doc_id, text) relation",
+          ""),
+        ExtTableFunctions.ppjoinPairsBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

@@ -1225,6 +1225,61 @@ object ExtQueries {
               |SELECT node, CAST(rm AS BIGINT) AS rank_micro, rm / 1000000.0 AS rank
               |FROM r3""".stripMargin)
     ),
+    // Second pure-SQL pipeline: per-source quality keep-rates (quality_lr
+    // TVF) joined with each source's worst cross-source KMV overlap
+    // (kmv_overlap TVF) — the "what do I drop, what do I merge" curation
+    // report from SQL strings alone. explode(array(..)) keeps each TVF
+    // to ONE scan (Spark inlines CTEs).
+    Q(
+      "ext_sql_quality",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """WITH q AS (SELECT * FROM quality_lr('graft_sql_docs')),
+            |j AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            |        CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            |      FROM q JOIN graft_sql_docs d ON q.doc_id = d.doc_id GROUP BY d.source),
+            |o AS (SELECT source, max(jaccard_est) AS max_overlap FROM
+            |        (SELECT explode(array(ga, gb)) AS source, jaccard_est
+            |         FROM kmv_overlap('graft_sql_docs', 128))
+            |      GROUP BY source)
+            |SELECT j.source, j.n_docs, j.n_keep, o.max_overlap
+            |FROM j JOIN o ON j.source = o.source""".stripMargin)
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 bucket FROM t),
+             |wt AS (SELECT i bucket,
+             |         ('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 w
+             |       FROM range(0, 4096) r(i)),
+             |a AS (SELECT doc_id, CAST(sum(w) AS BIGINT) score_milli
+             |      FROM b JOIN wt USING (bucket) GROUP BY 1),
+             |j AS (SELECT d.source, CAST(count(*) AS BIGINT) n_docs,
+             |        CAST(sum(CASE WHEN a.score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) n_keep
+             |      FROM a JOIN documents d ON a.doc_id = d.doc_id GROUP BY d.source),
+             |kt AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+             |kh AS (SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT hval FROM kt),
+             |kr AS (SELECT source, hval, row_number() OVER (PARTITION BY source ORDER BY hval) pos FROM kh),
+             |sk AS (SELECT source g, hval FROM kr WHERE pos <= 128),
+             |gs AS (SELECT DISTINCT g FROM sk),
+             |pr AS (SELECT a.g ga, b.g gb FROM gs a JOIN gs b ON a.g < b.g),
+             |u AS (SELECT pr.ga, pr.gb, sk.hval,
+             |        max(CASE WHEN sk.g = pr.ga THEN 1 ELSE 0 END) in_a,
+             |        max(CASE WHEN sk.g = pr.gb THEN 1 ELSE 0 END) in_b
+             |      FROM pr JOIN sk ON sk.g = pr.ga OR sk.g = pr.gb
+             |      GROUP BY 1, 2, 3),
+             |m AS (SELECT ga, gb, in_a, in_b,
+             |        row_number() OVER (PARTITION BY ga, gb ORDER BY hval) pos FROM u),
+             |agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) n_merged,
+             |          CAST(sum(in_a * in_b) AS BIGINT) n_both
+             |        FROM m WHERE pos <= 128 GROUP BY 1, 2),
+             |ov AS (SELECT ga, gb, round(n_both / CAST(n_merged AS DOUBLE), 4) jaccard_est FROM agg),
+             |o AS (SELECT source, max(jaccard_est) max_overlap FROM
+             |        (SELECT unnest([ga, gb]) source, jaccard_est FROM ov)
+             |      GROUP BY source)
+             |SELECT j.source, j.n_docs, j.n_keep, o.max_overlap
+             |FROM j JOIN o ON j.source = o.source""".stripMargin)
+    ),
     // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
     // to vectors sharing an IVF coarse cell — the ANN index the pipeline
     // already maintains doubles as the dedup partitioner. The oracle

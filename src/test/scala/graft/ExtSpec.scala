@@ -1124,6 +1124,25 @@ class ExtSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(kw.keySet == Set(1L, 2L, 3L))
       assert(kw(1L) == kw(2L)) // identical docs, identical top keyword
+      // round-8 TVFs ride the same injection: exact ppjoin pairs, quality
+      // scores, cross-source KMV overlap
+      val pp = s2.sql("SELECT * FROM ppjoin_pairs('ext_docs_probe', 0.5)").collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+      assert(pp.toSeq == Seq((1L, 2L, 1.0)), "exact join finds exactly the dup pair")
+      val ql = s2.sql("SELECT doc_id, keep FROM quality_lr('ext_docs_probe')").collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+      assert(ql.keySet == Set(1L, 2L, 3L))
+      assert(ql(1L) == ql(2L), "identical docs, identical keep decision")
+      s2.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ext_src_probe AS
+          |SELECT * FROM VALUES
+          |  ('s1', 'alpha beta gamma delta'), ('s2', 'alpha beta gamma delta'),
+          |  ('s3', 'totally disjoint vocabulary here')
+          |AS t(source, text)""".stripMargin)
+      val ov = s2.sql("SELECT * FROM kmv_overlap('ext_src_probe', 64)").collect()
+        .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) -> r.getAs[Double]("jaccard_est")).toMap
+      assert(ov(("s1", "s2")) == 1.0, "identical sources: exact Jaccard 1 under k")
+      assert(ov(("s1", "s3")) == 0.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
