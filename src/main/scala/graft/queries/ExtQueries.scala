@@ -1926,6 +1926,44 @@ object ExtQueries {
              |       sz > 256 AS oversize
              |FROM p""".stripMargin)
     ),
+    // Composition: sequence packing by REAL trained-BPE token counts —
+    // the budget a training run actually pays (whitespace counts under-
+    // estimate pieces). Engine: bpeTokenCounts (broadcast vocab join)
+    // feeds packGreedy's KeyedFold pass; oracle: the 8-round BPE CTE
+    // chain feeds the same next-fit recursive CTE.
+    Q(
+      "pack_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (_, vocab) = bpeFor(s, dir)
+        val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", vocab)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        Packing.packGreedy(counts, "doc_id", "source", "n_bpe_tokens", capacity = 512L)
+      },
+      Some(s"""WITH RECURSIVE ${bpeCte(BpeMerges)},
+             |np AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) np FROM v$BpeMerges),
+             |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) wd FROM documents),
+             |bc AS (SELECT doc_id, CAST(sum(np.np) AS BIGINT) sz
+             |       FROM tw JOIN np ON tw.wd = np.word WHERE tw.wd <> '' GROUP BY 1),
+             |t AS (SELECT bc.doc_id, d.source, bc.sz,
+             |        row_number() OVER (PARTITION BY d.source ORDER BY bc.doc_id) rn
+             |      FROM bc JOIN documents d ON bc.doc_id = d.doc_id),
+             |p AS (
+             |  SELECT doc_id, source, sz, rn,
+             |         CAST(0 AS BIGINT) seq_idx, CAST(0 AS BIGINT) seq_pos,
+             |         CAST(0 AS BIGINT) seq_off, sz AS fill
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.doc_id, t.source, t.sz, t.rn,
+             |    CASE WHEN p.fill + t.sz <= 512 THEN p.seq_idx ELSE p.seq_idx + 1 END,
+             |    CASE WHEN p.fill + t.sz <= 512 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END,
+             |    CASE WHEN p.fill + t.sz <= 512 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+             |    CASE WHEN p.fill + t.sz <= 512 THEN p.fill + t.sz ELSE t.sz END
+             |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+             |SELECT doc_id, source, sz AS n_tokens, seq_idx, seq_pos, seq_off,
+             |       sz > 512 AS oversize
+             |FROM p""".stripMargin)
+    ),
     // ---- similarity search ----
     Q(
       "sim_topk",
