@@ -216,4 +216,34 @@ class PlanSpec extends AnyFunSuite {
       "the small query side must broadcast")
     assert(!p.contains("Exchange SinglePartition"), s"no single-partition exchange:\n$p")
   }
+
+  test("sketch_kmv: partial bottom-k (WindowGroupLimit) runs BEFORE the exchange") {
+    // the declarative kmvSketch path — the fused gate kernel shares its
+    // merge tail, so the pushdown property is pinned on the generic form
+    val df = graft.ext.Sketches.kmvSketch(
+      graft.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")).as("tok")),
+      "source", "tok", 128)
+    val p = df.queryExecution.executedPlan.toString
+    val partialBeforeExchange = p.linesIterator.indexWhere(_.contains("WindowGroupLimit")) >= 0 &&
+      "WindowGroupLimit".r.findAllIn(p).size >= 2
+    assert(partialBeforeExchange, s"expected partial+final WindowGroupLimit pair:\n$p")
+  }
+
+  test("text_quality_lr: weight table joins via broadcast; one partial-agg exchange") {
+    val p = plan("text_quality_lr")
+    assert(p.contains("BroadcastHashJoin"), "the model must broadcast")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"scoring must shuffle once (per-doc agg), saw $exchanges:\n$p")
+  }
+
+  test("dedup_ppjoin / dedup_semantic / graph_pagerank: equi-join candidates, never a cartesian") {
+    for (q <- Seq("dedup_ppjoin", "dedup_semantic", "graph_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must join on keys, not loop:\n$p")
+    }
+  }
 }
