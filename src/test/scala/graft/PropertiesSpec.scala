@@ -223,4 +223,43 @@ class PropertiesSpec extends AnyFunSuite {
       out.size == sizes.size && capOk && dense && offsetsOk && oversizeOk
     })
   }
+
+  test("property: doubled-space replace merge == direct greedy left-to-right pair merge") {
+    // the invariant bpeTrainVocab rests on: one non-overlapping replace
+    // over the ` a  b ` form implements exactly the greedy scan (each
+    // match keeps one boundary space for the next candidate)
+    val tokGen = for {
+      n <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "c"))
+      l <- Gen.oneOf("a", "b", "ab", "c")
+      r <- Gen.oneOf("a", "b", "ab", "c")
+    } yield (toks, l, r)
+    def direct(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    check(Prop.forAll(tokGen) { case (toks, l, r) =>
+      val s = " " + toks.mkString("  ") + " "
+      val merged = s.replace(s" $l  $r ", s" $l$r ")
+      val viaReplace = merged.trim.split("  ").toList
+      viaReplace == direct(toks, l, r)
+    })
+  }
+
+  test("property: bottom-k of a union == bottom-k of the union of bottom-ks (KMV merge algebra)") {
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      b <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      k <- Gen.chooseNum(2, 20)
+    } yield (a.toSet, b.toSet, k)
+    def bottomK(s: Set[Long], k: Int) = s.toList.sorted.take(k).toSet
+    check(Prop.forAll(gen) { case (a, b, k) =>
+      bottomK(a ++ b, k) == bottomK(bottomK(a, k) ++ bottomK(b, k), k)
+    })
+  }
 }
