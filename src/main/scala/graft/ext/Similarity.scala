@@ -45,6 +45,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Hard-negative mining for retriever/embedding training: per query,
+    * the top-k most-similar corpus vectors whose LABEL differs from the
+    * query's — the near-misses a contrastive loss learns the most from
+    * (positives share the label and are excluded BEFORE ranking, so the
+    * k slots hold only negatives). Same scale shape as `cosineTopK`:
+    * the query side broadcasts, the corpus streams once with no
+    * shuffle, the per-query top-k is a bounded window.
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    val all = prepared(df, idCol, embCol)
+      .join(df.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl")), "id")
+    val q = all.where(queryPred)
+      .select(
+        col("id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("lbl").as("qlbl"))
+    val scored = all
+      .join(broadcast(q), col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("qlbl").as("query_label"), col("rank"),
+        col("id").as("negative_id"), col("lbl").as("negative_label"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Exact cosine near-dup pairs above τ: broadcast the corpus as a
     * primitive matrix, stream it once per partition — the all-pairs
     * analogue of a broadcast join (one shuffle-free pass over the big

@@ -1980,6 +1980,31 @@ object ExtQueries {
               |      FROM p)
               |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""".stripMargin)
     ),
+    // Hard-negative mining for retriever training: top-5 most-similar
+    // DIFFERENT-label vectors per query — same-label positives are
+    // excluded before ranking so every slot is a near-miss negative.
+    // Query side broadcasts; corpus streams once, no shuffle.
+    Q(
+      "sim_hard_negatives",
+      (s, dir) =>
+        Similarity.hardNegatives(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", col("id") < 10, k = 5)
+          .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH $embCte,
+              |l AS (SELECT vec_id, CAST(label AS BIGINT) lbl FROM embeddings),
+              |q AS (SELECT n.vec_id query_id, n.v qv, n.nrm qnrm, l.lbl qlbl
+              |      FROM n JOIN l ON n.vec_id = l.vec_id WHERE n.vec_id < 10),
+              |p AS (SELECT q.query_id, q.qlbl, a.vec_id negative_id, la.lbl nlbl,
+              |        list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm) cosine
+              |      FROM q JOIN n a ON a.vec_id <> q.query_id
+              |      JOIN l la ON la.vec_id = a.vec_id AND la.lbl <> q.qlbl),
+              |r AS (SELECT query_id, qlbl, negative_id, nlbl, cosine,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) rank
+              |      FROM p)
+              |SELECT query_id, qlbl AS query_label, CAST(rank AS BIGINT) AS rank,
+              |  negative_id, nlbl AS negative_label, round(cosine, 4) AS cosine
+              |FROM r WHERE rank <= 5""".stripMargin)
+    ),
     // IVF ANN (deterministic spherical Lloyd coarse quantizer) — scale
     // path; recall vs brute force asserted in ScalaTest. The index is
     // built once per table (the offline step at scale) and every

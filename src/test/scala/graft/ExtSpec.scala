@@ -495,6 +495,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("hardNegatives: labels always differ, ranks dense, equals the label-filtered brute-force ranking") {
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val hn = Similarity.hardNegatives(e, "vec_id", "embedding", "label", col("id") < 5, k = 5).collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall(r => r.getAs[Long]("query_label") != r.getAs[Long]("negative_label")))
+    assert(hn.forall(r => labels(r.getAs[Long]("negative_id")) == r.getAs[Long]("negative_label")))
+    val byQuery = hn.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.values.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5)))
+    // equals the big-k brute-force ranking with same-label rows dropped
+    val full = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 2000).collect()
+    val expected = full.groupBy(_.getAs[Long]("query_id")).map { case (q, rows) =>
+      q -> rows.sortBy(_.getAs[Int]("rank"))
+        .filter(r => labels(r.getAs[Long]("neighbor_id")) != labels(q))
+        .take(5).map(_.getAs[Long]("neighbor_id")).toSeq
+    }
+    val got = byQuery.map { case (q, rows) =>
+      q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("negative_id")).toSeq
+    }
+    assert(got == expected, "hard negatives = label-filtered brute-force order")
+  }
+
   test("LSH top-k returns valid ranks and decent recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sf)
     val exact = Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 5, k = 5)
