@@ -129,7 +129,19 @@ object Dedup {
     * `ngramJaccardPairs` unblocked at the same τ (spec-pinned): same
     * pairs, same scores.
     */
-  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+  /** The shared PPJoin pipeline stages: the persisted sorted-hash-set
+    * table, the rarest-first prefix rows, and the length-filtered
+    * candidate pairs — ONE definition consumed by both `ppjoinPairs` and
+    * `ppjoinFunnel` so the funnel's counts can never drift from the
+    * production path (the minhash twin shares `shingleHashesAndSig` /
+    * `bandedKeys` for the same reason).
+    */
+  private def ppjoinCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double): (DataFrame, DataFrame, DataFrame) = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
     val spark = df.sparkSession
     import spark.implicits._
@@ -169,6 +181,11 @@ object Dedup {
       .select(col("a.id").as("da"), col("b.id").as("db"), col("a.n").as("na"), col("b.n").as("nb"))
       .where(expr(s"least(na, nb) >= CAST(ceil(greatest(na, nb) * $tau) AS BIGINT)"))
       .distinct()
+    (hashed, prefix, cand)
+  }
+
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val (hashed, _, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
     // verify = in-row sorted-array intersection on the surviving
     // candidates (late materialization of the hash sets; no token-level
     // join explosion)
@@ -183,47 +200,18 @@ object Dedup {
 
   /** Candidate-funnel counts for `ppjoinPairs` — the pruning evidence
     * BENCH_NOTES tables are built from (all-pairs vs prefix candidates
-    * vs verified).
+    * vs verified). Shares the exact candidate pipeline with the
+    * production path via `ppjoinCandidates`.
     */
   def ppjoinFunnel(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): Map[String, Long] = {
     val docs = df.count()
-    val pairs = ppjoinPairs(df, idCol, textCol, n, tau)
-    // rebuild the candidate stage only for counting (cheap at probe scale)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val words = text.split(" ", -1)
-          (id, (0 to words.length - n).iterator.map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String].map(g => shingleHash32(md, g)).toArray)
-        }
-      }
-      .toDF("id", "hs")
-    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n"))
-    val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("dfh"), col("h"))
-    val prefix = sh
-      .join(dfh, "h")
-      .withColumn("rn", row_number().over(byRarity))
-      .join(sizes, "id")
-      .where(col("rn") <= col("n") - expr(s"CAST(ceil(n * $tau) AS BIGINT)") + 1)
-      .select(col("id"), col("h"), col("n"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"), col("a.n").as("na"), col("b.n").as("nb"))
-      .where(expr(s"least(na, nb) >= CAST(ceil(greatest(na, nb) * $tau) AS BIGINT)"))
-      .distinct()
+    val (_, prefix, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
     Map(
       "docs" -> docs,
       "all_pairs" -> docs * (docs - 1) / 2,
       "prefix_rows" -> prefix.count(),
       "candidates" -> cand.count(),
-      "verified_pairs" -> pairs.count())
+      "verified_pairs" -> ppjoinPairs(df, idCol, textCol, n, tau).count())
   }
 
   private val HashP = 2147483647L // 2^31 − 1

@@ -227,8 +227,11 @@ object Multimodal {
     * must recover by parsing the index chunk.
     */
   def synthAvi(nFrames: Int, frameBytes: Int): Array[Byte] = {
-    val chunk = 8 + frameBytes
-    val moviLen = 4 + nFrames * chunk // "movi" fourcc + chunks
+    // RIFF word alignment: an odd-length chunk is followed by one pad
+    // byte (the stride the parser's `len + (len & 1)` walk assumes) —
+    // pads count toward the enclosing LIST length but not the chunk's own
+    val chunk = 8 + frameBytes + (frameBytes & 1)
+    val moviLen = 4 + nFrames * chunk // "movi" fourcc + padded chunks
     val idxLen = 16 * nFrames
     val total = 12 + 8 + moviLen + 8 + idxLen
     val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -239,6 +242,7 @@ object Multimodal {
       bb.put("00dc".getBytes("US-ASCII")).putInt(frameBytes)
       var i = 0
       while (i < frameBytes) { bb.put((((k * 131) + i * 37) & 0xff).toByte); i += 1 }
+      if ((frameBytes & 1) == 1) bb.put(0.toByte): Unit
       k += 1
     }
     bb.put("idx1".getBytes("US-ASCII")).putInt(idxLen)
@@ -288,8 +292,12 @@ object Multimodal {
     while (k < n) {
       val e = (idx1Pos + 16L * k).toInt
       val rel = bb.getInt(e + 8).toLong // chunk header, relative to "movi"
+      val size = bb.getInt(e + 12).toLong
       val dataAt = moviFourccPos + rel + 8
-      if (dataAt + bb.getInt(e + 12) > riffEnd) return None
+      // corrupt index entries (negative offset/size, data before the movi
+      // body or past RIFF end) → None, the documented stub fallback —
+      // never a negative or out-of-range "real" offset
+      if (rel < 0 || size < 0 || dataAt < moviFourccPos + 4 || dataAt + size > riffEnd) return None
       out(k) = dataAt
       k += 1
     }
@@ -316,15 +324,18 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val nBytes = payload.length.toLong
-          parseAviFrames(payload) match {
-            case Some(offsets) =>
-              Iterator.range(0, offsets.length, everyN)
-                .map(k => (id, nBytes, offsets.length.toLong, k.toLong, offsets(k)))
-            case None =>
-              val nFrames = 1L + nBytes / 256L
-              (0L until nFrames by everyN.toLong).iterator
-                .map(k => (id, nBytes, nFrames, k, k * 256L))
+          if (payload == null) Iterator.empty // NULL payload → zero rows, not an NPE
+          else {
+            val nBytes = payload.length.toLong
+            parseAviFrames(payload) match {
+              case Some(offsets) =>
+                Iterator.range(0, offsets.length, everyN)
+                  .map(k => (id, nBytes, offsets.length.toLong, k.toLong, offsets(k)))
+              case None =>
+                val nFrames = 1L + nBytes / 256L
+                (0L until nFrames by everyN.toLong).iterator
+                  .map(k => (id, nBytes, nFrames, k, k * 256L))
+            }
           }
         }
       }
@@ -429,6 +440,7 @@ object Multimodal {
     * frame.
     */
   def pixelGridEmbedding(payload: Array[Byte], grid: Int): Option[Array[(Long, Double)]] = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
     val meta = decodeMetaReal(0L, payload).getOrElse(return None)
     if (!LosslessFormats.contains(meta.format)) return None
     val img =
@@ -474,7 +486,11 @@ object Multimodal {
     * stays honest for payloads whose decode is not bit-reproducible,
     * and a mixed batch degrades per-row.
     */
-  def features(df: DataFrame, idCol: String, payloadCol: String, dims: Int = 8, grid: Int = 2): DataFrame = {
+  def features(df: DataFrame, idCol: String, payloadCol: String, dims: Int = 12, grid: Int = 2): DataFrame = {
+    // one embedding space for the whole output: the stub must emit the
+    // same dimensionality the pixel-grid path produces, or a mixed batch
+    // yields vectors downstream cosine silently truncates
+    require(dims == 3 * grid * grid, s"dims must equal 3*grid^2 (${3 * grid * grid}), got $dims")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

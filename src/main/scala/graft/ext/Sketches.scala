@@ -408,6 +408,11 @@ object Sketches {
     * md5-top-60-bit hash), and the trailing distinct+rank merges partials
     * exactly like `kmvMerge` — the same SQL oracle replays it, and
     * equality with `kmvSketch` is pinned in SketchesSpec.
+    *
+    * Schema note: the group column surfaces as STRING (the kernel's map
+    * key), unlike the type-preserving declarative `kmvSketch` — cast the
+    * group key back (or sketch with `kmvSketch`) before unioning the two
+    * forms or joining on a non-string group key.
     */
   def kmvTokenSketch(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

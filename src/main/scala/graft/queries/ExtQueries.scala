@@ -108,7 +108,11 @@ object ExtQueries {
     * character pieces of the frequency-weighted vocabulary, then per
     * round i: pair counts over the current pieces, the (pc DESC, l, r)
     * argmax, and the boundary-safe doubled-space replace — ending at
-    * v$n. Generated, so the chain always matches `BpeMerges`.
+    * v$n. Generated, so the chain always matches `BpeMerges`. Each round
+    * applies via LEFT JOIN + CASE, not CROSS JOIN: when the pair
+    * vocabulary exhausts before round n, m_i is empty and the round must
+    * be a NO-OP (the engine stops merging and keeps the last vocab) —
+    * a CROSS JOIN would silently empty v_{i+1} and every downstream CTE.
     */
   private def bpeCte(n: Int): String = {
     val sb = new StringBuilder(
@@ -126,8 +130,9 @@ object ExtQueries {
         |        GROUP BY 1, 2),
         |m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
         |v${i + 1} AS (SELECT word, cnt,
-        |                replace(s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') s
-        |              FROM v$i CROSS JOIN m$i m)""".stripMargin)
+        |                CASE WHEN m.l IS NULL THEN s
+        |                     ELSE replace(s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') END s
+        |              FROM v$i LEFT JOIN m$i m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

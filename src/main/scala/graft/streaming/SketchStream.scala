@@ -45,8 +45,16 @@ object SketchStream {
         (grp: String, rows: Iterator[TokArrival], state: GroupState[KmvState]) =>
           val set = scala.collection.mutable.TreeSet.empty[Long]
           state.getOption.foreach(s => set ++= s.hashes)
-          rows.foreach(set += _.hval)
-          while (set.size > k) set.remove(set.last): Unit
+          // bounded insert (the kmvTokenSketch pattern): a hash above the
+          // current k-th smallest never enters the set, so per-batch
+          // memory stays k longs — not O(batch distinct)
+          rows.foreach { t =>
+            if (set.size < k) { set.add(t.hval): Unit }
+            else if (t.hval < set.last) {
+              set.add(t.hval)
+              if (set.size > k) { set.remove(set.last): Unit }
+            }
+          }
           val seq = state.getOption.map(_.seq).getOrElse(0L) + 1L
           val arr = set.toArray // ascending: TreeSet iteration order
           state.update(KmvState(arr, seq))

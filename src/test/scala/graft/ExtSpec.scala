@@ -663,7 +663,7 @@ class ExtSpec extends AnyFunSuite {
     val rows = Multimodal.features(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload")
       .collect()
-    assert(rows.length == 4 * 8)
+    assert(rows.length == 4 * 12) // default dims == 3·grid² — one embedding space
     // identical docs get identical features (dedup-by-embedding works on them)
     val byDoc = rows.groupBy(_.getAs[Long]("id"))
       .view.mapValues(_.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("value")).toSeq).toMap
@@ -723,6 +723,17 @@ class ExtSpec extends AnyFunSuite {
     val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", vocab).collect().head
     assert(counts.getAs[Long]("n_bpe_tokens") == 2 + 2 + 1, "2 pieces per aaab, 1 for ab")
     assert(counts.getAs[Long]("n_words") == 3)
+    vocab.unpersist(blocking = false): Unit
+  }
+
+  test("real BPE: trainer stops cleanly when the pair vocabulary exhausts before nMerges") {
+    import graft.ext.TextAnalysis
+    // "ab" has one pair; after merging (a,b) no pairs remain anywhere
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrainVocab(docs, "text", nMerges = 8)
+    assert(merges.map(m => (m._2, m._3)) == Seq(("a", "b")), "exactly one merge is learnable")
+    val pieces = vocab.collect().map(r => r.getAs[String]("word") -> r.getAs[String]("s").trim).toMap
+    assert(pieces("ab") == "ab", "the last vocab survives exhaustion — never emptied")
     vocab.unpersist(blocking = false): Unit
   }
 
@@ -1076,6 +1087,25 @@ class ExtSpec extends AnyFunSuite {
       Seq((7L, "not a container".getBytes("US-ASCII"))).toDF("doc_id", "payload"),
       "doc_id", "payload", everyN = 1).collect()
     assert(stub.forall(r => r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 256))
+    // ODD frame sizes: the encoder writes the RIFF pad byte its own
+    // parser's 2-byte-aligned walk assumes, so idx1 is still found and
+    // offsets follow the padded stride
+    val odd = Multimodal.synthAvi(3, 63)
+    val oddOff = Multimodal.parseAviFrames(odd)
+    assert(oddOff.isDefined, "odd-length chunks must still demux (pad byte written)")
+    assert(oddOff.get.toSeq == (0 until 3).map(k => 32L + k * (8L + 63 + 1)))
+    // a corrupt index entry (negative size) degrades to the stub, never a
+    // bogus "real" offset
+    val bad = Multimodal.synthAvi(3, 64)
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(bad.length - 16 + 12, -8)
+    assert(Multimodal.parseAviFrames(bad).isEmpty)
+    // a NULL payload yields zero rows, not an NPE (mixed-batch contract)
+    val withNull = Multimodal.frameSample(
+      Seq((1L, Multimodal.synthAvi(2, 64)), (2L, null.asInstanceOf[Array[Byte]]))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload", everyN = 1).collect()
+    assert(withNull.map(_.getAs[Long]("id")).distinct.toSeq == Seq(1L))
   }
 
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
