@@ -1285,6 +1285,37 @@ object ExtQueries {
              |SELECT j.source, j.n_docs, j.n_keep, o.max_overlap
              |FROM j JOIN o ON j.source = o.source""".stripMargin)
     ),
+    // PageRank over a CORPUS-SCALED graph: event-type transition edges
+    // derived from the full events stream (lag window per user — the
+    // edge derivation is the part that grows with data; rank rounds are
+    // then corpus-free). Self-loops excluded; same fixed-point algebra
+    // and unrolled-round oracle as graph_pagerank.
+    Q(
+      "graph_pagerank_events",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        val edges = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNotNull && col("prev") =!= col("event_type"))
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ext.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) ts_ms FROM events),
+              |l AS (SELECT user_id, event_type,
+              |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) prev
+              |      FROM e),
+              |ed AS (SELECT prev src, event_type dst, CAST(count(*) AS BIGINT) w
+              |       FROM l WHERE prev IS NOT NULL AND prev <> event_type GROUP BY 1, 2),
+              |nd AS (SELECT src node FROM ed UNION SELECT dst FROM ed),
+              |ow AS (SELECT src, sum(w) ow FROM ed GROUP BY 1),
+              |ew AS (SELECT ed.src, ed.dst, ed.w, ow.ow FROM ed JOIN ow USING (src)),
+              |${prCte(3)}
+              |SELECT node, CAST(rm AS BIGINT) AS rank_micro, rm / 1000000.0 AS rank
+              |FROM r3""".stripMargin)
+    ),
     // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
     // to vectors sharing an IVF coarse cell — the ANN index the pipeline
     // already maintains doubles as the dedup partitioner. The oracle
