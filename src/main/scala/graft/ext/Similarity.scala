@@ -997,6 +997,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007, VLDB): each query probes its
+    * base bucket PLUS `probes` single-bit-flip variants — the flips
+    * chosen at the sign bits with the smallest |projection margin|, i.e.
+    * the hyperplanes the query sits closest to, where a true neighbor
+    * most likely landed on the other side. Recall rises like adding
+    * tables, but the corpus side is UNCHANGED — no extra corpus rows, no
+    * extra storage, just 1+probes broadcast query rows per table — the
+    * right trade when the corpus dwarfs the query batch. Probe-bucket
+    * derivation is replayed exactly in SQL (the projections are already
+    * integer-LCG-replayable; margins are |p| on identical IEEE doubles),
+    * so the gate hash-checks the probe sequence, not just the results.
+    */
+  def lshTopKMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      dims: Int,
+      nBits: Int,
+      nTables: Int = 8,
+      probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= nBits, s"probes must be in [0, nBits], got $probes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = prepared(df, idCol, embCol)
+    val corpus = lshBucketed(all, dims, nBits, nTables)
+    val q = all
+      .where(queryPred)
+      .select(col("id"), col("vec"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(nTables, nBits, dims)((t, kk, d) =>
+          lcg01d((kk + t * nBits).toLong * dims + d) - 0.5)
+        it.flatMap { case (id, vec, nrm) =>
+          (0 until nTables).iterator.flatMap { t =>
+            val proj = new Array[Double](nBits)
+            var base = 0L
+            var kk = 0
+            while (kk < nBits) {
+              var s = 0.0
+              var d = 0
+              while (d < dims) { s += vec(d) * planes(t)(kk)(d); d += 1 }
+              proj(kk) = s
+              if (s > 0) base |= (1L << kk)
+              kk += 1
+            }
+            val flips = (0 until nBits).sortBy(b => (math.abs(proj(b)), b)).take(probes)
+            (Iterator.single(base) ++ flips.iterator.map(b => base ^ (1L << b)))
+              .map(bk => (id, vec, nrm, s"$t:$bk"))
+          }
+        }
+      }
+      .toDF("query_id", "qvec", "qnrm", "bucket")
+    val scored = corpus
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+      .select(col("query_id"), col("id"), col("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the memory-
     * bandwidth play for brute-force scans at 100 TB: 8× smaller vectors
     * (and SIMD-friendly integer dots on real hardware) at the price of a

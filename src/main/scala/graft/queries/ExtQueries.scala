@@ -2286,6 +2286,53 @@ object ExtQueries {
               |      FROM cand)
               |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
               |FROM r WHERE rank <= 5""".stripMargin)),
+    // Multi-probe LSH: queries also probe the 2 lowest-|margin| bit-flip
+    // buckets per table — recall like adding tables with ZERO extra
+    // corpus rows/storage. The oracle replays the projections, the
+    // margin ranking, and the flip sequence, so the probe-bucket set
+    // itself is hash-checked.
+    Q(
+      "sim_lsh_multiprobe",
+      (s, dir) =>
+        Similarity.lshTopKMultiProbe(
+          Tables.embeddings(s, dir), "vec_id", "embedding", col("id") < 10,
+          k = 5, dims = 64, nBits = 6, nTables = 8, probes = 2)
+          .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH $embCte,
+              |b AS (SELECT vec_id, v, nrm, t.t,
+              |        list_sum(list_transform(range(0, 6), k ->
+              |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+              |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
+              |                          / 2147483648.0) - 0.5))) > 0
+              |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+              |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
+              |pj AS (SELECT vec_id, t.t, k.k,
+              |         list_sum(list_transform(range(1, 65), d ->
+              |           v[d] * ((((1103515245 * ((k.k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
+              |                    / 2147483648.0) - 0.5))) p
+              |       FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t
+              |              CROSS JOIN (SELECT unnest(range(0, 6)) k) k
+              |       WHERE vec_id < 10),
+              |qbase AS (SELECT vec_id, t,
+              |            sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END) bucket
+              |          FROM pj GROUP BY 1, 2),
+              |qrk AS (SELECT vec_id, t, k,
+              |          row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(p), k) r
+              |        FROM pj),
+              |qpr AS (SELECT vec_id, t, bucket FROM qbase
+              |        UNION ALL
+              |        SELECT qb.vec_id, qb.t, xor(qb.bucket, CAST(1 AS BIGINT) << rk.k)
+              |        FROM qbase qb JOIN qrk rk ON rk.vec_id = qb.vec_id AND rk.t = qb.t AND rk.r <= 2),
+              |qq AS (SELECT p.vec_id query_id, n.v qv, n.nrm qnrm, p.t, p.bucket
+              |       FROM qpr p JOIN n ON n.vec_id = p.vec_id),
+              |cand AS (SELECT DISTINCT qq.query_id, c.vec_id id,
+              |           list_sum(list_transform(range(1, 65), i -> c.v[i] * qq.qv[i])) / (c.nrm * qq.qnrm) cosine
+              |         FROM b c JOIN qq ON c.t = qq.t AND c.bucket = qq.bucket AND c.vec_id <> qq.query_id),
+              |r AS (SELECT query_id, id, cosine,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) rank
+              |      FROM cand)
+              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
+              |FROM r WHERE rank <= 5""".stripMargin)),
     // ---- sessionization (event analytics) ----
     Q(
       "sessionize",

@@ -590,6 +590,25 @@ class ExtSpec extends AnyFunSuite {
     assert(auto == pinned, "at gate scale the auto-sized build is the pinned build")
   }
 
+  test("multi-probe LSH: recall never below the single-probe table setup; probes=0 IS lshTopK") {
+    val e = Tables.embeddings(spark, sf)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.cosineTopK(e, "vec_id", "embedding", col("id") < 8, k = 5))
+    // fewer bits per table → coarser buckets; compare single vs multi on the SAME layout
+    val single = hits(Similarity.lshTopK(e, "vec_id", "embedding", col("id") < 8, k = 5, dims = 64, nBits = 8, nTables = 4))
+    val multi = hits(Similarity.lshTopKMultiProbe(e, "vec_id", "embedding", col("id") < 8, k = 5, dims = 64, nBits = 8, nTables = 4, probes = 2))
+    val rs = (exact intersect single).size.toDouble / exact.size
+    val rm = (exact intersect multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm fell below single-probe $rs")
+    // deliberately coarse layout (8 bits × 4 tables over 2k vectors) so
+    // the probes have misses to recover; the floor is for that layout
+    assert(rm >= 0.25, s"multi-probe recall too low: $rm")
+    // probes=0 degenerates to exactly the base-bucket path
+    val zero = hits(Similarity.lshTopKMultiProbe(e, "vec_id", "embedding", col("id") < 8, k = 5, dims = 64, nBits = 8, nTables = 4, probes = 0))
+    assert(zero == single)
+  }
+
   test("cosinePairs refuses to broadcast a corpus over the row bound") {
     val e = Tables.embeddings(spark, sf)
     val ex = intercept[IllegalArgumentException] {
