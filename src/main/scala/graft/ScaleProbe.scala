@@ -16,7 +16,8 @@ object ScaleProbe {
     val ppjoinMode = args.length > 1 && args(1) == "ppjoin"
     val namedMode = semanticMode || ppjoinMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
-    val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 100
+    // 0 = occupancy-aware auto cap (maxBucketFor), the production default
+    val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -67,6 +68,18 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[scaleprobe] pairs = ${p.count()}")
       p
+    }
+    // the graph_pagerank edge slice: pairs whose endpoints live in
+    // DIFFERENT sources — the count a fixed maxBucket zeroed at 100×
+    timed("cross-source pairs") {
+      import org.apache.spark.sql.functions.col
+      val src = docs.select(col("doc_id"), col("source"))
+      val cross = pairs
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+        .where(col("sa") =!= col("sb"))
+        .count()
+      println(s"[scaleprobe] cross_source_pairs = $cross")
     }
     timed("clusters") {
       val (cl, rounds) = Dedup.clustersWithRounds(pairs)

@@ -186,9 +186,15 @@ object Dedup {
 
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
     val (hashed, _, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
-    // verify = in-row sorted-array intersection on the surviving
-    // candidates (late materialization of the hash sets; no token-level
-    // join explosion)
+    ppjoinVerify(hashed, cand, tau)
+  }
+
+  /** verify = in-row sorted-array intersection on the surviving
+    * candidates (late materialization of the hash sets; no token-level
+    * join explosion). Shared by `ppjoinPairs` and `ppjoinFunnel` so the
+    * funnel never rebuilds the hash/df/prefix pipeline a second time.
+    */
+  private def ppjoinVerify(hashed: DataFrame, cand: DataFrame, tau: Double): DataFrame =
     cand
       .join(hashed.select(col("id").as("da"), col("hs").as("hsa")), "da")
       .join(hashed.select(col("id").as("db"), col("hs").as("hsb")), "db")
@@ -196,7 +202,6 @@ object Dedup {
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= tau)
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Candidate-funnel counts for `ppjoinPairs` — the pruning evidence
     * BENCH_NOTES tables are built from (all-pairs vs prefix candidates
@@ -205,13 +210,19 @@ object Dedup {
     */
   def ppjoinFunnel(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): Map[String, Long] = {
     val docs = df.count()
-    val (_, prefix, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
-    Map(
-      "docs" -> docs,
-      "all_pairs" -> docs * (docs - 1) / 2,
-      "prefix_rows" -> prefix.count(),
-      "candidates" -> cand.count(),
-      "verified_pairs" -> ppjoinPairs(df, idCol, textCol, n, tau).count())
+    // one candidate build feeds every count (the old shape ran the whole
+    // hash/df/prefix pipeline twice and leaked a persisted `hashed` per
+    // invocation); the funnel materializes everything, so the persist can
+    // be released before returning
+    val (hashed, prefix, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
+    try {
+      Map(
+        "docs" -> docs,
+        "all_pairs" -> docs * (docs - 1) / 2,
+        "prefix_rows" -> prefix.count(),
+        "candidates" -> cand.count(),
+        "verified_pairs" -> ppjoinVerify(hashed, cand, tau).count())
+    } finally hashed.unpersist()
   }
 
   private val HashP = 2147483647L // 2^31 − 1
@@ -309,10 +320,43 @@ object Dedup {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** Occupancy-aware frequent-bucket cap — the companion sizing rule to
+    * `Similarity.lshBitsFor` / `ivfListsFor`, closing the last fixed
+    * scale parameter in the dedup family. A FIXED cap is a
+    * correctness-at-scale trap, not just a perf one: under corpus
+    * replication / re-crawls, TRUE duplicate-cluster multiplicity grows
+    * linearly with the corpus, so a fixed `maxBucket=100` silently drops
+    * exactly the band buckets holding the real cross-source twins once
+    * multiplicity passes 100 (measured: the 100× funnel's 919 capped
+    * buckets zeroed `graph_pagerank`'s whole edge slice, BENCH_NOTES r8).
+    *
+    * Rule: a bucket is a boilerplate/collision artifact only if it holds
+    * more than `frac` (0.2%) of the corpus — below that it is plausibly a
+    * genuine duplicate cluster and must survive. cap =
+    * clamp(ceil(n·frac), floor, ceilCap). The floor keeps every gate /
+    * unit fixture (n ≤ 50k) at the oracle-pinned 100, so auto == pinned
+    * where the oracle replays it; the ceiling bounds single-bucket pair
+    * enumeration (cap²/2) — a cluster past `ceilCap` duplicates is
+    * `Dedup.exact`'s job (identical text) or a representative-sampling
+    * problem, not pair enumeration.
+    */
+  def maxBucketFor(
+      n: Long,
+      frac: Double = 0.002,
+      floor: Int = 100,
+      ceilCap: Int = 10000): Int = {
+    require(n >= 0 && frac > 0 && floor >= 1 && ceilCap >= floor)
+    math.min(ceilCap.toLong, math.max(floor.toLong, math.ceil(n * frac).toLong)).toInt
+  }
+
   /** MinHash-LSH near-dup pairs: band signatures (bands × rowsPerBand =
     * perms), equi-join per band for candidates, then EXACT Jaccard
     * verification on the candidate pairs only. This is the 100 TB path:
     * the only joins are on short band keys.
+    *
+    * `maxBucket <= 0` (the default) sizes the frequent-bucket cap from
+    * the corpus count via `maxBucketFor` — the production config. Pass an
+    * explicit value only to pin a reproducible layout (oracle replays).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -322,7 +366,7 @@ object Dedup {
       perms: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val rows = perms / bands
     // the signature table (id + hashes + sig, ~1 KB/doc at any scale) is
@@ -334,7 +378,8 @@ object Dedup {
     // Force the persist before the fan-out: otherwise the four consumers
     // race to compute the same partitions concurrently (observed as
     // "Block rdd_* already exists" churn and a >10× wall-time blowup).
-    docs.count()
+    val nDocs = docs.count()
+    val cap = if (maxBucket > 0) maxBucket else maxBucketFor(nDocs)
     val banded = bandedKeys(docs, bands, rows)
     // frequent-bucket skip: a band bucket holding > maxBucket docs is a
     // collision artifact and would contribute O(bucket²) candidate pairs —
@@ -344,7 +389,7 @@ object Dedup {
     val smallBuckets = banded
       .groupBy("band", "key")
       .agg(count(lit(1)).as("_c"))
-      .where(col("_c") <= maxBucket && col("_c") > 1)
+      .where(col("_c") <= cap && col("_c") > 1)
       .select("band", "key")
     val kept = banded.join(smallBuckets, Seq("band", "key"), "left_semi")
     val candidates = kept.as("a")
@@ -378,20 +423,21 @@ object Dedup {
       perms: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5,
-      maxBucket: Int = 100): Map[String, Long] = {
+      maxBucket: Int = 0): Map[String, Long] = {
     val spark = df.sparkSession
     val rows = perms / bands
     val docs = shingleHashesAndSig(
       df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
+    val cap = if (maxBucket > 0) maxBucket else maxBucketFor(nDocs)
     val banded = bandedKeys(docs, bands, rows)
     val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBuckets = sizes.count()
     val nMulti = sizes.where(col("_c") > 1).count()
-    val nCapped = sizes.where(col("_c") > maxBucket).count()
-    val small = sizes.where(col("_c") <= maxBucket && col("_c") > 1).select("band", "key")
+    val nCapped = sizes.where(col("_c") > cap).count()
+    val small = sizes.where(col("_c") <= cap && col("_c") > 1).select("band", "key")
     val kept = banded.join(small, Seq("band", "key"), "left_semi")
     val candidates = kept.as("a")
       .join(kept.as("b"),
@@ -413,6 +459,7 @@ object Dedup {
     docs.unpersist(blocking = false)
     Map(
       "n_docs" -> nDocs,
+      "max_bucket" -> cap.toLong,
       "n_buckets" -> nBuckets,
       "n_buckets_multi" -> nMulti,
       "n_buckets_capped" -> nCapped,
@@ -826,7 +873,7 @@ object Dedup {
       perms: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     // the base signature table is multi-consumer (banding + verify sets):
     // materialize before the fan-out, as in minhashLshPairs
     val bdocs = shingleHashesAndSig(base, idCol, textCol, n, perms)
@@ -850,16 +897,19 @@ object Dedup {
       perms: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     val rows = perms / bands
     val bdocs = baseSig
+    // auto cap sizes from the BASE corpus (the side whose buckets are
+    // capped); one count over the stored signature index
+    val cap = if (maxBucket > 0) maxBucket else maxBucketFor(bdocs.count())
     val ddocs = shingleHashesAndSig(delta, idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ddocs.count()
     val bb = bandedKeys(bdocs, bands, rows)
     val capped = bb.join(
       bb.groupBy("band", "key").agg(count(lit(1)).as("_c"))
-        .where(col("_c") <= maxBucket).select("band", "key"),
+        .where(col("_c") <= cap).select("band", "key"),
       Seq("band", "key"), "left_semi")
     val candidates = bandedKeys(ddocs, bands, rows)
       .select(col("id").as("delta_id"), col("band"), col("key"))

@@ -39,25 +39,43 @@ object Graph {
       wCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val spark = edges.sparkSession
+    // w >= 1 enforced: a zero/negative weight would make `DIV ow` NULL in
+    // Spark (contribution silently dropped) but raise division-by-zero in
+    // the SQL oracle — same edge set in both engines, guaranteed loudly
     val e = edges.select(
-      col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"),
-      col(wCol).cast("long").as("w"))
+        col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("w") >= 1L)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val ew = e.join(outW, "src") // (src, dst, w, ow) — static across rounds
+    // Rank is rebuilt per round as a fresh DataFrame over its
+    // materialized RDD (the `Dedup.clusters` flat-lineage pattern): the
+    // naive loop unrolls `iters` join+groupBy layers into one plan that
+    // Catalyst re-analyzes each round — fine at iters=3, seconds of
+    // driver time by iters=20. Each round's RDD persists MEMORY_AND_DISK
+    // and the previous round's is released; on a real cluster swap the
+    // cache for reliable checkpoint() to the cluster FS — same shape.
     var rank = nodes.withColumn("rm", lit(1000000L))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     for (_ <- 1 to iters) {
       val contribs = ew
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("(((rm * 850) DIV 1000) * w) DIV ow").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("in_mass"))
-      rank = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"), (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rm"))
+      val rdd = next.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rank = spark.createDataFrame(rdd, next.schema)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
     }
     rank.select(
       col("node"),

@@ -215,14 +215,16 @@ object Multimodal {
     * {{{
     * RIFF <len> "AVI "                       bytes  0..11
     *   LIST <len> "movi"                     bytes 12..23 ("movi" at 20)
-    *     n × ("00dc" <frameBytes> data)      chunk k header at 24+k·(8+F)
+    *     n × ("00dc" <frameBytes> data pad?) chunk k header at 24+k·S
     *   "idx1" <16·n>  n × entry              after the movi LIST
     * }}}
     *
-    * where each idx1 entry is the real AVI shape — fourcc "00dc", flags
+    * where S = 8 + F + (F & 1) is the padded chunk stride (RIFF word
+    * alignment: an odd-length chunk carries one trailing pad byte), and
+    * each idx1 entry is the real AVI shape — fourcc "00dc", flags
     * 0x10 (keyframe), OFFSET RELATIVE TO THE "movi" FOURCC of the
     * chunk header, chunk size. Frame k's data therefore sits at absolute
-    * offset 32 + k·(8+F), and the whole payload is 32 + n·(24+F) bytes —
+    * offset 32 + k·S, and the whole payload is 32 + n·(S + 16) bytes —
     * both closed-form in (n, F), so the oracle predicts what the engine
     * must recover by parsing the index chunk.
     */

@@ -52,6 +52,10 @@ object Similarity {
     * k slots hold only negatives). Same scale shape as `cosineTopK`:
     * the query side broadcasts, the corpus streams once with no
     * shuffle, the per-query top-k is a bounded window.
+    *
+    * Labels must be NON-NULL: the `lbl =!= qlbl` predicate is
+    * null-propagating, so a NULL label would silently vanish from every
+    * candidate set — any NULL in `labelCol` raises at execution instead.
     */
   def hardNegatives(
       df: DataFrame,
@@ -62,6 +66,11 @@ object Similarity {
       k: Int): DataFrame = {
     val all = prepared(df, idCol, embCol)
       .join(df.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl")), "id")
+      .withColumn("lbl",
+        when(col("lbl").isNotNull, col("lbl"))
+          .otherwise(raise_error(concat(
+            lit(s"hardNegatives: NULL $labelCol for id "), col("id").cast("string"))))
+          .cast("long"))
     val q = all.where(queryPred)
       .select(
         col("id").as("query_id"), col("vec").as("qvec"),

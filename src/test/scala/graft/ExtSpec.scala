@@ -937,6 +937,57 @@ class ExtSpec extends AnyFunSuite {
     assert(f("n_docs") == d.count())
   }
 
+  test("maxBucketFor: auto == pinned 100 at gate scales, linear above, capped at the ceiling") {
+    // floor region — every gate / unit fixture lands on the oracle-pinned
+    // value, so auto == pinned where the oracle replays the layout
+    assert(Dedup.maxBucketFor(0) == 100)
+    assert(Dedup.maxBucketFor(500) == 100)
+    assert(Dedup.maxBucketFor(5000) == 100)
+    assert(Dedup.maxBucketFor(50000) == 100)
+    // linear region — tracks corpus growth (≙ duplicate multiplicity
+    // under replication/re-crawls): the 100× fixture (500k docs) gets 1000
+    assert(Dedup.maxBucketFor(500000) == 1000)
+    assert(Dedup.maxBucketFor(5000000) == 10000)
+    // ceiling — mega-clusters beyond this are Dedup.exact's job
+    assert(Dedup.maxBucketFor(100000000L) == 10000)
+  }
+
+  test("auto frequent-bucket cap keeps the cross-source twin clusters a pinned cap=100 drops") {
+    // The graph_pagerank-at-100× trap, reproduced in miniature: twin
+    // groups whose multiplicity (120) exceeds the old fixed cap sit in
+    // exactly the band buckets cap=100 drops — with the pinned cap the
+    // pair graph (and every cross-source edge derived from it) is EMPTY;
+    // the occupancy-aware auto cap (ceil(60240·0.002) = 121 ≥ 120) keeps
+    // them, and candidate volume stays output-bound (the kept buckets
+    // hold only true twins).
+    val m = 120
+    val twins = (0 until 2).flatMap { g =>
+      (0 until m).map { i =>
+        (100000L + g * 1000L + i,
+          s"twin group $g body alpha$g beta gamma delta epsilon zeta eta theta",
+          if (i % 2 == 0) "s0" else "s1")
+      }
+    }.toDF("doc_id", "text", "source")
+    val filler = spark.range(0, 60000).select(
+      col("id").as("doc_id"),
+      format_string("u%da u%db u%dc u%dd u%de", col("id"), col("id"), col("id"), col("id"), col("id")).as("text"),
+      lit("s0").as("source"))
+    val corpus = filler.unionByName(twins)
+    def crossSource(p: org.apache.spark.sql.DataFrame): Long = p
+      .join(corpus.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(corpus.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .where(col("sa") =!= col("sb")).count()
+    val pinned = Dedup.minhashLshPairs(corpus, "doc_id", "text", maxBucket = 100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(pinned.count() == 0L, "fixed cap=100 should reproduce the trap: twin buckets dropped")
+    pinned.unpersist(blocking = false)
+    val auto = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(auto.count() == 2L * m * (m - 1) / 2, "auto cap must keep every true twin pair")
+    assert(crossSource(auto) == 2L * (m / 2) * (m / 2), "cross-source edge slice must survive the auto cap")
+    auto.unpersist(blocking = false)
+  }
+
   test("auto-sized LSH pair set: exact-verified, superset of the fixed-6-bit row at gate scale") {
     val e = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =
