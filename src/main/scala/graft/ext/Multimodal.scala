@@ -267,7 +267,14 @@ object Multimodal {
     * only chunk headers and the 16-byte index entries — never frame
     * data — the right cost when the payload column is TBs of video.
     */
-  def parseAviFrames(payload: Array[Byte]): Option[Array[Long]] = {
+  def parseAviFrames(payload: Array[Byte]): Option[Array[Long]] =
+    parseAviFrameSpans(payload).map(_.map(_._1))
+
+  /** `parseAviFrames` with sizes: (absolute data offset, data length) per
+    * indexed frame — the span a frame DECODER needs (offset alone only
+    * feeds seek planning). Same walk, same well-formedness contract.
+    */
+  def parseAviFrameSpans(payload: Array[Byte]): Option[Array[(Long, Long)]] = {
     if (payload.length < 24) return None
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(at: Int) = new String(payload, at, 4, "US-ASCII")
@@ -289,7 +296,7 @@ object Multimodal {
     }
     if (moviFourccPos < 0 || idx1Pos < 0 || idx1Len % 16 != 0) return None
     val n = idx1Len / 16
-    val out = new Array[Long](n)
+    val out = new Array[(Long, Long)](n)
     var k = 0
     while (k < n) {
       val e = (idx1Pos + 16L * k).toInt
@@ -300,7 +307,7 @@ object Multimodal {
       // body or past RIFF end) → None, the documented stub fallback —
       // never a negative or out-of-range "real" offset
       if (rel < 0 || size < 0 || dataAt < moviFourccPos + 4 || dataAt + size > riffEnd) return None
-      out(k) = dataAt
+      out(k) = (dataAt, size)
       k += 1
     }
     Some(out)
@@ -342,6 +349,99 @@ object Multimodal {
         }
       }
       .toDF("id", "n_bytes", "n_frames", "frame_idx", "byte_offset")
+  }
+
+  /** `synthAvi` generalized to ARBITRARY frame payloads: the same
+    * RIFF/AVI container (movi LIST + idx1 index, pad-byte aligned), but
+    * each "00dc" chunk carries a caller-provided byte stream — e.g. a
+    * real `synthImage("bmp", …)` raster, making a fixture whose frames
+    * are genuinely DECODABLE images (the shape of an MJPEG-style AVI).
+    * Offsets stay closed-form: chunk k's data starts at
+    * 32 + Σ_{j<k} (8 + len_j + (len_j & 1)).
+    */
+  def synthAviWith(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val chunkLens = frames.map(f => 8 + f.length + (f.length & 1))
+    val moviLen = 4 + chunkLens.sum
+    val idxLen = 16 * frames.length
+    val total = 12 + 8 + moviLen + 8 + idxLen
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviLen).put("movi".getBytes("US-ASCII"))
+    for (f <- frames) {
+      bb.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte): Unit
+    }
+    bb.put("idx1".getBytes("US-ASCII")).putInt(idxLen)
+    var rel = 4
+    for (f <- frames) {
+      bb.put("00dc".getBytes("US-ASCII")).putInt(0x10).putInt(rel).putInt(f.length)
+      rel += 8 + f.length + (f.length & 1)
+    }
+    bb.array()
+  }
+
+  /** Per-frame feature extraction — the step that completes the VIDEO
+    * modality's media→embedding→ANN chain (image completed it via
+    * `pixelGridEmbedding`): demux each payload's frames through the REAL
+    * `idx1` index (`parseAviFrameSpans`), then DECODE every `everyN`-th
+    * frame's payload and emit its pixel-grid embedding — one row per
+    * (id, frame_idx, dim). Frames that are losslessly-decodable images
+    * (png/bmp — e.g. MJPEG-style containers) get the real 3·grid²-dim
+    * per-cell channel-mean embedding from actual decoded pixels; frames
+    * whose decode is unavailable or non-reproducible fall back to the md5
+    * `featureStub` on the frame's bytes (the honest model-inference
+    * seam), and non-AVI payloads degrade to the `frameSample` stub
+    * geometry (256-byte strides) so a mixed/corrupt batch never fails
+    * the job.
+    *
+    * Scale shape: embarrassingly parallel mapPartitions — no shuffle at
+    * all; each row's cost is its own demux + per-sampled-frame decode.
+    * Downstream: pool per (id, dim) and feed `Similarity` for
+    * video-level near-dup / ANN.
+    */
+  def frameFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      everyN: Int,
+      grid: Int = 2,
+      dims: Int = 12): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    require(dims == 3 * grid * grid, s"dims must equal 3*grid^2 (${3 * grid * grid}), got $dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def stubRow(id: Long, k: Long, slice: Array[Byte]) =
+          featureStub(md, slice, dims).iterator.zipWithIndex
+            .map { case (v, i) => (id, k, i.toLong, v) }
+        rows.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else parseAviFrameSpans(payload) match {
+            case Some(spans) =>
+              Iterator.range(0, spans.length, everyN).flatMap { k =>
+                val (off, len) = spans(k)
+                val slice = java.util.Arrays.copyOfRange(
+                  payload, off.toInt, (off + len).toInt)
+                pixelGridEmbedding(slice, grid) match {
+                  case Some(vals) => vals.iterator.map { case (dim, v) => (id, k.toLong, dim, v) }
+                  case None => stubRow(id, k.toLong, slice)
+                }
+              }
+            case None =>
+              val nBytes = payload.length.toLong
+              val nFrames = 1L + nBytes / 256L
+              (0L until nFrames by everyN.toLong).iterator.flatMap { k =>
+                val slice = java.util.Arrays.copyOfRange(
+                  payload, (k * 256L).toInt, math.min(nBytes, k * 256L + 256L).toInt)
+                stubRow(id, k, slice)
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "dim", "value")
   }
 
   /** Formats whose decode is bit-exact and decoder-independent — the only

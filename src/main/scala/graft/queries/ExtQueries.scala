@@ -169,6 +169,33 @@ object ExtQueries {
   private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     artifactFor(s, dir, "clusters")(Dedup.clusters(pairsFor(s, dir)))
 
+  /** Shared video fixture: %3<2 doc rows become RIFF/AVI containers whose
+    * frames are real BMP rasters (dims from (doc_id%16, frame) — videos
+    * in the same %16 group are IDENTICAL, the planted twins dedup_video
+    * must find); %3==2 rows stay raw text (the degradation path).
+    */
+  private def mmVideoFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    artifactFor(s, dir, "mmvid") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload =
+              if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              else {
+                val g = (id % 16).toInt
+                Multimodal.synthAviWith((0 until 1 + g % 4).map { k =>
+                  Multimodal.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)
+                })
+              }
+            (id, payload)
+          }
+        }
+        .toDF("doc_id", "payload")
+    }
+
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
     * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
     * iterations on exact 1e-6-quantized integer sums). Ends with
@@ -2559,6 +2586,94 @@ object ExtQueries {
              |SELECT doc_id, n_bytes, n_frames, frame_idx, frame_idx * 256 AS byte_offset
              |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx FROM t)""".stripMargin)
     ),
+    // REAL frame DECODE — the step past mm_frame_sample's demux that
+    // completes the video modality's media→embedding chain: %3<2 rows
+    // are RIFF/AVI containers whose frames are genuine BMP rasters
+    // (synthAviWith ∘ synthImage, dims from (doc_id%16, frame) arithmetic
+    // — MJPEG-style AVI); the engine must locate each frame via the
+    // parsed idx1 index, slice its bytes, ImageIO-DECODE the raster, and
+    // emit the 2×2 pixel-grid embedding. The oracle predicts every
+    // component in closed form from the fill arithmetic. %3==2 rows stay
+    // raw text → 256-byte-stride md5 featureStub frames (the degradation
+    // path), replayed by the oracle's md5-of-substring arithmetic.
+    Q(
+      "mm_frame_features",
+      (s, dir) => {
+        Multimodal.frameFeatures(mmVideoFor(s, dir), "doc_id", "payload", everyN = 2)
+          .select(
+            col("id").as("doc_id"), col("frame_idx"), col("dim"),
+            round(col("value"), 4).as("value"))
+      },
+      Some("""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+             |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4, 2)) AS k FROM avi),
+             |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+             |px AS (SELECT doc_id, k,
+             |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+             |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+             |       FROM fd
+             |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+             |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+             |c AS (SELECT doc_id, k, cell, count(*) n,
+             |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+             |      FROM px GROUP BY 1, 2, 3),
+             |g2 AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+             |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+             |          // (2 * n * 255) / 10000.0 AS value
+             |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch)
+             |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, CAST(dim AS BIGINT) AS dim, value FROM g2
+             |UNION ALL
+             |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, d.d AS dim,
+             |  round(('0x' || substr(md5(substr(text, CAST(k * 256 + 1 AS INT), 256)), CAST(d.d * 2 + 1 AS INT), 2))::BIGINT / 255.0, 4) AS value
+             |FROM (SELECT doc_id, text, unnest(range(0, 1 + strlen(text) // 256, 2)) AS k
+             |      FROM documents WHERE doc_id % 3 = 2)
+             |CROSS JOIN (SELECT unnest(range(0, 12)) d) d""".stripMargin)),
+    // Video-level near-dup — the ANN composition over decoded frames:
+    // pool each video's per-frame grid embeddings into one fixed-point
+    // integer vector (sum of 4-dp micro values per dim across ALL
+    // frames — exact integers, so both engines pool identically), then
+    // exact cosine pairs ≥ τ over the pooled vectors. Videos sharing the
+    // same doc_id%16 group have IDENTICAL frame sequences (cos = 1);
+    // τ=0.999 keeps exactly those twins. The oracle rebuilds the pooled
+    // vectors from the fill arithmetic and replays the same
+    // index-ordered dot / norm-product cosine.
+    Q(
+      "dedup_video",
+      (s, dir) => {
+        val ff = Multimodal.frameFeatures(
+          mmVideoFor(s, dir).where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
+        val pooled = ff
+          .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
+          .groupBy("id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("sm")))),
+            x => x.getField("sm").cast("double")).as("embedding"))
+        Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999)
+          .select(col("va").as("da"), col("vb").as("db"), col("cosine"))
+      },
+      Some("""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+             |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
+             |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+             |px AS (SELECT doc_id, k,
+             |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+             |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+             |       FROM fd
+             |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+             |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+             |c AS (SELECT doc_id, k, cell, count(*) n,
+             |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+             |      FROM px GROUP BY 1, 2, 3),
+             |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+             |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+             |          // (2 * n * 255) AS vm
+             |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
+             |p AS (SELECT doc_id, dim, CAST(sum(vm) AS DOUBLE) s FROM gv GROUP BY 1, 2),
+             |vv AS (SELECT doc_id, list(s ORDER BY dim) vec FROM p GROUP BY 1),
+             |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
+             |pr AS (SELECT a.doc_id da, b.doc_id db,
+             |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
+             |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
+             |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin)),
     // media → embedding, REAL on lossless payloads: %3<2 rows are the
     // same synthesized png/bmp fixtures as mm_image_features (shared
     // "mmpix" artifact — one encode, two queries) and get a genuine

@@ -1178,6 +1178,55 @@ class ExtSpec extends AnyFunSuite {
     assert(withNull.map(_.getAs[Long]("id")).distinct.toSeq == Seq(1L))
   }
 
+  test("frame decode completes the video ANN chain: demux → pixel embeddings → twins found") {
+    import spark.implicits._
+    // 30 videos in 5 twin groups: same-group videos carry IDENTICAL real
+    // BMP frame sequences inside the AVI container
+    def framesOf(g: Int): Seq[Array[Byte]] = (0 until 2 + g % 3).map { k =>
+      Multimodal.synthImage("bmp", 3 + (g * 3 + k) % 11, 3 + (g * 5 + k * 7) % 11)
+    }
+    val vids = (0L until 30L).map(id => (id, Multimodal.synthAviWith(framesOf((id % 5).toInt))))
+    val ff = Multimodal.frameFeatures(vids.toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-frame embeddings equal pixelGridEmbedding of the standalone
+    // image — the decode really runs on the sliced frame bytes
+    val got = ff.collect()
+      .groupBy(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx")))
+      .view.mapValues(_.map(r => r.getAs[Long]("dim") -> r.getAs[Double]("value")).sortBy(_._1)).toMap
+    for (g <- 0 until 5; (frame, k) <- framesOf(g).zipWithIndex) {
+      val expect = Multimodal.pixelGridEmbedding(frame, grid = 2).get.toSeq
+      assert(got((g.toLong, k.toLong)) === expect.map { case (d, v) => d -> v },
+        s"g=$g k=$k: frame embedding must equal the standalone image embedding")
+    }
+    // ANN composition: pooled fixed-point vectors + exact cosine pairs
+    // recover exactly the twin groups
+    val pooled = ff
+      .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sm")))),
+        x => x.getField("sm").cast("double")).as("embedding"))
+    val pairs = Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999)
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    val want = (for (a <- 0L until 30L; b <- a + 1 until 30L; if a % 5 == b % 5) yield (a, b)).toSet
+    assert(want.subsetOf(pairs), "every twin pair must be found at cos >= 0.999")
+    assert(pairs.forall { case (a, b) => a % 5 == b % 5 },
+      s"only twin groups reach 0.999 on this fixture: ${pairs.filterNot { case (a, b) => a % 5 == b % 5 }}")
+    ff.unpersist(blocking = false)
+    // degradation: a frame that is NOT a decodable image falls back to
+    // the md5 featureStub on the frame's bytes (12 dims, stub values)
+    val junkFrame = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val mixed = Multimodal.frameFeatures(
+      Seq((7L, Multimodal.synthAviWith(Seq(framesOf(0).head, junkFrame))))
+        .toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+      .collect().groupBy(_.getAs[Long]("frame_idx"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stubVals = Multimodal.featureStub(md, junkFrame, 12)
+    assert(mixed(1L).sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("value")).toSeq == stubVals.toSeq,
+      "undecodable frame must degrade to the stub on its own bytes")
+  }
+
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
     val fs = Multimodal.frameSample(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")), "doc_id", "payload", everyN = 2)
