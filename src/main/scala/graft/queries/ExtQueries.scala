@@ -169,6 +169,48 @@ object ExtQueries {
   private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     artifactFor(s, dir, "clusters")(Dedup.clusters(pairsFor(s, dir)))
 
+  /** Persisted LSH index at the oracle-pinned layout (nBits=6, 8 tables):
+    * built and written ONCE per data dir, reopened for every consumer —
+    * the stored-bucket artifact recurring query batches read instead of
+    * re-bucketing the corpus. computeIfAbsent: at most one build+write
+    * per key even under concurrent callers.
+    */
+  private val lshIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.LshIndex]
+
+  private def lshIdxFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshIdxCache.computeIfAbsent(s"lshidx:$dir", _ => {
+      val path = artifactPath(s, "lshidx", dir)
+      Similarity.writeLshIndex(
+        Similarity.buildLshIndex(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64, nBits = 6),
+        path)
+      deleteOnExit(new java.io.File(path))
+      Similarity.readLshIndex(s, path)
+    })
+
+  /** Oracle for the 6-bit / 8-table LSH pair set — shared verbatim by the
+    * in-memory (`dedup_embedding_lsh`) and persisted-index
+    * (`dedup_embedding_lsh_idx`) rows: same layout ⇒ same pairs ⇒ the
+    * gate proves the index read path changes nothing.
+    */
+  private lazy val lshPairs6OracleSql =
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, v, nrm, t.t,
+       |        list_sum(list_transform(range(0, 6), k ->
+       |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
+       |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
+       |                          / 2147483648.0) - 0.5))) > 0
+       |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
+       |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
+       |cand AS (SELECT DISTINCT a.vec_id ida, c.vec_id idb
+       |         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |p AS (SELECT ida, idb,
+       |        list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) cosine
+       |      FROM cand JOIN n na ON na.vec_id = ida JOIN n nb ON nb.vec_id = idb)
+       |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
+       |FROM p WHERE cosine >= 0.4""".stripMargin
+
   /** Shared video fixture: %3<2 doc rows become RIFF/AVI containers whose
     * frames are real BMP rasters (dims from (doc_id%16, frame) — videos
     * in the same %16 group are IDENTICAL, the planted twins dedup_video
@@ -1177,21 +1219,17 @@ object ExtQueries {
         // production callers omit it and get occupancy-aware sizing
         Similarity.lshPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6),
-      Some(s"""WITH $embCte,
-              |b AS (SELECT vec_id, v, nrm, t.t,
-              |        list_sum(list_transform(range(0, 6), k ->
-              |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
-              |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
-              |                          / 2147483648.0) - 0.5))) > 0
-              |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
-              |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
-              |cand AS (SELECT DISTINCT a.vec_id ida, c.vec_id idb
-              |         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
-              |p AS (SELECT ida, idb,
-              |        list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) cosine
-              |      FROM cand JOIN n na ON na.vec_id = ida JOIN n nb ON nb.vec_id = idb)
-              |SELECT ida AS id_a, idb AS id_b, round(cosine, 4) AS cosine
-              |FROM p WHERE cosine >= 0.4""".stripMargin)
+      Some(lshPairs6OracleSql)
+    ),
+    // The same pair set read from the PERSISTED LSH index (built once,
+    // written table-partitioned + key-sorted, reopened) — recurring
+    // query batches pay a parquet scan of the stored buckets instead of
+    // re-bucketing the corpus per call. Identical candidates and verify
+    // ⇒ identical hashes: the oracle is dedup_embedding_lsh's, verbatim.
+    Q(
+      "dedup_embedding_lsh_idx",
+      (s, dir) => Similarity.lshPairsOn(lshIdxFor(s, dir), tau = 0.4),
+      Some(lshPairs6OracleSql)
     ),
     // The AUTO-SIZED twin of dedup_embedding_lsh — the configuration a
     // production caller actually runs (nBits omitted → lshBitsFor picks

@@ -927,6 +927,36 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 999999L)), "identical vectors must collide in every table")
   }
 
+  test("persisted LSH index: append == rebuild, idempotent replay, probes hash-equal in-memory") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.where(col("vec_id") % 5 =!= 0)
+    val delta = e.where(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine"))).toSet
+    // write base, append the delta with the STORED (frozen) parameters
+    Similarity.writeLshIndex(
+      Similarity.buildLshIndex(base, "vec_id", "embedding", dims = 64, nBits = 6), path)
+    val appended = Similarity.appendLshIndex(spark, path, delta, "vec_id", "embedding")
+    assert(appended.nBits == 6 && appended.nTables == 8, "append must reuse stored meta")
+    // appended index == one built over the full corpus (planes are a pure
+    // function of the params, so append-vs-rebuild is exact, like IVF's
+    // frozen-centroid contract)
+    val inMem = Similarity.lshPairs(e, "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6)
+    assert(pairSet(Similarity.lshPairsOn(appended, tau = 0.4)) == pairSet(inMem),
+      "persisted+appended index must yield the exact in-memory pair set")
+    // idempotent under replay: the same delta appends nothing twice
+    val n1 = appended.bucketed.count()
+    val again = Similarity.appendLshIndex(spark, path, delta, "vec_id", "embedding")
+    assert(again.bucketed.count() == n1, "replayed append must be a no-op")
+    // top-k probe on the stored layout equals the in-memory path
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val want = topSet(Similarity.lshTopK(
+      e, "vec_id", "embedding", col("id") < 5, k = 3, dims = 64, nBits = 6))
+    assert(topSet(Similarity.lshTopKOn(again, col("id") < 5, k = 3)) == want)
+  }
+
   test("minhash funnel diagnostics agree with the production pair path") {
     val d = Tables.documents(spark, sf)
     val f = Dedup.minhashLshFunnel(d, "doc_id", "text")
