@@ -30,7 +30,11 @@ object JoinStream {
     * each unmatched view with null action columns once the watermark
     * proves no action can still arrive in its horizon — the
     * attribution-LOSS report (which views never converted), produced with
-    * the same bounded state as the inner join.
+    * the same bounded state as the inner join. "full_outer" completes
+    * the taxonomy: BOTH sides' expiring unmatched state emits with nulls
+    * — unconverted views AND orphaned actions (activity with no
+    * preceding view: broken tracking, direct traffic) in one pass, same
+    * bounded state.
     */
   def intervalJoin(
       views: DataFrame,
@@ -84,9 +88,13 @@ object JoinStream {
       // passes vTime + horizon
       Replay.flushSentinels(q, Seq(memV, memA),
         (vs ++ as).map(_.tsMs).maxOption.getOrElse(0L), ts => JoinEvent(-1L, ts))
-    }.where(col("vKey") =!= -1L)
+      // under full_outer the sentinel rows themselves expire unmatched and
+      // would emit; the filter below drops them on EITHER side (a real
+      // key is never null on both sides of an emitted row)
+    }.where(coalesce(col("vKey"), col("aKey")) =!= -1L
+        && coalesce(col("aKey"), col("vKey")) =!= -1L)
       .select(
-        col("vKey").as("user_id"),
+        coalesce(col("vKey"), col("aKey")).as("user_id"),
         unix_millis(col("vTime")).as("v_ts"),
         unix_millis(col("aTime")).as("a_ts"))
   }

@@ -285,6 +285,37 @@ class StreamingSpec extends AnyFunSuite {
       s"state lost across restart: got ${got.get(3000L)}")
   }
 
+  test("kmvStream bottom-k state survives a query restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.TokArrival
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_kmv_out").toString
+    val mem = MemoryStream[TokArrival]
+    def start() = SketchStream.kmvStream(mem.toDS(), k = 4)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    // chunk 1 holds three of the four final bottom-k hashes: a restart
+    // that lost state would emit a final snapshot missing them
+    val q1 = start()
+    mem.addData(TokArrival("g", 0, 10L), TokArrival("g", 0, 20L), TokArrival("g", 0, 30L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same checkpoint -> bottom-k array restored
+    mem.addData(TokArrival("g", 1, 15L), TokArrival("g", 1, 99L), TokArrival("g", 1, 5L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val fin = spark.read.parquet(outDir).as[SketchStream.KmvSnapshot].collect()
+      .filter(_.grp == "g").maxBy(_.seq)
+    assert(fin.seq == 2L, s"seq must continue from checkpointed state, got ${fin.seq}")
+    // == uninterrupted bottom-4 of {10,20,30,15,99,5}
+    assert(fin.hashes.toSeq == Seq(5L, 10L, 15L, 20L),
+      s"final sketch must merge pre- and post-restart hashes: ${fin.hashes.toSeq}")
+  }
+
   test("streaming HLL registers equal the batch sketch for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Sketches
@@ -446,6 +477,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(
       (1L, 1000L, 3000L), (1L, 50000L, 55000L),
       (2L, 2000L, -1L))) // the attribution loss: a view that never converted
+  }
+
+  test("stream-stream interval join FULL OUTER: both sides' unmatched state emits nulls") {
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.JoinEvent
+    val views = Seq(
+      JoinEvent(1, 1000), JoinEvent(1, 50000), JoinEvent(2, 2000))
+    val actions = Seq(
+      JoinEvent(1, 3000), // pairs with view@1000
+      JoinEvent(1, 55000), // pairs with view@50000
+      JoinEvent(2, 30000), // outside view@2000's horizon → BOTH sides unmatched
+      JoinEvent(3, 1000)) // key with no views → orphaned action
+    val got = JoinStream.joinReplay(views, actions, spark, chunks = 3, horizonMs = 10000L,
+        joinType = "full_outer")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 1000L, 3000L), (1L, 50000L, 55000L), // converted pairs
+      (2L, 2000L, -1L), // unconverted view (the left_outer row)
+      (2L, -1L, 30000L), (3L, -1L, 1000L))) // orphaned actions — the new shape
   }
 
   test("stream-stream interval join state survives a kill-and-resume from checkpoint") {
