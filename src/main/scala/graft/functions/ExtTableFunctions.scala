@@ -38,6 +38,40 @@ object ExtTableFunctions {
   val KmvOverlapName = "kmv_overlap"
   val PpjoinPairsName = "ppjoin_pairs"
 
+  /** Session-scoped artifact cache for the PAIR-GRAPH TVFs (minhash /
+    * ppjoin) — the builders whose whole signature→candidate→verify
+    * pipeline would otherwise re-run on EVERY SQL query (and, because
+    * Spark inlines duplicate CTE references, can re-run twice inside ONE
+    * query): the first call materializes the pair table to parquet, every
+    * later call — Scala or SQL — reads the file, the same amortization
+    * `ExtQueries.artifactFor` gives Scala callers. Keyed by
+    * (function, table name, params, applicationId): artifacts are
+    * immutable snapshots, so a pipeline that mutates the underlying view
+    * mid-session must register a fresh view name (the standard artifact
+    * contract). computeIfAbsent builds at most once under concurrency;
+    * paths are appId-suffixed and deleted on JVM exit.
+    */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]
+
+  private def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): LogicalPlan =
+    artifactCache.computeIfAbsent(key, _ => {
+      val spark = SparkSession.active
+      val path = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_tvf_${Integer.toHexString(key.hashCode)}_${spark.sparkContext.applicationId}").toString
+      build.write.mode("overwrite").parquet(path)
+      val root = new java.io.File(path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+      SqlBridge.analyzedPlan(spark.read.parquet(path))
+    })
+
   /** `minhash_pairs(table[, tau])` — MinHash-LSH near-dup pairs
     * `(da, db, jaccard)` over a `(doc_id, text)` relation.
     */
@@ -46,8 +80,9 @@ object ExtTableFunctions {
     val table = FoldTableFunctions.stringArg(MinhashPairsName, args, 0)
     val tau = FoldTableFunctions.doubleArg(MinhashPairsName, args, 1, 0.5)
     val spark = SparkSession.active
-    SqlBridge.analyzedPlan(
-      Dedup.minhashLshPairs(spark.table(table), "doc_id", "text", tau = tau))
+    cachedPlan(s"$MinhashPairsName:$table:$tau:${spark.sparkContext.applicationId}") {
+      Dedup.minhashLshPairs(spark.table(table), "doc_id", "text", tau = tau)
+    }
   }
 
   /** `tfidf_topk(table, k)` — per-doc top-k tf·idf keywords
@@ -93,8 +128,9 @@ object ExtTableFunctions {
     val table = FoldTableFunctions.stringArg(PpjoinPairsName, args, 0)
     val tau = FoldTableFunctions.doubleArg(PpjoinPairsName, args, 1, 0.5)
     val spark = SparkSession.active
-    SqlBridge.analyzedPlan(
-      Dedup.ppjoinPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau))
+    cachedPlan(s"$PpjoinPairsName:$table:$tau:${spark.sparkContext.applicationId}") {
+      Dedup.ppjoinPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau)
+    }
   }
 
   /** Runtime registration into a live session (the no-config twin of the

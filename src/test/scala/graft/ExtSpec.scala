@@ -1330,6 +1330,17 @@ class ExtSpec extends AnyFunSuite {
       val pp = s2.sql("SELECT * FROM ppjoin_pairs('ext_docs_probe', 0.5)").collect()
         .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
       assert(pp.toSeq == Seq((1L, 2L, 1.0)), "exact join finds exactly the dup pair")
+      // pair-graph TVFs hit the session artifact cache on repeat calls:
+      // identical rows, and the cached plan survives being referenced
+      // TWICE in one query (self-join through the TVF)
+      val mp2 = s2.sql("SELECT * FROM minhash_pairs('ext_docs_probe', 0.5)").collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+      assert(mp2.toSeq == mp.toSeq, "cached artifact must reproduce the first call's rows")
+      val selfJoined = s2.sql(
+        """SELECT count(*) FROM minhash_pairs('ext_docs_probe', 0.5) a
+          |JOIN minhash_pairs('ext_docs_probe', 0.5) b ON a.da = b.da AND a.db = b.db""".stripMargin)
+        .head().getLong(0)
+      assert(selfJoined == 1L, "self-join of the cached TVF plan must deduplicate attributes")
       val ql = s2.sql("SELECT doc_id, keep FROM quality_lr('ext_docs_probe')").collect()
         .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
       assert(ql.keySet == Set(1L, 2L, 3L))
