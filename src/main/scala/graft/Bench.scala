@@ -18,7 +18,7 @@ object Bench {
     // wall time measures the replay harness, not a distributed operator —
     // excluded here (Verify still runs them)
     val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_sessions", "stream_join",
-      "stream_join_outer", "stream_enrich", "stream_kmv")
+      "stream_join_outer", "stream_join_full", "stream_enrich", "stream_kmv")
     val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1)).sortBy(_._1)
     // warm pass: JIT + codegen + parquet footer caches (BASELINE.md
     // measurement plan: warm JVM, median of 3)
@@ -41,7 +41,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // full per-query artifact: the driver's BENCH_r*.json keeps only a
+    // truncated stdout tail, losing the first ~100 per-query numbers —
+    // this file makes round-over-round comparison mechanical
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] bench_full.json write failed: $e") }
     spark.stop()
   }
 }

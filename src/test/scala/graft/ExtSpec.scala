@@ -547,6 +547,36 @@ class ExtSpec extends AnyFunSuite {
     assert(r1("d") == 150000L)
   }
 
+  test("pageRank iters=20: rematerialized lineage matches a driver-side reference exactly") {
+    import graft.ext.Graph
+    // a 40-node ring + chords — enough structure that ranks keep moving
+    // for many rounds; 20 iterations would compound 20 unrolled
+    // join+groupBy layers without the per-round RDD rematerialization
+    val edges = (0 until 40).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % 40}", 2L), (s"n$i", s"n${(i + 7) % 40}", 1L))
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters = 20)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro")).toMap
+    // reference: the same integer recurrence computed in plain Scala
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = (0 until 40).map(i => s"n$i" -> 1000000L).toMap
+    for (_ <- 1 to 20) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        in(d) += ((rank(s) * 850L) / 1000L) * w / outW(s)
+      }
+      rank = rank.keys.map(n => n -> (150000L + in(n))).toMap
+    }
+    assert(got == rank, "20-round micro-ranks must equal the reference recurrence exactly")
+    // zero/negative-weight edges are excluded on BOTH engines (the oracle
+    // would raise div-by-zero where Spark yields NULL): engine must drop
+    // them rather than silently null out contributions
+    val withBad = edges ++ Seq(("n0", "n39", 0L), ("n1", "n38", -5L))
+    val got2 = Graph.pageRank(withBad.toDF("src", "dst", "w"), "src", "dst", "w", iters = 20)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro")).toMap
+    assert(got2 == rank, "w<1 edges must be filtered, not NULL-propagated")
+  }
+
   test("semanticPairs: verified subset of exact pairs; within-cell recall is total; dups always pair") {
     val e = Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding")
