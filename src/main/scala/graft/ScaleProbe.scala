@@ -14,7 +14,9 @@ object ScaleProbe {
     val sfDir = args(0)
     val semanticMode = args.length > 1 && args(1) == "semantic"
     val ppjoinMode = args.length > 1 && args(1) == "ppjoin"
-    val namedMode = semanticMode || ppjoinMode
+    val videoMode = args.length > 1 && args(1) == "video"
+    val lshIdxMode = args.length > 1 && args(1) == "lshidx"
+    val namedMode = semanticMode || ppjoinMode || videoMode || lshIdxMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -43,6 +45,68 @@ object ScaleProbe {
         Dedup.ppjoinFunnel(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, tau = t)
       }
       f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
+      spark.stop()
+      return
+    }
+    // video mode: runMain graft.ScaleProbe <sfDir> video — synthesize the
+    // mmvid fixture shape over the dir's documents, time frame demux +
+    // decode + per-frame embeddings + pooled video near-dup pairs
+    if (videoMode) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val Mm = graft.ext.Multimodal
+      val payloads = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val p =
+            if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else {
+              val g = (id % 16).toInt
+              Mm.synthAviWith((0 until 1 + g % 4).map(k =>
+                Mm.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)))
+            }
+          (id, p)
+        })
+        .toDF("doc_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] videos = ${payloads.count()}")
+      val ff = timed("frameFeatures (demux+decode+grid)") {
+        val f = Mm.frameFeatures(payloads.where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scaleprobe] frame_feature_rows = ${f.count()}")
+        f
+      }
+      timed("pooled video near-dup pairs") {
+        val pooled = ff
+          .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
+          .groupBy("id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("sm")))),
+            x => x.getField("sm").cast("double")).as("embedding"))
+        println(s"[scaleprobe] video_pairs = ${graft.ext.Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
+      }
+      spark.stop()
+      return
+    }
+    // lshidx mode: runMain graft.ScaleProbe <sfDir> lshidx — build+persist
+    // the LSH index on embeddings (auto bits), then time the pairs probe
+    // on the STORED layout twice (build-inclusive vs steady)
+    if (lshIdxMode) {
+      val Sim = graft.ext.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val path = java.nio.file.Files.createTempDirectory("lshidx_probe").toString
+      timed("buildLshIndex + writeLshIndex") {
+        Sim.writeLshIndex(Sim.buildLshIndex(emb, "vec_id", "embedding", dims = 64), path)
+      }
+      val idx = Sim.readLshIndex(spark, path)
+      println(s"[scaleprobe] n_bits = ${idx.nBits}")
+      timed("lshPairsOn (first read)") {
+        println(s"[scaleprobe] pairs = ${Sim.lshPairsOn(idx, tau = 0.4).count()}")
+      }
+      timed("lshPairsOn (steady)") {
+        println(s"[scaleprobe] pairs2 = ${Sim.lshPairsOn(idx, tau = 0.4).count()}")
+      }
       spark.stop()
       return
     }
