@@ -40,9 +40,28 @@ object ScaleProbe {
     // rule in BENCH_NOTES
     // ppjoin-funnel mode: runMain graft.ScaleProbe <sfDir> ppjoin [tau]
     if (ppjoinMode) {
+      import org.apache.spark.sql.functions.col
       val t = if (args.length > 2) args(2).toDouble else 0.5
+      // "exactfirst": the documented pipeline order for dense-dup corpora —
+      // collapse identical texts via Dedup.exact, ppjoin only the residue
+      // (one representative per exact-dup class)
+      val exactFirst = args.length > 3 && args(3) == "exactfirst"
+      val docsAll = Tables.documents(spark, sfDir)
+      val docs =
+        if (!exactFirst) docsAll
+        else {
+          val before = docsAll.count()
+          val residue = docsAll
+            .join(
+              Dedup.exact(docsAll, "doc_id", "text")
+                .select(col("canonical_id").as("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"[scaleprobe] exact_first: $before docs -> ${residue.count()} residue docs")
+          residue
+        }
       val f = timed(s"ppjoin funnel tau=$t") {
-        Dedup.ppjoinFunnel(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, tau = t)
+        Dedup.ppjoinFunnel(docs, "doc_id", "text", n = 3, tau = t)
       }
       f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
       spark.stop()
