@@ -73,7 +73,9 @@ object ScaleProbe {
     if (videoMode) {
       import spark.implicits._
       import org.apache.spark.sql.functions._
-      val Mm = graft.ext.Multimodal
+      // module accessed statically inside the lambda — assigning the
+      // object to a local val would capture (and fail to serialize) it
+      import graft.ext.Multimodal
       val payloads = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -81,8 +83,8 @@ object ScaleProbe {
             if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             else {
               val g = (id % 16).toInt
-              Mm.synthAviWith((0 until 1 + g % 4).map(k =>
-                Mm.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)))
+              Multimodal.synthAviWith((0 until 1 + g % 4).map(k =>
+                Multimodal.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)))
             }
           (id, p)
         })
@@ -90,7 +92,7 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[scaleprobe] videos = ${payloads.count()}")
       val ff = timed("frameFeatures (demux+decode+grid)") {
-        val f = Mm.frameFeatures(payloads.where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
+        val f = Multimodal.frameFeatures(payloads.where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         println(s"[scaleprobe] frame_feature_rows = ${f.count()}")
         f
