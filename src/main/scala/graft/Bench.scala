@@ -19,7 +19,12 @@ object Bench {
     // excluded here (Verify still runs them)
     val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_sessions", "stream_join",
       "stream_join_outer", "stream_join_full", "stream_enrich", "stream_kmv")
-    val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1)).sortBy(_._1)
+    // optional subset (comma-separated names): targeted re-measurement of
+    // specific rows without a 162-query full pass
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq.filterNot(q => skip(q._1))
+      .filter(q => only.forall(_.contains(q._1))).sortBy(_._1)
     // warm pass: JIT + codegen + parquet footer caches (BASELINE.md
     // measurement plan: warm JVM, median of 3)
     ordered.foreach { case (_, fn) =>

@@ -53,16 +53,25 @@ object Graph {
       .distinct()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val ew = e.join(outW, "src") // (src, dst, w, ow) — static across rounds
-    // Rank is rebuilt per round as a fresh DataFrame over its
-    // materialized RDD (the `Dedup.clusters` flat-lineage pattern): the
-    // naive loop unrolls `iters` join+groupBy layers into one plan that
-    // Catalyst re-analyzes each round — fine at iters=3, seconds of
-    // driver time by iters=20. Each round's RDD persists MEMORY_AND_DISK
-    // and the previous round's is released; on a real cluster swap the
-    // cache for reliable checkpoint() to the cluster FS — same shape.
+    // Lineage control (the `Dedup.clusters` flat-lineage pattern, applied
+    // every K rounds instead of every round): the naive loop unrolls
+    // `iters` join+groupBy layers into one plan that Catalyst re-analyzes
+    // each round — fine at iters=3, seconds of driver time by iters=20.
+    // But a PER-round RDD rebuild is pure overhead at small iters (no
+    // eager action needs each round, unlike clusters' convergence check),
+    // and each RDD boundary blocks the exchange reuse that makes the
+    // unrolled plan cheap (ew/nodes subtrees dedup to ONE shuffle within
+    // a single physical plan — measured 4-7x on the gate rows when every
+    // round got its own boundary). So: stay unrolled within segments of
+    // `rematEvery` rounds, rebuild the rank table as a fresh DataFrame
+    // over its materialized RDD only at segment boundaries. Each
+    // segment's RDD persists MEMORY_AND_DISK and the previous one is
+    // released; on a real cluster swap the cache for reliable
+    // checkpoint() to the cluster FS — same shape.
+    val rematEvery = 8
     var rank = nodes.withColumn("rm", lit(1000000L))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("(((rm * 850) DIV 1000) * w) DIV ow").as("c"))
@@ -71,11 +80,13 @@ object Graph {
       val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"), (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rm"))
-      val rdd = next.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rank = spark.createDataFrame(rdd, next.schema)
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = rdd
+      rank = if (i % rematEvery == 0 && i < iters) {
+        val rdd = next.rdd
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+        spark.createDataFrame(rdd, next.schema)
+      } else next
     }
     rank.select(
       col("node"),
