@@ -444,6 +444,81 @@ object Multimodal {
       .toDF("id", "frame_idx", "dim", "value")
   }
 
+  /** Shot-boundary (scene-cut) detection over a per-frame feature table
+    * (`frameFeatures` output: id, frame_idx, dim, value): a frame is a
+    * cut when its feature vector moved at least `tauFp` from the
+    * previous SAMPLED frame, by L1 distance in 4-dp fixed point —
+    * integer arithmetic end-to-end, so both engines agree exactly. The
+    * keyframe-selection primitive of a video training pipeline: cuts
+    * segment a clip into shots, and one representative frame per shot
+    * replaces N near-identical ones (the temporal analogue of near-dup
+    * dedup).
+    *
+    * Returns (id, frame_idx, l1_fp) for cut frames only. Frame 0 is
+    * never a cut (no predecessor); single-frame videos emit nothing.
+    *
+    * Scale shape: one groupBy shuffle on (id, frame_idx) to assemble
+    * per-frame vectors (dims → one array row), then a lag window
+    * partitioned by video id — state is one previous vector per
+    * partition stream, and a video's cost is its own frame count. No
+    * joins, no pair enumeration.
+    */
+  def sceneCuts(
+      frameFeatures: DataFrame,
+      tauFp: Long,
+      idCol: String = "id"): DataFrame = {
+    require(tauFp >= 0, s"tauFp must be >= 0, got $tauFp")
+    val perFrame = frameFeatures
+      .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col(idCol), col("frame_idx"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("vm")))),
+        x => x.getField("vm")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    perFrame
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .where(col("pv").isNotNull)
+      .select(
+        col(idCol), col("frame_idx"),
+        aggregate(
+          zip_with(col("v"), col("pv"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fp"))
+      .where(col("l1_fp") >= tauFp)
+  }
+
+  /** Shot segmentation: group each video's sampled frames into shots
+    * delimited by `sceneCuts` boundaries (frame 0 opens shot 0; every
+    * cut frame opens a new shot). Returns one row per shot —
+    * (id, shot_id, start_frame, end_frame, n_frames) — the table a
+    * keyframe-selection pass consumes: keep `start_frame` (or any
+    * per-shot representative) and drop the near-identical rest, the
+    * temporal analogue of cluster-then-keep-best dedup.
+    *
+    * Scale shape: `sceneCuts`' groupBy + lag window, one more running
+    * `sum(is_cut)` window over the same per-video partitioning (no new
+    * shuffle — same key), and a final (id, shot_id) partial-agg groupBy.
+    * All counts, no pair enumeration; a video's cost is its frame count.
+    */
+  def shotSegments(
+      frameFeatures: DataFrame,
+      tauFp: Long,
+      idCol: String = "id"): DataFrame = {
+    val cuts = sceneCuts(frameFeatures, tauFp, idCol)
+      .select(col(idCol), col("frame_idx"), lit(1).as("is_cut"))
+    val frames = frameFeatures.select(col(idCol), col("frame_idx")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frames
+      .join(cuts, Seq(idCol, "frame_idx"), "left")
+      .withColumn("shot_id", sum(coalesce(col("is_cut"), lit(0))).over(w).cast("long"))
+      .groupBy(col(idCol), col("shot_id"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Formats whose decode is bit-exact and decoder-independent — the only
     * ones `imagePixelFeatures` computes means for.
     */

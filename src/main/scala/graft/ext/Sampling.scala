@@ -58,6 +58,37 @@ object Sampling {
       .drop("_frac")
   }
 
+  /** Leakage-safe split assignment: near-duplicate cluster members are
+    * hashed by their cluster's CANONICAL id instead of their own, so an
+    * entire near-dup cluster lands in ONE split. Plain per-id splitting
+    * puts ~20% of each near-dup pair across the train/test boundary
+    * (weights 8/1/1) — textbook evaluation leakage: the model is scored
+    * on paraphrases of its own training docs. `clusters` is
+    * `Dedup.clusters` output ((doc_id, canonical_id, ...)); docs not in
+    * any cluster (the overwhelming majority) fall back to their own id,
+    * so their assignment is IDENTICAL to `assignSplit` at the same salt
+    * — adding dedup-safety never reshuffles the singleton corpus.
+    *
+    * Scale: one left equi-join of the corpus against the cluster-member
+    * table (pair-graph-sized — orders of magnitude smaller than the
+    * corpus; broadcast when it fits), then the same narrow hash-interval
+    * map as `assignSplit`. That join is the entire price of leakage
+    * safety.
+    */
+  def assignSplitByCluster(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    val canon = clusters.select(col("doc_id").as(idCol), col("canonical_id"))
+    val keyed = df
+      .join(canon, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+    assignSplit(keyed, "split_key", splits, salt)
+  }
+
   /** Deterministic stratified sample / per-group quota: keep at most
     * `perGroup` rows from each group, chosen by md5-hash rank — the
     * "cap each domain/source at N documents" operator every pretraining

@@ -89,6 +89,12 @@ object ExtQueries {
     */
   private val BpeMerges = 8
 
+  /** Scene-cut L1 threshold (4-dp fixed point, 12 dims of [0,10000]):
+    * must split the fixture's frame transitions into cut and non-cut so
+    * the gate row proves the threshold actually discriminates.
+    */
+  private val SceneCutTau = 6000L
+
   /** One BPE training run per data dir; the final vocab is persisted as a
     * session artifact so the apply query pays a parquet scan, not a
     * retrain, after bench isolation's clearCache().
@@ -236,6 +242,18 @@ object ExtQueries {
           }
         }
         .toDF("doc_id", "payload")
+    }
+
+  /** Per-frame feature table over the decodable video rows (everyN=1) —
+    * a stored pipeline artifact like the pair graph: demux+decode runs
+    * once, and every frame-level consumer (video near-dup pooling,
+    * scene-cut detection) reads the table instead of re-decoding the
+    * corpus. The decode itself stays measured by mm_frame_features.
+    */
+  private def frameFeatFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    artifactFor(s, dir, "framefeat") {
+      Multimodal.frameFeatures(
+        mmVideoFor(s, dir).where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
     }
 
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
@@ -1483,6 +1501,35 @@ object ExtQueries {
              |        ('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
              |        / 4294967296.0 f
              |      FROM documents)""".stripMargin)),
+    // Leakage-safe split: near-dup cluster members inherit their
+    // cluster's canonical id as the hash key, so no MinHash pair ever
+    // straddles train/test (evaluation leakage); singletons hash by
+    // their own id — identical to sample_split at the same salt. The
+    // oracle replays the recursive-CTE closure (dedup_clusters) and the
+    // same md5-interval arithmetic over the coalesced key.
+    Q(
+      "sample_split_safe",
+      (s, dir) =>
+        Sampling.assignSplitByCluster(
+          Tables.documents(s, dir), "doc_id", clustersFor(s, dir),
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+          .select(col("doc_id"), col("split_key"), col("split")),
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a),
+              |k AS (SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) split_key
+              |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+              |SELECT doc_id, split_key,
+              |  CASE WHEN f < 0.8 THEN 'train'
+              |       WHEN f < 0.8 + 0.1 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, split_key,
+              |        ('0x' || substr(md5('sp1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+              |        / 4294967296.0 f
+              |      FROM k)""".stripMargin)),
     // Per-source quota: cap every source at 10 of its 25 docs by
     // deterministic md5-hash rank (the domain-cap mixture op). Same md5
     // arithmetic in the oracle → identical picks.
@@ -2677,8 +2724,7 @@ object ExtQueries {
     Q(
       "dedup_video",
       (s, dir) => {
-        val ff = Multimodal.frameFeatures(
-          mmVideoFor(s, dir).where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
+        val ff = frameFeatFor(s, dir)
         val pooled = ff
           .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
           .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
@@ -2712,6 +2758,81 @@ object ExtQueries {
              |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
              |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
              |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin)),
+    // Shot-boundary detection over the same per-frame feature table:
+    // a frame is a cut when its decoded feature vector moved ≥ τ from
+    // the previous frame by L1 distance in 4-dp fixed point — the
+    // keyframe-selection primitive (one representative frame per shot).
+    // Integer arithmetic end-to-end; the oracle rebuilds the per-frame
+    // vm values from the fill arithmetic and replays the same lag/L1.
+    Q(
+      "mm_scene_cuts",
+      (s, dir) =>
+        Multimodal.sceneCuts(frameFeatFor(s, dir), tauFp = SceneCutTau, idCol = "id")
+          .select(col("id").as("doc_id"), col("frame_idx"), col("l1_fp")),
+      Some(s"""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+              |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
+              |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+              |px AS (SELECT doc_id, k,
+              |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+              |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+              |       FROM fd
+              |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+              |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+              |c AS (SELECT doc_id, k, cell, count(*) n,
+              |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+              |      FROM px GROUP BY 1, 2, 3),
+              |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+              |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+              |          // (2 * n * 255) AS vm
+              |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
+              |lg AS (SELECT doc_id, k, dim, vm,
+              |         lag(vm) OVER (PARTITION BY doc_id, dim ORDER BY k) pv FROM gv),
+              |l1 AS (SELECT doc_id, CAST(k AS BIGINT) frame_idx,
+              |         CAST(sum(abs(vm - pv)) AS BIGINT) l1_fp
+              |       FROM lg WHERE pv IS NOT NULL GROUP BY 1, 2)
+              |SELECT doc_id, frame_idx, l1_fp FROM l1 WHERE l1_fp >= $SceneCutTau""".stripMargin)),
+    // Shot segmentation over the cut boundaries: frame 0 opens shot 0,
+    // every cut frame opens a new shot; one row per shot with its frame
+    // span — the keyframe-selection table (keep start_frame per shot,
+    // drop the near-identical rest). Oracle: the scene-cut CTE plus the
+    // same running-sum window and span aggregate.
+    Q(
+      "mm_shots",
+      (s, dir) =>
+        Multimodal.shotSegments(frameFeatFor(s, dir), tauFp = SceneCutTau, idCol = "id")
+          .select(
+            col("id").as("doc_id"), col("shot_id"),
+            col("start_frame"), col("end_frame"), col("n_frames")),
+      Some(s"""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+              |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
+              |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+              |px AS (SELECT doc_id, k,
+              |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+              |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+              |       FROM fd
+              |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+              |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+              |c AS (SELECT doc_id, k, cell, count(*) n,
+              |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+              |      FROM px GROUP BY 1, 2, 3),
+              |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+              |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+              |          // (2 * n * 255) AS vm
+              |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
+              |lg AS (SELECT doc_id, k, dim, vm,
+              |         lag(vm) OVER (PARTITION BY doc_id, dim ORDER BY k) pv FROM gv),
+              |l1 AS (SELECT doc_id, k, sum(abs(vm - pv)) l1_fp
+              |       FROM lg WHERE pv IS NOT NULL GROUP BY 1, 2),
+              |cut AS (SELECT doc_id, k FROM l1 WHERE l1_fp >= $SceneCutTau),
+              |m AS (SELECT fr.doc_id, fr.k,
+              |        CASE WHEN cut.k IS NOT NULL THEN 1 ELSE 0 END is_cut
+              |      FROM fr LEFT JOIN cut ON fr.doc_id = cut.doc_id AND fr.k = cut.k),
+              |sh AS (SELECT doc_id, k,
+              |         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY k) shot_id FROM m)
+              |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+              |  CAST(min(k) AS BIGINT) AS start_frame, CAST(max(k) AS BIGINT) AS end_frame,
+              |  count(*) AS n_frames
+              |FROM sh GROUP BY 1, 2""".stripMargin)),
     // media → embedding, REAL on lossless payloads: %3<2 rows are the
     // same synthesized png/bmp fixtures as mm_image_features (shared
     // "mmpix" artifact — one encode, two queries) and get a genuine

@@ -201,6 +201,41 @@ class ExtSpec extends AnyFunSuite {
     assert(byS("train") / n > 0.6 && byS("train") / n < 0.95)
   }
 
+  test("cluster-aware split: no near-dup pair straddles splits; singletons equal plain assignSplit") {
+    val d = Tables.documents(spark, sf)
+    val pairs = ext.Dedup.minhashLshPairs(d, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+    val clusters = ext.Dedup.clusters(pairs)
+    val w = Seq(("train", 8.0), ("val", 1.0), ("test", 1.0))
+    val safe = ext.Sampling.assignSplitByCluster(d, "doc_id", clusters, w, "sp1")
+    assert(safe.count() == d.count(), "every doc assigned exactly once")
+    // the leakage property itself: both ends of every near-dup pair get
+    // the SAME split label
+    val bySplit = safe.select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(bySplit.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(bySplit.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .where(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0L, s"$straddling near-dup pairs straddle splits")
+    // plain per-id splitting DOES leak on this fixture (the property is
+    // not vacuous), and cluster members exist
+    val plain = ext.Sampling.assignSplit(d, "doc_id", w, "sp1")
+    val plainStraddling = pairs
+      .join(plain.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(plain.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .where(col("sa") =!= col("sb"))
+      .count()
+    assert(plainStraddling > 0L, "fixture must exhibit leakage under plain splitting")
+    // singleton docs (not in any cluster) keep their plain assignment:
+    // adding dedup-safety never reshuffles the rest of the corpus
+    val members = clusters.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val diff = safe.select(col("doc_id"), col("split"))
+      .join(plain.select(col("doc_id"), col("split").as("plain_split")), "doc_id")
+      .where(col("split") =!= col("plain_split"))
+      .collect().map(_.getLong(0)).toSet
+    assert(diff.subsetOf(members), "only cluster members may move splits")
+  }
+
   test("weighted mixing: w>1 upsamples with copy indices, w=0 drops, expectation ≈ weights") {
     val d = Tables.documents(spark, sf)
     val out = ext.Sampling.mixWeighted(
@@ -1285,6 +1320,60 @@ class ExtSpec extends AnyFunSuite {
     val stubVals = Multimodal.featureStub(md, junkFrame, 12)
     assert(mixed(1L).sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("value")).toSeq == stubVals.toSeq,
       "undecodable frame must degrade to the stub on its own bytes")
+  }
+
+  test("scene cuts: hand-verified L1 against pixelGridEmbedding; identical frames never cut") {
+    import spark.implicits._
+    // video 1: three distinct frames; video 2: the SAME frame three times
+    // (a static shot — zero movement, zero cuts at any τ > 0)
+    val f = (0 until 3).map(k => Multimodal.synthImage("bmp", 4 + k * 3, 5 + k * 2))
+    val vids = Seq(
+      (1L, Multimodal.synthAviWith(f)),
+      (2L, Multimodal.synthAviWith(Seq(f.head, f.head, f.head))))
+    val ff = Multimodal.frameFeatures(vids.toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+    val allRows = Multimodal.sceneCuts(ff, tauFp = 0L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx")) -> r.getAs[Long]("l1_fp")).toMap
+    // reference L1 from the standalone per-image embeddings, same 4-dp grid
+    def fp(img: Array[Byte]) =
+      Multimodal.pixelGridEmbedding(img, grid = 2).get.map { case (_, v) => math.floor(v * 10000 + 0.5).toLong }
+    val want1 = f.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      (1L, (i + 1).toLong) -> fp(a).zip(fp(b)).map { case (x, y) => math.abs(x - y) }.sum
+    }.toMap
+    assert(allRows.filter(_._1._1 == 1L) == want1, "video 1 L1 must match the standalone-embedding reference")
+    assert(allRows.filter(_._1._1 == 2L).values.forall(_ == 0L), "static shot moves zero")
+    // thresholding keeps exactly the frames at/above τ; frame 0 never appears
+    val tau = want1.values.min + 1
+    val cuts = Multimodal.sceneCuts(ff, tauFp = tau).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx"))).toSet
+    assert(cuts == want1.filter(_._2 >= tau).keySet)
+    assert(!cuts.exists(_._2 == 0L), "frame 0 has no predecessor")
+  }
+
+  test("shot segments: cuts open shots, spans partition the frames, static video is one shot") {
+    import spark.implicits._
+    val f = (0 until 3).map(k => Multimodal.synthImage("bmp", 4 + k * 3, 5 + k * 2))
+    val vids = Seq(
+      (1L, Multimodal.synthAviWith(f)),
+      (2L, Multimodal.synthAviWith(Seq(f.head, f.head, f.head))))
+    val ff = Multimodal.frameFeatures(vids.toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+    def segs(tau: Long) = Multimodal.shotSegments(ff, tauFp = tau).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shot_id"),
+        r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames")))
+      .sortBy(t => (t._1, t._2))
+    // τ=0: every transition cuts → video 1 has 3 single-frame shots
+    // (frame 0 has no predecessor, so it opens shot 0 rather than cutting)
+    val fine = segs(0L)
+    assert(fine.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 0L, 1L), (1L, 1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L, 1L)))
+    // static video: l1 = 0 ≥ 0 still cuts at τ=0, but at any τ ≥ 1 it is ONE shot
+    val coarse = segs(Long.MaxValue)
+    assert(coarse.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 2L, 3L)), "τ=∞ → one shot spanning all frames")
+    assert(coarse.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, 3L)))
+    assert(segs(1L).filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, 3L)), "static shot never splits at τ ≥ 1")
+    // spans partition the frame set at every τ
+    for (s <- Seq(fine, coarse)) {
+      val frames = s.flatMap { case (id, _, a, b, n) => assert(b - a + 1 == n); (a to b).map(id -> _) }
+      assert(frames.toSet == Set(1L, 2L).flatMap(id => (0L to 2L).map(id -> _)))
+    }
   }
 
   test("frame sampling explodes deterministic frame rows; resize plan preserves aspect") {
