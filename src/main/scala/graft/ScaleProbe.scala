@@ -16,7 +16,8 @@ object ScaleProbe {
     val ppjoinMode = args.length > 1 && args(1) == "ppjoin"
     val videoMode = args.length > 1 && args(1) == "video"
     val lshIdxMode = args.length > 1 && args(1) == "lshidx"
-    val namedMode = semanticMode || ppjoinMode || videoMode || lshIdxMode
+    val splitSafeMode = args.length > 1 && args(1) == "splitsafe"
+    val namedMode = semanticMode || ppjoinMode || videoMode || lshIdxMode || splitSafeMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -106,6 +107,49 @@ object ScaleProbe {
             array_sort(collect_list(struct(col("dim"), col("sm")))),
             x => x.getField("sm").cast("double")).as("embedding"))
         println(s"[scaleprobe] video_pairs = ${graft.ext.Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
+      }
+      timed("sceneCuts + shotSegments over the frame table") {
+        println(s"[scaleprobe] cut_rows = ${Multimodal.sceneCuts(ff, tauFp = 6000L).count()}")
+        println(s"[scaleprobe] shot_rows = ${Multimodal.shotSegments(ff, tauFp = 6000L).count()}")
+      }
+      spark.stop()
+      return
+    }
+    // splitsafe mode: runMain graft.ScaleProbe <sfDir> splitsafe — time
+    // the cluster-aware split (pair graph -> LP clusters -> keyed join)
+    // and verify the zero-straddle invariant holds at this scale
+    if (splitSafeMode) {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] docs = ${docs.count()}")
+      val pairs = timed("minhashLshPairs (auto cap)") {
+        val p = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, perms = 16, bands = 4, tau = 0.3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scaleprobe] pairs = ${p.count()}")
+        p
+      }
+      val clusters = timed("clusters (LP fixpoint)") {
+        val c = Dedup.clusters(pairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scaleprobe] cluster_members = ${c.count()}")
+        c
+      }
+      val safe = timed("assignSplitByCluster (keyed join + hash intervals)") {
+        val s2 = graft.ext.Sampling.assignSplitByCluster(
+          docs, "doc_id", clusters, Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), "sp1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scaleprobe] assigned = ${s2.count()}")
+        s2
+      }
+      timed("straddle invariant check") {
+        val bySplit = safe.select(col("doc_id"), col("split"))
+        val straddling = pairs
+          .join(bySplit.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+          .join(bySplit.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+          .where(col("sa") =!= col("sb"))
+          .count()
+        println(s"[scaleprobe] straddling_pairs = $straddling (must be 0)")
       }
       spark.stop()
       return
