@@ -515,6 +515,43 @@ object Similarity {
       // −0.0 on engines that keep the sign; the compare is textual)
       .withColumn("centroid", round(col("sum_q") / (col("n") * lit(1000000.0)), 4) + lit(0.0))
 
+  /** Nearest-centroid classification (weak labeling): assign every
+    * vector the label of its most-cosine-similar class centroid —
+    * the standard cheap domain/topic classifier a curation pipeline
+    * runs before mixing (label unlabeled web data by proximity to
+    * seed-class prototypes). `centroids` is `labelCentroids` output;
+    * its 4-dp `centroid` components are the shared reference grid, so
+    * both engines rank against identical prototype vectors.
+    *
+    * Determinism: cosine sums run in index order in both engines
+    * (`cosine_sim` / DuckDB `list_sum`), and the argmax breaks exact
+    * ties toward the LOWEST label via a struct max — (cosine, −label)
+    * — which is a map-side partial aggregate, not a per-id window: no
+    * per-vector row_number shuffle, just one broadcast of L prototype
+    * vectors and one groupBy(id) with combine. Scale cost is L
+    * cosines per corpus row, the irreducible work of the operator.
+    */
+  def classifyNearestCentroid(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cvecs = centroids
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cvec"))
+    df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("cosine", cosine_sim(col("v"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cosine"), (-col("label")).as("nl"), col("label"))).as("m"))
+      .select(
+        col("id"),
+        col("m.label").as("pred_label"),
+        round(col("m.cosine"), 4).as("cosine"))
+  }
+
   /** Filtered ANN: IVF probe with a metadata predicate applied to the
     * CORPUS side BEFORE the cell join — pre-filtering, the shape that
     * guarantees k results from the eligible set (post-filtering a top-k

@@ -2303,6 +2303,39 @@ object ExtQueries {
              |SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
              |       round(sum(q) / (count(*) * 1000000.0), 4) + 0.0 AS centroid
              |FROM q GROUP BY 1, 2""".stripMargin)),
+    // Nearest-centroid classification (weak labeling): every vector is
+    // assigned its most-cosine-similar class centroid — the cheap
+    // domain/topic classifier a curation pipeline runs before mixing.
+    // Oracle: replays the exact-integer centroid build, the index-order
+    // cosine, and the (cosine DESC, label ASC) argmax.
+    Q(
+      "emb_classify",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.classifyNearestCentroid(
+          e, "vec_id", "embedding", Similarity.labelCentroids(e, "label", "embedding"))
+          .select(col("id").as("vec_id"), col("pred_label"), col("cosine"))
+      },
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+             |x AS (SELECT label, unnest(range(0, 64)) dim, embedding FROM e),
+             |cq AS (SELECT label, dim,
+             |         CAST(floor(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) q
+             |       FROM x),
+             |cent AS (SELECT label, dim, round(sum(q) / (count(*) * 1000000.0), 4) + 0.0 c
+             |         FROM cq GROUP BY 1, 2),
+             |cv AS (SELECT label, list(c ORDER BY dim) cvec FROM cent GROUP BY 1),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) vv FROM embeddings),
+             |s AS (SELECT v.vec_id, cv.label,
+             |        CASE WHEN sqrt(list_sum(list_transform(vv, x -> x*x)))
+             |               * sqrt(list_sum(list_transform(cvec, x -> x*x))) = 0 THEN 0.0
+             |             ELSE list_sum(list_transform(range(1, 65), i -> vv[i] * cvec[i]))
+             |               / (sqrt(list_sum(list_transform(vv, x -> x*x)))
+             |                  * sqrt(list_sum(list_transform(cvec, x -> x*x)))) END cosine
+             |      FROM v CROSS JOIN cv),
+             |r AS (SELECT vec_id, label, cosine,
+             |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, label ASC) rn
+             |      FROM s)
+             |SELECT vec_id, label AS pred_label, round(cosine, 4) AS cosine FROM r WHERE rn = 1""".stripMargin)),
     // Filtered ANN: the same IVF probe with a label predicate applied to
     // the corpus side BEFORE the cell join (pre-filtering — k results
     // guaranteed from the eligible set). Reuses the shared IVF fit.

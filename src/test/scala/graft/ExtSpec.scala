@@ -1534,4 +1534,28 @@ class ExtSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "quantized sums must be bit-identical under any partitioning")
     assert(a.length == emb.select("label").distinct().count() * 64)
   }
+
+  test("nearest-centroid classification: hand-built prototypes, exact-tie breaks to lowest label") {
+    import spark.implicits._
+    // two orthogonal unit prototypes
+    val labeled = Seq(
+      (1L, 0L, Array(1.0f, 0.0f)),
+      (2L, 1L, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val cent = Similarity.labelCentroids(labeled, "label", "embedding")
+    val queries = Seq(
+      (10L, Array(0.9f, 0.1f)),   // clearly label 0
+      (11L, Array(0.1f, 0.9f)),   // clearly label 1
+      (12L, Array(0.6f, 0.6f))).toDF("vec_id", "embedding") // exact tie → label 0
+    val got = Similarity.classifyNearestCentroid(queries, "vec_id", "embedding", cent)
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Long]("pred_label"), r.getAs[Double]("cosine"))).toMap
+    assert(got(10L)._1 == 0L && got(11L)._1 == 1L)
+    assert(got(12L)._1 == 0L, "equal cosines must break toward the lowest label")
+    assert(math.abs(got(12L)._2 - 0.7071) < 1e-9)
+    // every corpus vector classified exactly once, against its own fixture
+    val emb = Tables.embeddings(spark, sf)
+    val full = Similarity.classifyNearestCentroid(
+      emb, "vec_id", "embedding", Similarity.labelCentroids(emb, "label", "embedding"))
+    assert(full.count() == emb.count())
+    assert(full.select("id").distinct().count() == emb.count())
+  }
 }
