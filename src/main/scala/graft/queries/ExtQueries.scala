@@ -1530,6 +1530,64 @@ object ExtQueries {
               |        ('0x' || substr(md5('sp1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
               |        / 4294967296.0 f
               |      FROM k)""".stripMargin)),
+    // End-to-end curation pipeline in ONE DAG: model-based quality
+    // filter (hashed-ngram LR, keep score>0) → leakage-safe cluster-
+    // aware split of the survivors → per-(split, source) report with
+    // doc/word counts and the source's original size. The flagship
+    // composition row: every stage is an already-oracled operator, and
+    // the stitched oracle replays the full chain (quality CTE + pair
+    // closure + md5 split intervals) so the END-TO-END hash must match,
+    // not just each stage in isolation.
+    Q(
+      "curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val q = TextAnalysis.qualityLr(docs, "doc_id", "text")
+        val kept = docs.join(
+          q.where(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val safe = Sampling.assignSplitByCluster(
+          kept, "doc_id", clustersFor(s, dir),
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source_docs"))
+        safe.groupBy(col("split"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+          .join(tot, "source")
+          .select(col("split"), col("source"), col("n_docs"), col("n_words"), col("n_source_docs"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a),
+              |t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              |bq AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 bucket FROM t),
+              |wt AS (SELECT i bucket,
+              |         ('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 w
+              |       FROM range(0, 4096) r(i)),
+              |qa AS (SELECT doc_id, CAST(sum(w) AS BIGINT) score_milli
+              |       FROM bq JOIN wt USING (bucket) GROUP BY 1),
+              |qkept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+              |          JOIN qa ON d.doc_id = qa.doc_id WHERE qa.score_milli > 0),
+              |k AS (SELECT qkept.doc_id, qkept.source, qkept.text,
+              |        coalesce(c.canonical_id, qkept.doc_id) split_key
+              |      FROM qkept LEFT JOIN comp c ON qkept.doc_id = c.doc_id),
+              |sp AS (SELECT doc_id, source, text,
+              |         CASE WHEN f < 0.8 THEN 'train'
+              |              WHEN f < 0.8 + 0.1 THEN 'val'
+              |              ELSE 'test' END split
+              |       FROM (SELECT doc_id, source, text,
+              |               ('0x' || substr(md5('sp1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+              |               / 4294967296.0 f
+              |             FROM k)),
+              |tot AS (SELECT source, count(*) n_source_docs FROM documents GROUP BY 1)
+              |SELECT sp.split, sp.source, count(*) AS n_docs,
+              |  CAST(sum(len(string_split(sp.text, ' '))) AS BIGINT) AS n_words,
+              |  tot.n_source_docs
+              |FROM sp JOIN tot ON sp.source = tot.source
+              |GROUP BY 1, 2, tot.n_source_docs""".stripMargin)),
     // Per-source quota: cap every source at 10 of its 25 docs by
     // deterministic md5-hash rank (the domain-cap mixture op). Same md5
     // arithmetic in the oracle → identical picks.
