@@ -50,11 +50,18 @@ object Bench {
     println(line)
     // full per-query artifact: the driver's BENCH_r*.json keeps only a
     // truncated stdout tail, losing the first ~100 per-query numbers —
-    // this file makes round-over-round comparison mechanical
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // this file makes round-over-round comparison mechanical. A
+    // BENCH_ONLY subset run must NOT clobber the full-round artifact it
+    // exists to preserve: subset runs only write when given an explicit
+    // SPARK_GRAFT_BENCH_OUT target.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_full.json") else None)
+    out.foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => System.err.println(s"[bench] $f write failed: $e") }
+    }
     spark.stop()
   }
 }

@@ -80,14 +80,7 @@ object ScaleProbe {
       val payloads = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val p =
-            if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            else {
-              val g = (id % 16).toInt
-              Multimodal.synthAviWith((0 until 1 + g % 4).map(k =>
-                Multimodal.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)))
-            }
-          (id, p)
+          (id, Multimodal.synthAviFixture(id, text))
         })
         .toDF("doc_id", "payload")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -99,13 +92,7 @@ object ScaleProbe {
         f
       }
       timed("pooled video near-dup pairs") {
-        val pooled = ff
-          .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
-          .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
-          .groupBy("id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("sm")))),
-            x => x.getField("sm").cast("double")).as("embedding"))
+        val pooled = Multimodal.pooledVideoEmbedding(ff)
         println(s"[scaleprobe] video_pairs = ${graft.ext.Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
       }
       timed("sceneCuts + shotSegments over the frame table") {

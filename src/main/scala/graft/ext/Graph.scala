@@ -42,7 +42,13 @@ object Graph {
     val spark = edges.sparkSession
     // w >= 1 enforced: a zero/negative weight would make `DIV ow` NULL in
     // Spark (contribution silently dropped) but raise division-by-zero in
-    // the SQL oracle — same edge set in both engines, guaranteed loudly
+    // the SQL oracle — same edge set in both engines, guaranteed loudly.
+    // CONTRACT: the filter defines the graph — a vertex whose every
+    // incident edge has w < 1 is excluded from the NODE set too (no
+    // teleport-only row for it). Callers needing a complete vertex table
+    // should union their node list back in after ranking; ranking nodes
+    // against a different edge set than the one that defined them would
+    // be the worse surprise.
     val e = edges.select(
         col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),

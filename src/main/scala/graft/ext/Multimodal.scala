@@ -444,6 +444,37 @@ object Multimodal {
       .toDF("id", "frame_idx", "dim", "value")
   }
 
+  /** Deterministic video-fixture payload for a (id, text) document row:
+    * %3==2 rows keep their raw text bytes (the degradation path), every
+    * other row becomes a g=id%16-group AVI of 1+g%4 real BMP frames with
+    * dims (2+(g·3+k)%23, 2+(g·5+k·7)%23) — the arithmetic the mm_* /
+    * dedup_video oracles predict in closed form. ONE definition, so the
+    * gate queries and the scale probes are guaranteed to measure the
+    * same corpus shape.
+    */
+  def synthAviFixture(id: Long, text: String): Array[Byte] =
+    if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val g = (id % 16).toInt
+      synthAviWith((0 until 1 + g % 4).map(k =>
+        synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)))
+    }
+
+  /** Pool a per-frame feature table into ONE fixed-point vector per
+    * video: per-dim sums of 4-dp micro values across all sampled frames
+    * — exact integer arithmetic, so every engine (and the dedup_video
+    * oracle) pools identically. The video-level embedding the ANN/near-
+    * dup machinery consumes.
+    */
+  def pooledVideoEmbedding(frameFeatures: DataFrame, idCol: String = "id"): DataFrame =
+    frameFeatures
+      .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col(idCol), col("dim")).agg(sum("vm").as("sm"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sm")))),
+        x => x.getField("sm").cast("double")).as("embedding"))
+
   /** Shot-boundary (scene-cut) detection over a per-frame feature table
     * (`frameFeatures` output: id, frame_idx, dim, value): a frame is a
     * cut when its feature vector moved at least `tauFp` from the

@@ -1122,9 +1122,21 @@ object Similarity {
     * per id), so verify stages late-materialize vectors without keeping
     * a second corpus copy.
     */
-  final case class LshIndex(bucketed: DataFrame, dims: Int, nBits: Int, nTables: Int) {
+  final case class LshIndex(
+      bucketed: DataFrame,
+      dims: Int,
+      nBits: Int,
+      nTables: Int,
+      source: Option[DataFrame] = None) {
     def vectors: DataFrame =
       bucketed.where(col("table") === 0).select(col("id"), col("vec"), col("nrm"))
+    /** Release the build-time cache of the prepared corpus (held so the
+      * sizing count and the bucketing kernel share one scan). Call when
+      * the index has been written to parquet (or is no longer probed
+      * in-memory) — otherwise a full corpus copy stays pinned in the
+      * block manager for the session lifetime.
+      */
+    def release(): Unit = source.foreach(_.unpersist(blocking = false))
   }
 
   /** Build the in-memory form: one corpus scan through the shared
@@ -1145,7 +1157,7 @@ object Similarity {
       .withColumn("table", split(col("bucket"), ":").getItem(0).cast("int"))
       .withColumn("key", split(col("bucket"), ":").getItem(1).cast("long"))
       .select(col("id"), col("vec"), col("nrm"), col("table"), col("key"))
-    LshIndex(b, dims, bits, nTables)
+    LshIndex(b, dims, bits, nTables, source = Some(prep))
   }
 
   /** Persist an LSH index: meta (the frozen hash-family parameters) as
@@ -1167,6 +1179,9 @@ object Similarity {
       .repartition(col("table"), col("key"))
       .sortWithinPartitions(col("key"))
       .write.partitionBy("table").mode("overwrite").parquet(s"$path/bucketed")
+    // the parquet layout is now the index; the build-time corpus cache
+    // would otherwise stay pinned for the session
+    index.release()
   }
 
   /** Reopen a persisted LSH index; the *On probes work on it unchanged. */

@@ -57,9 +57,16 @@ object ExtTableFunctions {
   private def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): LogicalPlan =
     artifactCache.computeIfAbsent(key, _ => {
       val spark = SparkSession.active
+      // md5 of the full key, not key.hashCode: a 32-bit collision between
+      // two live keys would make the second overwrite-write the first
+      // key's parquet while its cached plan still points there — silent
+      // wrong rows. 128 bits removes the case instead of betting on it.
+      val keyHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
       val path = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_tvf_${Integer.toHexString(key.hashCode)}_${spark.sparkContext.applicationId}").toString
+        s"graft_tvf_${keyHex}_${spark.sparkContext.applicationId}").toString
       build.write.mode("overwrite").parquet(path)
       val root = new java.io.File(path)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -228,19 +228,9 @@ object ExtQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val payload =
-              if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              else {
-                val g = (id % 16).toInt
-                Multimodal.synthAviWith((0 until 1 + g % 4).map { k =>
-                  Multimodal.synthImage("bmp", 2 + (g * 3 + k) % 23, 2 + (g * 5 + k * 7) % 23)
-                })
-              }
-            (id, payload)
-          }
-        }
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.synthAviFixture(id, text))
+        })
         .toDF("doc_id", "payload")
     }
 
@@ -2815,14 +2805,7 @@ object ExtQueries {
     Q(
       "dedup_video",
       (s, dir) => {
-        val ff = frameFeatFor(s, dir)
-        val pooled = ff
-          .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
-          .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
-          .groupBy("id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("sm")))),
-            x => x.getField("sm").cast("double")).as("embedding"))
+        val pooled = Multimodal.pooledVideoEmbedding(frameFeatFor(s, dir))
         Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999)
           .select(col("va").as("da"), col("vb").as("db"), col("cosine"))
       },

@@ -1295,13 +1295,7 @@ class ExtSpec extends AnyFunSuite {
     }
     // ANN composition: pooled fixed-point vectors + exact cosine pairs
     // recover exactly the twin groups
-    val pooled = ff
-      .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
-      .groupBy(col("id"), col("dim")).agg(sum("vm").as("sm"))
-      .groupBy("id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("sm")))),
-        x => x.getField("sm").cast("double")).as("embedding"))
+    val pooled = Multimodal.pooledVideoEmbedding(ff)
     val pairs = Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999)
       .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
     val want = (for (a <- 0L until 30L; b <- a + 1 until 30L; if a % 5 == b % 5) yield (a, b)).toSet
