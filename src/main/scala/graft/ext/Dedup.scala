@@ -655,6 +655,26 @@ object Dedup {
     * Catalyst-lambda formulation gets its 60-iteration tree inlined per
     * join side downstream.
     */
+  /** One document's 60-bit SimHash — the per-row kernel `simhash` maps
+    * with, exposed so the streaming ingest filter
+    * (`streaming.NearDupStream`) computes the identical signature
+    * in-stream. `counts` is caller-provided scratch (length 60) so a
+    * partition iterator allocates once.
+    */
+  def simhash60(md: java.security.MessageDigest, counts: Array[Int], text: String): Long = {
+    java.util.Arrays.fill(counts, 0)
+    val words = text.split(" ", -1)
+    words.foreach { w =>
+      val h = tokenHash60(md, w)
+      var b = 0
+      while (b < 60) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) >= words.length) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -663,19 +683,7 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val counts = new Array[Int](60)
-        it.map { case (id, text) =>
-          java.util.Arrays.fill(counts, 0)
-          val words = text.split(" ", -1)
-          words.foreach { w =>
-            val h = tokenHash60(md, w)
-            var b = 0
-            while (b < 60) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
-          }
-          var sig = 0L
-          var b = 0
-          while (b < 60) { if (2 * counts(b) >= words.length) sig |= (1L << b); b += 1 }
-          (id, sig)
-        }
+        it.map { case (id, text) => (id, simhash60(md, counts, text)) }
       }
       .toDF("id", "simhash")
   }

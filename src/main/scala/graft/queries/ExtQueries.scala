@@ -1948,6 +1948,37 @@ object ExtQueries {
               |          FROM documents)
               |SELECT hash, min(doc_id) AS doc_id, min(ts_ms) AS ts_ms FROM h GROUP BY hash""".stripMargin)
     ),
+    // Streaming NEAR-dup at ingest: each arrival is SimHash-fingerprinted
+    // in-stream (stateless mapPartitions, the batch kernel's exact
+    // arithmetic) and first-arrival-wins dedup runs on the signature
+    // within the watermark. The oracle replays the full 60-bit
+    // majority-vote signature in SQL and keeps min doc_id per signature
+    // — the deterministic survivor under docId-ordered replay.
+    Q(
+      "stream_neardup",
+      (s, dir) => {
+        import graft.streaming.NearDupStream
+        val arrivals = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (lit(T.From) + col("doc_id") * 1000L).as("ts_ms"),
+            col("text"))
+          .collect()
+          .map(r => NearDupStream.DocEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+        NearDupStream.nearDupReplay(arrivals.toSeq, s, chunks = 30)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+              |tok AS (SELECT doc_id, len(words) nw, unnest(words) tk FROM w),
+              |th AS (SELECT doc_id, nw, ('0x' || substr(md5(tk), 1, 15))::BIGINT h FROM tok),
+              |bits AS (SELECT doc_id, nw, b.b,
+              |           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) c
+              |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) b) b GROUP BY 1, 2, 3),
+              |sig AS (SELECT doc_id, sum(CASE WHEN 2*c >= nw THEN (1::BIGINT << b) ELSE 0::BIGINT END) s
+              |        FROM bits GROUP BY doc_id)
+              |SELECT min(doc_id) AS doc_id, ${T.From} + min(doc_id) * 1000 AS ts_ms,
+              |  CAST(s AS BIGINT) AS simhash
+              |FROM sig GROUP BY s""".stripMargin)
+    ),
     // Eval-set decontamination: training docs (doc_id >= 20) sharing >= 2
     // distinct trigrams with any probe doc (doc_id < 20). The probe side
     // broadcasts; the corpus never shuffles until the matched-pair count.

@@ -246,4 +246,29 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must join on keys, not loop:\n$p")
     }
   }
+
+  test("emb_classify: L prototypes broadcast to a map-side argmax; one per-id agg exchange") {
+    val p = plan("emb_classify")
+    // the prototype side is a handful of rows — anything but a broadcast
+    // loop/hash join over it means the corpus got shuffled for L rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"prototypes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    // centroid build (posexplode agg) + the final per-id argmax agg
+    assert(exchanges <= 3, s"classification should shuffle for aggs only, saw $exchanges:\n$p")
+  }
+
+  test("sample_split_safe / curation_pipeline / mm_scene_cuts: keyed joins and windows, no cartesian") {
+    for (q <- Seq("sample_split_safe", "curation_pipeline", "mm_scene_cuts", "mm_shots")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must join on keys, not loop:\n$p")
+    }
+    // the scene-cut window is partitioned by video — a missing partition
+    // spec would be a single-task global sort at scale
+    val pc = plan("mm_scene_cuts")
+    assert(!pc.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"scene-cut window must be per-video, not global:\n$pc")
+  }
 }

@@ -597,6 +597,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_ == "Y") == 1)
   }
 
+  test("streaming near-dup: in-stream SimHash matches the batch kernel; signature dups collapse across batches") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.DocEvent
+    // docs 1/3/6 are exact text dups (identical signature); 2/5 are
+    // word-permutations of each other — SimHash is multiset-based, so
+    // reordering tokens yields the SAME signature (the near-dup class
+    // signature-equality catches that md5 exact dedup cannot)
+    val arrivals = Seq(
+      DocEvent(1, 1000, "alpha beta gamma delta"),
+      DocEvent(2, 2000, "one two three four five"),
+      DocEvent(3, 3000, "alpha beta gamma delta"),
+      DocEvent(4, 4000, "something entirely different here"),
+      DocEvent(5, 5000, "five four three two one"),
+      DocEvent(6, 6000, "alpha beta gamma delta"))
+    val out = NearDupStream.nearDupReplay(arrivals, spark, chunks = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"first arrival per signature must win: ${out.keySet}")
+    // the in-stream signatures equal the batch kernel's
+    import spark.implicits._
+    val batch = graft.ext.Dedup.simhash(
+      arrivals.map(a => (a.docId, a.text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    out.foreach { case (id, sig) => assert(batch(id) == sig, s"doc $id stream/batch signature mismatch") }
+    // chunking invariance: different micro-batch boundaries, same survivors
+    val out2 = NearDupStream.nearDupReplay(arrivals, spark, chunks = 6)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out2 == out.keySet)
+  }
+
   test("streaming KMV: final snapshot equals the batch sketch at any chunking; state stays <= k") {
     import graft.ext.Sketches
     import graft.streaming.SketchStream
