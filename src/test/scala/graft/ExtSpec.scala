@@ -610,6 +610,13 @@ class ExtSpec extends AnyFunSuite {
     val got2 = Graph.pageRank(withBad.toDF("src", "dst", "w"), "src", "dst", "w", iters = 20)
       .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro")).toMap
     assert(got2 == rank, "w<1 edges must be filtered, not NULL-propagated")
+    // contract: the w>=1 filter defines the graph — a vertex incident
+    // ONLY to sub-unit edges is excluded from the node set entirely (no
+    // teleport-only row), same as the SQL oracle's filtered edge list
+    val withOrphan = edges ++ Seq(("zzz", "n0", 0L))
+    val got3 = Graph.pageRank(withOrphan.toDF("src", "dst", "w"), "src", "dst", "w", iters = 2)
+      .collect().map(_.getAs[String]("node")).toSet
+    assert(!got3.contains("zzz"), "a node with only w<1 edges must be absent, not teleport-ranked")
   }
 
   test("semanticPairs: verified subset of exact pairs; within-cell recall is total; dups always pair") {
