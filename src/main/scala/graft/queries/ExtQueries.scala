@@ -2938,6 +2938,48 @@ object ExtQueries {
               |  CAST(min(k) AS BIGINT) AS start_frame, CAST(max(k) AS BIGINT) AS end_frame,
               |  count(*) AS n_frames
               |FROM sh GROUP BY 1, 2""".stripMargin)),
+    // Streaming scene cuts: the same cut decisions made ON ARRIVAL with
+    // one previous-frame vector of custom state per video — frames feed
+    // in demux order across ~30 micro-batch boundaries and the surviving
+    // cut rows must hash-match the batch operator's oracle verbatim.
+    Q(
+      "stream_scene_cuts",
+      (s, dir) => {
+        import graft.streaming.SceneCutStream
+        val arrivals = frameFeatFor(s, dir)
+          .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+          .groupBy(col("id"), col("frame_idx"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("vm")))),
+            x => x.getField("vm")).as("v"))
+          .collect()
+          .map(r => SceneCutStream.FrameArrival(
+            r.getAs[Long]("id"), r.getAs[Long]("frame_idx"),
+            r.getAs[scala.collection.Seq[Long]]("v").toArray))
+        SceneCutStream.cutsReplay(arrivals.toSeq, s, chunks = 30, tauFp = SceneCutTau)
+      },
+      Some(s"""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+              |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
+              |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+              |px AS (SELECT doc_id, k,
+              |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+              |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+              |       FROM fd
+              |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+              |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+              |c AS (SELECT doc_id, k, cell, count(*) n,
+              |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+              |      FROM px GROUP BY 1, 2, 3),
+              |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+              |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+              |          // (2 * n * 255) AS vm
+              |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
+              |lg AS (SELECT doc_id, k, dim, vm,
+              |         lag(vm) OVER (PARTITION BY doc_id, dim ORDER BY k) pv FROM gv),
+              |l1 AS (SELECT doc_id, CAST(k AS BIGINT) frame_idx,
+              |         CAST(sum(abs(vm - pv)) AS BIGINT) l1_fp
+              |       FROM lg WHERE pv IS NOT NULL GROUP BY 1, 2)
+              |SELECT doc_id, frame_idx, l1_fp FROM l1 WHERE l1_fp >= $SceneCutTau""".stripMargin)),
     // media → embedding, REAL on lossless payloads: %3<2 rows are the
     // same synthesized png/bmp fixtures as mm_image_features (shared
     // "mmpix" artifact — one encode, two queries) and get a genuine

@@ -626,6 +626,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2 == out.keySet)
   }
 
+  test("streaming scene cuts: batch parity at any chunking; stale frames dropped, not retro-inserted") {
+    import graft.ext.Multimodal
+    import graft.streaming.SceneCutStream
+    import graft.streaming.SceneCutStream.FrameArrival
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real decoded fixture: 4 videos × 3 frames through the actual
+    // demux+decode kernel, so the stream sees production vectors
+    val vids = (0L until 4L).map { id =>
+      val frames = (0 until 3).map(k => Multimodal.synthImage("bmp", 3 + (id.toInt * 2 + k) % 9, 4 + k * 3))
+      (id, Multimodal.synthAviWith(frames))
+    }
+    val ff = Multimodal.frameFeatures(vids.toDF("doc_id", "payload"), "doc_id", "payload", everyN = 1)
+    val arrivals = ff
+      .withColumn("vm", expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("id"), col("frame_idx"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("vm")))),
+        x => x.getField("vm")).as("v"))
+      .collect()
+      .map(r => FrameArrival(
+        r.getAs[Long]("id"), r.getAs[Long]("frame_idx"),
+        r.getAs[scala.collection.Seq[Long]]("v").toArray))
+    def cutsAt(chunks: Int) = SceneCutStream.cutsReplay(arrivals.toSeq, spark, chunks, tauFp = 0L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) -> r.getAs[Long]("l1_fp")).toMap
+    val batch = Multimodal.sceneCuts(ff, tauFp = 0L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx")) -> r.getAs[Long]("l1_fp")).toMap
+    val streamed = cutsAt(5)
+    assert(streamed == batch, "stream transitions must equal the batch operator exactly")
+    assert(cutsAt(12) == batch, "micro-batch boundaries must not change the result")
+    // a frame arriving behind the state's lastIdx is dropped, never
+    // retro-inserted: replaying video 0's frame 1 AFTER frame 2 changes nothing
+    val withStale = arrivals.toSeq :+ arrivals.find(a => a.videoId == 0L && a.frameIdx == 1L).get
+    // cutsReplay sorts by (videoId, frameIdx), so force the stale row through
+    // a second pass of the raw stream instead
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FrameArrival]
+    val out = SceneCutStream.cutsStream(mem.toDS(), tauFp = 0L)
+    val rows = graft.streaming.Replay.runSink(spark, out.toDF()) { q =>
+      mem.addData(arrivals.toSeq.sortBy(a => (a.videoId, a.frameIdx)))
+      q.processAllAvailable()
+      mem.addData(Seq(arrivals.find(a => a.videoId == 0L && a.frameIdx == 1L).get))
+      q.processAllAvailable()
+    }.collect()
+    val perKey = rows.groupBy(r => (r.getAs[Long]("videoId"), r.getAs[Long]("frameIdx")))
+    assert(perKey.forall(_._2.length == 1), "stale replayed frame must not re-emit a transition")
+  }
+
   test("streaming KMV: final snapshot equals the batch sketch at any chunking; state stays <= k") {
     import graft.ext.Sketches
     import graft.streaming.SketchStream
