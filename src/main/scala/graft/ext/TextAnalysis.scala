@@ -947,4 +947,52 @@ object TextAnalysis {
         (floor(col("score_milli").cast("double") * 10.0 / col("n_tokens")) / 10000.0).as("score"),
         (col("score_milli") > 0).as("keep"))
   }
+
+  /** Budget-calibrated quality gate: instead of a hand-picked score
+    * threshold, the caller names a KEEP RATE (`keepMille` per-mille of
+    * the corpus) and the threshold is derived from the corpus's own
+    * score distribution via the histogram quantile sketch — the way a
+    * token-budgeted pipeline actually runs its quality filter ("keep the
+    * best 70%", not "keep score > 0.3", because the budget is fixed and
+    * the score scale drifts with the corpus). Fixed-point: per-token
+    * scores land on the 4-dp floor grid, shift by +10000 into [0, 20000]
+    * units, bin at 32 units × 640 bins; the cut is the sketch's
+    * interpolated (1000−keepMille)‰ quantile in integer units, so both
+    * engines keep the identical doc set. The kept fraction is
+    * approximately keepMille — sketch-resolution exact, replayed by the
+    * oracle.
+    *
+    * Scale shape: one `qualityLr` pass (broadcast model join + per-doc
+    * partial agg), one ≤640-row cell table, one broadcast of the 1-row
+    * threshold back over the scored docs, one per-group report agg —
+    * nothing grows with the corpus except the scoring pass itself.
+    */
+  def qualityCalibrated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      keepMille: Int,
+      buckets: Int = 4096): DataFrame = {
+    require(keepMille >= 1 && keepMille <= 999, s"keepMille out of (0,1000): $keepMille")
+    // the distribution must be known before the gate, so the scored table
+    // is read twice (cells, then the gate join) — persist it or Spark
+    // inlines the whole scoring pipeline into both consumers (the CTE
+    // double-inlining trap). Two longs per doc; tiny next to the corpus.
+    val scored = qualityLr(df, idCol, textCol, buckets)
+      .select(col(idCol), expr("CAST(round(score * 10000, 0) AS BIGINT) + 10000").as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = Sketches.histogramCells(
+      scored.withColumn("g", lit("all")), "g", "u", unitScale = 1, binUnits = 32L, bins = 640)
+    val thr = Sketches.histogramQuantiles(cells, "g", Seq(1000 - keepMille), unitScale = 1, binUnits = 32L)
+      .select(col("est_units").as("threshold_units"))
+    df.select(col(idCol), col(groupCol).as("grp"))
+      .join(scored, idCol)
+      .crossJoin(broadcast(thr))
+      .groupBy(col("grp"), col("threshold_units"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("u") >= col("threshold_units"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("grp"), col("n_docs"), col("n_kept"), col("threshold_units"))
+  }
 }

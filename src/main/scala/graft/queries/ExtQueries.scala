@@ -584,6 +584,43 @@ object ExtQueries {
              |  score_milli > 0 AS keep
              |FROM a""".stripMargin)
     ),
+    // Budget-calibrated quality gate: keep ≈70% of the corpus by score,
+    // threshold derived from the corpus's own score distribution via the
+    // histogram quantile sketch (fixed-point shift + 32-unit bins) —
+    // keep-rate is the knob, not a drifting score constant. The oracle
+    // replays the scoring floor grid, the binning, the integer
+    // interpolated quantile, and the gate.
+    Q(
+      "text_quality_calibrated",
+      (s, dir) =>
+        TextAnalysis.qualityCalibrated(
+          Tables.documents(s, dir), "doc_id", "text", "source", keepMille = 700),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 bucket FROM t),
+             |wt AS (SELECT i bucket,
+             |         ('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 w
+             |       FROM range(0, 4096) r(i)),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens, CAST(sum(w) AS BIGINT) score_milli
+             |      FROM b JOIN wt USING (bucket) GROUP BY 1),
+             |uu AS (SELECT doc_id,
+             |         CAST(floor(CAST(score_milli AS DOUBLE) * 10.0 / n_tokens) AS BIGINT) + 10000 u
+             |       FROM a),
+             |bn AS (SELECT doc_id, u, least(greatest(u // 32, 0), 639) bin FROM uu),
+             |cells AS (SELECT bin, count(*) cnt FROM bn GROUP BY 1),
+             |cc AS (SELECT bin, cnt,
+             |         sum(cnt) OVER (ORDER BY bin) cum,
+             |         sum(cnt) OVER () total
+             |       FROM cells),
+             |th AS (SELECT CAST(bin * 32 + ((target - (cum - cnt)) * 32) // cnt AS BIGINT) est
+             |       FROM (SELECT bin, cnt, cum, total,
+             |               greatest((300 * total + 999) // 1000, 1) target FROM cc)
+             |       WHERE cum >= target AND cum - cnt < target)
+             |SELECT d.source AS grp, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN bn.u >= th.est THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  th.est AS threshold_units
+             |FROM bn JOIN documents d USING (doc_id) CROSS JOIN th
+             |GROUP BY 1, th.est""".stripMargin)
+    ),
     Q(
       "text_langid",
       (s, dir) =>

@@ -1536,6 +1536,33 @@ class ExtSpec extends AnyFunSuite {
     assert(a.length == emb.select("label").distinct().count() * 64)
   }
 
+  test("calibrated quality gate: keep-rate near the asked per-mille; threshold replays the sketch") {
+    val docs = Tables.documents(spark, sf)
+    val rep = TextAnalysis.qualityCalibrated(docs, "doc_id", "text", "source", keepMille = 700)
+      .collect()
+    val n = rep.map(_.getAs[Long]("n_docs")).sum
+    val kept = rep.map(_.getAs[Long]("n_kept")).sum
+    assert(n == docs.count(), "every doc counted exactly once")
+    assert(math.abs(kept.toDouble / n - 0.7) < 0.08,
+      s"keep rate ${kept.toDouble / n} far from the asked 0.700 (sketch resolution is 32 units)")
+    val thrs = rep.map(_.getAs[Long]("threshold_units")).distinct
+    assert(thrs.length == 1, "one corpus-wide threshold")
+    // driver reference of the identical integer recurrence
+    val us = TextAnalysis.qualityLr(docs, "doc_id", "text")
+      .select(expr("CAST(round(score * 10000, 0) AS BIGINT) + 10000").as("u"))
+      .collect().map(_.getLong(0))
+    val bins = us.groupBy(u => math.min(math.max(u / 32, 0L), 639L)).view.mapValues(_.size.toLong).toMap
+    val total = us.length.toLong
+    val target = math.max((300L * total + 999) / 1000, 1L)
+    var cum = 0L
+    var est = -1L
+    for (b <- bins.keys.toSeq.sorted if est < 0) {
+      val c = bins(b); cum += c
+      if (cum >= target && cum - c < target) est = b * 32 + ((target - (cum - c)) * 32) / c
+    }
+    assert(thrs.head == est, s"sketch threshold ${thrs.head} != reference $est")
+  }
+
   test("nearest-centroid classification: hand-built prototypes, exact-tie breaks to lowest label") {
     import spark.implicits._
     // two orthogonal unit prototypes
