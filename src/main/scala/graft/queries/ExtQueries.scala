@@ -3431,6 +3431,28 @@ object ExtQueries {
              |FROM v FULL JOIN a ON v.user_id = a.user_id
              |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
     ),
+    // RIGHT-OUTER stream-stream interval join — the mirror of
+    // stream_join_outer: the ACTION side's expiring unmatched state
+    // emits nulls (orphaned activity with no preceding view — broken
+    // tracking, direct traffic), converted pairs come through as usual.
+    // Same %2/value slices as the full join so orphans actually occur.
+    Q(
+      "stream_join_right",
+      (s, dir) => {
+        import graft.streaming.JoinStream
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"), col("value")).collect()
+        val views = ev.filter(_.getLong(0) % 2 == 0).map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        val actions = ev.filter(_.getDouble(2) >= 75).map(r => JoinStream.JoinEvent(r.getLong(0), r.getLong(1)))
+        JoinStream.joinReplay(views.toSeq, actions.toSeq, s, chunks = 10, horizonMs = 600000L,
+          joinType = "right_outer")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms, value FROM events),
+             |v AS (SELECT user_id, ts_ms FROM e WHERE user_id % 2 = 0),
+             |a AS (SELECT user_id, ts_ms FROM e WHERE value >= 75)
+             |SELECT coalesce(v.user_id, a.user_id) AS user_id, v.ts_ms AS v_ts, a.ts_ms AS a_ts
+             |FROM v RIGHT JOIN a ON v.user_id = a.user_id
+             |  AND a.ts_ms BETWEEN v.ts_ms AND v.ts_ms + 600000""".stripMargin)
+    ),
     // Functional-dependency check: sources whose docs span multiple
     // languages (the "determinant maps to >1 dependent value" report —
     // the invariant a bad merge silently breaks). One partial-aggregated
