@@ -234,6 +234,22 @@ object ExtQueries {
         .toDF("doc_id", "payload")
     }
 
+  /** Session-scoped JSONL copy of the documents table (the ingest-format
+    * fixture for the `sources.Jsonl` reader): written once per dir, the
+    * encode is query plumbing — repeated runs measure the schema-pinned
+    * JSONL READ.
+    */
+  private val jsonlPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def jsonlFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlPaths.computeIfAbsent(dir, _ => {
+      val path = artifactPath(s, "jsonl", dir)
+      graft.sources.Jsonl.writeDocuments(Tables.documents(s, dir), path)
+      deleteOnExit(new java.io.File(path))
+      path
+    })
+
   /** Per-frame feature table over the decodable video rows (everyN=1) —
     * a stored pipeline artifact like the pair graph: demux+decode runs
     * once, and every frame-level consumer (video near-dup pooling,
@@ -1984,6 +2000,23 @@ object ExtQueries {
       Some(s"""WITH h AS (SELECT doc_id, ${T.From} + doc_id * 1000 AS ts_ms, md5(text) hash
               |          FROM documents)
               |SELECT hash, min(doc_id) AS doc_id, min(ts_ms) AS ts_ms FROM h GROUP BY hash""".stripMargin)
+    ),
+    // JSONL source round-trip: the documents table written as newline-
+    // delimited JSON (the crawl/export wire format) and read back through
+    // the schema-pinned PERMISSIVE reader must be byte-lossless — the
+    // oracle reads the PARQUET originals, so any escape/unicode/type
+    // drift in the JSONL path hash-mismatches. No inference scan; bad
+    // lines are counted, not dropped silently (spec-pinned).
+    Q(
+      "src_jsonl_roundtrip",
+      (s, dir) => {
+        val (clean, _) = graft.sources.Jsonl.readDocuments(s, jsonlFor(s, dir))
+        clean.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
     ),
     // Streaming NEAR-dup at ingest: each arrival is SimHash-fingerprinted
     // in-stream (stateless mapPartitions, the batch kernel's exact

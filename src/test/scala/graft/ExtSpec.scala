@@ -1536,6 +1536,38 @@ class ExtSpec extends AnyFunSuite {
     assert(a.length == emb.select("label").distinct().count() * 64)
   }
 
+  test("JSONL source: escape-heavy text round-trips losslessly; malformed lines counted, not dropped silently") {
+    import spark.implicits._
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_spec").toString
+    // text that exercises every JSON escape class: quotes, backslashes,
+    // newlines, tabs, unicode beyond the BMP, control chars
+    val tricky = Seq(
+      (1L, "plain text", "en", "s0", 10L),
+      (2L, "quote \" backslash \\ slash /", "en", "s0", 27L),
+      (3L, "newline\nand\ttab", "de", "s1", 15L),
+      (4L, "unicode é中😀 end", "fr", "s1", 14L),
+      (5L, "controlchar", "es", "s2", 12L))
+    Jsonl.writeDocuments(tricky.toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val (clean, corrupt) = Jsonl.readDocuments(spark, dir)
+    assert(corrupt == 0L)
+    val got = clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    tricky.foreach { case (id, text, _, _, _) =>
+      assert(got(id) == text, s"doc $id text must round-trip byte-exactly")
+    }
+    // a malformed line is counted and excluded — never silently dropped,
+    // never poisoning the clean rows
+    val mixed = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mixed, "part-00000.json"),
+      ("""{"doc_id": 10, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" + "\n" +
+        """{"doc_id": 11, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}""" + "\n" +
+        """{"doc_id": 12, "text": "truncated...""" + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (clean2, corrupt2) = Jsonl.readDocuments(spark, mixed)
+    assert(clean2.count() == 2L && corrupt2 == 1L,
+      s"expected 2 clean + 1 counted reject, got ${clean2.count()} + $corrupt2")
+  }
+
   test("calibrated quality gate: keep-rate near the asked per-mille; threshold replays the sketch") {
     val docs = Tables.documents(spark, sf)
     val rep = TextAnalysis.qualityCalibrated(docs, "doc_id", "text", "source", keepMille = 700)
