@@ -55,8 +55,13 @@ object Bench {
     // BENCH_ONLY subset run must NOT clobber the full-round artifact it
     // exists to preserve: subset runs only write when given an explicit
     // SPARK_GRAFT_BENCH_OUT target.
+    // bench_full.json stays the "latest" pointer; the round-stamped copy
+    // makes history append-only instead of a single mutable file
+    // (bump Round per build round).
+    val Round = "r10"
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("bench_full.json") else None)
+      .map(Seq(_))
+      .getOrElse(if (only.isEmpty) Seq("bench_full.json", s"bench_full_$Round.json") else Seq.empty)
     out.foreach { f =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(f),

@@ -15,9 +15,12 @@ object ScaleProbe {
     val semanticMode = args.length > 1 && args(1) == "semantic"
     val ppjoinMode = args.length > 1 && args(1) == "ppjoin"
     val videoMode = args.length > 1 && args(1) == "video"
+    val videoLshMode = args.length > 1 && args(1) == "videolsh"
+    val audioMode = args.length > 1 && args(1) == "audio"
     val lshIdxMode = args.length > 1 && args(1) == "lshidx"
     val splitSafeMode = args.length > 1 && args(1) == "splitsafe"
-    val namedMode = semanticMode || ppjoinMode || videoMode || lshIdxMode || splitSafeMode
+    val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
+      lshIdxMode || splitSafeMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -98,6 +101,62 @@ object ScaleProbe {
       timed("sceneCuts + shotSegments over the frame table") {
         println(s"[scaleprobe] cut_rows = ${Multimodal.sceneCuts(ff, tauFp = 6000L).count()}")
         println(s"[scaleprobe] shot_rows = ${Multimodal.shotSegments(ff, tauFp = 6000L).count()}")
+      }
+      spark.stop()
+      return
+    }
+    // videolsh mode: runMain graft.ScaleProbe <sfDir> videolsh — the
+    // BANDED route for video near-dup (videoNearDup with the broadcast
+    // cap forced to 0): demux+decode once, then pooled vectors through
+    // lshPairs — the path a >cap corpus runs; pair count printed so
+    // growth is checked on output size, not wall alone
+    if (videoLshMode) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.Multimodal
+      val payloads = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.synthAviFixture(id, text))
+        })
+        .toDF("doc_id", "payload")
+      val ff = Multimodal.frameFeatures(
+          payloads.where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] frame_feature_rows = ${ff.count()}")
+      timed("videoNearDup via BANDED lshPairs (maxBroadcastRows=0)") {
+        println(s"[scaleprobe] video_lsh_pairs = ${Multimodal.videoNearDup(ff, tau = 0.999, maxBroadcastRows = 0L).count()}")
+      }
+      spark.stop()
+      return
+    }
+    // audio mode: runMain graft.ScaleProbe <sfDir> audio — synthesize the
+    // mmwave fixture shape over the dir's documents, time PCM decode +
+    // window stats, pooled embeddings, and near-dup pairs on BOTH routes
+    if (audioMode) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.Multimodal
+      val payloads = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val g = (id % 16).toInt
+          val p =
+            if (id % 7 == 6) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else Multimodal.synthWav(8000 * (1 + g % 3), 1 + g % 2, 40 + 5 * g, seed = g)
+          (id, p)
+        })
+        .toDF("doc_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] audio_docs = ${payloads.count()}")
+      timed("audioFeatures (PCM decode + window stats)") {
+        println(s"[scaleprobe] feature_rows = ${Multimodal.audioFeatures(payloads, "doc_id", "payload").count()}")
+      }
+      timed("audioNearDup EXACT broadcast kernel") {
+        println(s"[scaleprobe] audio_pairs_exact = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
+      }
+      timed("audioNearDup BANDED lshPairs route") {
+        println(s"[scaleprobe] audio_pairs_lsh = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L).count()}")
       }
       spark.stop()
       return

@@ -70,13 +70,16 @@ object Graph {
     // a single physical plan — measured 4-7x on the gate rows when every
     // round got its own boundary). So: stay unrolled within segments of
     // `rematEvery` rounds, rebuild the rank table as a fresh DataFrame
-    // over its materialized RDD only at segment boundaries. Each
-    // segment's RDD persists MEMORY_AND_DISK and the previous one is
-    // released; on a real cluster swap the cache for reliable
-    // checkpoint() to the cluster FS — same shape.
+    // over its plan's RDD only at segment boundaries. The boundary RDD is
+    // NOT persisted: each boundary has exactly one downstream reference
+    // (round i+1's contribs join), so within the caller's single action
+    // it computes exactly once anyway — a persist would only serve
+    // repeated actions, which this lazy API doesn't promise, and the
+    // final segment's cache would outlive the call (a session-lifetime
+    // block-manager leak). A caller that DOES act repeatedly should
+    // cache/checkpoint the returned frame itself.
     val rematEvery = 8
     var rank = nodes.withColumn("rm", lit(1000000L))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     for (i <- 1 to iters) {
       val contribs = ew
         .join(rank.withColumnRenamed("node", "src"), "src")
@@ -87,11 +90,7 @@ object Graph {
         .join(contribs, Seq("node"), "left")
         .select(col("node"), (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rm"))
       rank = if (i % rematEvery == 0 && i < iters) {
-        val rdd = next.rdd
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = rdd
-        spark.createDataFrame(rdd, next.schema)
+        spark.createDataFrame(next.rdd, next.schema)
       } else next
     }
     rank.select(

@@ -176,9 +176,12 @@ object Multimodal {
     * WAV (hand-built RIFF header + fmt + data chunks — byte-deterministic,
     * unlike a codec encoder) with a fixed sample fill. Total size is
     * exactly 44 + nFrames·channels·2 bytes, so the oracle can predict
-    * `n_bytes` too.
+    * `n_bytes` too. `seed` offsets the sample fill (byte i of data =
+    * `(i·37 + seed·101) & 0xff`) so fixtures can plant groups of
+    * IDENTICAL streams (same seed) among decorrelated ones — seed 0
+    * reproduces the original fill byte-exactly.
     */
-  def synthWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+  def synthWav(sampleRate: Int, channels: Int, nFrames: Int, seed: Int = 0): Array[Byte] = {
     val bits = 16
     val blockAlign = channels * bits / 8
     val dataLen = nFrames * blockAlign
@@ -194,7 +197,7 @@ object Multimodal {
       .putShort(bits.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < dataLen) { bb.put(((i * 37) & 0xff).toByte); i += 1 }
+    while (i < dataLen) { bb.put(((i * 37 + seed * 101) & 0xff).toByte); i += 1 }
     bb.array()
   }
 
@@ -208,6 +211,159 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, payload) => decodeAudio(id, payload) })
   }
+
+  /** REAL waveform decode: walk the RIFF chunk tree (same contract as
+    * `parseAviFrameSpans` — headers only until the data chunk), locate
+    * "fmt " and "data", and return `(sampleRate, channels, interleaved
+    * 16-bit samples)` for canonical PCM-16 WAV payloads; `None` for
+    * anything else (caller degrades per-row, never fails the batch).
+    * This is the step past `audioMeta`'s header parse that lets audio
+    * feed the same features→embedding→ANN chain as image
+    * (`imagePixelFeatures`) and video (`frameFeatures`).
+    */
+  def decodePcm16(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int) = new String(payload, at, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    val riffEnd = math.min(payload.length.toLong, 8L + bb.getInt(4))
+    var pos = 12L
+    var rate = -1
+    var channels = -1
+    var dataAt = -1L
+    var dataLen = 0L
+    while (pos + 8 <= riffEnd && (rate < 0 || dataAt < 0)) {
+      val id = fourcc(pos.toInt)
+      val len = bb.getInt(pos.toInt + 4)
+      if (len < 0 || pos + 8 + len > riffEnd) return None
+      if (id == "fmt " && len >= 16) {
+        val audioFormat = bb.getShort(pos.toInt + 8)
+        val bits = bb.getShort(pos.toInt + 22)
+        if (audioFormat != 1 || bits != 16) return None // PCM-16 only
+        channels = bb.getShort(pos.toInt + 10).toInt
+        rate = bb.getInt(pos.toInt + 12)
+      } else if (id == "data") { dataAt = pos + 8; dataLen = len.toLong }
+      pos += 8 + len + (len & 1) // RIFF word alignment
+    }
+    if (rate < 0 || channels < 1 || dataAt < 0) return None
+    val n = (dataLen / 2).toInt
+    val out = new Array[Short](n)
+    var k = 0
+    while (k < n) { out(k) = bb.getShort((dataAt + 2L * k).toInt); k += 1 }
+    Some((rate, channels, out))
+  }
+
+  /** Per-(channel, window) waveform statistics — the audio twin of the
+    * video path's per-frame features: decode each payload's PCM samples
+    * and emit count / sum / min / max / sum-of-squares per channel per
+    * `windowFrames`-frame window, ALL in exact integer domain (16-bit
+    * samples; sums bounded by frames·2¹⁵, squares by frames·2³⁰ — far
+    * inside Long), so the SQL oracle replays every value bit-exactly.
+    * Undecodable payloads emit ONE marker row (`n_samples = 0`, NULL
+    * stats) — counted, never silently dropped, the `imagePixelFeatures`
+    * degradation contract.
+    *
+    * Scale shape: embarrassingly parallel mapPartitions, no shuffle —
+    * each payload's cost is its own decode; downstream aggregation is
+    * the caller's.
+    */
+  def audioFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      windowFrames: Int = 32): DataFrame = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          (if (payload == null) None else decodePcm16(payload)) match {
+            case Some((_, ch, samples)) =>
+              val nFrames = samples.length / ch
+              val nWin = (nFrames + windowFrames - 1) / windowFrames
+              val cells = nWin * ch
+              val n = new Array[Long](cells)
+              val s = new Array[Long](cells)
+              val mn = Array.fill(cells)(Long.MaxValue)
+              val mx = Array.fill(cells)(Long.MinValue)
+              val sq = new Array[Long](cells)
+              var k = 0
+              while (k < nFrames * ch) { // trailing odd half-frame bytes ignored
+                val c = k % ch
+                val w = (k / ch) / windowFrames
+                val i = w * ch + c
+                val v = samples(k).toLong
+                n(i) += 1; s(i) += v
+                if (v < mn(i)) mn(i) = v
+                if (v > mx(i)) mx(i) = v
+                sq(i) += v * v
+                k += 1
+              }
+              Iterator.range(0, cells).map { i =>
+                (id, (i % ch).toLong, (i / ch).toLong, n(i),
+                  Option(s(i)), Option(mn(i)), Option(mx(i)), Option(sq(i)))
+              }
+            case None =>
+              Iterator.single((id, 0L, 0L, 0L,
+                Option.empty[Long], Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          }
+        }
+      }
+      .toDF("id", "channel", "win", "n_samples", "sum_s", "min_s", "max_s", "sum_sq")
+  }
+
+  /** Pool each decodable audio stream into one fixed-`dims` integer
+    * vector: `vec[d] = Σ samples[k] for k ≡ d (mod dims)` over the raw
+    * interleaved stream — exact Long sums cast to double (≪ 2⁵³), so
+    * identical streams pool to identical vectors and the SQL oracle
+    * replays the arithmetic. The embedding that plugs audio into the
+    * same near-dup/ANN chain as `pooledVideoEmbedding` does for video.
+    * Undecodable payloads are omitted (near-dup is defined over decoded
+    * audio; `audioFeatures` is where they are counted).
+    */
+  def pooledAudioEmbedding(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      dims: Int = 12): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          (if (payload == null) None else decodePcm16(payload)) match {
+            case Some((_, _, samples)) if samples.length >= dims =>
+              val v = new Array[Long](dims)
+              var k = 0
+              while (k < samples.length) { v(k % dims) += samples(k); k += 1 }
+              Iterator.single((id, v.map(_.toDouble)))
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("id", "embedding")
+  }
+
+  /** Audio-level near-dup — the embedding→ANN composition for the audio
+    * modality: pool each stream (`pooledAudioEmbedding`) and route the
+    * pooled vectors through `Similarity.nearDupPairs` (exact broadcast
+    * kernel within the cap, banded LSH beyond it — the same routed path
+    * as `videoNearDup`). Returns `(id_a, id_b, cosine)` pairs ≥ τ.
+    */
+  def audioNearDup(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      tau: Double,
+      dims: Int = 12,
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows): DataFrame =
+    Similarity.nearDupPairs(
+      pooledAudioEmbedding(df, idCol, payloadCol, dims), "id", "embedding",
+      tau, dims, maxBroadcastRows)
 
   /** Deterministic fixture encoder: a minimal RIFF/AVI-shaped container
     * (hand-built like `synthWav` — byte-deterministic, no codec):
@@ -474,6 +630,27 @@ object Multimodal {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("sm")))),
         x => x.getField("sm").cast("double")).as("embedding"))
+
+  /** Video-level near-dup — the scale-routed composition over decoded
+    * frames: pool per-frame grid embeddings (`pooledVideoEmbedding`) and
+    * hand the pooled vectors to `Similarity.nearDupPairs` — the exact
+    * broadcast kernel while the video count fits the cap, the banded
+    * `lshPairs` path beyond it (a 100 TB video corpus must never meet
+    * `cosinePairs`' driver collect). Identical twin videos collide in
+    * every LSH table, so the duplicate set is route-invariant; pass
+    * `maxBroadcastRows = 0` to force the banded path (the
+    * `dedup_video_lsh` gate row does, proving route parity at a scale
+    * where both are runnable).
+    */
+  def videoNearDup(
+      frameFeatures: DataFrame,
+      tau: Double,
+      idCol: String = "id",
+      dims: Int = 12,
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows): DataFrame =
+    Similarity.nearDupPairs(
+      pooledVideoEmbedding(frameFeatures, idCol), idCol, "embedding",
+      tau, dims, maxBroadcastRows)
 
   /** Shot-boundary (scene-cut) detection over a per-frame feature table
     * (`frameFeatures` output: id, frame_idx, dim, value): a frame is a

@@ -1315,4 +1315,99 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), round(col("cosine_q"), 4).as("cosine_q"))
   }
+
+  /** Count-routed near-dup pairs — THE production entry point for
+    * embedding near-dup, so callers stop hand-picking between the exact
+    * broadcast kernel and the banded path (and stop discovering the
+    * `cosinePairs` 500 k-row `require` at 100 TB): corpora that fit the
+    * broadcast cap get the exact all-pairs kernel, anything larger goes
+    * through `lshPairs` (banded candidates + exact verify — never
+    * all-pairs). Identical vectors collide in every LSH table, so TRUE
+    * duplicates are found on either route; near-but-not-identical pairs
+    * on the LSH route carry its OR-construction recall (spec-pinned
+    * against the exact kernel).
+    *
+    * Output is `(id_a, id_b, cosine)` on both routes. Pass
+    * `maxExactRows = 0` to force the banded path (e.g. to gate it at a
+    * scale where the exact kernel is also available to compare against).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long = MaxBroadcastRows): DataFrame = {
+    val n = df.count()
+    if (n <= maxExactRows)
+      cosinePairs(df, idCol, embCol, tau)
+        .select(col("va").as("id_a"), col("vb").as("id_b"), col("cosine"))
+    else
+      lshPairs(df, idCol, embCol, tau, dims)
+  }
+
+  /** IVF index health: per-cell occupancy and (base vs delta) assignment
+    * drift — the report that tells an append-maintained index
+    * (`ivfAppend` freezes centroids forever) when frozen centroids have
+    * stopped fitting the data. All-integer output so the SQL oracle
+    * replays it exactly:
+    *
+    *  - `n_base` / `n_delta`: rows per cell on each side of `isDelta`;
+    *  - `occ_x1000`: cell occupancy as a per-mille of uniform
+    *    (`1000` = exactly corpus/nlist rows) — `n·nlist·1000 DIV total`;
+    *  - `mean_dot_fp_*`: mean assignment dot (unit vector · own
+    *    centroid) in 4-dp fixed point, floor-divided on the +10000
+    *    shifted grid so both engines floor the same non-negative sum;
+    *  - `drift_fp = mean_dot_fp_base − mean_dot_fp_delta`: positive when
+    *    delta rows sit FARTHER from their centroid than the base the
+    *    quantizer was fit on — the drifting-distribution signal;
+    *  - `hot`: occupancy above 2× uniform; `rebalance`: the documented
+    *    re-balance trigger — `hot OR drift_fp > driftBoundFp` (default
+    *    500 = 0.05 cosine). The re-balance ACTION is a refit: rebuild
+    *    via `buildIvfIndex` over base ∪ delta (splitting only the hot
+    *    cells is the cheaper variant; the refit path is the one shipped
+    *    and spec-proven to restore recall).
+    *
+    * Scale shape: one broadcast of the nlist-row centroid table, one
+    * pass over `assigned` (already materialized by the build), one
+    * ≤nlist-row aggregate. Nothing grows with the corpus.
+    */
+  def ivfOccupancyReport(
+      index: IvfIndex,
+      isDelta: Column,
+      driftBoundFp: Long = 500L): DataFrame = {
+    val total = index.assigned.count() // already persisted by the build
+    val nlist = index.centroids.count() // nlist rows — driver scalars
+    require(total > 0, "ivfOccupancyReport: empty index")
+    val withDp = index.assigned
+      .join(broadcast(index.centroids), col("cell") === col("cid"))
+      .withColumn(
+        "uvec",
+        when(col("nrm") > 0, transform(col("vec"), x => x / col("nrm"))).otherwise(col("vec")))
+      // shifted 4-dp grid: dp ∈ [-1, 1] ⇒ dp_fp ∈ [0, 20000], so the
+      // integer mean below floor-divides a non-negative sum (Spark DIV
+      // truncates toward zero, DuckDB // floors — they agree only there)
+      .withColumn("dp_fp",
+        expr("CAST(floor(aggregate(zip_with(uvec, cvec, (x, y) -> x * y), 0D, (a, x) -> a + x) * 10000 + 0.5) AS BIGINT) + 10000"))
+      .withColumn("is_delta", isDelta)
+    withDp
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!col("is_delta"), col("dp_fp"))).as("s_base"),
+        sum(when(col("is_delta"), col("dp_fp"))).as("s_delta"))
+      .select(
+        col("cell").cast("long").as("cell"),
+        col("n_base"), col("n_delta"),
+        expr(s"(n_base + n_delta) * $nlist * 1000 DIV $total").as("occ_x1000"),
+        expr("CASE WHEN n_base > 0 THEN s_base DIV n_base - 10000 END").as("mean_dot_fp_base"),
+        expr("CASE WHEN n_delta > 0 THEN s_delta DIV n_delta - 10000 END").as("mean_dot_fp_delta"),
+        expr("CASE WHEN n_base > 0 AND n_delta > 0 THEN s_base DIV n_base - s_delta DIV n_delta END")
+          .as("drift_fp"),
+        expr(s"(n_base + n_delta) * $nlist > 2 * $total").as("hot"))
+      .withColumn(
+        "rebalance",
+        col("hot") || coalesce(col("drift_fp") > driftBoundFp, lit(false)))
+  }
 }

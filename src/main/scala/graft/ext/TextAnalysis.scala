@@ -982,17 +982,27 @@ object TextAnalysis {
     val scored = qualityLr(df, idCol, textCol, buckets)
       .select(col(idCol), expr("CAST(round(score * 10000, 0) AS BIGINT) + 10000").as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = Sketches.histogramCells(
-      scored.withColumn("g", lit("all")), "g", "u", unitScale = 1, binUnits = 32L, bins = 640)
-    val thr = Sketches.histogramQuantiles(cells, "g", Seq(1000 - keepMille), unitScale = 1, binUnits = 32L)
-      .select(col("est_units").as("threshold_units"))
-    df.select(col(idCol), col(groupCol).as("grp"))
-      .join(scored, idCol)
-      .crossJoin(broadcast(thr))
-      .groupBy(col("grp"), col("threshold_units"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("u") >= col("threshold_units"), 1L).otherwise(0L)).as("n_kept"))
-      .select(col("grp"), col("n_docs"), col("n_kept"), col("threshold_units"))
+    // the report is bounded by the group cardinality, so it is
+    // materialized HERE and the scored cache released before returning —
+    // a lazy return would either leak the persist for the session (the
+    // ppjoinFunnel bug) or, unpersisted, re-run the scoring pipeline once
+    // per consumer (the CTE double-inlining trap)
+    try {
+      val cells = Sketches.histogramCells(
+        scored.withColumn("g", lit("all")), "g", "u", unitScale = 1, binUnits = 32L, bins = 640)
+      val thr = Sketches.histogramQuantiles(cells, "g", Seq(1000 - keepMille), unitScale = 1, binUnits = 32L)
+        .select(col("est_units").as("threshold_units"))
+      val report = df.select(col(idCol), col(groupCol).as("grp"))
+        .join(scored, idCol)
+        .crossJoin(broadcast(thr))
+        .groupBy(col("grp"), col("threshold_units"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("u") >= col("threshold_units"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("grp"), col("n_docs"), col("n_kept"), col("threshold_units"))
+      val rows = report.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), report.schema)
+    } finally scored.unpersist(blocking = false)
   }
 }

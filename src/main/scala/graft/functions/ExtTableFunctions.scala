@@ -37,6 +37,7 @@ object ExtTableFunctions {
   val QualityLrName = "quality_lr"
   val KmvOverlapName = "kmv_overlap"
   val PpjoinPairsName = "ppjoin_pairs"
+  val DedupClustersName = "dedup_clusters"
 
   /** Session-scoped artifact cache for the PAIR-GRAPH TVFs (minhash /
     * ppjoin) — the builders whose whole signature→candidate→verify
@@ -127,6 +128,26 @@ object ExtTableFunctions {
       Sketches.kmvOverlap(Sketches.kmvTokenSketch(spark.table(table), "source", "text", k), "source", k))
   }
 
+  /** `dedup_clusters(table[, tau])` — duplicate-cluster assembly from
+    * SQL: MinHash-LSH pairs at τ, then connected components (min-label
+    * propagation with path halving), returning `(doc_id, canonical_id,
+    * cluster_size)` — so a SQL-only user gets the thing a dedup pipeline
+    * actually consumes (which doc to keep per group), not just the raw
+    * pair graph `minhash_pairs` already exposes. Routed through the
+    * artifact cache: the signature pipeline AND the label-propagation
+    * fixpoint run once per (table, τ); every later SQL query reads the
+    * parquet artifact.
+    */
+  def dedupClustersBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $DedupClustersName(table[, tau])")
+    val table = FoldTableFunctions.stringArg(DedupClustersName, args, 0)
+    val tau = FoldTableFunctions.doubleArg(DedupClustersName, args, 1, 0.5)
+    val spark = SparkSession.active
+    cachedPlan(s"$DedupClustersName:$table:$tau:${spark.sparkContext.applicationId}") {
+      Dedup.clusters(Dedup.minhashLshPairs(spark.table(table), "doc_id", "text", tau = tau))
+    }
+  }
+
   /** `ppjoin_pairs(table[, tau])` — EXACT prefix-filtered Jaccard pairs
     * `(da, db, jaccard)` over a `(doc_id, text)` relation.
     */
@@ -149,5 +170,6 @@ object ExtTableFunctions {
     SqlBridge.registerTableFunction(spark, QualityLrName, qualityLrBuilder)
     SqlBridge.registerTableFunction(spark, KmvOverlapName, kmvOverlapBuilder)
     SqlBridge.registerTableFunction(spark, PpjoinPairsName, ppjoinPairsBuilder)
+    SqlBridge.registerTableFunction(spark, DedupClustersName, dedupClustersBuilder)
   }
 }

@@ -262,6 +262,79 @@ object ExtQueries {
         mmVideoFor(s, dir).where(col("doc_id") % 3 < 2), "doc_id", "payload", everyN = 1)
     }
 
+  /** Shared audio WAVEFORM fixture (distinct from mm_audio_meta's
+    * header-parse fixture): %7≠6 rows become canonical PCM-16 WAV whose
+    * rate/channels/frame-count/fill-seed all derive from g = doc_id%16 —
+    * docs sharing g have byte-IDENTICAL sample streams (the planted
+    * twins `dedup_audio` must find, the audio analogue of the %16 video
+    * twins), and different g get decorrelated fills (seed offsets the
+    * byte ramp). %7==6 rows stay raw text — the undecodable degradation
+    * path `audioFeatures` must count.
+    */
+  private def mmWavFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    artifactFor(s, dir, "mmwave") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val g = (id % 16).toInt
+          val payload =
+            if (id % 7 == 6) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else Multimodal.synthWav(8000 * (1 + g % 3), 1 + g % 2, 40 + 5 * g, seed = g)
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+    }
+
+  /** The waveform fixture's sample arithmetic as DuckDB CTEs: parameters
+    * from g = doc_id%16, interleaved sample k's 16-bit LE value from the
+    * seeded byte ramp. Ends with `sv(doc_id, ch, k, s)` over decodable
+    * docs — s is the signed sample, k the interleaved index.
+    */
+  private val wavSamplesCte =
+    """par AS (SELECT doc_id, doc_id % 16 AS g, 1 + (doc_id % 16) % 2 AS ch,
+      |          40 + 5 * (doc_id % 16) AS nf
+      |        FROM documents WHERE doc_id % 7 <> 6),
+      |sm AS (SELECT doc_id, g, ch, unnest(range(0, nf * ch)) AS k FROM par),
+      |sv AS (SELECT doc_id, ch, k,
+      |         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      |       FROM (SELECT doc_id, ch, k,
+      |               ((2 * k * 37 + g * 101) % 256) + 256 * (((2 * k + 1) * 37 + g * 101) % 256) AS raw
+      |             FROM sm))""".stripMargin
+
+  /** Oracle for the video-level near-dup pair set (pooled per-frame
+    * embeddings → exact cosine ≥ 0.999) — shared VERBATIM by the exact
+    * kernel row (`dedup_video`) and the forced-LSH row
+    * (`dedup_video_lsh`): every qualifying pair is an identical-vector
+    * twin, which collides in every LSH table, so both routes must
+    * produce the same set and the gate proves it.
+    */
+  private lazy val videoPairsOracleSql =
+    """WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
+      |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
+      |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
+      |px AS (SELECT doc_id, k,
+      |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
+      |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
+      |       FROM fd
+      |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
+      |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
+      |c AS (SELECT doc_id, k, cell, count(*) n,
+      |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
+      |      FROM px GROUP BY 1, 2, 3),
+      |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
+      |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
+      |          // (2 * n * 255) AS vm
+      |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
+      |p AS (SELECT doc_id, dim, CAST(sum(vm) AS DOUBLE) s FROM gv GROUP BY 1, 2),
+      |vv AS (SELECT doc_id, list(s ORDER BY dim) vec FROM p GROUP BY 1),
+      |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
+      |pr AS (SELECT a.doc_id da, b.doc_id db,
+      |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
+      |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
+      |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin
+
   /** Shared DuckDB CTE chain replaying the deterministic IVF build
     * (buildIvfIndex defaults: nlist=16 via LCG-bucket seeds, 2 Lloyd
     * iterations on exact 1e-6-quantized integer sums). Ends with
@@ -1516,6 +1589,37 @@ object ExtQueries {
               |SELECT d.doc_id, d.n_dups, k.top_term
               |FROM deg d JOIN kw k ON d.doc_id = k.doc_id""".stripMargin)
     ),
+    // Cluster ASSEMBLY from pure SQL: minhash_pairs exposed the pair
+    // graph, but a SQL-only user couldn't get components — the
+    // dedup_clusters TVF closes that gap (same Scala operator, artifact-
+    // cached). The query is the delete-list a dedup pipeline actually
+    // executes: every non-canonical member with its cluster's keeper and
+    // size, joined back to the corpus for the source tag. The oracle
+    // replays the recursive-CTE transitive closure.
+    Q(
+      "ext_sql_clusters",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """WITH c AS (SELECT * FROM dedup_clusters('graft_sql_docs', 0.3))
+            |SELECT c.doc_id, c.canonical_id, c.cluster_size, d.source
+            |FROM c JOIN graft_sql_docs d ON d.doc_id = c.doc_id
+            |WHERE c.doc_id <> c.canonical_id""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a),
+              |cl AS (SELECT doc_id, canonical_id,
+              |         count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |       FROM comp)
+              |SELECT cl.doc_id, cl.canonical_id, cl.cluster_size, d.source
+              |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+              |WHERE cl.doc_id <> cl.canonical_id""".stripMargin)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).
@@ -2010,7 +2114,10 @@ object ExtQueries {
     Q(
       "src_jsonl_roundtrip",
       (s, dir) => {
-        val (clean, _) = graft.sources.Jsonl.readDocuments(s, jsonlFor(s, dir))
+        // the single-parse path: reject accounting rides this query's own
+        // action as an observe() metric, so the gate row also proves the
+        // CollectMetrics node changes no rows
+        val clean = graft.sources.Jsonl.readDocumentsCounted(s, jsonlFor(s, dir)).docs
         clean.select(
           col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
@@ -2366,6 +2473,53 @@ object ExtQueries {
              |      FROM cand)
              |SELECT query_id, rank, id AS neighbor_id, round(cosine, 4) AS cosine
              |FROM r WHERE rank <= 5""".stripMargin)),
+    // Index HEALTH under sustained append: ivfAppend freezes centroids
+    // forever, so a drifting ingest distribution silently degrades
+    // recall — this report is the monitor that catches it: per-cell
+    // occupancy (per-mille of uniform), base-vs-delta mean assignment
+    // dot in 4-dp fixed point, their drift, and the documented
+    // re-balance trigger (hot cell OR drift > 0.05 cosine → refit via
+    // buildIvfIndex; the recovery is spec-proven). All-integer output;
+    // the oracle replays assignment + the shifted floor-division means.
+    Q(
+      "sim_ivf_health",
+      (s, dir) => {
+        val idx = ivfAppendIdx.getOrElseUpdate(dir, {
+          val emb = Tables.embeddings(s, dir)
+          val base = Similarity.buildIvfIndex(
+            emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+          Similarity.ivfAppend(base, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        })
+        Similarity.ivfOccupancyReport(idx, col("id") % 10 === 0)
+      },
+      Some(s"""WITH $ivfAppendCte,
+             |ad AS (SELECT id, cid cell, dp FROM (
+             |        SELECT id, cid, dp, row_number() OVER (PARTITION BY id ORDER BY dp DESC, cid) r
+             |        FROM (SELECT uq.id, c.cid,
+             |                list_sum(list_transform(range(1, 65), i -> uq.uv[i] * c.cvec[i])) dp
+             |              FROM uq CROSS JOIN c2 c)) WHERE r = 1),
+             |fp AS (SELECT id, cell, CAST(floor(dp * 10000 + 0.5) AS BIGINT) + 10000 dp_fp FROM ad),
+             |agg AS (SELECT cell,
+             |          count(*) FILTER (id % 10 <> 0) n_base,
+             |          count(*) FILTER (id % 10 = 0) n_delta,
+             |          sum(dp_fp) FILTER (id % 10 <> 0) s_base,
+             |          sum(dp_fp) FILTER (id % 10 = 0) s_delta
+             |        FROM fp GROUP BY cell),
+             |tot AS (SELECT sum(n_base + n_delta) t FROM agg),
+             |nl AS (SELECT count(*) nlist FROM c2),
+             |m AS (SELECT cell, n_base, n_delta,
+             |        CASE WHEN n_base > 0 THEN s_base // n_base - 10000 END mb,
+             |        CASE WHEN n_delta > 0 THEN s_delta // n_delta - 10000 END md
+             |      FROM agg)
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(n_base AS BIGINT) AS n_base, CAST(n_delta AS BIGINT) AS n_delta,
+             |  CAST((n_base + n_delta) * nlist * 1000 // t AS BIGINT) AS occ_x1000,
+             |  CAST(mb AS BIGINT) AS mean_dot_fp_base,
+             |  CAST(md AS BIGINT) AS mean_dot_fp_delta,
+             |  CAST(mb - md AS BIGINT) AS drift_fp,
+             |  (n_base + n_delta) * nlist > 2 * t AS hot,
+             |  ((n_base + n_delta) * nlist > 2 * t) OR coalesce(mb - md > 500, FALSE) AS rebalance
+             |FROM m CROSS JOIN tot CROSS JOIN nl""".stripMargin)),
     // Index self-evaluation: recall@5 of the IVF probe against the exact
     // brute-force ranks, per query — the report a production ANN index
     // ships with. Both pipelines replay in the oracle (shared prep CTE).
@@ -2910,29 +3064,21 @@ object ExtQueries {
         Similarity.cosinePairs(pooled, "id", "embedding", tau = 0.999)
           .select(col("va").as("da"), col("vb").as("db"), col("cosine"))
       },
-      Some("""WITH avi AS (SELECT doc_id, doc_id % 16 AS g FROM documents WHERE doc_id % 3 < 2),
-             |fr AS (SELECT doc_id, g, unnest(range(0, 1 + g % 4)) AS k FROM avi),
-             |fd AS (SELECT doc_id, k, 2 + (g * 3 + k) % 23 AS w, 2 + (g * 5 + k * 7) % 23 AS h FROM fr),
-             |px AS (SELECT doc_id, k,
-             |         (x.x * 1000003 + y.y * 4099) & 16777215 AS v,
-             |         (y.y * 2 // h) * 2 + (x.x * 2 // w) AS cell
-             |       FROM fd
-             |       JOIN (SELECT unnest(range(0, 25)) x) x ON x.x < w
-             |       JOIN (SELECT unnest(range(0, 25)) y) y ON y.y < h),
-             |c AS (SELECT doc_id, k, cell, count(*) n,
-             |        sum((v >> 16) & 255) s0, sum((v >> 8) & 255) s1, sum(v & 255) s2
-             |      FROM px GROUP BY 1, 2, 3),
-             |gv AS (SELECT doc_id, k, cell * 3 + ch.ch AS dim,
-             |        ((CASE ch.ch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END) * 20000 + n * 255)
-             |          // (2 * n * 255) AS vm
-             |      FROM c CROSS JOIN (SELECT unnest(range(0, 3)) ch) ch),
-             |p AS (SELECT doc_id, dim, CAST(sum(vm) AS DOUBLE) s FROM gv GROUP BY 1, 2),
-             |vv AS (SELECT doc_id, list(s ORDER BY dim) vec FROM p GROUP BY 1),
-             |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
-             |pr AS (SELECT a.doc_id da, b.doc_id db,
-             |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
-             |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
-             |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin)),
+      Some(videoPairsOracleSql)),
+    // The SAME video pair set through the SCALE route: maxBroadcastRows=0
+    // forces `videoNearDup` onto the banded lshPairs path (occupancy-
+    // sized sign-hash buckets → candidate equi-join → exact verify — no
+    // driver collect, no all-pairs), and the shared oracle proves route
+    // parity: identical twin vectors collide in every table, so the
+    // banded path finds exactly the exact kernel's pairs. This is the
+    // route a 100 TB video corpus runs; dedup_video stays as the
+    // small-corpus verify kernel.
+    Q(
+      "dedup_video_lsh",
+      (s, dir) =>
+        Multimodal.videoNearDup(frameFeatFor(s, dir), tau = 0.999, maxBroadcastRows = 0L)
+          .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
+      Some(videoPairsOracleSql)),
     // Shot-boundary detection over the same per-frame feature table:
     // a frame is a cut when its decoded feature vector moved ≥ τ from
     // the previous frame by L1 distance in 4-dp fixed point — the
@@ -3249,6 +3395,56 @@ object ExtQueries {
              |       ELSE CAST(1 + doc_id % 200 AS BIGINT) END AS n_frames,
              |  CASE WHEN doc_id % 3 = 2 THEN 'raw' ELSE 'wave' END AS format
              |FROM documents""".stripMargin)
+    ),
+    // REAL waveform decode — the step past mm_audio_meta's header parse
+    // that completes the AUDIO modality (image has pixel features, video
+    // has frame features): %7≠6 rows are canonical PCM-16 WAV streams
+    // whose samples come from the seeded byte ramp; the engine must walk
+    // the RIFF chunks, decode the interleaved 16-bit samples, and emit
+    // exact-integer per-(channel, 32-frame-window) stats. The oracle
+    // predicts every sample from the fill arithmetic. %7==6 rows stay
+    // raw text → one counted NULL-stat marker row (the degradation
+    // path), never a silent drop.
+    Q(
+      "mm_audio_features",
+      (s, dir) =>
+        Multimodal.audioFeatures(mmWavFor(s, dir), "doc_id", "payload", windowFrames = 32)
+          .select(
+            col("id").as("doc_id"), col("channel"), col("win"), col("n_samples"),
+            col("sum_s"), col("min_s"), col("max_s"), col("sum_sq")),
+      Some(s"""WITH $wavSamplesCte
+             |SELECT doc_id, CAST(k % ch AS BIGINT) AS channel,
+             |  CAST((k // ch) // 32 AS BIGINT) AS win,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_s, CAST(min(s) AS BIGINT) AS min_s,
+             |  CAST(max(s) AS BIGINT) AS max_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
+             |FROM sv GROUP BY 1, 2, 3
+             |UNION ALL
+             |SELECT doc_id, 0, 0, 0, NULL, NULL, NULL, NULL
+             |FROM documents WHERE doc_id % 7 = 6""".stripMargin)
+    ),
+    // Audio-level near-dup — the embedding→ANN composition that makes the
+    // modality triplet symmetric (dedup_video for video, dedup_embedding
+    // for text): pool each decoded stream into a 12-dim exact-integer
+    // vector (residue-class sample sums) and take exact cosine pairs
+    // ≥ τ through the count-routed `nearDupPairs` entry point. Docs
+    // sharing g = doc_id%16 have byte-identical streams (cos = 1), the
+    // planted twins; different seeds decorrelate everything else. The
+    // oracle rebuilds the pooled vectors from the fill arithmetic and
+    // replays the same index-ordered dot / norm-product cosine.
+    Q(
+      "dedup_audio",
+      (s, dir) =>
+        Multimodal.audioNearDup(mmWavFor(s, dir), "doc_id", "payload", tau = 0.999)
+          .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
+      Some(s"""WITH $wavSamplesCte,
+             |p AS (SELECT doc_id, k % 12 AS d, CAST(sum(s) AS DOUBLE) v FROM sv GROUP BY 1, 2),
+             |vv AS (SELECT doc_id, list(v ORDER BY d) vec FROM p GROUP BY 1),
+             |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
+             |pr AS (SELECT a.doc_id da, b.doc_id db,
+             |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
+             |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
+             |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin)
     ),
     // Changelog MERGE: apply a synthesized CDC delta (seq 0 retags every
     // doc_id%5==0, seq 1 deletes every doc_id%7==0, seq 2 re-sources every

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,10 +16,17 @@ import org.apache.spark.sql.types._
   *   inferred types drift with content (a batch whose doc_ids all fit in
   *   int downgrades the column). The schema is pinned.
   * - **Malformed lines are counted, not silently dropped and not
-  *   poison.** `readDocuments` returns the clean rows plus a reject
-  *   count (see its doc for how the count avoids a second parse pass) —
-  *   bare DROPMALFORMED hides data loss; FAILFAST makes one bad crawl
-  *   line kill a day's ingest.
+  *   poison.** Both readers return the clean rows plus reject
+  *   accounting — bare DROPMALFORMED hides data loss; FAILFAST makes one
+  *   bad crawl line kill a day's ingest.
+  * - **Reject counts are FULL-SCHEMA counts.** DROPMALFORMED's notion of
+  *   "malformed" depends on which columns the parse materializes: a row
+  *   whose JSON is syntactically valid but type-wrong in one field
+  *   (`doc_id: "abc"`) survives a parse that prunes that field away and
+  *   dies in one that reads it. Every count here forces the full pinned
+  *   schema (the metric/count expression references every column), so
+  *   the number reported is the number of rows a full-shape consumer
+  *   actually receives.
   * - JSONL splits by line, so reads parallelize per-block like any text
   *   source — no single-file bottleneck (unlike multi-line JSON arrays,
   *   which are unsplittable and explicitly not supported here).
@@ -42,17 +49,29 @@ object Jsonl {
   def writeDocuments(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** An aggregate whose VALUE depends on every pinned column, so no
+    * optimizer rule can prune the scan under it: `count(expr)` is NOT
+    * enough — xxhash64 is non-nullable, so Catalyst rewrites the count
+    * to `count(1)` and prunes the schema to zero columns, reverting to
+    * the partial-schema drop criterion this probe exists to defeat.
+    * `max` genuinely needs the hash values, which need every column,
+    * which makes DROPMALFORMED judge each line against the FULL schema.
+    */
+  private def fullSchemaProbe =
+    max(xxhash64(DocumentsSchema.fieldNames.map(col): _*))
+
   /** Read a JSONL corpus with the pinned schema: returns (clean rows in
     * the `documents` shape, count of malformed lines). The scan runs
     * DROPMALFORMED — but the drop is NOT silent: the reject count is
-    * line count − clean count, and the line count is a text scan that
-    * never parses JSON (far cheaper than a second parse pass; JSONL's
-    * one-object-per-line contract makes the subtraction exact). The
-    * PERMISSIVE alternative that RETAINS each bad line's bytes exists,
-    * but Spark only allows querying the corrupt column off a cached
-    * parse — the wrong trade for a corpus-scale scan; an ingest that
-    * needs the bad bytes should quarantine-copy the files named by the
-    * executor-side parse warnings instead.
+    * line count − clean count, where the line count is a text scan that
+    * never parses JSON and the clean count is a FULL-SCHEMA parse (see
+    * object doc) — so type-malformed rows count as rejects too, matching
+    * what a full-shape consumer receives.
+    *
+    * This eager form costs one JSON parse up front plus the caller's own
+    * consumption pass. An ingest that will scan the corpus exactly once
+    * should use [[readDocumentsCounted]], which piggybacks the clean
+    * count on the caller's pass via `observe()` — one parse total.
     */
   def readDocuments(spark: SparkSession, path: String): (DataFrame, Long) = {
     val clean = spark.read
@@ -60,6 +79,37 @@ object Jsonl {
       .option("mode", "DROPMALFORMED")
       .json(path)
     val totalLines = spark.read.text(path).where(length(col("value")) > 0).count()
-    (clean, totalLines - clean.count())
+    val cleanRows = clean.agg(count(lit(1)), fullSchemaProbe).head.getLong(0)
+    (clean, totalLines - cleanRows)
+  }
+
+  /** Single-parse read: `docs` plus deferred reject accounting. */
+  final case class JsonlScan(docs: DataFrame, totalLines: Long, observation: Observation) {
+    /** Rejected-line count. Valid only AFTER the caller has run an
+      * action over `docs` (`Observation.get` blocks until one
+      * completes) — the count rides the caller's own pass, which is the
+      * point: zero extra parse jobs.
+      */
+    def rejects: Long = totalLines - observation.get("clean_rows").asInstanceOf[Long]
+  }
+
+  /** The scale path: one text scan for the line count (never parses
+    * JSON) and ZERO dedicated parse passes — the clean-row count is an
+    * `observe()` metric collected during the CALLER's first action over
+    * `docs`, and the metric expression references every pinned column so
+    * the parse (and therefore the drop criterion) is full-schema even
+    * when the consumer projects a subset. `readDocuments` pays an extra
+    * eager parse for an immediate count; this form is what a 100 TB
+    * ingest should run.
+    */
+  def readDocumentsCounted(spark: SparkSession, path: String): JsonlScan = {
+    val obs = Observation()
+    val clean = spark.read
+      .schema(DocumentsSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .observe(obs, count(lit(1)).as("clean_rows"), fullSchemaProbe.as("schema_probe"))
+    val totalLines = spark.read.text(path).where(length(col("value")) > 0).count()
+    JsonlScan(clean, totalLines, obs)
   }
 }

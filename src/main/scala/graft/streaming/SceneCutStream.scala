@@ -40,30 +40,60 @@ object SceneCutStream {
     */
   final case class CutEvent(videoId: Long, frameIdx: Long, l1Fp: Long, isCut: Boolean)
 
-  def cutsStream(arrivals: Dataset[FrameArrival], tauFp: Long): Dataset[CutEvent] = {
+  /** Eviction contract: "per live video" is made finite by a
+    * processing-time idle horizon — a video that has produced no frame
+    * for `idleEvictMs` is considered ENDED and its state is removed
+    * (total state = one CutState per video seen in the last horizon, not
+    * per video ever). A frame arriving after eviction is treated as a
+    * NEW video's frame 0: its first transition is unobservable because
+    * the previous vector is gone — the same contract as the watermark
+    * eviction in `NearDupStream`, stated instead of unbounded.
+    *
+    * `idleEvictMs <= 0` disables eviction (NoTimeout) — for the BOUNDED
+    * replay/verification harness only: with ProcessingTimeTimeout the
+    * engine keeps scheduling micro-batches to check timers
+    * (`shouldRunAnotherBatch` is unconditionally true), which is correct
+    * in a real deployment and incompatible with the harness's
+    * `processAllAvailable` barrier (it would never settle). A production
+    * `readStream` should always run with a positive horizon.
+    */
+  def cutsStream(
+      arrivals: Dataset[FrameArrival],
+      tauFp: Long,
+      idleEvictMs: Long = 3600000L): Dataset[CutEvent] = {
     require(tauFp >= 0, s"tauFp must be >= 0, got $tauFp")
     import arrivals.sparkSession.implicits._
     arrivals
       .groupByKey(_.videoId)
       .flatMapGroupsWithState[CutState, CutEvent](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        if (idleEvictMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (vid: Long, rows: Iterator[FrameArrival], state: GroupState[CutState]) =>
-          val sorted = rows.toArray.sortBy(_.frameIdx)
-          var last = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[CutEvent]
-          sorted.foreach { f =>
-            if (last != null && f.frameIdx > last.lastIdx) {
-              val n = math.min(f.vm.length, last.lastVm.length)
-              var l1 = 0L
-              var i = 0
-              while (i < n) { l1 += math.abs(f.vm(i) - last.lastVm(i)); i += 1 }
-              out += CutEvent(vid, f.frameIdx, l1, l1 >= tauFp)
+          if (state.hasTimedOut) {
+            // idle past the horizon: the video is over — drop its state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(_.frameIdx)
+            var last = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[CutEvent]
+            sorted.foreach { f =>
+              if (last != null && f.frameIdx > last.lastIdx) {
+                val n = math.min(f.vm.length, last.lastVm.length)
+                var l1 = 0L
+                var i = 0
+                while (i < n) { l1 += math.abs(f.vm(i) - last.lastVm(i)); i += 1 }
+                out += CutEvent(vid, f.frameIdx, l1, l1 >= tauFp)
+              }
+              if (last == null || f.frameIdx > last.lastIdx) last = CutState(f.frameIdx, f.vm)
             }
-            if (last == null || f.frameIdx > last.lastIdx) last = CutState(f.frameIdx, f.vm)
+            if (last != null) {
+              state.update(last)
+              if (idleEvictMs > 0) state.setTimeoutDuration(idleEvictMs)
+            }
+            out.iterator
           }
-          if (last != null) state.update(last)
-          out.iterator
       }
   }
 
@@ -82,7 +112,9 @@ object SceneCutStream {
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val sorted = arrivals.sortBy(a => (a.videoId, a.frameIdx))
     val mem = MemoryStream[FrameArrival]
-    val out = cutsStream(mem.toDS(), tauFp)
+    // harness mode: eviction off so processAllAvailable can settle (see
+    // cutsStream doc) — the replay is bounded and drains every chunk
+    val out = cutsStream(mem.toDS(), tauFp, idleEvictMs = 0L)
     Replay.runSink(spark, out.toDF())(q => Replay.feedChunks(q, mem, Replay.chunked(sorted, chunks)))
       .where(col("isCut"))
       .select(

@@ -1568,6 +1568,58 @@ class ExtSpec extends AnyFunSuite {
       s"expected 2 clean + 1 counted reject, got ${clean2.count()} + $corrupt2")
   }
 
+  test("JSONL source: type-malformed rows count as rejects (full-schema accounting)") {
+    import graft.sources.Jsonl
+    // line 2 is syntactically valid JSON but doc_id is a string — a parse
+    // that pruned doc_id away would call it clean while a full-shape
+    // consumer loses it; the contract is the full-schema count
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_typed").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.json"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" + "\n" +
+        """{"doc_id": "abc", "text": "typed wrong", "lang": "en", "source": "s", "n_chars": 11}""" + "\n" +
+        """{"doc_id": 3, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (clean, rejects) = Jsonl.readDocuments(spark, dir)
+    val fullRows = clean.collect()
+    assert(fullRows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "full-shape consumers receive exactly the fully-well-typed rows")
+    assert(rejects == 1L, s"type-malformed row must be a counted reject, got $rejects")
+  }
+
+  test("JSONL source: counted read pays zero dedicated parse jobs and agrees with the eager count") {
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_counted").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.json"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" + "\n" +
+        """{"doc_id": "bad", "text": "typed wrong", "lang": "en", "source": "s", "n_chars": 11}""" + "\n" +
+        """not json at all""" + "\n" +
+        """{"doc_id": 4, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // AQE decides how many jobs one count() takes — measure a pure text
+    // count as the baseline instead of hardcoding it
+    val t0 = jobs()
+    spark.read.text(dir).where(length(col("value")) > 0).count()
+    val textCountJobs = jobs() - t0
+    val before = jobs()
+    val scan = Jsonl.readDocumentsCounted(spark, dir)
+    assert(jobs() - before == textCountJobs,
+      s"setup must cost exactly one text count (no parse pass), ran ${jobs() - before} vs $textCountJobs")
+    // the caller's own pass — a NARROW projection: the observe metric
+    // still forces the full schema, so the reject count matches the
+    // eager full-schema reader
+    val ids = scan.docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val afterConsume = jobs()
+    assert(ids == Seq(1L, 4L))
+    assert(scan.rejects == 2L, s"syntactic + type rejects both counted, got ${scan.rejects}")
+    assert(jobs() - afterConsume == 0,
+      s"reject accounting must ride the caller's action — zero extra jobs, ran ${jobs() - afterConsume}")
+    assert(scan.rejects == Jsonl.readDocuments(spark, dir)._2,
+      "counted and eager readers must agree")
+  }
+
   test("calibrated quality gate: keep-rate near the asked per-mille; threshold replays the sketch") {
     val docs = Tables.documents(spark, sf)
     val rep = TextAnalysis.qualityCalibrated(docs, "doc_id", "text", "source", keepMille = 700)
@@ -1617,5 +1669,131 @@ class ExtSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", Similarity.labelCentroids(emb, "label", "embedding"))
     assert(full.count() == emb.count())
     assert(full.select("id").distinct().count() == emb.count())
+  }
+
+  test("PCM decode: RIFF chunk walk recovers the synthesized samples bit-exactly; non-audio is None") {
+    val wav = Multimodal.synthWav(16000, 2, 100, seed = 5)
+    val Some((rate, ch, samples)) = Multimodal.decodePcm16(wav)
+    assert(rate == 16000 && ch == 2 && samples.length == 200)
+    // closed form of the seeded fill: sample k = LE16(bytes 2k, 2k+1)
+    for (k <- Seq(0, 1, 7, 123, 199)) {
+      val lo = (2 * k * 37 + 5 * 101) & 0xff
+      val hi = ((2 * k + 1) * 37 + 5 * 101) & 0xff
+      assert(samples(k) == (lo | (hi << 8)).toShort, s"sample $k")
+    }
+    assert(Multimodal.decodePcm16("not audio at all".getBytes("UTF-8")).isEmpty)
+    // 8-bit (non-PCM-16) audio must be rejected, not misdecoded: build a
+    // WAV-shaped header claiming bits=8
+    val bad = wav.clone(); bad(34) = 8 // fmt bits field
+    assert(Multimodal.decodePcm16(bad).isEmpty, "PCM-16-only contract")
+  }
+
+  test("audio features: exact integer window stats match a driver fold; undecodable emits one counted marker row") {
+    val payloads = Seq(
+      (1L, Multimodal.synthWav(8000, 2, 40, seed = 3)), // 2 windows: 32 + 8 frames
+      (2L, "just text".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.audioFeatures(payloads, "doc_id", "payload", windowFrames = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+      .toMap
+    // driver reference over the decoded samples
+    val Some((_, ch, samples)) = Multimodal.decodePcm16(Multimodal.synthWav(8000, 2, 40, seed = 3))
+    val ref = samples.zipWithIndex
+      .groupBy { case (_, k) => (k % ch, (k / ch) / 32) }
+      .map { case ((c, w), vs) =>
+        val xs = vs.map(_._1.toLong)
+        (1L, c.toLong, w.toLong) ->
+          (xs.length.toLong, Some(xs.sum: Any), Some(xs.min: Any), Some(xs.max: Any),
+            Some(xs.map(x => x * x).sum: Any))
+      }
+    assert(got.filter(_._1._1 == 1L) == ref, "per-(channel, window) stats must match the fold")
+    assert(got((2L, 0L, 0L)) == ((0L, None, None, None, None)),
+      "undecodable payload must surface as one NULL-stat marker row")
+    assert(got.size == ref.size + 1, "nothing else emitted")
+  }
+
+  test("audio near-dup: same-seed streams pair at cosine 1; routed LSH path finds the identical pair set") {
+    val payloads = (0L until 40L).map { id =>
+      val g = (id % 8).toInt // 8 twin groups of 5
+      (id, Multimodal.synthWav(8000, 1 + g % 2, 30 + g, seed = g))
+    }.toDF("doc_id", "payload")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999))
+    // every same-g pair, nothing else
+    val twins = (0L until 40L).flatMap(a => (a + 1 until 40L).filter(b => a % 8 == b % 8).map((a, _))).toSet
+    assert(exact == twins, s"exact route: ${exact.size} pairs vs ${twins.size} expected")
+    val banded = pairSet(
+      Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L))
+    assert(banded == exact, "identical vectors collide in every LSH table: route parity")
+  }
+
+  test("video near-dup route parity: forced-LSH pairs == exact broadcast-kernel pairs") {
+    // synthetic per-frame features: 24 videos, twin groups of 3 (id % 8),
+    // 4 frames x 12 dims from group arithmetic
+    val ff = (0L until 24L).flatMap { id =>
+      val g = id % 8
+      for (f <- 0L until 4L; d <- 0L until 12L) yield {
+        // QUADRATIC mix, not a linear ramp: modular-linear values make
+        // every non-twin an affine shift of every other (near-parallel
+        // after the shared DC), which defeats the τ=0.999 gate
+        val m = g * 97 + f * 13 + d
+        (id, f, d, ((m * m * 2654435761L) % 1000L).toDouble / 10.0)
+      }
+    }.toDF("id", "frame_idx", "dim", "value")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Multimodal.videoNearDup(ff, tau = 0.999))
+    val banded = pairSet(Multimodal.videoNearDup(ff, tau = 0.999, maxBroadcastRows = 0L))
+    val twins = (0L until 24L).flatMap(a => (a + 1 until 24L).filter(b => a % 8 == b % 8).map((a, _))).toSet
+    assert(exact == twins, s"exact route must find exactly the twin groups: ${exact.size}")
+    assert(banded == exact, "the banded path a 100 TB corpus runs must find the same set")
+  }
+
+  test("IVF health: shifted delta trips the re-balance trigger; refit restores assignment quality and recall") {
+    // deterministic 8-dim corpus: base = 3 tight clusters, delta = a NEW
+    // direction the frozen centroids never saw
+    def jig(i: Long, d: Int) = (((i * 2654435761L + d * 40503L) % 1000L) - 500L).toDouble / 5000.0
+    def around(axis: Int, i: Long) =
+      Array.tabulate(8)(d => (if (d == axis) 1.0 else 0.0) + jig(i, d))
+    val base = (0L until 300L).map(i => (i, around((i % 3).toInt, i)))
+    val delta = (300L until 400L).map(i => (i, around(6, i))) // unseen axis
+    val baseDf = base.toDF("vec_id", "embedding")
+    val allDf = (base ++ delta).toDF("vec_id", "embedding")
+    val isDelta = col("id") >= 300L
+
+    val frozen = Similarity.ivfAppend(
+      Similarity.buildIvfIndex(baseDf, "vec_id", "embedding", nlist = 8),
+      delta.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val rep = Similarity.ivfOccupancyReport(frozen, isDelta).collect()
+    assert(rep.map(_.getAs[Long]("n_base")).sum == 300L &&
+      rep.map(_.getAs[Long]("n_delta")).sum == 100L, "every row counted once")
+    val deltaCells = rep.filter(_.getAs[Long]("n_delta") > 0)
+    assert(deltaCells.exists(r => r.getAs[Boolean]("rebalance") &&
+      Option(r.getAs[Long]("drift_fp")).exists(_ > 500L)),
+      s"an unseen delta direction must trip the drift trigger: ${deltaCells.toSeq}")
+
+    // the documented re-balance action: refit over base ∪ delta
+    val refit = Similarity.buildIvfIndex(allDf, "vec_id", "embedding", nlist = 8)
+    val rep2 = Similarity.ivfOccupancyReport(refit, isDelta).collect()
+    val worstDrift = rep2.flatMap(r => Option(r.getAs[Long]("drift_fp"))).maxOption.getOrElse(0L)
+    assert(worstDrift <= 500L, s"refit must bring delta assignment back inside the bound: $worstDrift")
+
+    // recall of nprobe=1 probes for delta queries vs brute force
+    def recall(idx: Similarity.IvfIndex) = {
+      val queries = col("id").isin(300L, 310L, 320L, 330L, 340L)
+      val truth = Similarity.cosineTopK(allDf, "vec_id", "embedding", col("id").isin(300L, 310L, 320L, 330L, 340L), k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val got = Similarity.ivfProbe(idx, queries, k = 5, nprobe = 1)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val before = recall(frozen)
+    val after = recall(refit)
+    assert(after >= before, s"refit recall $after must not regress vs frozen $before")
+    assert(after >= 0.9, s"refit must recover near-exact recall for the drifted slice, got $after")
   }
 }

@@ -662,7 +662,9 @@ class StreamingSpec extends AnyFunSuite {
     // a second pass of the raw stream instead
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FrameArrival]
-    val out = SceneCutStream.cutsStream(mem.toDS(), tauFp = 0L)
+    // harness mode (idleEvictMs=0): processAllAvailable cannot settle
+    // under ProcessingTimeTimeout's continuous timer batches
+    val out = SceneCutStream.cutsStream(mem.toDS(), tauFp = 0L, idleEvictMs = 0L)
     val rows = graft.streaming.Replay.runSink(spark, out.toDF()) { q =>
       mem.addData(arrivals.toSeq.sortBy(a => (a.videoId, a.frameIdx)))
       q.processAllAvailable()
@@ -697,5 +699,112 @@ class StreamingSpec extends AnyFunSuite {
     // per-group state/snapshot boundedness
     val perGroup = few.groupBy(_._1).view.mapValues(_.size)
     assert(perGroup.values.forall(_ <= k))
+  }
+
+  test("scene-cut previous-frame state survives a kill-and-resume from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SceneCutStream
+    import graft.streaming.SceneCutStream.FrameArrival
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cut_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cut_out").toString
+    val mem = MemoryStream[FrameArrival]
+    // eviction off: this spec pins state RECOVERY; the eviction horizon
+    // has its own Trigger.Once spec below (processAllAvailable cannot
+    // settle under ProcessingTimeTimeout's continuous timer batches)
+    def start() = SceneCutStream.cutsStream(mem.toDS(), tauFp = 100L, idleEvictMs = 0L)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    mem.addData(
+      FrameArrival(7L, 0L, Array(0L, 0L)),
+      FrameArrival(7L, 1L, Array(50L, 10L))) // transition 0→1: L1 = 60, no cut
+    q1.processAllAvailable()
+    q1.stop()
+
+    // a restart that lost the (lastIdx=1, [50,10]) state would treat
+    // frame 2 as the video's first frame and emit NOTHING for it
+    val q2 = start()
+    mem.addData(FrameArrival(7L, 2L, Array(250L, 110L))) // 1→2: L1 = 300, cut
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).as[SceneCutStream.CutEvent].collect()
+      .sortBy(_.frameIdx)
+    assert(got.map(e => (e.frameIdx, e.l1Fp, e.isCut)).toSeq ==
+      Seq((1L, 60L, false), (2L, 300L, true)),
+      s"frame 2's transition must be computed against the CHECKPOINTED frame-1 vector: ${got.toSeq}")
+  }
+
+  test("scene-cut state is EVICTED after the idle horizon: a post-eviction frame restarts the video") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SceneCutStream
+    import graft.streaming.SceneCutStream.FrameArrival
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evict_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_evict_out").toString
+    val mem = MemoryStream[FrameArrival]
+    // Trigger.Once per run: each start processes exactly the pending data
+    // (plus due timers) and terminates — the deterministic harness for
+    // ProcessingTimeTimeout, which keeps scheduling timer batches under a
+    // continuous trigger
+    def runOnce(): Unit = {
+      val q = SceneCutStream.cutsStream(mem.toDS(), tauFp = 100L, idleEvictMs = 1L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    mem.addData(FrameArrival(7L, 0L, Array(0L, 0L)))
+    runOnce() // video 7 state saved, 1 ms idle horizon armed
+    Thread.sleep(50)
+    // a batch with OTHER data: video 7 has no arrival, its timer is due →
+    // hasTimedOut fires and the state is removed
+    mem.addData(FrameArrival(8L, 0L, Array(5L, 5L)))
+    runOnce()
+    // post-eviction frame: video 7 restarts — NO transition 0→2 emitted
+    mem.addData(FrameArrival(7L, 2L, Array(900L, 900L)))
+    runOnce()
+    mem.addData(FrameArrival(7L, 3L, Array(910L, 905L)))
+    runOnce()
+    val got = spark.read.parquet(outDir).as[SceneCutStream.CutEvent].collect()
+      .filter(_.videoId == 7L).map(e => (e.frameIdx, e.l1Fp)).sorted.toSeq
+    assert(got == Seq((3L, 15L)),
+      s"frame 2 must restart the evicted video (no 0→2 event), frame 3 measures 2→3: $got")
+  }
+
+  test("near-dup signature state survives a kill-and-resume from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.DocEvent
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nd_out").toString
+    val mem = MemoryStream[DocEvent]
+    def start() = NearDupStream.nearDupStream(
+        mem.toDS().select(
+          col("docId"), timestamp_millis(col("tsMs")).as("eventTime"), col("text")),
+        "docId", "eventTime", "text", watermarkDelay = "3650 days")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    mem.addData(DocEvent(1L, 1000L, "the quick brown fox jumps over the lazy dog"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // doc 2 is an exact re-crawl (same signature): a restart that lost
+    // the signature store would let it through as a fresh survivor
+    val q2 = start()
+    mem.addData(
+      DocEvent(2L, 2000L, "the quick brown fox jumps over the lazy dog"),
+      DocEvent(3L, 3000L, "completely different content entirely here now"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val survivors = spark.read.parquet(outDir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 3L),
+      s"the re-crawl must be dropped against the CHECKPOINTED signature state: $survivors")
   }
 }

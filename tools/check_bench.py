@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares a bench run (bench_full.json — the one JSON line Bench.scala
+emits) against tools/bench_baseline.json, the append-only record of each
+query's FIRST recorded time at sf0.1 local[32]. The contract (BENCH_NOTES):
+no query may exceed 2x its first-recorded time, after removing ambient
+machine load.
+
+Load-band normalization: a loaded machine shifts EVERY row (r9: untouched
+q1_agg drifted +35% in a run where nothing changed), so raw ratios flag
+noise. Each query's ratio cur/base is divided by the MEDIAN ratio across
+all shared queries — the median is the ambient-load estimate (a real
+regression is one query moving; ambient load is all of them moving
+together). A sub-second floor absorbs scheduler jitter on tiny rows.
+
+Exit codes: 0 = pass, 1 = at least one query over the gate, 2 = usage.
+
+Usage:
+  python3 tools/check_bench.py [bench_full.json] [--factor 2.0] [--update]
+  --update appends queries missing from the baseline (first recording);
+  it NEVER rewrites an existing entry.
+"""
+import json
+import statistics
+import sys
+
+BASELINE = "tools/bench_baseline.json"
+# below this many seconds (both sides), a ratio is scheduler jitter, not a
+# regression signal — 0.15 s is the observed same-binary load band for the
+# sub-second rows in BENCH_NOTES
+ABS_FLOOR_SEC = 0.15
+# rows still under this after the regression are micro-rows: a 2x there is
+# scheduler jitter (BENCH_NOTES' observed band — untouched sub-second rows
+# drift +-0.2 s run to run); real operator regressions put the row above it
+MATERIAL_SEC = 0.5
+
+
+def main(argv):
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    bench_path = args[0] if args else "bench_full.json"
+    factor = 2.0
+    for a in argv[1:]:
+        if a.startswith("--factor"):
+            factor = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    update = "--update" in argv
+
+    try:
+        cur = json.load(open(bench_path))["queries"]
+    except Exception as e:
+        print(f"cannot read bench run {bench_path}: {e}")
+        return 2
+    base_doc = json.load(open(BASELINE))
+    base = base_doc["queries"]
+
+    shared = sorted(q for q in cur if q in base and cur[q] > 0)
+    missing = sorted(q for q in cur if q not in base and cur[q] > 0)
+    ratios = {q: cur[q] / base[q]["sec"] for q in shared}
+    if not ratios:
+        print("no shared queries between run and baseline")
+        return 2
+    ambient = statistics.median(ratios.values())
+
+    failures = []
+    for q in shared:
+        norm = ratios[q] / ambient
+        over = norm > factor
+        # tiny rows: require the absolute delta to clear the jitter floor
+        # and the row itself to be material
+        if over and (cur[q] - base[q]["sec"] * ambient) < ABS_FLOOR_SEC:
+            over = False
+        if over and cur[q] < MATERIAL_SEC:
+            over = False
+        if over:
+            failures.append((q, base[q]["sec"], cur[q], norm))
+
+    print(f"checked {len(shared)} queries vs baseline "
+          f"(ambient load factor {ambient:.3f}, gate {factor}x normalized)")
+    for q, b, c, n in sorted(failures, key=lambda x: -x[3]):
+        print(f"  FAIL {q}: {b:.3f}s -> {c:.3f}s ({n:.2f}x normalized)")
+    if missing:
+        print(f"  {len(missing)} queries not in baseline: {', '.join(missing[:8])}"
+              + (" ..." if len(missing) > 8 else ""))
+        if update:
+            for q in missing:
+                base[q] = {"sec": round(cur[q], 4), "first": bench_path}
+            json.dump(base_doc, open(BASELINE, "w"), indent=1, sort_keys=True)
+            print(f"  baseline updated (+{len(missing)} first recordings)")
+        else:
+            print("  (run with --update to record them)")
+    if not failures:
+        worst = max(shared, key=lambda q: ratios[q] / ambient)
+        print(f"PASS — worst normalized ratio {ratios[worst]/ambient:.2f}x ({worst})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
