@@ -127,6 +127,9 @@ object ScaleProbe {
       timed("videoNearDup via BANDED lshPairs (maxBroadcastRows=0)") {
         println(s"[scaleprobe] video_lsh_pairs = ${Multimodal.videoNearDup(ff, tau = 0.999, maxBroadcastRows = 0L).count()}")
       }
+      timed("videoNearDup EXACT-FIRST collapse + banded + expand") {
+        println(s"[scaleprobe] video_lsh_pairs_exactfirst = ${Multimodal.videoNearDup(ff, tau = 0.999, maxBroadcastRows = 0L, exactFirst = true).count()}")
+      }
       spark.stop()
       return
     }
@@ -137,6 +140,10 @@ object ScaleProbe {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       import graft.ext.Multimodal
+      // optional stage filter: "audio exactfirstonly" skips the raw
+      // banded stage (807 s at 10x dense-twin — measured once, no need
+      // to re-pay it to time the collapse+expand alternative)
+      val exactFirstOnly = args.length > 2 && args(2) == "exactfirstonly"
       val payloads = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -149,14 +156,19 @@ object ScaleProbe {
         .toDF("doc_id", "payload")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[scaleprobe] audio_docs = ${payloads.count()}")
-      timed("audioFeatures (PCM decode + window stats)") {
-        println(s"[scaleprobe] feature_rows = ${Multimodal.audioFeatures(payloads, "doc_id", "payload").count()}")
+      if (!exactFirstOnly) {
+        timed("audioFeatures (PCM decode + window stats)") {
+          println(s"[scaleprobe] feature_rows = ${Multimodal.audioFeatures(payloads, "doc_id", "payload").count()}")
+        }
+        timed("audioNearDup EXACT broadcast kernel") {
+          println(s"[scaleprobe] audio_pairs_exact = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
+        }
+        timed("audioNearDup BANDED lshPairs route") {
+          println(s"[scaleprobe] audio_pairs_lsh = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L).count()}")
+        }
       }
-      timed("audioNearDup EXACT broadcast kernel") {
-        println(s"[scaleprobe] audio_pairs_exact = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 5000000L).count()}")
-      }
-      timed("audioNearDup BANDED lshPairs route") {
-        println(s"[scaleprobe] audio_pairs_lsh = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L).count()}")
+      timed("audioNearDup EXACT-FIRST collapse + banded + expand") {
+        println(s"[scaleprobe] audio_pairs_exactfirst = ${Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L, exactFirst = true).count()}")
       }
       spark.stop()
       return

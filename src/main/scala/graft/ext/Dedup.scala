@@ -1123,4 +1123,61 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("da", "db", "hamming")
   }
+
+  /** Corpus-wide duplicated-span EXCISION: rewrite every document with
+    * all but the first occurrence of each repeated span removed — the
+    * substring-level dedup a training pipeline actually ships (whole-doc
+    * dedup keeps boilerplate that repeats INSIDE otherwise-distinct
+    * pages; this removes the repeated passage and keeps the page).
+    *
+    * Spans are the content-defined chunks of [[cdcChunks]], so a copied
+    * passage excises even when edits around it shift its byte position —
+    * fixed windows would mis-align. Keep-first policy: the occurrence
+    * with the lexicographically least (id, chunk_idx) owns the chunk
+    * hash; every other occurrence corpus-wide is dropped. Output is one
+    * row per input document: the reconstructed `clean_text` (retained
+    * chunks concatenated in document order) plus chunk accounting.
+    *
+    * 100 TB shape: chunking is the zero-shuffle [[cdcChunks]] kernel;
+    * first-owner election is a partial-aggregating `groupBy(chunk_md5)
+    * .agg(min(struct(id, idx)))` — map-side combine makes a
+    * boilerplate chunk duplicated 10⁸ times cost one combined row per
+    * task, where a `row_number` window over the hash partition would
+    * single-reducer-sort those 10⁸ rows (the skew trap). Reconstruction
+    * moves (idx, start, len) triples, never chunk bodies; the only
+    * document-body transfer is the final join back to the source text,
+    * keyed on the id the corpus is usually already partitioned by.
+    */
+  def exciseDuplicateChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol)
+    val firstOwner = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col(idCol).as("oid"), col("chunk_idx").as("oidx"))).as("owner"))
+    val marked = chunks
+      .join(firstOwner, Seq("chunk_md5"))
+      .withColumn(
+        "kept",
+        col(idCol) === col("owner.oid") && col("chunk_idx") === col("owner.oidx"))
+    val perDoc = marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the `when` leaves for excised
+        // chunks; array_sort restores document order (chunk_idx leads
+        // the struct, so lexicographic struct order IS position order)
+        array_sort(collect_list(when(
+          col("kept"),
+          struct(col("chunk_idx"), col("start_pos"), col("len"))))).as("spans"))
+    df.select(col(idCol), col(textCol).as("_text"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("spans").isNull, lit(""))
+          .otherwise(concat_ws("", expr(
+            "transform(spans, s -> substring(_text, CAST(s.start_pos AS INT), CAST(s.len AS INT)))")))
+          .as("clean_text"))
+  }
 }

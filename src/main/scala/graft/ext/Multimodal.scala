@@ -88,15 +88,21 @@ object Multimodal {
     * dimensions from the id arithmetic that chose them, the engine must
     * recover them from the actual encoded bytes.
     */
-  def synthImage(format: String, width: Int, height: Int): Array[Byte] = {
+  def synthImage(format: String, width: Int, height: Int, salt: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     // the fill spreads across all 24 bits so pixel-domain features have
-    // non-degenerate channels; lossless formats round-trip it exactly
+    // non-degenerate channels; lossless formats round-trip it exactly.
+    // salt shifts every pixel by a constant — a "re-export with slightly
+    // different levels" twin whose perceptual hash stays NEAR the
+    // unsalted image (default 0 keeps every pre-existing fixture
+    // byte-identical)
     var y = 0
     while (y < height) {
       var x = 0
-      while (x < width) { img.setRGB(x, y, (x * 1000003 + y * 4099) & 0xffffff); x += 1 }
+      while (x < width) {
+        img.setRGB(x, y, (x * 1000003 + y * 4099 + salt * 7919) & 0xffffff); x += 1
+      }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -360,10 +366,18 @@ object Multimodal {
       payloadCol: String,
       tau: Double,
       dims: Int = 12,
-      maxBroadcastRows: Long = Similarity.MaxBroadcastRows): DataFrame =
-    Similarity.nearDupPairs(
-      pooledAudioEmbedding(df, idCol, payloadCol, dims), "id", "embedding",
-      tau, dims, maxBroadcastRows)
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows,
+      exactFirst: Boolean = false): DataFrame = {
+    val pooled = pooledAudioEmbedding(df, idCol, payloadCol, dims)
+    // exactFirst: collapse identical pooled vectors before the banded
+    // route — the production order for dense-dup audio (re-encoded
+    // re-uploads of the same master collapse to one representative);
+    // see Similarity.nearDupPairsExactFirst for the measured why
+    if (exactFirst)
+      Similarity.nearDupPairsExactFirst(pooled, "id", "embedding", tau, dims, maxBroadcastRows)
+    else
+      Similarity.nearDupPairs(pooled, "id", "embedding", tau, dims, maxBroadcastRows)
+  }
 
   /** Deterministic fixture encoder: a minimal RIFF/AVI-shaped container
     * (hand-built like `synthWav` — byte-deterministic, no codec):
@@ -647,10 +661,18 @@ object Multimodal {
       tau: Double,
       idCol: String = "id",
       dims: Int = 12,
-      maxBroadcastRows: Long = Similarity.MaxBroadcastRows): DataFrame =
-    Similarity.nearDupPairs(
-      pooledVideoEmbedding(frameFeatures, idCol), idCol, "embedding",
-      tau, dims, maxBroadcastRows)
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows,
+      exactFirst: Boolean = false): DataFrame = {
+    val pooled = pooledVideoEmbedding(frameFeatures, idCol)
+    // exactFirst: collapse identical pooled vectors before the banded
+    // route — re-encodes/re-uploads of the same master are the dense
+    // case (measured ~10x banded-candidate tax at 10x twin density,
+    // BENCH_NOTES r10); see Similarity.nearDupPairsExactFirst
+    if (exactFirst)
+      Similarity.nearDupPairsExactFirst(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)
+    else
+      Similarity.nearDupPairs(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)
+  }
 
   /** Shot-boundary (scene-cut) detection over a per-frame feature table
     * (`frameFeatures` output: id, frame_idx, dim, value): a frame is a
@@ -800,6 +822,122 @@ object Multimodal {
       col("_ok"),
       expr(s"""(CAST($sumCol AS DECIMAL(38,0)) * 20000 + CAST(width AS BIGINT) * height)
               | DIV (2 * CAST(width AS BIGINT) * height)""".stripMargin) / 10000.0)
+
+  /** Blockhash-style PERCEPTUAL image hash: the decoded raster is binned
+    * into a `grid`×`grid` cell map, each cell's mean luminance (r+g+b,
+    * integer) is compared against the corpus-free per-IMAGE median cell
+    * value, and the resulting grid²-bit signature is packed into
+    * grid²/16 16-bit words. All arithmetic is integer fixed-point
+    * (4-dp half-up cell means, rank-based threshold = the sorted cell
+    * value at index grid²/2), so a SQL oracle predicts every word in
+    * closed form from a synthesized fill — no float medians, no
+    * DCT-rounding divergence (the reason this is blockhash, not pHash's
+    * DCT: bit-exactness across engines is the contract here).
+    *
+    * Near-identical images (re-exports, small level shifts) move a few
+    * cells across the median → small Hamming distance; the word split
+    * exists for [[imagePhashPairs]]' banded join. One row per input:
+    * lossless decodable rasters at least grid×grid get `ok = true` and
+    * the words; everything else (undecodable, lossy, too small) is a
+    * counted `ok = false` marker row — never silently dropped.
+    *
+    * 100 TB shape: the whole hash is computed inside one decode
+    * `mapPartitions` pass — per-image local state only, zero shuffle,
+    * 5 small columns out per image.
+    */
+  def imageBlockhash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      grid: Int = 8): DataFrame = {
+    require(grid >= 4 && grid % 4 == 0, s"grid must be a positive multiple of 4, got $grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCells = grid * grid
+    val nWords = nCells / 16
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val okMeta = decodeMetaReal(id, payload)
+            .filter(m => LosslessFormats.contains(m.format))
+          val img = okMeta.flatMap { _ =>
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+            catch { case _: Exception => None }
+          }.filter(i => i.getWidth >= grid && i.getHeight >= grid)
+          img match {
+            case None => (id, false, null.asInstanceOf[Array[Long]])
+            case Some(im) =>
+              val w = im.getWidth
+              val h = im.getHeight
+              val sums = new Array[Long](nCells)
+              val counts = new Array[Long](nCells)
+              var y = 0
+              while (y < h) {
+                val cy = y.toLong * grid / h
+                var x = 0
+                while (x < w) {
+                  val cell = (cy * grid + x.toLong * grid / w).toInt
+                  val rgb = im.getRGB(x, y)
+                  sums(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  counts(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              // 4-dp half-up fixed-point cell mean; every cell of a
+              // >= grid×grid raster receives >= 1 pixel
+              val fp = Array.tabulate(nCells)(i => (sums(i) * 20000 + counts(i)) / (2 * counts(i)))
+              val thresh = fp.sorted.apply(nCells / 2)
+              val words = new Array[Long](nWords)
+              var k = 0
+              while (k < nCells) {
+                if (fp(k) > thresh) words(k / 16) |= 1L << (k % 16)
+                k += 1
+              }
+              (id, true, words)
+          }
+        }
+      }
+      .toDF("id", "ok", "words")
+      .select(
+        Seq(col("id"), col("ok")) ++
+          (0 until nWords).map(j => col("words").getItem(j).as(s"w$j")): _*)
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance ≤
+    * `maxDist`, banded exactly like [[graft.ext.Dedup.simhashPairs]]:
+    * Hamming ≤ maxDist < nWords forces at least one of the 16-bit words
+    * equal (pigeonhole), so candidates come from an EQUI-join on
+    * (word index, word value) — never an all-pairs scan — and the exact
+    * Hamming check runs on candidates only. Marker rows (`ok = false`)
+    * never pair.
+    */
+  def imagePhashPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxDist: Int = 3,
+      grid: Int = 8): DataFrame = {
+    val nWords = grid * grid / 16
+    require(maxDist >= 0 && maxDist < nWords,
+      s"banding guarantees candidates only for maxDist < $nWords, got $maxDist")
+    val wcols = (0 until nWords).map(j => col(s"w$j"))
+    val hashes = imageBlockhash(df, idCol, payloadCol, grid).where(col("ok"))
+    val banded = hashes.select(
+      col("id") +: wcols :+
+        posexplode(array(wcols: _*)).as(Seq("band", "key")): _*)
+    val ham = (0 until nWords)
+      .map(j => bit_count(col(s"a.w$j").bitwiseXOR(col(s"b.w$j"))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"), ham.cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
 
   /** STUB feature extraction: a `dims`-dim "embedding" derived from the
     * payload's md5 bytes, scaled to [0, 1]. Stands in for model inference;

@@ -1346,6 +1346,84 @@ object Similarity {
       lshPairs(df, idCol, embCol, tau, dims)
   }
 
+  /** `nearDupPairs` with the EXACT-FIRST collapse — the production order
+    * for dense-duplicate corpora, where the banded route alone is
+    * candidate-bound: identical vectors all land in the same bucket of
+    * every table, so a class of n exact twins contributes C(n,2)
+    * candidate rows PER TABLE to the Σ bucket² join (measured 13× slower
+    * than the broadcast kernel at 10× dense-twin scale, BENCH_NOTES r10
+    * — the `Dedup.exact`-before-`ppjoinPairs` trap in embedding space).
+    * Order of operations here:
+    *
+    *  1. collapse identical vectors into identity classes (one exact
+    *     groupBy on the vector value — md5-class analogue of
+    *     `Dedup.exact`);
+    *  2. run the count-routed `nearDupPairs` over REPRESENTATIVES only
+    *     (buckets are now duplicate-free, Σ bucket² stays linear-ish);
+    *  3. expand representative pairs back through the classes: cross
+    *     pairs inherit the representative cosine (identical vectors —
+    *     any member pair computes the same value), within-class pairs
+    *     get the class's self-cosine. Both joins move ids, not vectors,
+    *     and the expansion is output-bound — the cost of ASKING for the
+    *     full pair list. (A pipeline that only needs the dup classes
+    *     should stop after step 1/2; emitting C(n,2) rows per class is
+    *     inherent to the pair contract, not to this algorithm.)
+    *
+    * Returns exactly `nearDupPairs`' `(id_a, id_b, cosine)` set — parity
+    * is hash-proven at the gate (`dedup_audio_exactfirst` shares
+    * `dedup_audio`'s oracle).
+    */
+  def nearDupPairsExactFirst(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long = MaxBroadcastRows): DataFrame = {
+    val prep = df.select(
+      col(idCol).cast("long").as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    // identity classes keyed by the exact vector value (array equality);
+    // persist: the class table feeds the member join, the rep pairing,
+    // and the self-cosine — tiny rows (one per DISTINCT vector)
+    val classes = prep.groupBy(col("emb"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("csz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val members = prep.join(classes.select(col("emb"), col("rep")), Seq("emb"))
+        .select(col("rep"), col("id"))
+      val reps = classes.select(col("rep").as("id"), col("emb"))
+      val repPairs = nearDupPairs(reps, "id", "emb", tau, dims, maxExactRows)
+      val cross = repPairs
+        .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+        .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+        .select(
+          least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"),
+          col("cosine"))
+      // within-class pairs: the self-cosine is computed with the SAME
+      // expression sequence as the pair kernels (dot / nrm·nrm), so a
+      // degenerate zero-norm class yields NaN and drops at the filter
+      // exactly as it would in the all-pairs kernel
+      val self = classes.where(col("csz") > 1L)
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .withColumn("cos_raw", dot(col("emb"), col("emb")) / (col("nrm") * col("nrm")))
+        .where(col("cos_raw") >= tau)
+        .select(col("rep"), round(col("cos_raw"), 4).as("cosine"))
+      val within = self
+        .join(members.select(col("rep"), col("id").as("ma")), Seq("rep"))
+        .join(members.select(col("rep"), col("id").as("mb")), Seq("rep"))
+        .where(col("ma") < col("mb"))
+        .select(col("ma").as("id_a"), col("mb").as("id_b"), col("cosine"))
+      val out = cross.unionByName(within)
+      // the returned plan reads the persisted class table lazily; eager
+      // materialization here would defeat the single-DAG consumers —
+      // LRU owns eviction, and an evicted block recomputes, never
+      // corrupts (the lshPairs cache contract)
+      out
+    } catch { case e: Throwable => classes.unpersist(blocking = false); throw e }
+  }
+
   /** IVF index health: per-cell occupancy and (base vs delta) assignment
     * drift — the report that tells an append-maintained index
     * (`ivfAppend` freezes centroids forever) when frozen centroids have

@@ -303,6 +303,54 @@ object ExtQueries {
       |               ((2 * k * 37 + g * 101) % 256) + 256 * (((2 * k + 1) * 37 + g * 101) % 256) AS raw
       |             FROM sm))""".stripMargin
 
+  /** Oracle for the audio-level near-dup pair set (residue-class pooled
+    * sample sums → exact cosine ≥ 0.999) — shared VERBATIM by the
+    * direct-routed row (`dedup_audio`) and the exact-first-collapsed row
+    * (`dedup_audio_exactfirst`): the collapse+expand composition must
+    * reproduce the kernel's full pair set bit-for-bit.
+    */
+  /** Closed-form replay of the blockhash perceptual-hash words from the
+    * seeded synthesis fill v(x,y) = (x·1000003 + y·4099 + salt·7919)
+    * & 0xffffff: per-cell integer luminance means in 4-dp half-up fixed
+    * point, the rank-based per-image median threshold (sorted cell value
+    * at 0-indexed 32), and 4×16-bit word packing. Ends at `hh(doc_id,
+    * w0..w3)`; shared by the hash row and the Hamming-pair row.
+    */
+  private lazy val phashWordsCte =
+    """WITH d AS (SELECT doc_id, doc_id % 16 AS g, (doc_id // 16) % 3 AS salt
+      |           FROM documents WHERE doc_id % 5 <> 4),
+      |dims AS (SELECT doc_id, salt, 8 + (g * 3) % 40 AS w, 8 + (g * 7) % 40 AS h FROM d),
+      |px AS (SELECT doc_id,
+      |         (x.x * 1000003 + y.y * 4099 + salt * 7919) & 16777215 AS v,
+      |         ((y.y * 8) // h) * 8 + (x.x * 8) // w AS cell
+      |       FROM dims
+      |       JOIN (SELECT unnest(range(0, 48)) x) x ON x.x < w
+      |       JOIN (SELECT unnest(range(0, 48)) y) y ON y.y < h),
+      |c AS (SELECT doc_id, cell, count(*) n,
+      |        sum(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) s
+      |      FROM px GROUP BY 1, 2),
+      |f AS (SELECT doc_id, cell, (s * 20000 + n) // (2 * n) AS fp FROM c),
+      |t AS (SELECT doc_id, list(fp ORDER BY fp)[33] AS thr FROM f GROUP BY doc_id),
+      |b AS (SELECT f.doc_id, cell // 16 AS wd,
+      |        CASE WHEN fp > thr THEN (CAST(1 AS BIGINT) << CAST(cell % 16 AS INT)) ELSE 0 END AS bit
+      |      FROM f JOIN t USING (doc_id)),
+      |hh AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN wd = 0 THEN bit ELSE 0 END) AS BIGINT) AS w0,
+      |         CAST(sum(CASE WHEN wd = 1 THEN bit ELSE 0 END) AS BIGINT) AS w1,
+      |         CAST(sum(CASE WHEN wd = 2 THEN bit ELSE 0 END) AS BIGINT) AS w2,
+      |         CAST(sum(CASE WHEN wd = 3 THEN bit ELSE 0 END) AS BIGINT) AS w3
+      |       FROM b GROUP BY doc_id)""".stripMargin
+
+  private lazy val audioPairsOracleSql =
+    s"""WITH $wavSamplesCte,
+       |p AS (SELECT doc_id, k % 12 AS d, CAST(sum(s) AS DOUBLE) v FROM sv GROUP BY 1, 2),
+       |vv AS (SELECT doc_id, list(v ORDER BY d) vec FROM p GROUP BY 1),
+       |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
+       |pr AS (SELECT a.doc_id da, b.doc_id db,
+       |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
+       |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
+       |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin
+
   /** Oracle for the video-level near-dup pair set (pooled per-frame
     * embeddings → exact cosine ≥ 0.999) — shared VERBATIM by the exact
     * kernel row (`dedup_video`) and the forced-LSH row
@@ -2279,6 +2327,31 @@ object ExtQueries {
           |SELECT chunk_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
           |FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin)
     ),
+    // Duplicated-span EXCISION: every document rewritten with all but the
+    // first corpus-wide occurrence of each CDC chunk removed (keep-first
+    // by (doc_id, chunk_idx)) — the substring-level dedup output a
+    // training pipeline ships. The oracle reconstructs clean_text by the
+    // identical keep rule over the shared chunk CTE, so the whole
+    // chunk→elect→excise→reconstruct chain is hash-proven end to end.
+    Q(
+      "dedup_excise",
+      (s, dir) =>
+        Dedup.exciseDuplicateChunks(Tables.documents(s, dir), "doc_id", "text"),
+      Some(cdcChunksCte +
+        """,
+          |k AS (SELECT doc_id, chunk_idx, start_pos, len,
+          |        row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) rn
+          |      FROM chunks),
+          |r AS (SELECT doc_id, count(*) AS n_chunks,
+          |        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |        string_agg(CASE WHEN rn = 1
+          |          THEN substr(text, CAST(start_pos AS INT), CAST(len AS INT)) END,
+          |          '' ORDER BY chunk_idx) AS ct
+          |      FROM k JOIN d USING (doc_id) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(r.n_chunks, 0) AS n_chunks,
+          |       coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ct, '') AS clean_text
+          |FROM d LEFT JOIN r USING (doc_id)""".stripMargin)
+    ),
     // CDC-chunk document similarity: pairs sharing >= 2 distinct chunk
     // hashes, containment-scored, boilerplate chunks capped — the plain
     // SQL join over the same chunk CTE is the oracle.
@@ -3079,6 +3152,18 @@ object ExtQueries {
         Multimodal.videoNearDup(frameFeatFor(s, dir), tau = 0.999, maxBroadcastRows = 0L)
           .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
       Some(videoPairsOracleSql)),
+    // And the dense-dup production order for video (the audio
+    // `dedup_audio_exactfirst` composition applied symmetrically):
+    // identical pooled vectors collapse into identity classes, the
+    // banded route runs over one representative per class, and the pair
+    // expansion must regenerate the kernel's full set — same oracle.
+    Q(
+      "dedup_video_exactfirst",
+      (s, dir) =>
+        Multimodal.videoNearDup(
+          frameFeatFor(s, dir), tau = 0.999, maxBroadcastRows = 0L, exactFirst = true)
+          .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
+      Some(videoPairsOracleSql)),
     // Shot-boundary detection over the same per-frame feature table:
     // a frame is a cut when its decoded feature vector moved ≥ τ from
     // the previous frame by L1 distance in 4-dp fixed point — the
@@ -3349,6 +3434,88 @@ object ExtQueries {
              |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), NULL, NULL, NULL
              |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
     ),
+    // Blockhash perceptual image hash: %5!=4 rows are salted png/bmp
+    // fixtures (salt = a small constant added to every pixel — the
+    // "re-export with shifted levels" twin); %5==4 rows stay raw text
+    // and must surface as counted ok=false marker rows. The oracle
+    // replays the ENTIRE hash in closed form from the fill arithmetic:
+    // per-cell integer luminance means (4-dp half-up), the rank-based
+    // per-image median threshold, and the 16-bit word packing — the
+    // engine must reproduce all 64 bits from actual decoded rasters.
+    Q(
+      "mm_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmph") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload =
+                  if (id % 5 == 4) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else {
+                    val g = (id % 16).toInt
+                    Multimodal.synthImage(
+                      if (g % 2 == 0) "png" else "bmp",
+                      8 + (g * 3) % 40, 8 + (g * 7) % 40, salt = ((id / 16) % 3).toInt)
+                  }
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.imageBlockhash(payloads, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("ok"),
+            col("w0"), col("w1"), col("w2"), col("w3"))
+      },
+      Some(phashWordsCte +
+        """
+          |SELECT doc_id, TRUE AS ok, w0, w1, w2, w3 FROM hh
+          |UNION ALL
+          |SELECT doc_id, FALSE AS ok, NULL, NULL, NULL, NULL
+          |FROM documents WHERE doc_id % 5 = 4""".stripMargin)
+    ),
+    // Near-dup image pairs by perceptual-hash Hamming <= 3 over the SAME
+    // artifact: the engine runs the banded word equi-join (pigeonhole:
+    // Hamming <= 3 over 4 words forces >= 1 word equal — never an
+    // all-pairs scan); the oracle verifies against the plain quadratic
+    // join over the replayed hash words.
+    Q(
+      "dedup_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmph") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload =
+                  if (id % 5 == 4) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else {
+                    val g = (id % 16).toInt
+                    Multimodal.synthImage(
+                      if (g % 2 == 0) "png" else "bmp",
+                      8 + (g * 3) % 40, 8 + (g * 7) % 40, salt = ((id / 16) % 3).toInt)
+                  }
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3)
+          .select(col("da"), col("db"), col("hamming"))
+      },
+      Some(phashWordsCte +
+        """
+          |SELECT a.doc_id AS da, b.doc_id AS db,
+          |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+          |       bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
+          |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+          |      bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3""".stripMargin)
+    ),
     // REAL audio decode: payloads are canonical PCM WAV streams
     // (hand-built RIFF — byte-deterministic) with rate/channels/frames
     // chosen from doc_id; %3==2 rows stay raw text → stub fallback. The
@@ -3437,14 +3604,25 @@ object ExtQueries {
       (s, dir) =>
         Multimodal.audioNearDup(mmWavFor(s, dir), "doc_id", "payload", tau = 0.999)
           .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
-      Some(s"""WITH $wavSamplesCte,
-             |p AS (SELECT doc_id, k % 12 AS d, CAST(sum(s) AS DOUBLE) v FROM sv GROUP BY 1, 2),
-             |vv AS (SELECT doc_id, list(v ORDER BY d) vec FROM p GROUP BY 1),
-             |vn AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) nrm FROM vv),
-             |pr AS (SELECT a.doc_id da, b.doc_id db,
-             |        list_sum(list_transform(range(1, 13), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) cos
-             |       FROM vn a JOIN vn b ON a.doc_id < b.doc_id)
-             |SELECT da, db, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.999""".stripMargin)
+      Some(audioPairsOracleSql)
+    ),
+    // The SAME audio pair set through the DENSE-DUP production order:
+    // collapse identical pooled vectors into identity classes, run the
+    // (count-routed, here forced-banded) pair search over one
+    // representative per class, expand pairs back through the classes.
+    // The twin fixture is exactly the dense case that motivates it —
+    // every %16 group is one identity class, so the banded stage sees 16
+    // duplicate-free vectors instead of quadratic same-bucket candidates
+    // (13x measured at 10x, BENCH_NOTES r10). Shared oracle ⇒ the
+    // collapse+expand must reproduce the kernel's pair set exactly.
+    Q(
+      "dedup_audio_exactfirst",
+      (s, dir) =>
+        Multimodal.audioNearDup(
+          mmWavFor(s, dir), "doc_id", "payload", tau = 0.999,
+          maxBroadcastRows = 0L, exactFirst = true)
+          .select(col("id_a").as("da"), col("id_b").as("db"), col("cosine")),
+      Some(audioPairsOracleSql)
     ),
     // Changelog MERGE: apply a synthesized CDC delta (seq 0 retags every
     // doc_id%5==0, seq 1 deletes every doc_id%7==0, seq 2 re-sources every

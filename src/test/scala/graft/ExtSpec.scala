@@ -1729,6 +1729,13 @@ class ExtSpec extends AnyFunSuite {
     val banded = pairSet(
       Multimodal.audioNearDup(payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L))
     assert(banded == exact, "identical vectors collide in every LSH table: route parity")
+    // the dense-dup production order: collapse -> banded over reps ->
+    // expand must regenerate the identical pair set (and cosines)
+    val xf = Multimodal.audioNearDup(
+      payloads, "doc_id", "payload", tau = 0.999, maxBroadcastRows = 0L, exactFirst = true)
+    assert(pairSet(xf) == exact, "exact-first collapse+expand: pair parity")
+    assert(xf.collect().forall(_.getDouble(2) == 1.0),
+      "twin pairs are identical vectors: expanded cosines must be exactly 1.0")
   }
 
   test("video near-dup route parity: forced-LSH pairs == exact broadcast-kernel pairs") {
@@ -1751,6 +1758,9 @@ class ExtSpec extends AnyFunSuite {
     val twins = (0L until 24L).flatMap(a => (a + 1 until 24L).filter(b => a % 8 == b % 8).map((a, _))).toSet
     assert(exact == twins, s"exact route must find exactly the twin groups: ${exact.size}")
     assert(banded == exact, "the banded path a 100 TB corpus runs must find the same set")
+    val xf = pairSet(
+      Multimodal.videoNearDup(ff, tau = 0.999, maxBroadcastRows = 0L, exactFirst = true))
+    assert(xf == exact, "exact-first collapse+expand: pair parity for video too")
   }
 
   test("IVF health: shifted delta trips the re-balance trigger; refit restores assignment quality and recall") {
@@ -1795,5 +1805,101 @@ class ExtSpec extends AnyFunSuite {
     val after = recall(refit)
     assert(after >= before, s"refit recall $after must not regress vs frozen $before")
     assert(after >= 0.9, s"refit must recover near-exact recall for the drifted slice, got $after")
+  }
+
+  test("imageBlockhash: words match the fill arithmetic; twins pair at 0; markers counted, never paired") {
+    import spark.implicits._
+    // independent model straight from the synthesis fill — no shared
+    // code with the kernel (which walks DECODED pixels via ImageIO)
+    def modelWords(w: Int, h: Int, salt: Int): Array[Long] = {
+      val sums = new Array[Long](64); val counts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 1000003 + y * 4099 + salt * 7919) & 0xffffff
+        val cell = (y * 8 / h) * 8 + x * 8 / w
+        sums(cell) += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        counts(cell) += 1
+      }
+      val fp = Array.tabulate(64)(i => (sums(i) * 20000 + counts(i)) / (2 * counts(i)))
+      val thr = fp.sorted.apply(32)
+      val words = new Array[Long](4)
+      for (k <- 0 until 64) if (fp(k) > thr) words(k / 16) |= 1L << (k % 16)
+      words
+    }
+    val payloads = Seq(
+      (0L, Multimodal.synthImage("png", 24, 16)),
+      (1L, Multimodal.synthImage("png", 24, 16, salt = 1)),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, Multimodal.synthImage("bmp", 24, 16)),
+      (4L, Multimodal.synthImage("png", 4, 4))).toDF("doc_id", "payload")
+    val out = Multimodal.imageBlockhash(payloads, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 3L)) {
+      val salt = if (id == 1L) 1 else 0
+      val exp = modelWords(24, 16, salt)
+      assert(out(id).getBoolean(1), s"id $id must decode")
+      assert((0 until 4).forall(j => out(id).getLong(2 + j) == exp(j)),
+        s"id $id words must match the fill model")
+    }
+    assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2), "text payload: counted marker row")
+    assert(!out(4L).getBoolean(1), "sub-grid raster: marker row, not a partial hash")
+
+    // pair set == brute force over the model hashes, markers excluded
+    val hs = Map(0L -> modelWords(24, 16, 0), 1L -> modelWords(24, 16, 1), 3L -> modelWords(24, 16, 0))
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = (0 until 4).map(j => java.lang.Long.bitCount(hs(a)(j) ^ hs(b)(j))).sum
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val pairs = Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == brute, s"banded pairs must equal brute force: $pairs vs $brute")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L),
+      "png/bmp encodes of the same raster are perceptual twins at Hamming 0")
+  }
+
+  test("exciseDuplicateChunks: keep-first excision matches an independent election over the chunk table") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf)
+    val base = corpus.orderBy("doc_id").limit(12).collect().map(_.getAs[String]("text"))
+    // a passage long enough (several expected-64-char chunks) that
+    // interior CDC boundaries exist inside it
+    val passage = base.take(6).mkString(" ")
+    // doc 0: original; doc 1: byte-identical copy; doc 2: the same
+    // passage embedded behind an edited prefix (CDC must still excise
+    // the interior chunks); doc 3: unrelated; doc 4: empty
+    val docs = Seq(
+      (0L, passage),
+      (1L, passage),
+      (2L, "EDITED PREFIX " + passage + " EDITED SUFFIX"),
+      (3L, base.drop(6).mkString(" ")),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateChunks(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    // independent election: replay keep-first over the raw chunk table
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("len"), r.getAs[String]("chunk_md5")))
+    val owner = ch.groupBy(_._5).map { case (h, occ) => h -> occ.map(o => (o._1, o._2)).min }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- texts.keys) {
+      val mine = ch.filter(_._1 == id).sortBy(_._2)
+      val expectKept = mine.filter(c => owner(c._5) == ((c._1, c._2)))
+      val expectClean = expectKept
+        .map(c => texts(id).substring(c._3.toInt - 1, (c._3 + c._4 - 1).toInt)).mkString
+      val (nChunks, nKept, clean) = out(id)
+      assert(nChunks == mine.length.toLong, s"doc $id n_chunks")
+      assert(nKept == expectKept.length.toLong, s"doc $id n_kept")
+      assert(clean == expectClean, s"doc $id clean_text mismatch")
+    }
+    // the identical copy must excise to nothing; the original keeps at
+    // least its first chunk; empty doc passes through with zero chunks
+    assert(out(1L)._3.isEmpty && out(1L)._2 == 0L, "identical copy must vanish")
+    assert(out(0L)._2 >= 1L && out(0L)._3.nonEmpty, "first occurrence keeps content")
+    assert(out(4L) == ((0L, 0L, "")), "empty doc: zero chunks, empty clean_text")
+    // doc 2 shares interior chunks with doc 0 ⇒ some excised, some kept
+    assert(out(2L)._2 < out(2L)._1, "embedded copy must lose its interior duplicated chunks")
+    assert(out(2L)._3.nonEmpty, "edited prefix/suffix must survive")
   }
 }
