@@ -19,8 +19,11 @@ object ScaleProbe {
     val audioMode = args.length > 1 && args(1) == "audio"
     val lshIdxMode = args.length > 1 && args(1) == "lshidx"
     val splitSafeMode = args.length > 1 && args(1) == "splitsafe"
+    val exciseMode = args.length > 1 && args(1) == "excise"
+    val phashMode = args.length > 1 && args(1) == "phash"
+    val warcMode = args.length > 1 && args(1) == "warc"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
-      lshIdxMode || splitSafeMode
+      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -68,6 +71,79 @@ object ScaleProbe {
         Dedup.ppjoinFunnel(docs, "doc_id", "text", n = 3, tau = t)
       }
       f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
+      spark.stop()
+      return
+    }
+    // excise mode: runMain graft.ScaleProbe <sfDir> excise — time the
+    // corpus-wide duplicated-span excision (CDC chunk -> keep-first
+    // election -> reconstruct); counts prove output-bound growth
+    if (exciseMode) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      println(s"[scaleprobe] docs = ${docs.count()}")
+      timed("exciseDuplicateChunks (chunk + elect + reconstruct)") {
+        val out = Dedup.exciseDuplicateChunks(docs, "doc_id", "text")
+          .agg(
+            count(lit(1)).as("docs"), sum("n_chunks").as("chunks"),
+            sum("n_kept").as("kept"), sum(length(col("clean_text"))).as("clean_chars"))
+          .head()
+        println(s"[scaleprobe] excise docs=${out.getLong(0)} chunks=${out.getLong(1)} " +
+          s"kept=${out.getLong(2)} clean_chars=${out.getLong(3)}")
+      }
+      spark.stop()
+      return
+    }
+    // phash mode: runMain graft.ScaleProbe <sfDir> phash — synthesize the
+    // mmph fixture shape, time blockhash + banded Hamming pairs
+    if (phashMode) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.Multimodal
+      val payloads = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload =
+            if (id % 5 == 4) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else {
+              val g = (id % 16).toInt
+              Multimodal.synthImage(
+                if (g % 2 == 0) "png" else "bmp",
+                8 + (g * 3) % 40, 8 + (g * 7) % 40, salt = ((id / 16) % 3).toInt)
+            }
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] images = ${payloads.count()}")
+      val hashes = timed("imageBlockhash (decode + 64-cell hash)") {
+        val h = Multimodal.imageBlockhash(payloads, "doc_id", "payload")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[scaleprobe] hash_rows = ${h.count()} markers = ${h.where(!col("ok")).count()}")
+        h
+      }
+      timed("imagePhashPairs (banded Hamming <= 3)") {
+        println(s"[scaleprobe] phash_pairs = ${Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3).count()}")
+      }
+      hashes.unpersist()
+      spark.stop()
+      return
+    }
+    // warc mode: runMain graft.ScaleProbe <sfDir> warc [nArchives] — time
+    // archive serialization and the per-file record-walk read-back
+    if (warcMode) {
+      import org.apache.spark.sql.functions._
+      val nArchives = if (args.length > 2) args(2).toInt else 32
+      val docs = Tables.documents(spark, sfDir)
+      println(s"[scaleprobe] docs = ${docs.count()}")
+      val dir = java.nio.file.Files.createTempDirectory("warc_probe").toString
+      timed(s"writeArchives (nArchives=$nArchives)") {
+        graft.sources.Warc.writeArchives(docs, dir, nArchives)
+      }
+      timed("readArchivesCounted (record walk + full consume)") {
+        val scan = graft.sources.Warc.readArchivesCounted(spark, dir)
+        println(s"[scaleprobe] warc_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       spark.stop()
       return
     }

@@ -250,6 +250,40 @@ object ExtQueries {
       path
     })
 
+  /** WARC archive fixture: the documents table serialized into 8 archive
+    * files once per (dir, session); the roundtrip gate reads them back.
+    */
+  private def warcFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlPaths.computeIfAbsent("warc:" + dir, _ => {
+      val path = artifactPath(s, "warc", dir)
+      graft.sources.Warc.writeArchives(Tables.documents(s, dir), path, nArchives = 8)
+      deleteOnExit(new java.io.File(path))
+      path
+    })
+
+  /** The same archives with DETERMINISTIC damage planted after the valid
+    * records: archive-0 gains a record whose Content-Length runs past
+    * EOF (a truncated upload), archive-1 gains non-WARC garbage bytes.
+    * Each aborted tail must surface as exactly one counted reject.
+    */
+  private def warcCorruptFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlPaths.computeIfAbsent("warcbad:" + dir, _ => {
+      val path = artifactPath(s, "warcbad", dir)
+      graft.sources.Warc.writeArchives(Tables.documents(s, dir), path, nArchives = 8)
+      val truncated = graft.sources.Warc
+        .encodeRecord(999999L, "body that will be cut off", "xx", "bad", 25L)
+        .dropRight(20)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "archive-0.warc"), truncated,
+        java.nio.file.StandardOpenOption.APPEND)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "archive-1.warc"),
+        "NOT A WARC RECORD".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      deleteOnExit(new java.io.File(path))
+      path
+    })
+
   /** Per-frame feature table over the decodable video rows (everyN=1) —
     * a stored pipeline artifact like the pair graph: demux+decode runs
     * once, and every frame-level consumer (video near-dup pooling,
@@ -2171,6 +2205,39 @@ object ExtQueries {
           md5(col("text")).as("text_md5"))
       },
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
+    // WARC archive source: the corpus serialized into 8 record-
+    // concatenated archive files and read back through the per-file
+    // record walk — every field including the text body must round-trip
+    // bit-exactly (md5-compared against the parquet original). Reject
+    // accounting rides this query's own action via observe().
+    Q(
+      "src_warc_roundtrip",
+      (s, dir) => {
+        val scan = graft.sources.Warc.readArchivesCounted(s, warcFor(s, dir))
+        scan.docs.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
+    // WARC damage accounting: archives with a truncated record planted in
+    // one file and raw garbage in another. Every valid record must still
+    // arrive (damage sits after them; the blast radius of an aborted
+    // archive tail is that tail alone) and the two aborts must surface as
+    // exactly two counted rejects — never a silent drop, never a poisoned
+    // read.
+    Q(
+      "src_warc_rejects",
+      (s, dir) => {
+        import s.implicits._
+        val scan = graft.sources.Warc.readArchivesCounted(s, warcCorruptFor(s, dir))
+        val nClean = scan.docs.count()
+        Seq((nClean, scan.rejects)).toDF("n_clean", "n_rejects")
+      },
+      Some("""SELECT count(*) AS n_clean, CAST(2 AS BIGINT) AS n_rejects
              |FROM documents""".stripMargin)
     ),
     // Streaming NEAR-dup at ingest: each arrival is SimHash-fingerprinted

@@ -1807,6 +1807,44 @@ class ExtSpec extends AnyFunSuite {
     assert(after >= 0.9, s"refit must recover near-exact recall for the drifted slice, got $after")
   }
 
+  test("WARC source: archives round-trip escape-heavy text; damage aborts one archive tail as one counted reject") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
+    val tricky = Seq(
+      (1L, "plain text", "en", "s0", 10L),
+      (2L, "quote \" backslash \\ CRLF\r\nembedded", "en", "s0", 33L),
+      (3L, "WARC/1.0\r\nWARC-Record-ID: 99\r\n\r\nbody-shaped text", "de", "s1", 48L),
+      (4L, "unicode é中😀 end", "fr", "s1", 14L),
+      (10L, "same archive as 2 (mod 8)", "es", "s2", 25L))
+    Warc.writeArchives(tricky.toDF("doc_id", "text", "lang", "source", "n_chars"), dir, nArchives = 8)
+    val (clean, rejects) = Warc.readArchives(spark, dir)
+    assert(rejects == 0L)
+    val got = clean.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    tricky.foreach { case (id, text, lang, source, n) =>
+      // Content-Length framing means even a BODY that looks like a WARC
+      // header (doc 3) or contains bare CRLFs (doc 2) round-trips
+      assert(got(id) == ((text, lang, source, n)), s"doc $id must round-trip byte-exactly")
+    }
+
+    // damage after the valid records: exactly one reject per aborted
+    // tail, valid records unaffected
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "archive-1.warc"),
+      Warc.encodeRecord(77L, "cut off body", "xx", "bad", 12L).dropRight(10),
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "archive-2.warc"),
+      "garbage, not a record".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val scan2 = Warc.readArchivesCounted(spark, dir)
+    val cleanIds = scan2.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == tricky.map(_._1).toSet, "valid records must survive planted damage")
+    assert(scan2.rejects == 2L, s"each aborted tail counts once, got ${scan2.rejects}")
+    assert(scan2.records == tricky.size + 2L, "records metric = clean + rejects")
+  }
+
   test("imageBlockhash: words match the fill arithmetic; twins pair at 0; markers counted, never paired") {
     import spark.implicits._
     // independent model straight from the synthesis fill — no shared
