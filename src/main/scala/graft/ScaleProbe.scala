@@ -124,6 +124,9 @@ object ScaleProbe {
       timed("imagePhashPairs (banded Hamming <= 3)") {
         println(s"[scaleprobe] phash_pairs = ${Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3).count()}")
       }
+      timed("imagePhashPairs EXACT-FIRST (collapse + banded + expand)") {
+        println(s"[scaleprobe] phash_pairs_exactfirst = ${Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3, exactFirst = true).count()}")
+      }
       hashes.unpersist()
       spark.stop()
       return

@@ -918,12 +918,51 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       maxDist: Int = 3,
-      grid: Int = 8): DataFrame = {
+      grid: Int = 8,
+      exactFirst: Boolean = false): DataFrame = {
     val nWords = grid * grid / 16
     require(maxDist >= 0 && maxDist < nWords,
       s"banding guarantees candidates only for maxDist < $nWords, got $maxDist")
-    val wcols = (0 until nWords).map(j => col(s"w$j"))
     val hashes = imageBlockhash(df, idCol, payloadCol, grid).where(col("ok"))
+    if (!exactFirst) phashBandedPairs(hashes, nWords, maxDist)
+    else {
+      // the dense-dup production order (the nearDupPairsExactFirst
+      // story in hash space): byte-identical re-uploads share one hash,
+      // and identical hashes collide in EVERY band — a class of n twins
+      // pays C(n,2) candidate rows per band. Collapse to one
+      // representative per DISTINCT hash, band over the duplicate-free
+      // class table, expand pairs back through the classes (cross pairs
+      // inherit the representative Hamming — identical hashes, same
+      // distance; within-class pairs are Hamming 0 by definition).
+      val wcols = (0 until nWords).map(j => col(s"w$j"))
+      val classes = hashes.groupBy(wcols: _*)
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("csz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val members = hashes.join(classes.select(wcols :+ col("rep"): _*), (0 until nWords).map(j => s"w$j"))
+          .select(col("rep"), col("id"))
+        val reps = classes.select(col("rep").as("id") +: wcols: _*)
+        val repPairs = phashBandedPairs(reps, nWords, maxDist)
+        val cross = repPairs
+          .join(members.select(col("rep").as("da"), col("id").as("ma")), Seq("da"))
+          .join(members.select(col("rep").as("db"), col("id").as("mb")), Seq("db"))
+          .select(
+            least(col("ma"), col("mb")).as("da"),
+            greatest(col("ma"), col("mb")).as("db"),
+            col("hamming"))
+        val within = classes.where(col("csz") > 1L)
+          .join(members, Seq("rep"))
+          .select(col("rep"), col("id").as("ma"))
+          .join(members.select(col("rep"), col("id").as("mb")), Seq("rep"))
+          .where(col("ma") < col("mb"))
+          .select(col("ma").as("da"), col("mb").as("db"), lit(0L).as("hamming"))
+        cross.unionByName(within)
+      } catch { case e: Throwable => classes.unpersist(blocking = false); throw e }
+    }
+  }
+
+  private def phashBandedPairs(hashes: DataFrame, nWords: Int, maxDist: Int): DataFrame = {
+    val wcols = (0 until nWords).map(j => col(s"w$j"))
     val banded = hashes.select(
       col("id") +: wcols :+
         posexplode(array(wcols: _*)).as(Seq("band", "key")): _*)

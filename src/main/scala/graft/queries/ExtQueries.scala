@@ -375,6 +375,19 @@ object ExtQueries {
       |         CAST(sum(CASE WHEN wd = 3 THEN bit ELSE 0 END) AS BIGINT) AS w3
       |       FROM b GROUP BY doc_id)""".stripMargin
 
+  /** Hamming ≤ 3 pair set over the replayed perceptual-hash words —
+    * shared VERBATIM by the banded row (`dedup_image_phash`) and the
+    * exact-first-collapsed row (`dedup_image_phash_exactfirst`).
+    */
+  private lazy val phashPairsOracleSql = phashWordsCte +
+    """
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+      |       bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
+      |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+      |      bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3""".stripMargin
+
   private lazy val audioPairsOracleSql =
     s"""WITH $wavSamplesCte,
        |p AS (SELECT doc_id, k % 12 AS d, CAST(sum(s) AS DOUBLE) v FROM sv GROUP BY 1, 2),
@@ -3574,14 +3587,40 @@ object ExtQueries {
         Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3)
           .select(col("da"), col("db"), col("hamming"))
       },
-      Some(phashWordsCte +
-        """
-          |SELECT a.doc_id AS da, b.doc_id AS db,
-          |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
-          |       bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
-          |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-          |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
-          |      bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3""".stripMargin)
+      Some(phashPairsOracleSql)
+    ),
+    // The SAME pair set through the dense-dup production order: distinct
+    // hash classes collapse before the banded join (identical hashes
+    // collide in EVERY band — the C(n,2)-per-band candidate tax), pairs
+    // expand back through the classes. Shared oracle ⇒ the collapse+
+    // expand must reproduce the banded kernel's pair set exactly.
+    Q(
+      "dedup_image_phash_exactfirst",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = artifactFor(s, dir, "mmph") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                val payload =
+                  if (id % 5 == 4) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else {
+                    val g = (id % 16).toInt
+                    Multimodal.synthImage(
+                      if (g % 2 == 0) "png" else "bmp",
+                      8 + (g * 3) % 40, 8 + (g * 7) % 40, salt = ((id / 16) % 3).toInt)
+                  }
+                (id, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+        }
+        Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3, exactFirst = true)
+          .select(col("da"), col("db"), col("hamming"))
+      },
+      Some(phashPairsOracleSql)
     ),
     // REAL audio decode: payloads are canonical PCM WAV streams
     // (hand-built RIFF — byte-deterministic) with rate/channels/frames

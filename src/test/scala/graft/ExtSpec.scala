@@ -1893,6 +1893,9 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == brute, s"banded pairs must equal brute force: $pairs vs $brute")
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L),
       "png/bmp encodes of the same raster are perceptual twins at Hamming 0")
+    val xf = Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3, exactFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(xf == pairs, s"exact-first collapse+expand: pair parity, $xf vs $pairs")
   }
 
   test("exciseDuplicateChunks: keep-first excision matches an independent election over the chunk table") {
