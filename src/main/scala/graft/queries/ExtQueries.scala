@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Behavior, Compaction, Dedup, Integrity, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Behavior, Compaction, Curation, Dedup, Integrity, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import graft.streaming.DedupStream
 import org.apache.spark.sql.functions._
 
@@ -1830,6 +1830,69 @@ object ExtQueries {
               |  tot.n_source_docs
               |FROM sp JOIN tot ON sp.source = tot.source
               |GROUP BY 1, 2, tot.n_source_docs""".stripMargin)),
+    // Per-document curation LEDGER: every input doc with its verdict from
+    // each gate (quality LR, near-dup cluster keep-one, eval-set
+    // contamination), the FIRST gate that dropped it in pipeline order,
+    // and the leakage-safe split for survivors. The oracle stitches the
+    // already-proven per-gate CTEs and must match row-for-row — the
+    // audit trail is exactly as trustworthy as the gates it composes.
+    Q(
+      "curation_ledger",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val q = TextAnalysis.qualityLr(docs, "doc_id", "text")
+        val cont = Dedup.contaminationPairs(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3, minShared = 2L)
+          .select(col("train_id").as("doc_id"))
+        Curation.ledger(
+          docs, "doc_id", q, clustersFor(s, dir), cont,
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT da a, db b FROM mh_pairs UNION SELECT db, da FROM mh_pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION
+              |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a),
+              |t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              |bq AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 bucket FROM t),
+              |wt AS (SELECT i bucket,
+              |         ('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 w
+              |       FROM range(0, 4096) r(i)),
+              |qa AS (SELECT doc_id, CAST(sum(w) AS BIGINT) score_milli
+              |       FROM bq JOIN wt USING (bucket) GROUP BY 1),
+              |w2 AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+              |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w2),
+              |hs2 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh2),
+              |contp AS (SELECT t.doc_id FROM hs2 t JOIN hs2 p
+              |            ON t.h = p.h AND t.doc_id >= 20 AND p.doc_id < 20
+              |          GROUP BY t.doc_id, p.doc_id HAVING count(*) >= 2),
+              |cont AS (SELECT DISTINCT doc_id FROM contp),
+              |led AS (SELECT d.doc_id,
+              |          coalesce(qa.score_milli > 0, FALSE) AS quality_keep,
+              |          coalesce(comp.canonical_id, d.doc_id) AS canonical_id,
+              |          coalesce(comp.canonical_id, d.doc_id) <> d.doc_id AS is_dup,
+              |          d.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+              |        FROM documents d
+              |        LEFT JOIN qa ON d.doc_id = qa.doc_id
+              |        LEFT JOIN comp ON d.doc_id = comp.doc_id),
+              |st AS (SELECT *, CASE WHEN NOT quality_keep THEN 'quality'
+              |                      WHEN is_dup THEN 'duplicate'
+              |                      WHEN contaminated THEN 'contaminated'
+              |                      ELSE 'kept' END AS status FROM led)
+              |SELECT doc_id, quality_keep, canonical_id, is_dup, contaminated, status,
+              |  CASE WHEN status = 'kept' THEN
+              |    CASE WHEN f < 0.8 THEN 'train'
+              |         WHEN f < 0.8 + 0.1 THEN 'val'
+              |         ELSE 'test' END
+              |  END AS split
+              |FROM (SELECT *,
+              |        ('0x' || substr(md5('sp1:' || CAST(canonical_id AS VARCHAR)), 1, 8))::BIGINT
+              |        / 4294967296.0 AS f
+              |      FROM st)""".stripMargin)),
     // Per-source quota: cap every source at 10 of its 25 docs by
     // deterministic md5-hash rank (the domain-cap mixture op). Same md5
     // arithmetic in the oracle → identical picks.

@@ -1807,6 +1807,36 @@ class ExtSpec extends AnyFunSuite {
     assert(after >= 0.9, s"refit must recover near-exact recall for the drifted slice, got $after")
   }
 
+  test("Curation.ledger: one row per doc, first-failing-gate status, split only for survivors") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // doc 6 deliberately ABSENT from the quality output (zero-signal doc)
+    val quality = Seq((1L, true), (2L, false), (3L, true), (4L, true), (5L, true))
+      .toDF("doc_id", "keep")
+    val clusters = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val cont = Seq(4L, 4L).toDF("doc_id") // duplicated on purpose
+    val out = Curation.ledger(
+      docs, "doc_id", quality, clusters, cont,
+      Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6, "exactly one ledger row per input doc")
+    def status(id: Long) = out(id).getAs[String]("status")
+    assert(status(1L) == "kept" && status(2L) == "quality" && status(3L) == "duplicate"
+      && status(4L) == "contaminated" && status(5L) == "kept")
+    assert(status(6L) == "quality", "a doc the quality gate never scored must drop as 'quality'")
+    assert(out(3L).getAs[Long]("canonical_id") == 1L && out(3L).getAs[Boolean]("is_dup"))
+    assert(!out(1L).getAs[Boolean]("is_dup"), "the cluster canonical is not a duplicate")
+    // split: null unless kept; kept docs follow the canonical-id hash
+    Seq(2L, 3L, 4L, 6L).foreach(id => assert(out(id).isNullAt(out(id).fieldIndex("split"))))
+    val expect = graft.ext.Sampling.assignSplit(
+      Seq(1L, 5L).toDF("canonical_id"), "canonical_id",
+      Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), "sp1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(1L, 5L).foreach(id =>
+      assert(out(id).getAs[String]("split") == expect(id), s"survivor $id split"))
+  }
+
   test("WARC source: archives round-trip escape-heavy text; damage aborts one archive tail as one counted reject") {
     import spark.implicits._
     import graft.sources.Warc
