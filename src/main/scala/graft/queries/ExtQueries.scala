@@ -343,6 +343,25 @@ object ExtQueries {
     * (`dedup_audio_exactfirst`): the collapse+expand composition must
     * reproduce the kernel's full pair set bit-for-bit.
     */
+  /** CMS probe-estimate oracle (4×1024 cells, md5-word addressing) —
+    * shared VERBATIM by the batch row (`sketch_cms`) and the streaming
+    * replay row (`stream_cms`): counter additivity means watermark-closed
+    * window cells merged by sum equal the batch cells exactly.
+    */
+  private lazy val cmsEstimateOracleSql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) wd FROM documents),
+      |p AS (SELECT unnest(['spark', 'sort', 'merge', 'table', 'zzzz']) wd),
+      |js AS (SELECT unnest(range(0, 4)) j),
+      |cells AS (SELECT j, ('0x' || substr(md5(wd), 1 + 8*j, 8))::BIGINT % 1024 c, count(*) cnt
+      |          FROM t CROSS JOIN js GROUP BY 1, 2),
+      |pa AS (SELECT p.wd, js.j, ('0x' || substr(md5(p.wd), 1 + 8*js.j, 8))::BIGINT % 1024 c
+      |       FROM p CROSS JOIN js),
+      |e AS (SELECT pa.wd, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) est_cnt
+      |      FROM pa LEFT JOIN cells ON pa.j = cells.j AND pa.c = cells.c GROUP BY 1),
+      |x AS (SELECT p.wd, CAST(coalesce(cnt.c, 0) AS BIGINT) exact_cnt
+      |      FROM p LEFT JOIN (SELECT wd, count(*) c FROM t GROUP BY 1) cnt USING (wd))
+      |SELECT e.wd, e.est_cnt, x.exact_cnt FROM e JOIN x USING (wd)""".stripMargin
+
   /** Closed-form replay of the blockhash perceptual-hash words from the
     * seeded synthesis fill v(x,y) = (x·1000003 + y·4099 + salt·7919)
     * & 0xffffff: per-cell integer luminance means in 4-dp half-up fixed
@@ -2028,18 +2047,34 @@ object ExtQueries {
           .select(col("wd"), coalesce(col("_c"), lit(0L)).as("exact_cnt"))
         est.join(exact, "wd")
       },
-      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) wd FROM documents),
-             |p AS (SELECT unnest(['spark', 'sort', 'merge', 'table', 'zzzz']) wd),
-             |js AS (SELECT unnest(range(0, 4)) j),
-             |cells AS (SELECT j, ('0x' || substr(md5(wd), 1 + 8*j, 8))::BIGINT % 1024 c, count(*) cnt
-             |          FROM t CROSS JOIN js GROUP BY 1, 2),
-             |pa AS (SELECT p.wd, js.j, ('0x' || substr(md5(p.wd), 1 + 8*js.j, 8))::BIGINT % 1024 c
-             |       FROM p CROSS JOIN js),
-             |e AS (SELECT pa.wd, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) est_cnt
-             |      FROM pa LEFT JOIN cells ON pa.j = cells.j AND pa.c = cells.c GROUP BY 1),
-             |x AS (SELECT p.wd, CAST(coalesce(cnt.c, 0) AS BIGINT) exact_cnt
-             |      FROM p LEFT JOIN (SELECT wd, count(*) c FROM t GROUP BY 1) cnt USING (wd))
-             |SELECT e.wd, e.est_cnt, x.exact_cnt FROM e JOIN x USING (wd)""".stripMargin)
+      Some(cmsEstimateOracleSql)
+    ),
+    // Streaming Count-Min: the same probe estimates computed from cells
+    // maintained by the LIVE windowed sketch — tokens replayed across
+    // ~30 micro-batch boundaries, watermark-closed windows merged by the
+    // CMS's own sum. Counter additivity makes the merged cells equal the
+    // batch sketch EXACTLY (order- and chunking-independent), so the row
+    // shares sketch_cms's oracle verbatim.
+    Q(
+      "stream_cms",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.SketchStream
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+          .collect().map(r => (T.From + r.getLong(0) * 1000L, r.getString(1)))
+        val cells = SketchStream.cmsReplay(
+          s, toks.toSeq, chunks = 30, depth = 4, width = 1024, windowDuration = "10 minutes")
+        val probes = Seq("spark", "sort", "merge", "table", "zzzz").toDF("wd")
+        val est = Sketches.cmsEstimate(cells, probes, "wd", depth = 4, width = 1024)
+        val allToks = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("wd"))
+        val exact = probes
+          .join(allToks.groupBy("wd").agg(count(lit(1)).as("_c")), Seq("wd"), "left")
+          .select(col("wd"), coalesce(col("_c"), lit(0L)).as("exact_cnt"))
+        est.join(exact, "wd")
+      },
+      Some(cmsEstimateOracleSql)
     ),
     // CMS join-cardinality estimation: |events ⋈ hot-events on user_id|
     // predicted from two tiny cell tables (min over depth rows of the

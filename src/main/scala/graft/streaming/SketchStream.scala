@@ -83,4 +83,42 @@ object SketchStream {
       .select(col("grp"), posexplode(col("hashes")).as(Seq("p0", "hval")))
       .select(col("grp"), col("hval"), (col("p0") + 1).cast("long").as("pos"))
   }
+
+  /** Bounded batch-replay of the streaming Count-Min sketch
+    * (`Sketches.cmsCellsStream`): token arrivals fed in ascending
+    * event-time chunks, watermark advanced by far-future sentinels so
+    * every real window CLOSES and emits in append mode, sentinel windows
+    * filtered out, and the closed-window cells merged by sum — which is
+    * the CMS's own merge. Because cell counters are ADDITIVE and event
+    * windows partition the arrivals, the merged cells equal
+    * `Sketches.cmsCells` over the same tokens EXACTLY, independent of
+    * chunking — the order-independence that makes the streaming path
+    * SQL-oracle-able bit-for-bit (proven at the gate by `stream_cms`).
+    */
+  def cmsReplay(
+      spark: SparkSession,
+      rows: Seq[(Long, String)],
+      chunks: Int,
+      depth: Int,
+      width: Int,
+      windowDuration: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.ext.Sketches.cmsCellsStream(
+      mem.toDF().toDF("t", "wd"), "t", "wd", depth, width, windowDuration,
+      watermarkDelay = "0 seconds")
+    val maxTs = rows.map(_._1).max
+    val sink = Replay.runSink(spark, out) { q =>
+      Replay.feedChunks(q, mem,
+        Replay.chunked(rows.sortBy(identity), chunks)
+          .map(_.map { case (t, wd) => (new java.sql.Timestamp(t), wd) }))
+      Replay.flushSentinels[(java.sql.Timestamp, String)](
+        q, Seq(mem), maxTs, ts => (new java.sql.Timestamp(ts), "_sentinel_"))
+    }
+    sink
+      .where(col("window.start") <= new java.sql.Timestamp(maxTs))
+      .groupBy("row_idx", "col_idx")
+      .agg(sum("cnt").as("cnt"))
+  }
 }
