@@ -38,6 +38,7 @@ object ExtTableFunctions {
   val KmvOverlapName = "kmv_overlap"
   val PpjoinPairsName = "ppjoin_pairs"
   val DedupClustersName = "dedup_clusters"
+  val DedupExciseName = "dedup_excise"
 
   /** Session-scoped artifact cache for the PAIR-GRAPH TVFs (minhash /
     * ppjoin) — the builders whose whole signature→candidate→verify
@@ -148,6 +149,23 @@ object ExtTableFunctions {
     }
   }
 
+  /** `dedup_excise(table)` — corpus-wide duplicated-span excision from
+    * SQL: CDC chunking, keep-first ownership election, and clean-text
+    * reconstruction (`Dedup.exciseDuplicateChunks`), returning one row
+    * per input document `(doc_id, n_chunks, n_kept, clean_text)` — the
+    * substring-level dedup OUTPUT a SQL-only pipeline ships, not just
+    * the chunk table. Routed through the artifact cache: the chunk +
+    * election pipeline runs once per table; later SQL reads parquet.
+    */
+  def dedupExciseBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, s"usage: $DedupExciseName(table)")
+    val table = FoldTableFunctions.stringArg(DedupExciseName, args, 0)
+    val spark = SparkSession.active
+    cachedPlan(s"$DedupExciseName:$table:${spark.sparkContext.applicationId}") {
+      Dedup.exciseDuplicateChunks(spark.table(table), "doc_id", "text")
+    }
+  }
+
   /** `ppjoin_pairs(table[, tau])` — EXACT prefix-filtered Jaccard pairs
     * `(da, db, jaccard)` over a `(doc_id, text)` relation.
     */
@@ -171,5 +189,6 @@ object ExtTableFunctions {
     SqlBridge.registerTableFunction(spark, KmvOverlapName, kmvOverlapBuilder)
     SqlBridge.registerTableFunction(spark, PpjoinPairsName, ppjoinPairsBuilder)
     SqlBridge.registerTableFunction(spark, DedupClustersName, dedupClustersBuilder)
+    SqlBridge.registerTableFunction(spark, DedupExciseName, dedupExciseBuilder)
   }
 }

@@ -109,6 +109,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(da, db, jaccard) over a (doc_id, text) relation",
           ""),
         ExtTableFunctions.ppjoinPairsBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.DedupClustersName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.DedupClustersName,
+          "dedup_clusters(table[, tau]) - near-dup cluster assembly " +
+            "(doc_id, canonical_id, cluster_size) over a (doc_id, text) relation",
+          ""),
+        ExtTableFunctions.dedupClustersBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.DedupExciseName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.DedupExciseName,
+          "dedup_excise(table) - corpus-wide duplicated-span excision " +
+            "(doc_id, n_chunks, n_kept, clean_text) over a (doc_id, text) relation",
+          ""),
+        ExtTableFunctions.dedupExciseBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

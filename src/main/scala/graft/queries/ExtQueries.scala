@@ -1734,6 +1734,43 @@ object ExtQueries {
               |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
               |WHERE cl.doc_id <> cl.canonical_id""".stripMargin)
     ),
+    // Pure-SQL span excision: the whole chunk→elect→excise→reconstruct
+    // chain driven from one SQL string through the dedup_excise TVF,
+    // rolled up into the per-source excision report a SQL-only pipeline
+    // owner would actually run ("which source is feeding me boilerplate").
+    Q(
+      "ext_sql_excise",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """WITH e AS (SELECT * FROM dedup_excise('graft_sql_docs'))
+            |SELECT d.source, count(*) AS n_docs,
+            |  sum(e.n_chunks) AS n_chunks, sum(e.n_kept) AS n_kept,
+            |  sum(length(e.clean_text)) AS clean_chars
+            |FROM e JOIN graft_sql_docs d ON d.doc_id = e.doc_id
+            |GROUP BY d.source""".stripMargin)
+      },
+      Some(cdcChunksCte +
+        """,
+          |k AS (SELECT doc_id, chunk_idx, start_pos, len,
+          |        row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) rn
+          |      FROM chunks),
+          |r AS (SELECT doc_id, count(*) AS n_chunks,
+          |        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |        CAST(sum(CASE WHEN rn = 1 THEN len ELSE 0 END) AS BIGINT) AS clean_chars
+          |      FROM k GROUP BY doc_id),
+          |led AS (SELECT d.doc_id, dd.source,
+          |          coalesce(r.n_chunks, 0) AS n_chunks, coalesce(r.n_kept, 0) AS n_kept,
+          |          coalesce(r.clean_chars, 0) AS clean_chars
+          |        FROM d LEFT JOIN r ON d.doc_id = r.doc_id
+          |        JOIN documents dd ON dd.doc_id = d.doc_id)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+          |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+          |  CAST(sum(clean_chars) AS BIGINT) AS clean_chars
+          |FROM led GROUP BY source""".stripMargin)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).

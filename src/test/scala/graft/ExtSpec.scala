@@ -1475,6 +1475,13 @@ class ExtSpec extends AnyFunSuite {
         .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) -> r.getAs[Double]("jaccard_est")).toMap
       assert(ov(("s1", "s2")) == 1.0, "identical sources: exact Jaccard 1 under k")
       assert(ov(("s1", "s3")) == 0.0)
+      // r10 TVF: span excision from pure SQL — the identical copy (doc 2)
+      // must excise to nothing, the first occurrence keeps its text
+      val ex = s2.sql("SELECT doc_id, n_kept, clean_text FROM dedup_excise('ext_docs_probe')")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(ex.keySet == Set(1L, 2L, 3L), "one ledgered row per input doc")
+      assert(ex(2L)._1 == 0L && ex(2L)._2.isEmpty, "identical copy excises to empty")
+      assert(ex(1L)._2.nonEmpty && ex(3L)._2.nonEmpty, "first/unique occurrences keep text")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
