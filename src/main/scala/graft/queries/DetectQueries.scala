@@ -456,6 +456,101 @@ object DetectQueries {
               |       round(CASE WHEN dp > 20.0 OR dp < -20.0 THEN abs(dp) ELSE 0.0 END, 4) AS score
               |FROM s""".stripMargin)
     ),
+    // AS-OF JOIN, FORWARD direction: every raw point matched to the
+    // EARLIEST baseline boundary at or after it — oracled against
+    // DuckDB's native ASOF with the comparison flipped. Same single
+    // key-partition + sort plan as backward.
+    Q(
+      "ts_asof_forward",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+        val baseline = exactDailyAvg(s, dir).select(
+          col("user_id").as("seriesKey"),
+          (col("ts_ms") + T.Day).as("tsMs"),
+          col("value").as("baseline"))
+        graft.ts.AsOfJoin.join(raw, baseline, graft.ts.AsOfJoin.Forward, Long.MaxValue)
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), col("baseline"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
+              |       $exactDailyAvgSql bv
+              |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
+              |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
+              |j AS (SELECT p.k, p.ts_ms, p.v, d.bv
+              |      FROM pts p ASOF JOIN daily d ON p.k = d.k AND p.ts_ms <= d.tm)
+              |SELECT k AS user_id, ts_ms, v AS value, bv AS baseline FROM j""".stripMargin)
+    ),
+    // AS-OF JOIN with a match-gap TOLERANCE (backward, gap <= 2 days):
+    // the backward match is the CLOSEST earlier baseline, so filtering it
+    // by gap is exact — no farther candidate could qualify. Oracle =
+    // native ASOF + the same gap predicate.
+    Q(
+      "ts_asof_tolerance",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+        val baseline = exactDailyAvg(s, dir).select(
+          col("user_id").as("seriesKey"),
+          (col("ts_ms") + T.Day).as("tsMs"),
+          col("value").as("baseline"))
+        graft.ts.AsOfJoin.join(raw, baseline, graft.ts.AsOfJoin.Backward, 2L * T.Day)
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), col("baseline"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
+              |       $exactDailyAvgSql bv
+              |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
+              |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
+              |j AS (SELECT p.k, p.ts_ms, p.v, d.bv, d.tm
+              |      FROM pts p ASOF JOIN daily d ON p.k = d.k AND p.ts_ms >= d.tm)
+              |SELECT k AS user_id, ts_ms, v AS value, bv AS baseline
+              |FROM j WHERE ts_ms - tm <= ${2L * T.Day}""".stripMargin)
+    ),
+    // AS-OF JOIN, NEAREST direction with tolerance: candidates filtered
+    // by gap <= 1 day FIRST, then the closer side wins, ties backward
+    // (the documented contract — tolerance shapes the eligible set, it
+    // does not veto the chosen row afterwards). Oracle composes two
+    // native ASOF LEFT joins and replays the identical choice.
+    Q(
+      "ts_asof_nearest",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+        val baseline = exactDailyAvg(s, dir).select(
+          col("user_id").as("seriesKey"),
+          (col("ts_ms") + T.Day).as("tsMs"),
+          col("value").as("baseline"))
+        graft.ts.AsOfJoin.join(raw, baseline, graft.ts.AsOfJoin.Nearest, T.Day)
+          .select(
+            col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), col("baseline"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
+              |       $exactDailyAvgSql bv
+              |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
+              |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
+              |b AS (SELECT p.k, p.ts_ms, p.v, d.tm bt, d.bv bbv
+              |      FROM pts p ASOF LEFT JOIN daily d ON p.k = d.k AND p.ts_ms >= d.tm),
+              |f AS (SELECT p.k, p.ts_ms, d.tm ft, d.bv fbv
+              |      FROM pts p ASOF LEFT JOIN daily d ON p.k = d.k AND p.ts_ms <= d.tm),
+              |n AS (SELECT b.k, b.ts_ms, b.v,
+              |        CASE WHEN b.ts_ms - bt <= ${T.Day} THEN bbv END eb,
+              |        CASE WHEN ft - b.ts_ms <= ${T.Day} THEN fbv END ef,
+              |        b.ts_ms - bt gb, ft - b.ts_ms gf
+              |      FROM b JOIN f ON b.k = f.k AND b.ts_ms = f.ts_ms),
+              |c AS (SELECT k, ts_ms, v,
+              |        CASE WHEN eb IS NOT NULL AND (ef IS NULL OR gb <= gf) THEN eb
+              |             ELSE ef END bv
+              |      FROM n)
+              |SELECT k AS user_id, ts_ms, v AS value, bv AS baseline
+              |FROM c WHERE bv IS NOT NULL""".stripMargin)
+    ),
     // D8 sign_test vs the same baseline: trailing-7 window comparator
     Q(
       "anomaly_sign_test",

@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,19 +25,86 @@ object AsOfJoin {
     * @param baseline (seriesKey, tsMs, baseline)
     * @return (seriesKey, tsMs, value, baseline)
     */
-  def join(points: DataFrame, baseline: DataFrame): DataFrame = {
+  def join(points: DataFrame, baseline: DataFrame): DataFrame =
+    join(points, baseline, Backward, Long.MaxValue)
+
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+
+  /** Directional/tolerant as-of join — the full `merge_asof` surface:
+    *
+    *  - `backward` (default): latest baseline at or before the point
+    *    (DuckDB `ASOF JOIN ... ON p.ts >= b.ts`).
+    *  - `forward`: earliest baseline at or after the point
+    *    (`ON p.ts <= b.ts`).
+    *  - `nearest`: the closer of the two; ties go BACKWARD (the
+    *    documented rule — state that already happened beats state that
+    *    hasn't).
+    *
+    * `toleranceMs` bounds the match gap. Candidates are filtered by
+    * tolerance BEFORE the nearest choice, so a point whose closer side
+    * is out of tolerance still matches the eligible farther side —
+    * the useful contract for sparse baselines (pandas instead drops the
+    * row; the difference is documented here, not hidden). Unmatched
+    * points are dropped (inner), matching the base form.
+    *
+    * Same scale shape for every direction: one hash partition by key +
+    * sort; `nearest` adds a second window ordering over the SAME
+    * exchange (two sorts, zero extra shuffles).
+    */
+  def join(
+      points: DataFrame,
+      baseline: DataFrame,
+      direction: String,
+      toleranceMs: Long): DataFrame = {
+    require(Set(Backward, Forward, Nearest).contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs")
     val p = points.select(
       col("seriesKey"), col("tsMs"), col("value"),
-      lit(null).cast("double").as("_b"), lit(1).as("_side"))
+      lit(null).cast("double").as("_b"), lit(null).cast("long").as("_bts"),
+      lit(1).as("_side"))
     val b = baseline.select(
       col("seriesKey"), col("tsMs"), lit(null).cast("double").as("value"),
-      col("baseline").as("_b"), lit(0).as("_side"))
-    val w = Window
-      .partitionBy("seriesKey")
+      col("baseline").as("_b"), col("tsMs").cast("long").as("_bts"),
+      lit(0).as("_side"))
+    val u = p.unionByName(b)
+    // backward: baseline sorts BEFORE the point at equal ts → inclusive
+    val wB = Window.partitionBy("seriesKey")
       .orderBy(col("tsMs").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.unionByName(b)
-      .withColumn("baseline", last(col("_b"), ignoreNulls = true).over(w))
+    // forward: point sorts BEFORE the baseline at equal ts → inclusive
+    val wF = Window.partitionBy("seriesKey")
+      .orderBy(col("tsMs").asc, col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def inTol(c: Column, gap: Column): Column =
+      when(gap <= toleranceMs, c)
+    val joined = direction match {
+      case Backward =>
+        u.withColumn("_vb", last(col("_b"), ignoreNulls = true).over(wB))
+          .withColumn("_tb", last(col("_bts"), ignoreNulls = true).over(wB))
+          .withColumn("baseline", inTol(col("_vb"), col("tsMs") - col("_tb")))
+      case Forward =>
+        u.withColumn("_vf", first(col("_b"), ignoreNulls = true).over(wF))
+          .withColumn("_tf", first(col("_bts"), ignoreNulls = true).over(wF))
+          .withColumn("baseline", inTol(col("_vf"), col("_tf") - col("tsMs")))
+      case Nearest =>
+        u.withColumn("_vb", last(col("_b"), ignoreNulls = true).over(wB))
+          .withColumn("_tb", last(col("_bts"), ignoreNulls = true).over(wB))
+          .withColumn("_vf", first(col("_b"), ignoreNulls = true).over(wF))
+          .withColumn("_tf", first(col("_bts"), ignoreNulls = true).over(wF))
+          .withColumn("_gb", when(col("_vb").isNotNull, col("tsMs") - col("_tb")))
+          .withColumn("_gf", when(col("_vf").isNotNull, col("_tf") - col("tsMs")))
+          // tolerance first, then the choice; ties backward
+          .withColumn("_eb", inTol(col("_vb"), col("_gb")))
+          .withColumn("_ef", inTol(col("_vf"), col("_gf")))
+          .withColumn("baseline",
+            when(col("_eb").isNotNull &&
+              (col("_ef").isNull || col("_gb") <= col("_gf")), col("_eb"))
+              .otherwise(col("_ef")))
+    }
+    joined
       .where(col("_side") === 1 && col("baseline").isNotNull)
       .select("seriesKey", "tsMs", "value", "baseline")
   }

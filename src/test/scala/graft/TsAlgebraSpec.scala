@@ -108,6 +108,48 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(!out.contains((2L, 500L))) // no baseline at or before -> dropped (inner)
   }
 
+  test("as-of join directions: forward inclusive, tolerance bounds the gap, nearest ties backward") {
+    import graft.ts.AsOfJoin
+    val pts = Seq((1L, 1000L, 10.0), (1L, 2500L, 20.0), (1L, 3000L, 30.0), (2L, 500L, 5.0))
+      .toDF("seriesKey", "tsMs", "value")
+    val base = Seq((1L, 1000L, 100.0), (1L, 2000L, 200.0), (2L, 600L, 50.0))
+      .toDF("seriesKey", "tsMs", "baseline")
+    def run(dir: String, tol: Long) =
+      AsOfJoin.join(pts, base, dir, tol).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+
+    val fwd = run(AsOfJoin.Forward, Long.MaxValue)
+    assert(fwd((1L, 1000L)) == 100.0, "forward inclusive tie")
+    assert(fwd((2L, 500L)) == 50.0, "next baseline at or after")
+    assert(!fwd.contains((1L, 2500L)) && !fwd.contains((1L, 3000L)),
+      "no later baseline -> dropped (inner)")
+
+    val tol = run(AsOfJoin.Backward, 600L)
+    assert(tol((1L, 2500L)) == 200.0, "gap 500 within tolerance")
+    assert(!tol.contains((1L, 3000L)), "gap 1000 beyond tolerance -> dropped")
+    assert(tol((1L, 1000L)) == 100.0)
+
+    val near = run(AsOfJoin.Nearest, Long.MaxValue)
+    assert(near((1L, 1000L)) == 100.0, "exact hit")
+    assert(near((1L, 2500L)) == 200.0, "backward gap 500 beats no-forward")
+    assert(near((2L, 500L)) == 50.0, "only forward candidate exists")
+    // tie: point 3000 has backward gap 1000 (ts 2000); plant a forward
+    // baseline at 4000 -> gap 1000 too; backward must win the tie
+    val base2 = base.union(Seq((1L, 4000L, 400.0)).toDF("seriesKey", "tsMs", "baseline"))
+    val tie = AsOfJoin.join(pts, base2, AsOfJoin.Nearest, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(tie((1L, 3000L)) == 200.0, "equal gaps: backward wins")
+    // tolerance shapes the eligible set BEFORE the choice: with tol 900,
+    // the closer backward candidate (gap 1000) is ineligible at 3500 —
+    // hypothetical; exercise via point 2500 with tol 400: backward gap
+    // 500 ineligible, no forward in base -> dropped; with base2, forward
+    // 4000 gap 1500 also ineligible -> still dropped
+    val tight = AsOfJoin.join(pts, base2, AsOfJoin.Nearest, 400L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(!tight.contains((1L, 2500L)), "both sides out of tolerance -> dropped")
+    assert(tight((1L, 1000L)) == 100.0, "gap-0 hit survives any tolerance")
+  }
+
   test("gapFill emits every bucket, flags gaps, carries the last value forward") {
     // key 1: buckets 0,10 present; 20 missing; 30 present
     val pts = Seq((1L, 3L, 5.0), (1L, 12L, 7.0), (1L, 33L, 9.0), (1L, 35L, 2.0))
