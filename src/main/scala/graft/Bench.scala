@@ -19,7 +19,7 @@ object Bench {
     // excluded here (Verify still runs them)
     val skip = Set("anomaly_stream_monitor", "stream_dedup", "stream_neardup", "stream_sessions",
       "stream_join", "stream_join_outer", "stream_join_right", "stream_join_full", "stream_enrich", "stream_kmv",
-      "stream_scene_cuts", "stream_cms")
+      "stream_scene_cuts", "stream_cms", "stream_drift")
     // optional subset (comma-separated names): targeted re-measurement of
     // specific rows without a 162-query full pass
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

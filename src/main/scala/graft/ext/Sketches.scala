@@ -271,6 +271,53 @@ object Sketches {
       .agg(coalesce(min(coalesce(col("inner_product"), lit(0L))), lit(0L)).as("est_join_rows"))
   }
 
+  /** Distribution DRIFT per window: total-variation distance (L1/2, in
+    * integer per-mille) between each window's token-bucket distribution
+    * and a reference distribution — the ingest guardrail that pages when
+    * a crawl window's content shifts ("today's batch is 40% one domain's
+    * boilerplate"). Both sides are depth-1 CMS cell tables (md5 bucket →
+    * count), so the windowed side can be maintained LIVE by
+    * `cmsCellsStream` and drift computed over closed windows — counter
+    * additivity makes the replayed stream bit-equal to batch.
+    *
+    * All-integer: drift_milli = ⌊Σ_b |c_b·M − r_b·N| · 1000 / (2·N·M)⌋
+    * with N = window tokens, M = reference tokens — no fp distribution
+    * normalization to diverge between engines. Bound: N·M must fit a
+    * long (< 2⁶²); at extreme corpus scale, downscale the reference
+    * counts first (divide all r_b by a common factor — TV distance is
+    * scale-invariant up to the ⌊⌋ grid).
+    *
+    * `winCells`: (window_start, col_idx, cnt); `refCells`:
+    * (col_idx, cnt). Buckets absent from one side count as zero — the
+    * union grid is windows × reference buckets plus each window's
+    * off-reference buckets (anti-join), so novel-vocabulary mass is
+    * charged, not dropped. The reference table is ≤ width rows (its
+    * total collects driver-side as a literal — bounded by construction).
+    */
+  def distributionDrift(winCells: DataFrame, refCells: DataFrame): DataFrame = {
+    val m = refCells.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    require(m > 0, "reference distribution is empty")
+    val wins = winCells.groupBy(col("window_start"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    val refB = refCells.select(col("col_idx"), col("cnt").as("_r"))
+    val onGrid = wins.crossJoin(refB)
+      .join(winCells, Seq("window_start", "col_idx"), "left")
+      .select(
+        col("window_start"), col("n_tokens"),
+        coalesce(col("cnt"), lit(0L)).as("_c"), col("_r"))
+    val offGrid = winCells.join(refB, Seq("col_idx"), "left_anti")
+      .join(wins, Seq("window_start"))
+      .select(
+        col("window_start"), col("n_tokens"),
+        col("cnt").as("_c"), lit(0L).as("_r"))
+    onGrid.unionByName(offGrid)
+      .groupBy(col("window_start"), col("n_tokens"))
+      .agg(sum(abs(col("_c") * m - col("_r") * col("n_tokens"))).as("_num"))
+      .select(
+        col("window_start"), col("n_tokens"),
+        expr(s"_num * 1000 DIV (2 * n_tokens * ${m}L)").as("drift_milli"))
+  }
+
   /** Equi-width histogram cells for approximate quantiles — the third
     * mergeable sketch, same algebra as the CMS/HLL tables: ONE
     * partial-aggregated groupBy produces at most `bins` rows per group no

@@ -2113,6 +2113,45 @@ object ExtQueries {
       },
       Some(cmsEstimateOracleSql)
     ),
+    // Streaming distribution-drift monitor: per-100-second ingest window,
+    // the total-variation distance (integer per-mille) between the
+    // window's token-bucket histogram — maintained LIVE by the depth-1
+    // windowed CMS — and the whole-corpus reference distribution. The
+    // ingest guardrail that pages on a content shift. Window counts are
+    // additive, so the ~30-micro-batch replay is bit-equal to batch and
+    // the all-integer drift replays exactly in SQL.
+    Q(
+      "stream_drift",
+      (s, dir) => {
+        import graft.streaming.SketchStream
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+          .collect().map(r => (T.From + r.getLong(0) * 1000L, r.getString(1)))
+        val winCells = SketchStream.cmsWindowReplay(
+          s, toks.toSeq, chunks = 30, width = 64, windowDuration = "100 seconds")
+        val refCells = Sketches.cmsCells(
+          Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("wd")),
+          "wd", depth = 1, width = 64)
+          .select(col("col_idx"), col("cnt"))
+        Sketches.distributionDrift(winCells, refCells)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${T.From} + doc_id * 1000 AS ts,
+              |            unnest(string_split(text, ' ')) wd FROM documents),
+              |b AS (SELECT ts - ts % 100000 AS ws,
+              |        ('0x' || substr(md5(wd), 1, 8))::BIGINT % 64 AS bk FROM t),
+              |wc AS (SELECT ws, bk, count(*) c FROM b GROUP BY 1, 2),
+              |rc AS (SELECT bk, count(*) r FROM b GROUP BY 1),
+              |n AS (SELECT ws, CAST(sum(c) AS BIGINT) nn FROM wc GROUP BY 1),
+              |m AS (SELECT CAST(sum(r) AS BIGINT) mm FROM rc),
+              |grid AS (SELECT n.ws, n.nn, rc.bk, rc.r FROM n CROSS JOIN rc),
+              |j AS (SELECT g.ws, g.nn, coalesce(wc.c, 0) c, g.r
+              |      FROM grid g LEFT JOIN wc ON wc.ws = g.ws AND wc.bk = g.bk),
+              |d AS (SELECT ws, nn, CAST(sum(abs(c * mm - r * nn)) AS BIGINT) num
+              |      FROM j CROSS JOIN m GROUP BY 1, 2)
+              |SELECT d.ws AS window_start, d.nn AS n_tokens,
+              |  num * 1000 // (2 * d.nn * m.mm) AS drift_milli
+              |FROM d CROSS JOIN m""".stripMargin)
+    ),
     // CMS join-cardinality estimation: |events ⋈ hot-events on user_id|
     // predicted from two tiny cell tables (min over depth rows of the
     // inner product — never below the true size), next to the exact

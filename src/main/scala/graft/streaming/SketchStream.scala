@@ -121,4 +121,37 @@ object SketchStream {
       .groupBy("row_idx", "col_idx")
       .agg(sum("cnt").as("cnt"))
   }
+
+  /** [[cmsReplay]]'s per-WINDOW sibling: same feed/sentinel/close
+    * mechanics, but closed windows are kept separate instead of merged —
+    * the shape `Sketches.distributionDrift` consumes (window_start in
+    * epoch ms, bucket, count). depth is pinned to 1: a drift monitor
+    * wants one histogram per window, not CMS redundancy.
+    */
+  def cmsWindowReplay(
+      spark: SparkSession,
+      rows: Seq[(Long, String)],
+      chunks: Int,
+      width: Int,
+      windowDuration: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.ext.Sketches.cmsCellsStream(
+      mem.toDF().toDF("t", "wd"), "t", "wd", depth = 1, width, windowDuration,
+      watermarkDelay = "0 seconds")
+    val maxTs = rows.map(_._1).max
+    val sink = Replay.runSink(spark, out) { q =>
+      Replay.feedChunks(q, mem,
+        Replay.chunked(rows.sortBy(identity), chunks)
+          .map(_.map { case (t, wd) => (new java.sql.Timestamp(t), wd) }))
+      Replay.flushSentinels[(java.sql.Timestamp, String)](
+        q, Seq(mem), maxTs, ts => (new java.sql.Timestamp(ts), "_sentinel_"))
+    }
+    sink
+      .where(col("window.start") <= new java.sql.Timestamp(maxTs))
+      .select(
+        (col("window.start").cast("long") * 1000L).as("window_start"),
+        col("col_idx"), col("cnt"))
+  }
 }

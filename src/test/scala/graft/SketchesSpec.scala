@@ -179,4 +179,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(ov.getAs[Double]("jaccard_est") == math.rint(20.0 / 60.0 * 1e4) / 1e4)
     assert(ov.getAs[Double]("union_est") == 60.0)
   }
+
+  test("distributionDrift: identical distribution reads 0; a planted shift reads high; hand value matches") {
+    // reference: buckets 0 and 1 with 50/50 mass (col_idx keyed directly —
+    // the operator consumes cell tables, bucketing is upstream)
+    val ref = Seq((0L, 50L), (1L, 50L)).toDF("col_idx", "cnt")
+    val wins = Seq(
+      (1000L, 0L, 10L), (1000L, 1L, 10L), // window A: same 50/50 shape
+      (2000L, 0L, 20L), // window B: all mass on bucket 0
+      (3000L, 2L, 5L) // window C: all mass OFF the reference grid
+    ).toDF("window_start", "col_idx", "cnt")
+    val out = Sketches.distributionDrift(wins, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1000L) == ((20L, 0L)), "matching shape: zero drift")
+    // B: |20*100-50*20| + |0*100-50*20| = 2000; 2000*1000/(2*20*100) = 500
+    assert(out(2000L) == ((20L, 500L)), "half the mass displaced: 500 per-mille")
+    // C: on-grid |0-50*5|*2 = 500, off-grid |5*100| = 500; 1000*1000/(2*5*100) = 1000
+    assert(out(3000L) == ((5L, 1000L)), "fully disjoint window: full drift, off-grid mass charged")
+  }
 }
