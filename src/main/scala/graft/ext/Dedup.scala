@@ -1149,7 +1149,14 @@ object Dedup {
     * keyed on the id the corpus is usually already partitioned by.
     */
   def exciseDuplicateChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // two consumers with different exchange children (the election
+    // groupBy and the ownership join) — without the persist the CDC
+    // chunk kernel re-runs the corpus once per consumer (the CTE
+    // double-inlining trap). The returned plan reads the cache lazily;
+    // LRU owns eviction and an evicted block recomputes deterministically
+    // (the lshPairs cache contract) — position triples only, tiny rows.
     val chunks = cdcChunks(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstOwner = chunks
       .groupBy(col("chunk_md5"))
       .agg(min(struct(col(idCol).as("oid"), col("chunk_idx").as("oidx"))).as("owner"))

@@ -199,14 +199,16 @@ object Warc {
       obs)
   }
 
-  /** Eager convenience form: (clean docs, reject count) — pays one
-    * dedicated parse pass for an immediate count; a single-scan ingest
+  /** Eager convenience form: (clean docs, reject count) — the counting
+    * action runs here, so the caller's own consumption re-parses the
+    * archives once more (two walks total, the [[Jsonl.readDocuments]]
+    * contract — no persist is taken out on the caller's behalf, so
+    * nothing is left pinned in the block manager). A single-scan ingest
     * should use [[readArchivesCounted]].
     */
   def readArchives(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val scan = readArchivesCounted(spark, dir)
-    val docs = scan.docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.count()
-    (docs, scan.rejects)
+    scan.docs.count()
+    (scan.docs, scan.rejects)
   }
 }
