@@ -923,9 +923,14 @@ object Multimodal {
     val nWords = grid * grid / 16
     require(maxDist >= 0 && maxDist < nWords,
       s"banding guarantees candidates only for maxDist < $nWords, got $maxDist")
-    val hashes = imageBlockhash(df, idCol, payloadCol, grid).where(col("ok"))
-    if (!exactFirst) phashBandedPairs(hashes, nWords, maxDist)
+    val hashesRaw = imageBlockhash(df, idCol, payloadCol, grid).where(col("ok"))
+    if (!exactFirst) phashBandedPairs(hashesRaw, nWords, maxDist)
     else {
+      // persist the hash table: it feeds BOTH the class election and the
+      // member join (different exchange children — uncached, the image
+      // DECODE would run once per consumer). One 6-column row per image;
+      // LRU-owned like the class table below.
+      val hashes = hashesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the dense-dup production order (the nearDupPairsExactFirst
       // story in hash space): byte-identical re-uploads share one hash,
       // and identical hashes collide in EVERY band — a class of n twins
@@ -957,7 +962,12 @@ object Multimodal {
           .where(col("ma") < col("mb"))
           .select(col("ma").as("da"), col("mb").as("db"), lit(0L).as("hamming"))
         cross.unionByName(within)
-      } catch { case e: Throwable => classes.unpersist(blocking = false); throw e }
+      } catch {
+        case e: Throwable =>
+          classes.unpersist(blocking = false)
+          hashes.unpersist(blocking = false)
+          throw e
+      }
     }
   }
 

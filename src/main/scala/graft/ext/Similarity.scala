@@ -1380,9 +1380,15 @@ object Similarity {
       tau: Double,
       dims: Int,
       maxExactRows: Long = MaxBroadcastRows): DataFrame = {
+    // persist the prepared vectors: they feed BOTH the class election
+    // and the member join (different exchange children — without the
+    // cache the caller's upstream pipeline, e.g. a media DECODE, runs
+    // once per consumer). One row per vector, dims doubles — tiny next
+    // to what produced it. Same LRU-owned contract as the class table.
     val prep = df.select(
       col(idCol).cast("long").as("id"),
       col(embCol).cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // identity classes keyed by the exact vector value (array equality);
     // persist: the class table feeds the member join, the rep pairing,
     // and the self-cosine — tiny rows (one per DISTINCT vector)
@@ -1421,7 +1427,12 @@ object Similarity {
       // LRU owns eviction, and an evicted block recomputes, never
       // corrupts (the lshPairs cache contract)
       out
-    } catch { case e: Throwable => classes.unpersist(blocking = false); throw e }
+    } catch {
+      case e: Throwable =>
+        classes.unpersist(blocking = false)
+        prep.unpersist(blocking = false)
+        throw e
+    }
   }
 
   /** IVF index health: per-cell occupancy and (base vs delta) assignment
