@@ -261,6 +261,17 @@ object ExtQueries {
       path
     })
 
+  /** Member-gzipped twin of the WARC fixture (`.warc.gz`, one gzip
+    * member per record — the compressed form crawls actually ship).
+    */
+  private def warcGzFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlPaths.computeIfAbsent("warcgz:" + dir, _ => {
+      val path = artifactPath(s, "warcgz", dir)
+      graft.sources.Warc.writeArchivesGz(Tables.documents(s, dir), path, nArchives = 8)
+      deleteOnExit(new java.io.File(path))
+      path
+    })
+
   /** The same archives with DETERMINISTIC damage planted after the valid
     * records: archive-0 gains a record whose Content-Length runs past
     * EOF (a truncated upload), archive-1 gains non-WARC garbage bytes.
@@ -2403,6 +2414,20 @@ object ExtQueries {
       "src_warc_roundtrip",
       (s, dir) => {
         val scan = graft.sources.Warc.readArchivesCounted(s, warcFor(s, dir))
+        scan.docs.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
+    // Member-gzipped WARC: the same round-trip through per-record gzip
+    // members (java's zero-MTIME deterministic header) — decompress the
+    // member concatenation per file, same record walk, same oracle.
+    Q(
+      "src_warcgz_roundtrip",
+      (s, dir) => {
+        val scan = graft.sources.Warc.readArchivesGzCounted(s, warcGzFor(s, dir))
         scan.docs.select(
           col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

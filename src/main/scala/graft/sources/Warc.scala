@@ -75,7 +75,10 @@ object Warc {
     * read-side parallelism — size it like real crawls do (~1 GiB per
     * archive), not to the cluster's core count.
     */
-  def writeArchives(docs: DataFrame, dir: String, nArchives: Int): Unit = {
+  def writeArchives(docs: DataFrame, dir: String, nArchives: Int): Unit =
+    writeArchivesImpl(docs, dir, nArchives, gz = false)
+
+  private def writeArchivesImpl(docs: DataFrame, dir: String, nArchives: Int, gz: Boolean): Unit = {
     require(nArchives >= 1, s"nArchives must be >= 1, got $nArchives")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -102,11 +105,12 @@ object Warc {
           rows.foreach { case (a, id, text, lang, source, nChars) =>
             if (a != current) {
               if (out != null) out.close()
-              out = fs.create(
-                new org.apache.hadoop.fs.Path(dir, s"archive-$a.warc"), true)
+              val name = if (gz) s"archive-$a.warc.gz" else s"archive-$a.warc"
+              out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
               current = a
             }
-            out.write(encodeRecord(id, text, lang, source, nChars))
+            val rec = encodeRecord(id, text, lang, source, nChars)
+            out.write(if (gz) gzipMember(rec) else rec)
           }
         } finally if (out != null) out.close()
       }
@@ -189,6 +193,74 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) => parseArchive(path, bytes) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
+      .observe(obs,
+        count(lit(1)).as("records"),
+        count(when(!col("_ok"), lit(1))).as("rejects"))
+    WarcScan(
+      parsed.where(col("_ok"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+      obs)
+  }
+
+  /** One gzip MEMBER per record — the compressed form crawl archives
+    * actually ship (`.warc.gz`): each record is independently
+    * deflated, members are concatenated per file, so real deployments
+    * can range-request/recover at member boundaries. Java's
+    * GZIPOutputStream writes a fixed zero-MTIME header — the bytes are
+    * a pure function of the record.
+    */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a concatenation of gzip members (GZIPInputStream handles
+    * member boundaries natively). Returns (decompressed prefix, damaged):
+    * a corrupt/truncated member yields everything cleanly inflated
+    * before it plus `damaged = true` — the caller charges the aborted
+    * tail as ONE reject, same blast radius as the uncompressed reader.
+    */
+  def gunzipMembers(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, false)
+    } catch {
+      case _: java.io.IOException => (out.toByteArray, true)
+    }
+  }
+
+  /** [[writeArchives]] with per-record gzip members (`archive-<k>.warc.gz`). */
+  def writeArchivesGz(docs: DataFrame, dir: String, nArchives: Int): Unit =
+    writeArchivesImpl(docs, dir, nArchives, gz = true)
+
+  /** [[readArchivesCounted]] over member-gzipped archives: decompress
+    * the member concatenation per file, then the same record walk. A
+    * damaged member aborts that archive's remaining bytes as exactly
+    * one counted reject (records cleanly inflated before it survive) —
+    * the same failure-unit contract as the plain reader.
+    */
+  def readArchivesGzCounted(spark: SparkSession, dir: String): WarcScan = {
+    import spark.implicits._
+    val obs = Observation()
+    val parsed = spark.read.format("binaryFile")
+      .load(new org.apache.hadoop.fs.Path(dir, "*.warc.gz").toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val (plain, damaged) = gunzipMembers(bytes)
+        val rows = parseArchive(path, plain).toVector
+        if (!damaged) rows
+        else if (rows.lastOption.exists(!_._6)) rows // parse already charged the tail
+        else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
+          Option.empty[Long], false, plain.length.toLong))
+      }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
       .observe(obs,
         count(lit(1)).as("records"),

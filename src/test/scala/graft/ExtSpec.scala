@@ -1880,6 +1880,27 @@ class ExtSpec extends AnyFunSuite {
     assert(cleanIds == tricky.map(_._1).toSet, "valid records must survive planted damage")
     assert(scan2.rejects == 2L, s"each aborted tail counts once, got ${scan2.rejects}")
     assert(scan2.records == tricky.size + 2L, "records metric = clean + rejects")
+
+    // member-gzipped twin: identical round-trip through per-record
+    // members; a TRUNCATED member aborts that file's tail as one reject
+    // while fully-inflated earlier members survive
+    val gdir = java.nio.file.Files.createTempDirectory("warcgz_spec").toString
+    Warc.writeArchivesGz(tricky.toDF("doc_id", "text", "lang", "source", "n_chars"), gdir, nArchives = 2)
+    val gscan = Warc.readArchivesGzCounted(spark, gdir)
+    val ggot = gscan.docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    tricky.foreach { case (id, text, _, _, _) =>
+      assert(ggot(id) == text, s"gz doc $id must round-trip byte-exactly")
+    }
+    assert(gscan.rejects == 0L)
+    // truncate the LAST member of archive-0: ids 2,4,10 are even -> a=0
+    val p0 = java.nio.file.Paths.get(gdir, "archive-0.warc.gz")
+    val b0 = java.nio.file.Files.readAllBytes(p0)
+    java.nio.file.Files.write(p0, b0.dropRight(12))
+    val gscan2 = Warc.readArchivesGzCounted(spark, gdir)
+    val survivors = gscan2.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gscan2.rejects == 1L, s"one aborted gz tail = one reject, got ${gscan2.rejects}")
+    assert(tricky.map(_._1).toSet.diff(survivors).size == 1,
+      s"only the truncated member's record is lost, survivors: $survivors")
   }
 
   test("imageBlockhash: words match the fill arithmetic; twins pair at 0; markers counted, never paired") {

@@ -148,6 +148,14 @@ class TsAlgebraSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(!tight.contains((1L, 2500L)), "both sides out of tolerance -> dropped")
     assert(tight((1L, 1000L)) == 100.0, "gap-0 hit survives any tolerance")
+
+    // plan pin: nearest costs ONE key exchange — the second window
+    // ordering rides the same hash partitioning (extra Sort, no extra
+    // shuffle). A second exchange here would double the 100 TB bill.
+    val plan = AsOfJoin.join(pts, base2, AsOfJoin.Nearest, Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"nearest must reuse one key exchange, saw $exchanges:\n$plan")
   }
 
   test("gapFill emits every bucket, flags gaps, carries the last value forward") {
