@@ -22,8 +22,9 @@ object ScaleProbe {
     val exciseMode = args.length > 1 && args(1) == "excise"
     val phashMode = args.length > 1 && args(1) == "phash"
     val warcMode = args.length > 1 && args(1) == "warc"
+    val ledgerMode = args.length > 1 && args(1) == "ledger"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
-      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode
+      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -128,6 +129,32 @@ object ScaleProbe {
         println(s"[scaleprobe] phash_pairs_exactfirst = ${Multimodal.imagePhashPairs(payloads, "doc_id", "payload", maxDist = 3, exactFirst = true).count()}")
       }
       hashes.unpersist()
+      spark.stop()
+      return
+    }
+    // ledger mode: runMain graft.ScaleProbe <sfDir> ledger — time the
+    // full curation-ledger composition (quality LR + near-dup clusters +
+    // contamination -> one row per doc); status distribution printed so
+    // growth is checked on verdict counts, not wall alone
+    if (ledgerMode) {
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Curation, Dedup, Sampling, TextAnalysis}
+      val docs = Tables.documents(spark, sfDir)
+      println(s"[scaleprobe] docs = ${docs.count()}")
+      timed("curation ledger (quality + clusters + contamination + splits)") {
+        val q = TextAnalysis.qualityLr(docs, "doc_id", "text")
+        val clusters = Dedup.clusters(
+          Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5))
+        val cont = Dedup.contaminationPairs(
+          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3, minShared = 2L)
+          .select(col("train_id").as("doc_id"))
+        val led = Curation.ledger(
+          docs, "doc_id", q, clusters, cont,
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), salt = "sp1")
+        led.groupBy("status").count().orderBy("status").collect()
+          .foreach(r => println(s"[scaleprobe] ledger ${r.getString(0)} = ${r.getLong(1)}"))
+      }
       spark.stop()
       return
     }
