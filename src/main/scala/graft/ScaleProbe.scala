@@ -174,6 +174,66 @@ object ScaleProbe {
         println(s"[scaleprobe] warc_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      // member-gzipped + indexed: the record-granular split path — the
+      // evidence row is the split count (work units) vs the archive
+      // count, i.e. how many tasks one fat archive becomes
+      val gdir = java.nio.file.Files.createTempDirectory("warcgz_probe").toString
+      timed(s"writeArchivesGz (nArchives=$nArchives, member-indexed)") {
+        graft.sources.Warc.writeArchivesGz(docs, gdir, nArchives)
+      }
+      val mps = 256
+      val nSplits = graft.sources.Warc.gzMemberSplits(spark, gdir, mps).count()
+      println(s"[scaleprobe] gz_splits = $nSplits over $nArchives archives " +
+        f"(membersPerSplit=$mps, parallelism ratio ${nSplits.toDouble / nArchives}%.1fx)")
+      timed("readArchivesGzIndexedCounted (positioned range reads)") {
+        val scan = graft.sources.Warc.readArchivesGzIndexedCounted(spark, gdir, mps)
+        println(s"[scaleprobe] warcgz_idx_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
+      }
+      timed("readArchivesGzCounted (whole-file walk, the straggler baseline)") {
+        val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
+        println(s"[scaleprobe] warcgz_whole_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gdir))
+      spark.stop()
+      return
+    }
+    // asof mode: runMain graft.ScaleProbe <sfDir> asof [mult] — the
+    // directional as-of joins at mult x the dir's events with a HOT key
+    // owning ~1/3 of all rows (worst realistic series skew): confirms
+    // the one-exchange claim and measures the skewed-key wall time for
+    // BENCH_NOTES' 100x table
+    if (args.length > 1 && args(1) == "asof") {
+      import org.apache.spark.sql.functions._
+      val mult = if (args.length > 2) args(2).toInt else 100
+      val ev = Tables.events(spark, sfDir).select(
+        col("user_id").cast("string").as("seriesKey"),
+        col("ts_ms").as("tsMs"), col("value"))
+      val reps = spark.range(mult.toLong).select(col("id").as("rep"))
+      // every 3rd replica folds onto ONE series key; tsMs is perturbed
+      // per replica so the hot series is long, not duplicated
+      val big = ev.crossJoin(broadcast(reps))
+        .select(
+          when(col("rep") % 3 === 0, lit("hot"))
+            .otherwise(concat(col("seriesKey"), lit("#"), col("rep"))).as("seriesKey"),
+          (col("tsMs") + col("rep") * 7L).as("tsMs"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = big.count()
+      val hot = big.where(col("seriesKey") === "hot").count()
+      println(f"[scaleprobe] asof rows = $n hot-key rows = $hot (${100.0 * hot / n}%.1f%%)")
+      val baseline = big.where(col("tsMs") % 2 === 0)
+        .select(col("seriesKey"), col("tsMs"), col("value").as("baseline"))
+      Seq(graft.ts.AsOfJoin.Backward, graft.ts.AsOfJoin.Forward, graft.ts.AsOfJoin.Nearest)
+        .foreach { d =>
+          timed(s"asof $d x$mult skewed") {
+            val out = graft.ts.AsOfJoin.join(big, baseline, d, 3600000L)
+            println(s"[scaleprobe] asof_${d}_rows = ${out.count()}")
+            val exchanges = "Exchange hashpartitioning".r
+              .findAllIn(out.queryExecution.executedPlan.toString).length
+            println(s"[scaleprobe] asof_${d}_exchanges = $exchanges")
+          }
+        }
+      big.unpersist()
       spark.stop()
       return
     }

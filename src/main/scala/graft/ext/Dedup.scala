@@ -184,9 +184,29 @@ object Dedup {
     (hashed, prefix, cand)
   }
 
+  /** LAZY form: the returned frame keeps the internal hash-set table
+    * persisted for the session (it must outlive every consumer of the
+    * lazy frame, and a lazy API has no release point) — an interactive
+    * LRU-cache contract. Bounded pipelines (write-to-parquet, count,
+    * artifact builds) should use `withPpjoinPairs`, which releases the
+    * cache the moment the caller's materialization returns.
+    */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
     val (hashed, _, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
     ppjoinVerify(hashed, cand, tau)
+  }
+
+  /** Leak-free scope for `ppjoinPairs`: hands the pair frame to `use`
+    * (which must MATERIALIZE it — write, count, collect) and unpersists
+    * the internal hash-set table when `use` returns, the same try/finally
+    * contract as `ppjoinFunnel`. Reading the frame after the scope closes
+    * re-runs the md5 kernel per consumer — materialize inside.
+    */
+  def withPpjoinPairs[T](df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double)(
+      use: DataFrame => T): T = {
+    val (hashed, _, cand) = ppjoinCandidates(df, idCol, textCol, n, tau)
+    try use(ppjoinVerify(hashed, cand, tau))
+    finally hashed.unpersist(blocking = false)
   }
 
   /** verify = in-row sorted-array intersection on the surviving

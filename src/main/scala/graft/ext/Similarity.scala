@@ -1338,12 +1338,22 @@ object Similarity {
       tau: Double,
       dims: Int,
       maxExactRows: Long = MaxBroadcastRows): DataFrame = {
-    val n = df.count()
+    // persist the prepared vectors BEFORE the routing count: the count
+    // executes the caller's whole upstream pipeline (for audio/video
+    // near-dup that is the full media decode + pooling), and the chosen
+    // kernel would otherwise run it a SECOND time. One row per vector
+    // (id + dims doubles) — tiny next to what produced it; the returned
+    // plan reads it lazily, so eviction is LRU-owned, same contract as
+    // `nearDupPairsExactFirst`'s prep/class tables (an evicted block
+    // recomputes, never corrupts).
+    val prep = df.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = prep.count()
     if (n <= maxExactRows)
-      cosinePairs(df, idCol, embCol, tau)
+      cosinePairs(prep, idCol, embCol, tau)
         .select(col("va").as("id_a"), col("vb").as("id_b"), col("cosine"))
     else
-      lshPairs(df, idCol, embCol, tau, dims)
+      lshPairs(prep, idCol, embCol, tau, dims)
   }
 
   /** `nearDupPairs` with the EXACT-FIRST collapse — the production order

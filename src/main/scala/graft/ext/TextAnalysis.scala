@@ -962,10 +962,14 @@ object TextAnalysis {
     * approximately keepMille — sketch-resolution exact, replayed by the
     * oracle.
     *
-    * Scale shape: one `qualityLr` pass (broadcast model join + per-doc
-    * partial agg), one ≤640-row cell table, one broadcast of the 1-row
-    * threshold back over the scored docs, one per-group report agg —
-    * nothing grows with the corpus except the scoring pass itself.
+    * Scale shape: ONE scoring pass (broadcast model join + per-doc
+    * partial agg) that collapses straight into a (group, score-unit) → n
+    * table bounded by groups × 20001 score points; the ≤640-row cell
+    * table, the 1-row threshold, and the per-group report all derive from
+    * that tiny table — nothing per-doc is ever persisted or re-scanned,
+    * and the group column rides the scoring aggregation key (functionally
+    * dependent on the doc id, so the shuffle cardinality is unchanged)
+    * instead of a second join back onto the corpus.
     */
   def qualityCalibrated(
       df: DataFrame,
@@ -975,34 +979,51 @@ object TextAnalysis {
       keepMille: Int,
       buckets: Int = 4096): DataFrame = {
     require(keepMille >= 1 && keepMille <= 999, s"keepMille out of (0,1000): $keepMille")
-    // the distribution must be known before the gate, so the scored table
-    // is read twice (cells, then the gate join) — persist it or Spark
-    // inlines the whole scoring pipeline into both consumers (the CTE
-    // double-inlining trap). Two longs per doc; tiny next to the corpus.
-    val scored = qualityLr(df, idCol, textCol, buckets)
-      .select(col(idCol), expr("CAST(round(score * 10000, 0) AS BIGINT) + 10000").as("u"))
+    val weights = qualityLrWeights(df.sparkSession, buckets)
+    // u = floor(score_milli·10 / n_tokens) + 10000 — the same 4-dp floor
+    // grid as qualityLr's score, kept in integer units end to end (the
+    // divide-by-10⁴-then-round round-trip of the r10 shape is skipped;
+    // the oracle's `uu` CTE is exactly this expression)
+    val grpU = df
+      .select(col(idCol), col(groupCol).as("grp"), explode(words(col(textCol))).as("tok"))
+      .withColumn("bucket", Sketches.hash60(col("tok")) % buckets)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("score_milli"))
+      .select(
+        col("grp"),
+        expr("CAST(floor(CAST(score_milli AS DOUBLE) * 10.0 / n_tokens) AS BIGINT) + 10000").as("u"))
+      .groupBy(col("grp"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      // the distribution must be known before the gate, so this table is
+      // read twice (cells, then the report) — but it is the TINY
+      // pre-aggregated one, not the per-doc scores; released in finally
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the report is bounded by the group cardinality, so it is
-    // materialized HERE and the scored cache released before returning —
-    // a lazy return would either leak the persist for the session (the
-    // ppjoinFunnel bug) or, unpersisted, re-run the scoring pipeline once
-    // per consumer (the CTE double-inlining trap)
     try {
-      val cells = Sketches.histogramCells(
-        scored.withColumn("g", lit("all")), "g", "u", unitScale = 1, binUnits = 32L, bins = 640)
+      // identical bin/quantile math to histogramCells+histogramQuantiles
+      // over the per-doc scores — the counts just arrive pre-aggregated,
+      // so the bin fold sums n instead of counting rows
+      val cells = grpU
+        .withColumn("bin", least(greatest(expr("u DIV 32"), lit(0L)), lit(639L)))
+        .groupBy(lit("all").as("g"), col("bin"))
+        .agg(sum(col("n")).as("cnt"))
       val thr = Sketches.histogramQuantiles(cells, "g", Seq(1000 - keepMille), unitScale = 1, binUnits = 32L)
         .select(col("est_units").as("threshold_units"))
-      val report = df.select(col(idCol), col(groupCol).as("grp"))
-        .join(scored, idCol)
+      // the report is bounded by the group cardinality, so it is
+      // materialized HERE and the cache released before returning — a
+      // lazy return would either leak the persist for the session (the
+      // ppjoinFunnel bug) or, unpersisted, re-run the scoring pipeline
+      // once per consumer (the CTE double-inlining trap)
+      val report = grpU
         .crossJoin(broadcast(thr))
         .groupBy(col("grp"), col("threshold_units"))
         .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("u") >= col("threshold_units"), 1L).otherwise(0L)).as("n_kept"))
+          sum(col("n")).as("n_docs"),
+          sum(when(col("u") >= col("threshold_units"), col("n")).otherwise(0L)).as("n_kept"))
         .select(col("grp"), col("n_docs"), col("n_kept"), col("threshold_units"))
       val rows = report.collect()
       df.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), report.schema)
-    } finally scored.unpersist(blocking = false)
+    } finally grpU.unpersist(blocking = false)
   }
 }

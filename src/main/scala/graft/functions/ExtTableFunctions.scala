@@ -57,6 +57,15 @@ object ExtTableFunctions {
     new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]
 
   private def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): LogicalPlan =
+    cachedPlanScoped(key)(write => write(build))
+
+  /** `cachedPlan` for builders whose kernel pins internal caches: `build`
+    * receives the parquet writer and runs INSIDE the kernel's release
+    * scope (e.g. `Dedup.withPpjoinPairs`), so the pinned storage is freed
+    * the moment the artifact write lands instead of surviving the session.
+    */
+  private def cachedPlanScoped(key: String)(
+      build: (org.apache.spark.sql.DataFrame => Unit) => Unit): LogicalPlan =
     artifactCache.computeIfAbsent(key, _ => {
       val spark = SparkSession.active
       // md5 of the full key, not key.hashCode: a 32-bit collision between
@@ -69,7 +78,7 @@ object ExtTableFunctions {
       val path = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         s"graft_tvf_${keyHex}_${spark.sparkContext.applicationId}").toString
-      build.write.mode("overwrite").parquet(path)
+      build(df => df.write.mode("overwrite").parquet(path))
       val root = new java.io.File(path)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -174,8 +183,8 @@ object ExtTableFunctions {
     val table = FoldTableFunctions.stringArg(PpjoinPairsName, args, 0)
     val tau = FoldTableFunctions.doubleArg(PpjoinPairsName, args, 1, 0.5)
     val spark = SparkSession.active
-    cachedPlan(s"$PpjoinPairsName:$table:$tau:${spark.sparkContext.applicationId}") {
-      Dedup.ppjoinPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau)
+    cachedPlanScoped(s"$PpjoinPairsName:$table:$tau:${spark.sparkContext.applicationId}") { write =>
+      Dedup.withPpjoinPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau)(write)
     }
   }
 

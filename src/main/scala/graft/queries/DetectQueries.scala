@@ -698,6 +698,65 @@ object DetectQueries {
               |SELECT k AS user_id, ts_ms, v AS value, round(ema, 4) AS ema,
               |       round(abs(v - ema), 4) AS dev, abs(v - ema) > 30.0 AS is_anomaly
               |FROM sema""".stripMargin)
+    ),
+    // D11 divergence CLOSED: streaming can't do pct-of-max (needs the
+    // whole series), so the absolute threshold is CALIBRATED from a
+    // history window — the p99 of the first 15 days' streaming raw
+    // deviations via the integer histogram sketch — and the live half of
+    // the month streams against that cut. The oracle replays both
+    // stages: the history EMA recursion, the centi-unit binned quantile
+    // interpolation, and the live recursion + flag, all in the same
+    // integer arithmetic.
+    Q(
+      "anomaly_stream_calibrated",
+      (s, dir) => {
+        val all = pts(s, dir)
+        val splitMs = 1705363200000L // 2024-01-16T00:00Z: days 1-15 calibrate
+        val hist = all.filter(col("tsMs") < splitMs)
+        val live = all.filter(col("tsMs") >= splitMs)
+        // history scored by the SAME streaming kernel (replayed one
+        // micro-batch per day), threshold = its p99 dev
+        val histScores = graft.streaming.Replay.monitorCfgReplay(
+          hist,
+          DetectorConfig(algorithmName = "exp_avg_detector", scoreThreshold = Some(Double.MaxValue)),
+          p => p.tsMs / 86400000L)
+        val thr = graft.streaming.MonitorStream.calibratedThreshold(histScores, "dev", qMille = 990)
+        graft.streaming.Replay
+          .monitorCfgReplay(
+            live,
+            DetectorConfig(algorithmName = "exp_avg_detector", scoreThreshold = Some(thr)),
+            p => p.tsMs / 86400000L)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            round(col("dev"), 4).as("dev"), col("isAnomaly").as("is_anomaly"),
+            lit(thr).as("threshold"))
+      },
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |h AS (SELECT k, ts_ms, min(v) v FROM pts WHERE ts_ms < 1705363200000 GROUP BY k, ts_ms),
+              |rh AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM h),
+              |semah AS (
+              |  SELECT k, ts_ms, v, rn, v AS ema FROM rh WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn, 0.2*p.v + (1 - 0.2)*e.ema
+              |  FROM rh p JOIN semah e ON p.k = e.k AND p.rn = e.rn + 1),
+              |cells AS (SELECT least(greatest(CAST(round(abs(v - ema) * 100, 0) AS BIGINT) // 64, 0), 639) bin,
+              |                 count(*) cnt
+              |          FROM semah GROUP BY 1),
+              |cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum, sum(cnt) OVER () total FROM cells),
+              |th AS (SELECT round(CAST(bin * 64 + ((target - (cum - cnt)) * 64) // cnt AS BIGINT) / 100.0, 4) thr
+              |       FROM (SELECT bin, cnt, cum, total,
+              |               greatest((990 * total + 999) // 1000, 1) target FROM cc)
+              |       WHERE cum >= target AND cum - cnt < target),
+              |l AS (SELECT k, ts_ms, min(v) v FROM pts WHERE ts_ms >= 1705363200000 GROUP BY k, ts_ms),
+              |rl AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM l),
+              |semal AS (
+              |  SELECT k, ts_ms, v, rn, v AS ema FROM rl WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn, 0.2*p.v + (1 - 0.2)*e.ema
+              |  FROM rl p JOIN semal e ON p.k = e.k AND p.rn = e.rn + 1)
+              |SELECT k AS user_id, ts_ms, v AS value, round(abs(v - ema), 4) AS dev,
+              |       abs(v - ema) > th.thr AS is_anomaly, th.thr AS threshold
+              |FROM semal CROSS JOIN th""".stripMargin)
     )
   )
 }

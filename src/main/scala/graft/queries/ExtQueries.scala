@@ -175,6 +175,22 @@ object ExtQueries {
   private def clustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     artifactFor(s, dir, "clusters")(Dedup.clusters(pairsFor(s, dir)))
 
+  /** PPJoin pair artifact — like `pairsFor`, but the build goes through
+    * `withPpjoinPairs` so the kernel's internal hash-set persist is
+    * released the moment the parquet write lands (the plain `artifactFor`
+    * route would write the frame and leave the persist pinned for the
+    * session — the leak class VERDICT r10 flagged on `dedup_ppjoin`).
+    */
+  private def ppjoinFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    artifactCache.computeIfAbsent(s"ppjoin:$dir", _ => {
+      val path = artifactPath(s, "ppjoin", dir)
+      Dedup.withPpjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5) {
+        pairs => pairs.write.mode("overwrite").parquet(path)
+      }
+      deleteOnExit(new java.io.File(path))
+      s.read.parquet(path)
+    })
+
   /** Persisted LSH index at the oracle-pinned layout (nBits=6, 8 tables):
     * built and written ONCE per data dir, reopened for every consumer —
     * the stored-bucket artifact recurring query batches read instead of
@@ -1289,7 +1305,7 @@ object ExtQueries {
     // exact all-pairs join: banding-style cost, zero recall loss.
     Q(
       "dedup_ppjoin",
-      (s, dir) => Dedup.ppjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5),
+      (s, dir) => ppjoinFor(s, dir),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
              |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
@@ -2428,6 +2444,23 @@ object ExtQueries {
       "src_warcgz_roundtrip",
       (s, dir) => {
         val scan = graft.sources.Warc.readArchivesGzCounted(s, warcGzFor(s, dir))
+        scan.docs.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
+    // Record-granular indexed read of the SAME member-gzipped archives:
+    // the writer's offset sidecars (the cdx-index role) turn each archive
+    // into ~members/16 positioned-read splits — parallelism follows the
+    // record count, not the archive count (the 100 TB straggler fix), and
+    // the result set is identical, so the oracle is shared.
+    Q(
+      "src_warcgz_indexed",
+      (s, dir) => {
+        val scan = graft.sources.Warc.readArchivesGzIndexedCounted(
+          s, warcGzFor(s, dir), membersPerSplit = 16)
         scan.docs.select(
           col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

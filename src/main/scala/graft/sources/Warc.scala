@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * built-in reader for record-concatenated binary containers; this one
   * follows the format's own scale contract instead of fighting it:
   *
-  * - **Parallelism is per-FILE, not per-block.** A WARC record's
-  *   boundary is only discoverable by walking headers (Content-Length),
-  *   so mid-file splits cannot resync reliably; real archives are kept
-  *   at ~1 GiB precisely so that file-granular parallelism is enough.
-  *   The reader maps one `binaryFile` row → one record walk. (Gzipped
-  *   member-per-record WARCs allow finer splitting; out of scope here.)
+  * - **Parallelism is per-FILE for plain archives, per-MEMBER-GROUP for
+  *   indexed gzipped ones.** A plain WARC record's boundary is only
+  *   discoverable by walking headers (Content-Length), so mid-file
+  *   splits cannot resync reliably; real archives are kept at ~1 GiB
+  *   precisely so that file-granular parallelism is enough there. The
+  *   member-gzipped form (`.warc.gz`, one gzip member per record — the
+  *   shipping convention) DOES permit record-granular splits, and the
+  *   writer emits a tiny offset index sidecar per archive (the role the
+  *   cdx index plays for real crawls); [[readArchivesGzIndexedCounted]]
+  *   turns it into range-read splits of `membersPerSplit` records, so
+  *   one fat archive is many tasks, not one straggler.
   * - **Malformed records are counted, not silently dropped, not
   *   poison.** A record that fails its header walk emits a marker row
   *   (null doc_id, the archive path, the byte offset) and ABORTS that
@@ -90,8 +95,6 @@ object Warc {
       .sortWithinPartitions("_a", "doc_id")
       .as[(Long, Long, String, String, String, Long)]
       .foreachPartition { (rows: Iterator[(Long, Long, String, String, String, Long)]) =>
-        var current = -1L
-        var out: java.io.OutputStream = null
         // default Hadoop conf on the executor: scheme resolution is all
         // the writer needs (file://, hdfs://); credentialed object-store
         // schemes would thread the session conf through a broadcast
@@ -101,18 +104,64 @@ object Warc {
         // (Content-Length + trailer); local-FS .crc sidecars would only
         // shadow the format's own damage accounting
         fs.setWriteChecksum(false)
+        // task-attempt-unique temp names + rename-on-commit: a
+        // speculative or retried attempt writing the same archive must
+        // never interleave bytes into the final file — each final name
+        // is one atomic rename of one attempt's COMPLETE output (the
+        // delete absorbs a prior failed attempt's committed file; with
+        // two live attempts the last complete rename wins, which is the
+        // standard last-committer-wins file-commit contract)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        def commit(tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+          fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
+        }
+        var current = -1L
+        var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dst: org.apache.hadoop.fs.Path = null
+        // member index sidecar (gz only): "<ordinal> <offset> <length>"
+        // per member — the cdx role: record-granular read splits
+        val idx = new StringBuilder
+        var memberOrd = 0L
+        var memberOff = 0L
+        def closeAndCommit(): Unit = if (out != null) {
+          out.close(); out = null
+          commit(tmp, dst)
+          if (gz) {
+            val idst = dst.suffix(".idx")
+            val itmp = new org.apache.hadoop.fs.Path(
+              idst.getParent, s".${idst.getName}.$attempt.tmp")
+            val w = fs.create(itmp, true)
+            w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            w.close()
+            commit(itmp, idst)
+          }
+        }
         try {
           rows.foreach { case (a, id, text, lang, source, nChars) =>
             if (a != current) {
-              if (out != null) out.close()
+              closeAndCommit()
               val name = if (gz) s"archive-$a.warc.gz" else s"archive-$a.warc"
-              out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+              dst = new org.apache.hadoop.fs.Path(dir, name)
+              tmp = new org.apache.hadoop.fs.Path(dir, s".$name.$attempt.tmp")
+              out = fs.create(tmp, true)
+              idx.setLength(0); memberOrd = 0L; memberOff = 0L
               current = a
             }
             val rec = encodeRecord(id, text, lang, source, nChars)
-            out.write(if (gz) gzipMember(rec) else rec)
+            val bytes = if (gz) gzipMember(rec) else rec
+            out.write(bytes)
+            if (gz) {
+              idx.append(memberOrd).append(' ').append(memberOff)
+                .append(' ').append(bytes.length).append('\n')
+              memberOrd += 1L; memberOff += bytes.length
+            }
           }
-        } finally if (out != null) out.close()
+          closeAndCommit()
+        } finally if (out != null) out.close() // failure path: tmp stays uncommitted
       }
   }
 
@@ -260,6 +309,98 @@ object Warc {
         else if (rows.lastOption.exists(!_._6)) rows // parse already charged the tail
         else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
           Option.empty[Long], false, plain.length.toLong))
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
+      .observe(obs,
+        count(lit(1)).as("records"),
+        count(when(!col("_ok"), lit(1))).as("rejects"))
+    WarcScan(
+      parsed.where(col("_ok"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+      obs)
+  }
+
+  /** Record-granular member-gzipped read: parallelism follows the RECORD
+    * count, not the archive count. The writer's `.warc.gz.idx` sidecars
+    * (one `"ordinal offset length"` line per gzip member — the cdx-index
+    * role for real crawls) are read as a tiny distributed table, grouped
+    * into contiguous runs of `membersPerSplit` members, and each split
+    * positioned-READS exactly its byte span and inflates only its own
+    * members — one 1 GiB straggler archive becomes ~`members/split`
+    * independent tasks, and no task ever holds a whole archive.
+    *
+    * Contract: members must be record-aligned (one record per member —
+    * the shipping convention, and what [[writeArchivesGz]] produces), so
+    * every split boundary is a record boundary. Damage accounting keeps
+    * the one-marker-per-aborted-tail contract with a SMALLER blast
+    * radius: a damaged member (or a span the file can no longer serve —
+    * truncated after indexing) aborts its split's remaining bytes only.
+    * Archives without sidecars are the foreign-archive case — read them
+    * with [[readArchivesGzCounted]].
+    */
+  /** The indexed reader's work breakdown: one row per positioned-read
+    * split `(path, start, span)`, folded from the `.warc.gz.idx`
+    * sidecars (contiguous runs of `membersPerSplit` members — ordinals
+    * are dense per archive, so `ord DIV membersPerSplit` groups
+    * neighbors and the span is the length sum above the minimum
+    * offset). Public so scale probes and specs can assert the split
+    * count directly — it IS the read parallelism.
+    */
+  def gzMemberSplits(spark: SparkSession, dir: String, membersPerSplit: Int): DataFrame = {
+    require(membersPerSplit >= 1, s"membersPerSplit must be >= 1, got $membersPerSplit")
+    // index lines -> one row per member; the archive path is the sidecar
+    // path minus ".idx" (kept as the sidecar's sibling by the writer)
+    spark.read.textFile(new org.apache.hadoop.fs.Path(dir, "*.warc.gz.idx").toString)
+      .select(
+        expr("substring(input_file_name(), 1, length(input_file_name()) - 4)").as("path"),
+        split(col("value"), " ").as("f"))
+      .select(
+        col("path"),
+        col("f").getItem(0).cast("long").as("ord"),
+        col("f").getItem(1).cast("long").as("off"),
+        col("f").getItem(2).cast("long").as("len"))
+      .groupBy(col("path"), expr(s"ord DIV $membersPerSplit").as("g"))
+      .agg(min(col("off")).as("start"), sum(col("len")).as("span"))
+      .repartition(col("path"), col("g")) // spread splits across tasks
+      .select(col("path"), col("start"), col("span"))
+  }
+
+  def readArchivesGzIndexedCounted(
+      spark: SparkSession,
+      dir: String,
+      membersPerSplit: Int = 4096): WarcScan = {
+    import spark.implicits._
+    val obs = Observation()
+    val parsed = gzMemberSplits(spark, dir, membersPerSplit)
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { case (path, start, span) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf)
+          // a file truncated/replaced AFTER indexing serves fewer bytes
+          // than the sidecar promises: read what IS there — cleanly
+          // inflated members survive, the shortfall surfaces as this
+          // split's damaged tail (one counted reject), and the other
+          // splits are untouched. Same failure unit as the whole-file
+          // gz reader, smaller blast radius.
+          val avail = math.min(span, math.max(0L, fs.getFileStatus(p).getLen - start))
+          if (avail <= 0L)
+            Vector((Option.empty[Long], null: String, null: String, null: String,
+              Option.empty[Long], false, start))
+          else {
+            val in = fs.open(p)
+            val buf = new Array[Byte](avail.toInt)
+            try in.readFully(start, buf)
+            finally in.close()
+            val (plain, damaged) = gunzipMembers(buf)
+            val rows = parseArchive(path, plain).toVector
+            if (!damaged && avail == span) rows
+            else if (rows.lastOption.exists(!_._6)) rows
+            else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
+              Option.empty[Long], false, plain.length.toLong))
+          }
+        }
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
       .observe(obs,

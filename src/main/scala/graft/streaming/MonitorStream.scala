@@ -239,6 +239,57 @@ object MonitorStream {
     scores.toDF().withColumn("isAnomaly", col("dev") > thr)
   }
 
+  /** D11's percent-of-max rule needs the WHOLE series — impossible on an
+    * unbounded stream, so `monitorStreamCfg` rejects it. The streaming
+    * replacement is CALIBRATION: derive the ABSOLUTE threshold from a
+    * bounded history window's deviation distribution ("the cut the top
+    * (1000−qMille)‰ of historical deviations would have crossed") via
+    * the mergeable histogram sketch, then run the normal absolute
+    * monitor. `calibrationScores` is any frame carrying the kernel's raw
+    * deviation — a batch replay of the same kernel, or yesterday's
+    * monitor output. The sketch is ≤`bins` integer cells, so
+    * recalibration is a tiny scheduled batch whose result the stream
+    * picks up as its next threshold, and the whole derivation (integer
+    * bins, integer rank interpolation) replays exactly in SQL — the
+    * calibrated contract is oracle-checkable end to end.
+    *
+    * Defaults size the grid to the event-table dev scale (centi-units ×
+    * 64 ⇒ 0.64-wide bins over [0, 409.6]); pass `unitScale`/`binUnits`
+    * for a different deviation scale — values beyond the grid clamp into
+    * the edge bin exactly as `histogramCells` documents.
+    */
+  def calibratedThreshold(
+      calibrationScores: DataFrame,
+      devCol: String,
+      qMille: Int,
+      unitScale: Int = 100,
+      binUnits: Long = 64L,
+      bins: Int = 640): Double = {
+    val cells = graft.ext.Sketches.histogramCells(
+      calibrationScores.select(col(devCol)).withColumn("_g", lit("all")),
+      "_g", devCol, unitScale = unitScale, binUnits = binUnits, bins = bins)
+    graft.ext.Sketches
+      .histogramQuantiles(cells, "_g", Seq(qMille), unitScale = unitScale, binUnits = binUnits)
+      .select(col("est_value"))
+      .head().getDouble(0)
+  }
+
+  /** `monitorStreamCfg` with the threshold calibrated from history — the
+    * D11 batch/stream divergence closed: batch pct-of-max becomes stream
+    * quantile-of-history. The output carries the resolved threshold so
+    * downstream audit sees WHICH cut produced each flag.
+    */
+  def monitorStreamCalibrated(
+      points: Dataset[TsSample],
+      cfg: graft.config.DetectorConfig,
+      calibrationScores: DataFrame,
+      qMille: Int,
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): DataFrame = {
+    val thr = calibratedThreshold(calibrationScores, "dev", qMille)
+    monitorStreamCfg(points, cfg.copy(scoreThreshold = Some(thr)), stateTtlMs)
+      .withColumn("threshold", lit(thr))
+  }
+
   /** D12 in streaming form: run-length sessionization of above-threshold
     * scores into anomaly windows. Per-key state carries the OPEN window
     * (start, end, peak, argmax — O(1)); a window is emitted when a

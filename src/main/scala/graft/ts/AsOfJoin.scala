@@ -80,20 +80,31 @@ object AsOfJoin {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def inTol(c: Column, gap: Column): Column =
       when(gap <= toleranceMs, c)
+    // value and timestamp ride ONE struct through the carry window: two
+    // separate last()/first() calls could pair a value with another
+    // row's timestamp when the baseline column contains NULLs (the value
+    // carry skips the NULL-valued row, the timestamp carry does not —
+    // wrong tolerance gap). The when() wrapper nulls the WHOLE struct on
+    // NULL-valued baseline rows, so ignoreNulls skips them as one unit.
+    val bPair = when(col("_b").isNotNull, struct(col("_bts"), col("_b")))
     val joined = direction match {
       case Backward =>
-        u.withColumn("_vb", last(col("_b"), ignoreNulls = true).over(wB))
-          .withColumn("_tb", last(col("_bts"), ignoreNulls = true).over(wB))
+        u.withColumn("_sb", last(bPair, ignoreNulls = true).over(wB))
+          .withColumn("_vb", col("_sb").getField("_b"))
+          .withColumn("_tb", col("_sb").getField("_bts"))
           .withColumn("baseline", inTol(col("_vb"), col("tsMs") - col("_tb")))
       case Forward =>
-        u.withColumn("_vf", first(col("_b"), ignoreNulls = true).over(wF))
-          .withColumn("_tf", first(col("_bts"), ignoreNulls = true).over(wF))
+        u.withColumn("_sf", first(bPair, ignoreNulls = true).over(wF))
+          .withColumn("_vf", col("_sf").getField("_b"))
+          .withColumn("_tf", col("_sf").getField("_bts"))
           .withColumn("baseline", inTol(col("_vf"), col("_tf") - col("tsMs")))
       case Nearest =>
-        u.withColumn("_vb", last(col("_b"), ignoreNulls = true).over(wB))
-          .withColumn("_tb", last(col("_bts"), ignoreNulls = true).over(wB))
-          .withColumn("_vf", first(col("_b"), ignoreNulls = true).over(wF))
-          .withColumn("_tf", first(col("_bts"), ignoreNulls = true).over(wF))
+        u.withColumn("_sb", last(bPair, ignoreNulls = true).over(wB))
+          .withColumn("_vb", col("_sb").getField("_b"))
+          .withColumn("_tb", col("_sb").getField("_bts"))
+          .withColumn("_sf", first(bPair, ignoreNulls = true).over(wF))
+          .withColumn("_vf", col("_sf").getField("_b"))
+          .withColumn("_tf", col("_sf").getField("_bts"))
           .withColumn("_gb", when(col("_vb").isNotNull, col("tsMs") - col("_tb")))
           .withColumn("_gf", when(col("_vf").isNotNull, col("_tf") - col("tsMs")))
           // tolerance first, then the choice; ties backward

@@ -1903,6 +1903,58 @@ class ExtSpec extends AnyFunSuite {
       s"only the truncated member's record is lost, survivors: $survivors")
   }
 
+  test("WARC indexed gz read: splits follow the record count; rows match the whole-file reader; split-tail damage = one reject") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warcidx_spec").toString
+    val docs = (0L until 64L)
+      .map(i => (i, s"body $i " + ("x" * (i % 7).toInt), "en", s"s${i % 3}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    // the writer's sidecar is a faithful member map: offsets+lengths
+    // tile the archive exactly
+    for (a <- 0 to 1) {
+      val f = new java.io.File(dir, s"archive-$a.warc.gz")
+      val lines = scala.io.Source.fromFile(new java.io.File(dir, s"archive-$a.warc.gz.idx"))
+        .getLines().map(_.split(" ").map(_.toLong)).toVector
+      assert(lines.length == 32, s"one index line per member, got ${lines.length}")
+      assert(lines.map(_(2)).sum == f.length(), "member lengths must tile the file")
+      assert(lines.map(l => l(1) + l(2)).max == f.length(), "last member ends at EOF")
+    }
+    // parallelism IS the split count: 2 archives x ceil(32/4) = 16 work
+    // units — the one-file-one-task straggler is gone
+    val splits = Warc.gzMemberSplits(spark, dir, membersPerSplit = 4).collect()
+    assert(splits.length == 16, s"expected 16 record-granular splits, got ${splits.length}")
+    // rows: hash-identical to the whole-file gz reader
+    val idxScan = Warc.readArchivesGzIndexedCounted(spark, dir, membersPerSplit = 4)
+    val whole = Warc.readArchivesGzCounted(spark, dir)
+    val a = idxScan.docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    val b = whole.docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(a == b && a.size == 64, "indexed and whole-file reads must agree exactly")
+    assert(idxScan.rejects == 0L)
+    // truncate the tail of archive-0: only the LAST split of that
+    // archive is damaged — its cleanly-inflated earlier members survive,
+    // the shortfall is ONE counted reject, all other splits untouched
+    val p0 = java.nio.file.Paths.get(dir, "archive-0.warc.gz")
+    java.nio.file.Files.write(p0, java.nio.file.Files.readAllBytes(p0).dropRight(12))
+    val damaged = Warc.readArchivesGzIndexedCounted(spark, dir, membersPerSplit = 4)
+    val survivors = damaged.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(damaged.rejects == 1L, s"one damaged split tail = one reject, got ${damaged.rejects}")
+    assert((0L until 64L).toSet.diff(survivors) == Set(62L),
+      s"only the truncated final member's record is lost, missing: ${(0L until 64L).toSet.diff(survivors)}")
+  }
+
+  test("qualityCalibrated and withPpjoinPairs leave nothing pinned in the block manager") {
+    val docs = Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rep = TextAnalysis.qualityCalibrated(docs, "doc_id", "text", "source", keepMille = 700)
+    assert(rep.count() > 0)
+    val pairs = Dedup.withPpjoinPairs(docs, "doc_id", "text", n = 3, tau = 0.5)(_.count())
+    assert(pairs > 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"leaked persisted RDDs: $added")
+  }
+
   test("imageBlockhash: words match the fill arithmetic; twins pair at 0; markers counted, never paired") {
     import spark.implicits._
     // independent model straight from the synthesis fill — no shared

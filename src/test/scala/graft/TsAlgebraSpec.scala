@@ -158,6 +158,30 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(exchanges == 1, s"nearest must reuse one key exchange, saw $exchanges:\n$plan")
   }
 
+  test("as-of join: NULL baseline values never donate their timestamp to another row's value") {
+    import graft.ts.AsOfJoin
+    // the carry must treat (value, ts) as ONE unit: a NULL-valued
+    // baseline row is skipped ENTIRELY, not half-skipped (value from the
+    // earlier row paired with the NULL row's timestamp would shrink the
+    // tolerance gap and wrongly admit the match)
+    val pts = Seq((1L, 250L, 9.0)).toDF("seriesKey", "tsMs", "value")
+    val baseB = Seq((1L, 100L, Some(1.0)), (1L, 200L, Option.empty[Double]))
+      .toDF("seriesKey", "tsMs", "baseline")
+    val b = AsOfJoin.join(pts, baseB, AsOfJoin.Backward, 60L).collect()
+    assert(b.isEmpty,
+      s"backward: real gap 150 > 60 must drop (value@100 + ts@200 would fake gap 50): ${b.toSeq}")
+    val bWide = AsOfJoin.join(pts, baseB, AsOfJoin.Backward, 600L).collect()
+    assert(bWide.map(_.getDouble(3)).toSeq == Seq(1.0), "wide tolerance matches the real non-null row")
+    val baseF = Seq((1L, 300L, Option.empty[Double]), (1L, 400L, Some(2.0)))
+      .toDF("seriesKey", "tsMs", "baseline")
+    val f = AsOfJoin.join(pts, baseF, AsOfJoin.Forward, 60L).collect()
+    assert(f.isEmpty,
+      s"forward: real gap 150 > 60 must drop (value@400 + ts@300 would fake gap 50): ${f.toSeq}")
+    val n = AsOfJoin.join(pts, baseB.union(baseF), AsOfJoin.Nearest, 160L).collect()
+    assert(n.map(_.getDouble(3)).toSeq == Seq(1.0),
+      "nearest at tol 160: both real gaps are 150; ties backward -> 1.0")
+  }
+
   test("gapFill emits every bucket, flags gaps, carries the last value forward") {
     // key 1: buckets 0,10 present; 20 missing; 30 present
     val pts = Seq((1L, 3L, 5.0), (1L, 12L, 7.0), (1L, 33L, 9.0), (1L, 35L, 2.0))

@@ -37,12 +37,23 @@ MATERIAL_SEC = 0.5
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--")]
+    # collect positionals, skipping the value token after a bare --factor
+    # (space-separated form: "--factor 2.0" — the 2.0 is not a path)
+    args = []
+    skip_next = False
+    for a in argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--factor":
+            skip_next = True
+        elif not a.startswith("--"):
+            args.append(a)
     bench_path = args[0] if args else "bench_full.json"
     factor = 2.0
-    for a in argv[1:]:
+    for i, a in enumerate(argv[1:], start=1):
         if a.startswith("--factor"):
-            factor = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+            factor = float(a.split("=", 1)[1] if "=" in a else argv[i + 1])
     update = "--update" in argv
 
     try:
