@@ -23,8 +23,9 @@ object ScaleProbe {
     val phashMode = args.length > 1 && args(1) == "phash"
     val warcMode = args.length > 1 && args(1) == "warc"
     val ledgerMode = args.length > 1 && args(1) == "ledger"
+    val asofMode = args.length > 1 && args(1) == "asof"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
-      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode
+      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode || asofMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -181,7 +182,10 @@ object ScaleProbe {
       timed(s"writeArchivesGz (nArchives=$nArchives, member-indexed)") {
         graft.sources.Warc.writeArchivesGz(docs, gdir, nArchives)
       }
-      val mps = 256
+      // production default membersPerSplit unless overridden (arg 3):
+      // splits ~ a few per core; finer grids pay local-mode task-launch
+      // overhead without buying parallelism
+      val mps = if (args.length > 3) args(3).toInt else 4096
       val nSplits = graft.sources.Warc.gzMemberSplits(spark, gdir, mps).count()
       println(s"[scaleprobe] gz_splits = $nSplits over $nArchives archives " +
         f"(membersPerSplit=$mps, parallelism ratio ${nSplits.toDouble / nArchives}%.1fx)")
@@ -202,7 +206,7 @@ object ScaleProbe {
     // owning ~1/3 of all rows (worst realistic series skew): confirms
     // the one-exchange claim and measures the skewed-key wall time for
     // BENCH_NOTES' 100x table
-    if (args.length > 1 && args(1) == "asof") {
+    if (asofMode) {
       import org.apache.spark.sql.functions._
       val mult = if (args.length > 2) args(2).toInt else 100
       val ev = Tables.events(spark, sfDir).select(

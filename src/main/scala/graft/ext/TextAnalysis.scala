@@ -962,14 +962,19 @@ object TextAnalysis {
     * approximately keepMille — sketch-resolution exact, replayed by the
     * oracle.
     *
-    * Scale shape: ONE scoring pass (broadcast model join + per-doc
-    * partial agg) that collapses straight into a (group, score-unit) → n
-    * table bounded by groups × 20001 score points; the ≤640-row cell
-    * table, the 1-row threshold, and the per-group report all derive from
-    * that tiny table — nothing per-doc is ever persisted or re-scanned,
-    * and the group column rides the scoring aggregation key (functionally
-    * dependent on the doc id, so the shuffle cardinality is unchanged)
-    * instead of a second join back onto the corpus.
+    * Scale shape: ONE Spark job — the scoring pass (broadcast model join
+    * + per-doc partial agg) collapsing straight into a
+    * (group, score-unit) → n table that is collected. The table is
+    * BOUNDED BY THE SCORE GRID, not the corpus: u lives on the integer
+    * lattice [0, 20000], so it has at most groups × 20001 rows at any
+    * input size (the centroid/codebook "bounded small side" contract).
+    * The ≤640-bin histogram, the interpolated quantile threshold, and
+    * the per-group keep report are then pure integer arithmetic on the
+    * driver — the r10 shape spent 3× the scoring pass's wall time on
+    * per-job scheduling overhead for those three tiny distributed steps.
+    * The driver math replays `histogramCells`/`histogramQuantiles`
+    * bit-for-bit (same bin clamp, same ceil-rank, same integer
+    * interpolation), so the SQL oracle is unchanged.
     */
   def qualityCalibrated(
       df: DataFrame,
@@ -982,8 +987,9 @@ object TextAnalysis {
     val weights = qualityLrWeights(df.sparkSession, buckets)
     // u = floor(score_milli·10 / n_tokens) + 10000 — the same 4-dp floor
     // grid as qualityLr's score, kept in integer units end to end (the
-    // divide-by-10⁴-then-round round-trip of the r10 shape is skipped;
-    // the oracle's `uu` CTE is exactly this expression)
+    // oracle's `uu` CTE is exactly this expression); the group column
+    // rides the scoring aggregation key (functionally dependent on the
+    // doc id — same shuffle cardinality, no second join onto the corpus)
     val grpU = df
       .select(col(idCol), col(groupCol).as("grp"), explode(words(col(textCol))).as("tok"))
       .withColumn("bucket", Sketches.hash60(col("tok")) % buckets)
@@ -995,35 +1001,43 @@ object TextAnalysis {
         expr("CAST(floor(CAST(score_milli AS DOUBLE) * 10.0 / n_tokens) AS BIGINT) + 10000").as("u"))
       .groupBy(col("grp"), col("u"))
       .agg(count(lit(1)).as("n"))
-      // the distribution must be known before the gate, so this table is
-      // read twice (cells, then the report) — but it is the TINY
-      // pre-aggregated one, not the per-doc scores; released in finally
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // identical bin/quantile math to histogramCells+histogramQuantiles
-      // over the per-doc scores — the counts just arrive pre-aggregated,
-      // so the bin fold sums n instead of counting rows
-      val cells = grpU
-        .withColumn("bin", least(greatest(expr("u DIV 32"), lit(0L)), lit(639L)))
-        .groupBy(lit("all").as("g"), col("bin"))
-        .agg(sum(col("n")).as("cnt"))
-      val thr = Sketches.histogramQuantiles(cells, "g", Seq(1000 - keepMille), unitScale = 1, binUnits = 32L)
-        .select(col("est_units").as("threshold_units"))
-      // the report is bounded by the group cardinality, so it is
-      // materialized HERE and the cache released before returning — a
-      // lazy return would either leak the persist for the session (the
-      // ppjoinFunnel bug) or, unpersisted, re-run the scoring pipeline
-      // once per consumer (the CTE double-inlining trap)
-      val report = grpU
-        .crossJoin(broadcast(thr))
-        .groupBy(col("grp"), col("threshold_units"))
-        .agg(
-          sum(col("n")).as("n_docs"),
-          sum(when(col("u") >= col("threshold_units"), col("n")).otherwise(0L)).as("n_kept"))
-        .select(col("grp"), col("n_docs"), col("n_kept"), col("threshold_units"))
-      val rows = report.collect()
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), report.schema)
-    } finally grpU.unpersist(blocking = false)
+      .collect() // ≤ groups × 20001 rows by the u-grid bound
+    // threshold: histogramCells + histogramQuantiles integer math on the
+    // pre-aggregated counts (bin clamp → cumulative rank → interpolation)
+    val binCnt = new java.util.TreeMap[Long, Long]()
+    var total = 0L
+    grpU.foreach { r =>
+      val bin = math.min(math.max(r.getLong(1) / 32L, 0L), 639L)
+      binCnt.merge(bin, r.getLong(2), (a, b) => a + b)
+      total += r.getLong(2)
+    }
+    val target = math.max(((1000L - keepMille) * total + 999L) / 1000L, 1L)
+    var cum = 0L
+    var thr = 0L
+    var found = false
+    binCnt.forEach { (bin, cnt) =>
+      if (!found) {
+        cum += cnt
+        if (cum >= target && cum - cnt < target) {
+          thr = bin * 32L + ((target - (cum - cnt)) * 32L) / cnt
+          found = true
+        }
+      }
+    }
+    // per-group gate report: sum the pre-aggregated counts above the cut
+    val agg = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long)]
+    grpU.foreach { r =>
+      val (nd, nk) = agg.getOrElse(r.get(0), (0L, 0L))
+      agg(r.get(0)) = (nd + r.getLong(2), nk + (if (r.getLong(1) >= thr) r.getLong(2) else 0L))
+    }
+    val out = agg.toSeq.map { case (g, (nd, nk)) =>
+      org.apache.spark.sql.Row(g, nd, nk, thr)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp", df.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_kept", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("threshold_units", org.apache.spark.sql.types.LongType, nullable = false)))
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 }

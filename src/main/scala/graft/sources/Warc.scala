@@ -348,21 +348,22 @@ object Warc {
     */
   def gzMemberSplits(spark: SparkSession, dir: String, membersPerSplit: Int): DataFrame = {
     require(membersPerSplit >= 1, s"membersPerSplit must be >= 1, got $membersPerSplit")
-    // index lines -> one row per member; the archive path is the sidecar
-    // path minus ".idx" (kept as the sidecar's sibling by the writer)
+    // index lines -> one row per member, grouped by the raw sidecar path
+    // (the ".idx" strip runs AFTER aggregation, on ≤splits rows, not per
+    // member line); the groupBy's hash partitioning already spreads
+    // splits across tasks — no extra repartition exchange
     spark.read.textFile(new org.apache.hadoop.fs.Path(dir, "*.warc.gz.idx").toString)
+      .select(input_file_name().as("idx_path"), split(col("value"), " ").as("f"))
       .select(
-        expr("substring(input_file_name(), 1, length(input_file_name()) - 4)").as("path"),
-        split(col("value"), " ").as("f"))
-      .select(
-        col("path"),
+        col("idx_path"),
         col("f").getItem(0).cast("long").as("ord"),
         col("f").getItem(1).cast("long").as("off"),
         col("f").getItem(2).cast("long").as("len"))
-      .groupBy(col("path"), expr(s"ord DIV $membersPerSplit").as("g"))
+      .groupBy(col("idx_path"), expr(s"ord DIV $membersPerSplit").as("g"))
       .agg(min(col("off")).as("start"), sum(col("len")).as("span"))
-      .repartition(col("path"), col("g")) // spread splits across tasks
-      .select(col("path"), col("start"), col("span"))
+      .select(
+        expr("substring(idx_path, 1, length(idx_path) - 4)").as("path"),
+        col("start"), col("span"))
   }
 
   def readArchivesGzIndexedCounted(
@@ -372,6 +373,13 @@ object Warc {
     import spark.implicits._
     val obs = Observation()
     val parsed = gzMemberSplits(spark, dir, membersPerSplit)
+      // EXPLICIT partition count: the split table is a few KB, so AQE's
+      // small-partition coalescing would collapse the whole expansion
+      // stage into ONE task (measured 32x parallelism loss) — an explicit
+      // numPartitions round-robin is exempt from coalescing and spreads
+      // splits evenly; with more splits than slots each task drains
+      // several sequentially
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()

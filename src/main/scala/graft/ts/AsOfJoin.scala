@@ -74,10 +74,17 @@ object AsOfJoin {
     val wB = Window.partitionBy("seriesKey")
       .orderBy(col("tsMs").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: point sorts BEFORE the baseline at equal ts → inclusive
+    // forward: evaluated as a REVERSED running frame. The natural
+    // [currentRow, unboundedFollowing] formulation is O(n²) per series in
+    // Spark (UnboundedFollowingWindowFunctionFrame re-aggregates from
+    // each row to the partition end — a 600k-row hot key never finished
+    // in the 10x skew probe); ordering ts DESC with a running
+    // [unboundedPreceding, currentRow] last() is the same semantics at
+    // O(n). At equal ts the baseline sorts BEFORE the point in the
+    // reversed order (_side asc) → inclusive, exactly as before.
     val wF = Window.partitionBy("seriesKey")
-      .orderBy(col("tsMs").asc, col("_side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("tsMs").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def inTol(c: Column, gap: Column): Column =
       when(gap <= toleranceMs, c)
     // value and timestamp ride ONE struct through the carry window: two
@@ -94,7 +101,7 @@ object AsOfJoin {
           .withColumn("_tb", col("_sb").getField("_bts"))
           .withColumn("baseline", inTol(col("_vb"), col("tsMs") - col("_tb")))
       case Forward =>
-        u.withColumn("_sf", first(bPair, ignoreNulls = true).over(wF))
+        u.withColumn("_sf", last(bPair, ignoreNulls = true).over(wF))
           .withColumn("_vf", col("_sf").getField("_b"))
           .withColumn("_tf", col("_sf").getField("_bts"))
           .withColumn("baseline", inTol(col("_vf"), col("_tf") - col("tsMs")))
@@ -102,7 +109,7 @@ object AsOfJoin {
         u.withColumn("_sb", last(bPair, ignoreNulls = true).over(wB))
           .withColumn("_vb", col("_sb").getField("_b"))
           .withColumn("_tb", col("_sb").getField("_bts"))
-          .withColumn("_sf", first(bPair, ignoreNulls = true).over(wF))
+          .withColumn("_sf", last(bPair, ignoreNulls = true).over(wF))
           .withColumn("_vf", col("_sf").getField("_b"))
           .withColumn("_tf", col("_sf").getField("_bts"))
           .withColumn("_gb", when(col("_vb").isNotNull, col("tsMs") - col("_tb")))
