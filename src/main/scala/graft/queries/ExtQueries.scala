@@ -2468,6 +2468,25 @@ object ExtQueries {
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
              |FROM documents""".stripMargin)
     ),
+    // Streaming WARC ingest over the same fixture: the binaryFile
+    // file-stream source drains the 8 archives in 2-file micro-batches
+    // (4 genuine incremental-listing rounds), every record arriving
+    // exactly once — the crawl-ingest front door, oracled against the
+    // same round-trip truth as the batch readers.
+    Q(
+      "src_warc_stream",
+      (s, dir) => {
+        val stream = graft.sources.Warc
+          .readArchivesStream(s, warcFor(s, dir), maxFilesPerTrigger = 2)
+          .where(col("_ok"))
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+        graft.streaming.Replay.runSink(s, stream)(q => q.processAllAvailable())
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
     // WARC damage accounting: archives with a truncated record planted in
     // one file and raw garbage in another. Every valid record must still
     // arrive (damage sits after them; the blast radius of an aborted

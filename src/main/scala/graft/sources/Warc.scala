@@ -420,6 +420,42 @@ object Warc {
       obs)
   }
 
+  /** Streaming WARC ingest: archives LANDING in `dir` become a live
+    * document stream — the crawl-ingest front door. Each completed
+    * archive file is one atomic unit of arrival (matching the write
+    * side's temp-file+rename commit: a half-written archive is never
+    * visible under the glob), and Spark's file-stream source tracks seen
+    * paths in the checkpoint, so each archive is parsed exactly once
+    * across restarts. Parallelism is per-archive within a micro-batch
+    * (`maxFilesPerTrigger` bounds batch size); the indexed
+    * record-granular path needs a sidecar listing pass and is the
+    * batch/backfill reader — at ~1 GiB archive sizing, per-file is the
+    * right streaming granularity.
+    *
+    * Damage accounting is IN-STREAM: streaming has no Observation
+    * contract, so malformed records stay in the frame as marker rows
+    * (`_ok = false`, `_offset` = damage offset) — filter `_ok` for clean
+    * docs, count markers for the reject ledger; same accounting as the
+    * batch readers, stream-shaped.
+    */
+  def readArchivesStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // streaming sources require the schema up front — binaryFile's is
+      // fixed by the format
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(new org.apache.hadoop.fs.Path(dir, "*.warc").toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseArchive(path, bytes) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
+  }
+
   /** Eager convenience form: (clean docs, reject count) — the counting
     * action runs here, so the caller's own consumption re-parses the
     * archives once more (two walks total, the [[Jsonl.readDocuments]]

@@ -569,6 +569,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
   }
 
+  test("streaming WARC ingest: archives landing later arrive exactly once; damage stays an in-stream marker") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, s"doc $i body", "en", "s", i)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchives(docs(Seq(1L, 2L, 3L, 4L)), dir, nArchives = 2)
+    val table = s"warc_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Warc.readArchivesStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory").queryName(table).start()
+    try {
+      q.processAllAvailable()
+      def ids() = spark.table(table).where(col("_ok")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(1L, 2L, 3L, 4L), "wave 1 arrives")
+      // wave 2 LANDS: new archive files appear in the watched dir (the
+      // write side stages elsewhere and renames in — completed files
+      // only, which is why arrival is atomic per archive)
+      val staging = java.nio.file.Files.createTempDirectory("warc_stage").toString
+      Warc.writeArchives(docs(Seq(10L, 11L, 12L)), staging, nArchives = 2)
+      for (f <- new java.io.File(staging).listFiles() if f.getName.endsWith(".warc"))
+        java.nio.file.Files.move(
+          f.toPath, java.nio.file.Paths.get(dir, "wave2-" + f.getName))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L),
+        "wave 2 arrives; wave 1 not re-read (exactly-once per archive)")
+      // wave 3 is damaged garbage: the marker row flows IN-STREAM
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "wave3-bad.warc"),
+        "not a warc record at all".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L), "garbage adds no clean docs")
+      val markers = spark.table(table).where(!col("_ok")).collect()
+      assert(markers.length == 1 && markers.head.getAs[Long]("_offset") == 0L,
+        s"one marker row for the damaged archive, got ${markers.length}")
+    } finally q.stop()
+  }
+
   test("streaming dedup: first arrival wins across micro-batch boundaries") {
     import graft.streaming.DedupStream
     import graft.streaming.DedupStream.DocArrival
