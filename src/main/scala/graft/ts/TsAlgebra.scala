@@ -191,13 +191,20 @@ object TsAlgebra {
       .select(col(keyCol), explode(sequence(col("mn"), col("mx"), lit(bucketMs))).as("bt"))
     val W = org.apache.spark.sql.expressions.Window
     val back = W.partitionBy(keyCol).orderBy("bt").rowsBetween(W.unboundedPreceding, W.currentRow)
-    val fwd = W.partitionBy(keyCol).orderBy("bt").rowsBetween(W.currentRow, W.unboundedFollowing)
+    // the NEXT-observation carry runs as a REVERSED running frame: the
+    // natural [currentRow, unboundedFollowing] first() is O(n²) per
+    // series in Spark (re-aggregates to the partition end per row — the
+    // AsOfJoin forward bug class), while desc-ordered running last() is
+    // the same value at O(n). _nv/_nt are null on exactly the same rows
+    // (both derive from the left-join miss), so separate carries cannot
+    // mispair.
+    val fwdRev = W.partitionBy(keyCol).orderBy(col("bt").desc).rowsBetween(W.unboundedPreceding, W.currentRow)
     grid
       .join(b, Seq(keyCol, "bt"), "left")
       .withColumn("_pv", last(col("vpts"), ignoreNulls = true).over(back))
       .withColumn("_pt", last(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(back))
-      .withColumn("_nv", first(col("vpts"), ignoreNulls = true).over(fwd))
-      .withColumn("_nt", first(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(fwd))
+      .withColumn("_nv", last(col("vpts"), ignoreNulls = true).over(fwdRev))
+      .withColumn("_nt", last(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(fwdRev))
       .withColumn(
         "_ipts",
         when(col("n_points").isNotNull, col("vpts"))
