@@ -1348,12 +1348,27 @@ object Similarity {
     // recomputes, never corrupts).
     val prep = df.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = prep.count()
+    routedPairs(prep, idCol, embCol, tau, dims, maxExactRows)
+  }
+
+  /** The count-then-route core of [[nearDupPairs]], for inputs that are
+    * ALREADY cache-backed (exact-first calls it on the representative
+    * frame derived from its persisted class table — a second persist
+    * there would pin a duplicate copy per invocation).
+    */
+  private def routedPairs(
+      prepared: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long): DataFrame = {
+    val n = prepared.count()
     if (n <= maxExactRows)
-      cosinePairs(prep, idCol, embCol, tau)
+      cosinePairs(prepared, idCol, embCol, tau)
         .select(col("va").as("id_a"), col("vb").as("id_b"), col("cosine"))
     else
-      lshPairs(prep, idCol, embCol, tau, dims)
+      lshPairs(prepared, idCol, embCol, tau, dims)
   }
 
   /** `nearDupPairs` with the EXACT-FIRST collapse — the production order
@@ -1409,7 +1424,7 @@ object Similarity {
       val members = prep.join(classes.select(col("emb"), col("rep")), Seq("emb"))
         .select(col("rep"), col("id"))
       val reps = classes.select(col("rep").as("id"), col("emb"))
-      val repPairs = nearDupPairs(reps, "id", "emb", tau, dims, maxExactRows)
+      val repPairs = routedPairs(reps, "id", "emb", tau, dims, maxExactRows)
       val cross = repPairs
         .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
         .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))

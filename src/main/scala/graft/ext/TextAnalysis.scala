@@ -948,6 +948,13 @@ object TextAnalysis {
         (col("score_milli") > 0).as("keep"))
   }
 
+  /** Driver-collect cap for `qualityCalibrated`'s (group, score-unit)
+    * cell table: ~200 groups at the full 20001-point grid. The group
+    * column is a REPORT dimension by contract; the cap makes a
+    * per-document grouping fail loudly instead of OOMing the driver.
+    */
+  val QualityCalibratedMaxCells: Int = 4000000
+
   /** Budget-calibrated quality gate: instead of a hand-picked score
     * threshold, the caller names a KEEP RATE (`keepMille` per-mille of
     * the corpus) and the threshold is derived from the corpus's own
@@ -1001,7 +1008,16 @@ object TextAnalysis {
         expr("CAST(floor(CAST(score_milli AS DOUBLE) * 10.0 / n_tokens) AS BIGINT) + 10000").as("u"))
       .groupBy(col("grp"), col("u"))
       .agg(count(lit(1)).as("n"))
-      .collect() // ≤ groups × 20001 rows by the u-grid bound
+      // ≤ groups × 20001 rows by the u-grid bound — small for a report
+      // dimension (source/lang/shard). take(N+1) instead of collect():
+      // a doc-cardinality groupCol would otherwise pull ~one row per
+      // document to the driver; the cap turns that mistake into a loud
+      // error instead of a driver OOM
+      .take(QualityCalibratedMaxCells + 1)
+    require(grpU.length <= QualityCalibratedMaxCells,
+      s"qualityCalibrated collected more than $QualityCalibratedMaxCells (group, score) cells — " +
+        s"'$groupCol' looks like a per-document column, not a bounded report dimension; " +
+        "group by source/lang/shard or pre-bucket the column")
     // threshold: histogramCells + histogramQuantiles integer math on the
     // pre-aggregated counts (bin clamp → cumulative rank → interpolation)
     val binCnt = new java.util.TreeMap[Long, Long]()

@@ -59,9 +59,20 @@ object ExtQueries {
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       kind: String)(build: => org.apache.spark.sql.DataFrame) =
+    artifactForScoped(s, dir, kind)(write => write(build))
+
+  /** `artifactFor` for builds whose kernel pins internal caches: `build`
+    * receives the parquet writer and runs inside the kernel's release
+    * scope (e.g. `Dedup.withPpjoinPairs`), so pinned storage is freed
+    * the moment the artifact write lands — the `cachedPlanScoped` twin.
+    */
+  private def artifactForScoped(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      kind: String)(build: (org.apache.spark.sql.DataFrame => Unit) => Unit) =
     artifactCache.computeIfAbsent(s"$kind:$dir", _ => {
       val path = artifactPath(s, kind, dir)
-      build.write.mode("overwrite").parquet(path)
+      build(df => df.write.mode("overwrite").parquet(path))
       // paths are appId-suffixed (never reused across JVMs), so delete on
       // exit — repeated bench/verify runs must not grow tmp without bound
       deleteOnExit(new java.io.File(path))
@@ -182,14 +193,9 @@ object ExtQueries {
     * session — the leak class VERDICT r10 flagged on `dedup_ppjoin`).
     */
   private def ppjoinFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    artifactCache.computeIfAbsent(s"ppjoin:$dir", _ => {
-      val path = artifactPath(s, "ppjoin", dir)
-      Dedup.withPpjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5) {
-        pairs => pairs.write.mode("overwrite").parquet(path)
-      }
-      deleteOnExit(new java.io.File(path))
-      s.read.parquet(path)
-    })
+    artifactForScoped(s, dir, "ppjoin") { write =>
+      Dedup.withPpjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5)(write)
+    }
 
   /** Persisted LSH index at the oracle-pinned layout (nBits=6, 8 tables):
     * built and written ONCE per data dir, reopened for every consumer —

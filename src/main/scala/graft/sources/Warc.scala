@@ -346,12 +346,25 @@ object Warc {
     * offset). Public so scale probes and specs can assert the split
     * count directly — it IS the read parallelism.
     */
-  def gzMemberSplits(spark: SparkSession, dir: String, membersPerSplit: Int): DataFrame = {
+  def gzMemberSplits(
+      spark: SparkSession,
+      dir: String,
+      membersPerSplit: Int,
+      maxSplitBytes: Long = 256L << 20): DataFrame = {
     require(membersPerSplit >= 1, s"membersPerSplit must be >= 1, got $membersPerSplit")
+    require(maxSplitBytes >= 1, s"maxSplitBytes must be >= 1, got $maxSplitBytes")
     // index lines -> one row per member, grouped by the raw sidecar path
     // (the ".idx" strip runs AFTER aggregation, on ≤splits rows, not per
     // member line); the groupBy's hash partitioning already spreads
-    // splits across tasks — no extra repartition exchange
+    // splits across tasks — no extra repartition exchange. Splits break
+    // on BOTH a member-count and a byte budget: fat records would
+    // otherwise grow a 4096-member span past the 2 GiB single-buffer
+    // limit (and past any sane task size). Both group keys are monotone
+    // in the member ordinal, so groups stay contiguous; a group's span is
+    // ≤ maxSplitBytes + one member.
+    val W = org.apache.spark.sql.expressions.Window
+    val byFile = W.partitionBy(col("idx_path")).orderBy(col("ord"))
+      .rowsBetween(W.unboundedPreceding, -1)
     spark.read.textFile(new org.apache.hadoop.fs.Path(dir, "*.warc.gz.idx").toString)
       .select(input_file_name().as("idx_path"), split(col("value"), " ").as("f"))
       .select(
@@ -359,7 +372,11 @@ object Warc {
         col("f").getItem(0).cast("long").as("ord"),
         col("f").getItem(1).cast("long").as("off"),
         col("f").getItem(2).cast("long").as("len"))
-      .groupBy(col("idx_path"), expr(s"ord DIV $membersPerSplit").as("g"))
+      .withColumn("cumb", coalesce(sum(col("len")).over(byFile), lit(0L)))
+      .groupBy(
+        col("idx_path"),
+        expr(s"ord DIV $membersPerSplit").as("gc"),
+        expr(s"cumb DIV $maxSplitBytes").as("gb"))
       .agg(min(col("off")).as("start"), sum(col("len")).as("span"))
       .select(
         expr("substring(idx_path, 1, length(idx_path) - 4)").as("path"),
@@ -392,6 +409,12 @@ object Warc {
           // split's damaged tail (one counted reject), and the other
           // splits are untouched. Same failure unit as the whole-file
           // gz reader, smaller blast radius.
+          // one member larger than the buffer limit cannot be range-read
+          // in one piece — fail loudly naming the span rather than let
+          // toInt wrap into a negative allocation or a silent short read
+          require(span <= Int.MaxValue - 16L,
+            s"gz member span $span bytes at $path:$start exceeds the single-buffer limit; " +
+              "lower maxSplitBytes or repack the archive (one record per member)")
           val avail = math.min(span, math.max(0L, fs.getFileStatus(p).getLen - start))
           if (avail <= 0L)
             Vector((Option.empty[Long], null: String, null: String, null: String,
@@ -438,8 +461,24 @@ object Warc {
     * docs, count markers for the reject ledger; same accounting as the
     * batch readers, stream-shaped.
     */
-  def readArchivesStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+  def readArchivesStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    archivesStreamImpl(spark, dir, maxFilesPerTrigger, gz = false)
+
+  /** [[readArchivesStream]] over member-gzipped archives (`*.warc.gz`,
+    * the shipping convention): each landing archive's member
+    * concatenation is inflated then record-walked, with the whole-file
+    * gz reader's damage contract (a damaged member = one in-stream
+    * marker for that file's tail). The sidecar-indexed record-granular
+    * split path needs a listing pass and is the batch/backfill reader;
+    * per-landing-file is the streaming granularity.
+    */
+  def readArchivesGzStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    archivesStreamImpl(spark, dir, maxFilesPerTrigger, gz = true)
+
+  private def archivesStreamImpl(
+      spark: SparkSession, dir: String, maxFilesPerTrigger: Int, gz: Boolean): DataFrame = {
     import spark.implicits._
+    val glob = if (gz) "*.warc.gz" else "*.warc"
     spark.readStream.format("binaryFile")
       // streaming sources require the schema up front — binaryFile's is
       // fixed by the format
@@ -449,10 +488,20 @@ object Warc {
         org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .load(new org.apache.hadoop.fs.Path(dir, "*.warc").toString)
+      .load(new org.apache.hadoop.fs.Path(dir, glob).toString)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => parseArchive(path, bytes) }
+      .flatMap { case (path, bytes) =>
+        if (!gz) parseArchive(path, bytes)
+        else {
+          val (plain, damaged) = gunzipMembers(bytes)
+          val rows = parseArchive(path, plain).toVector
+          if (!damaged) rows
+          else if (rows.lastOption.exists(!_._6)) rows
+          else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
+            Option.empty[Long], false, plain.length.toLong))
+        }
+      }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
   }
 

@@ -271,7 +271,13 @@ object MonitorStream {
     graft.ext.Sketches
       .histogramQuantiles(cells, "_g", Seq(qMille), unitScale = unitScale, binUnits = binUnits)
       .select(col("est_value"))
-      .head().getDouble(0)
+      .collect()
+      .headOption
+      .map(_.getDouble(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "calibration window is empty — no deviations to derive a threshold from " +
+          "(cold start / day one: seed with an explicit absolute score_threshold " +
+          "via monitorStreamCfg until a history window exists)"))
   }
 
   /** `monitorStreamCfg` with the threshold calibrated from history — the

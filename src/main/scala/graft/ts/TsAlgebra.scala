@@ -195,16 +195,23 @@ object TsAlgebra {
     // natural [currentRow, unboundedFollowing] first() is O(n²) per
     // series in Spark (re-aggregates to the partition end per row — the
     // AsOfJoin forward bug class), while desc-ordered running last() is
-    // the same value at O(n). _nv/_nt are null on exactly the same rows
-    // (both derive from the left-join miss), so separate carries cannot
-    // mispair.
+    // the same value at O(n).
     val fwdRev = W.partitionBy(keyCol).orderBy(col("bt").desc).rowsBetween(W.unboundedPreceding, W.currentRow)
+    // value and bucket-time ride ONE struct through each carry (the
+    // AsOfJoin struct contract): a PRESENT bucket whose values are all
+    // NULL has n_points set but vpts null, so separate value/time
+    // carries would pair a value with a nearer bucket's time and shrink
+    // the interpolation span. The when() nulls the whole struct on such
+    // buckets — they neither bracket nor donate a timestamp.
+    val obs = when(col("vpts").isNotNull, struct(col("bt"), col("vpts")))
     grid
       .join(b, Seq(keyCol, "bt"), "left")
-      .withColumn("_pv", last(col("vpts"), ignoreNulls = true).over(back))
-      .withColumn("_pt", last(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(back))
-      .withColumn("_nv", last(col("vpts"), ignoreNulls = true).over(fwdRev))
-      .withColumn("_nt", last(when(col("n_points").isNotNull, col("bt")), ignoreNulls = true).over(fwdRev))
+      .withColumn("_ps", last(obs, ignoreNulls = true).over(back))
+      .withColumn("_pv", col("_ps").getField("vpts"))
+      .withColumn("_pt", col("_ps").getField("bt"))
+      .withColumn("_ns", last(obs, ignoreNulls = true).over(fwdRev))
+      .withColumn("_nv", col("_ns").getField("vpts"))
+      .withColumn("_nt", col("_ns").getField("bt"))
       .withColumn(
         "_ipts",
         when(col("n_points").isNotNull, col("vpts"))

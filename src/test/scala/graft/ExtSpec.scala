@@ -1925,6 +1925,14 @@ class ExtSpec extends AnyFunSuite {
     // units — the one-file-one-task straggler is gone
     val splits = Warc.gzMemberSplits(spark, dir, membersPerSplit = 4).collect()
     assert(splits.length == 16, s"expected 16 record-granular splits, got ${splits.length}")
+    // the byte budget also breaks splits: with a ~1-member budget every
+    // member becomes its own split (fat records can't grow a span past
+    // the single-buffer limit), and the read still hash-matches
+    val fine = Warc.gzMemberSplits(spark, dir, membersPerSplit = 64, maxSplitBytes = 1L)
+    assert(fine.count() == 64, "a 1-byte budget isolates every member")
+    assert(fine.agg(max(col("span"))).head().getLong(0) < 200L, "every span is one member")
+    val fineScan = Warc.readArchivesGzIndexedCounted(spark, dir, membersPerSplit = 64)
+    assert(fineScan.docs.count() == 64)
     // rows: hash-identical to the whole-file gz reader
     val idxScan = Warc.readArchivesGzIndexedCounted(spark, dir, membersPerSplit = 4)
     val whole = Warc.readArchivesGzCounted(spark, dir)

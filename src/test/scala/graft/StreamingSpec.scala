@@ -605,6 +605,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(markers.length == 1 && markers.head.getAs[Long]("_offset") == 0L,
         s"one marker row for the damaged archive, got ${markers.length}")
     } finally q.stop()
+    // the member-gzipped twin (the shipping convention) streams too —
+    // the plain-glob source would silently match nothing on a .warc.gz dir
+    val gdir = java.nio.file.Files.createTempDirectory("warcgz_stream").toString
+    Warc.writeArchivesGz(docs(Seq(20L, 21L, 22L)), gdir, nArchives = 2)
+    val gtable = s"warcgz_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val gq = Warc.readArchivesGzStream(spark, gdir, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory").queryName(gtable).start()
+    try {
+      gq.processAllAvailable()
+      val gids = spark.table(gtable).where(col("_ok")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(gids == Set(20L, 21L, 22L), s"gz archives stream, got $gids")
+    } finally gq.stop()
   }
 
   test("streaming dedup: first arrival wins across micro-batch boundaries") {

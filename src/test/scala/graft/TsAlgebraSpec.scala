@@ -182,6 +182,22 @@ class TsAlgebraSpec extends AnyFunSuite {
       "nearest at tol 160: both real gaps are 150; ties backward -> 1.0")
   }
 
+  test("gapFillLinear: an all-NULL-value bucket neither brackets nor donates its timestamp") {
+    // bucket 20 is PRESENT (n_points=1) but its value is NULL: the gap at
+    // bucket 10 must interpolate between the REAL observations at 0 and
+    // 40 (span 40), not pair value@0 with time@20 (span 20 -> wrong ramp)
+    val pts = Seq(
+      (1L, 0L, Some(1.0)), (1L, 20L, Option.empty[Double]), (1L, 45L, Some(9.0)))
+      .toDF("user_id", "ts_ms", "value")
+    val out = TsAlgebra.gapFillLinear(pts, "user_id", "ts_ms", "value", bucketMs = 10L)
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(0L) == Some(1.0) && out(40L) == Some(9.0))
+    assert(out(20L) == None, "present-but-null bucket keeps its null value")
+    assert(out(10L) == Some(3.0),
+      s"gap at 10 ramps over the REAL bracket 0..40: 1 + 8*10/40 = 3.0, got ${out(10L)}")
+    assert(out(30L) == Some(7.0), s"gap at 30: 1 + 8*30/40 = 7.0, got ${out(30L)}")
+  }
+
   test("gapFill emits every bucket, flags gaps, carries the last value forward") {
     // key 1: buckets 0,10 present; 20 missing; 30 present
     val pts = Seq((1L, 3L, 5.0), (1L, 12L, 7.0), (1L, 33L, 9.0), (1L, 35L, 2.0))
