@@ -2493,6 +2493,24 @@ object ExtQueries {
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
              |FROM documents""".stripMargin)
     ),
+    // The same archives through the native DataSource V2 reader
+    // (spark.read.format("warcgz")): planning is driver metadata only
+    // (one listing, byte-range InputPartitions — no split-table jobs),
+    // each task reads its own sidecar slice, and column pruning reaches
+    // the record walk (an unprojected body is never UTF-8-decoded). The
+    // 16 KiB maxSplitBytes forces several ranges per archive, so the
+    // member-ownership tiling is what the oracle hash actually proves.
+    Q(
+      "src_warcgz_dsv2",
+      (s, dir) =>
+        s.read.format("warcgz").option("maxSplitBytes", 16384).load(warcGzFor(s, dir))
+          .where(col("_ok"))
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5")),
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
     // WARC damage accounting: archives with a truncated record planted in
     // one file and raw garbage in another. Every valid record must still
     // arrive (damage sits after them; the blast radius of an aborted

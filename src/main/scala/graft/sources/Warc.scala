@@ -170,7 +170,10 @@ object Warc {
     * malformed record emits one `ok = false` marker carrying the byte
     * offset and stops (see object doc for why there is no resync).
     */
-  def parseArchive(path: String, bytes: Array[Byte]): Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] =
+  def parseArchive(
+      path: String,
+      bytes: Array[Byte],
+      decodeBody: Boolean = true): Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] =
     new Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] {
       private var pos = 0
       private var dead = false
@@ -216,9 +219,13 @@ object Warc {
             bytes(bodyEnd + 2) == '\r' && bytes(bodyEnd + 3) == '\n'
         } yield {
           pos = bodyEnd + 4
-          (Some(id),
-            new String(bytes, bodyStart, len, java.nio.charset.StandardCharsets.UTF_8),
-            lang, source, Some(nChars), true, start.toLong)
+          // Content-Length framing means a pruned scan (doc ids /
+          // metadata only) skips the body DECODE entirely — the DSv2
+          // column-pruning path
+          val body =
+            if (decodeBody) new String(bytes, bodyStart, len, java.nio.charset.StandardCharsets.UTF_8)
+            else null
+          (Some(id), body, lang, source, Some(nChars), true, start.toLong)
         }
         parsed
       }

@@ -1952,6 +1952,40 @@ class ExtSpec extends AnyFunSuite {
       s"only the truncated final member's record is lost, missing: ${(0L until 64L).toSet.diff(survivors)}")
   }
 
+  test("warcgz DSv2: byte-range partitions tile members exactly; pruning skips the body; damage = one marker") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warcdsv2_spec").toString
+    val docs = (0L until 48L)
+      .map(i => (i, s"body $i " + ("y" * (i % 11).toInt), "en", s"s${i % 2}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    // tiny ranges: many partitions per archive, every member owned once
+    val df = spark.read.format("warcgz").option("maxSplitBytes", 256).load(dir)
+    assert(df.rdd.getNumPartitions > 2,
+      s"byte ranges must out-parallelize the 2 archives, got ${df.rdd.getNumPartitions}")
+    val got = df.where(col("_ok")).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == (0L until 48L).toSet, "every member read exactly once across ranges")
+    assert(got(7L) == "body 7 " + ("y" * 7))
+    // parity with the function-API reader
+    val fn = Warc.readArchivesGzCounted(spark, dir).docs
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == fn)
+    // column pruning reaches the scan: no text in ReadSchema
+    val pruned = spark.read.format("warcgz").load(dir).select("doc_id", "n_chars")
+    val plan = pruned.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(plan)
+    assert(!readSchema.contains("text"), s"pruned scan must not read text: $readSchema")
+    assert(pruned.collect().length == 48)
+    // damage: truncate one archive's tail -> exactly one marker row
+    val p0 = java.nio.file.Paths.get(dir, "archive-0.warc.gz")
+    java.nio.file.Files.write(p0, java.nio.file.Files.readAllBytes(p0).dropRight(10))
+    val damaged = spark.read.format("warcgz").load(dir)
+    assert(damaged.where(!col("_ok")).count() == 1L, "one aborted tail = one marker")
+    assert(damaged.where(col("_ok")).count() == 47L, "cleanly inflated members survive")
+  }
+
   test("qualityCalibrated and withPpjoinPairs leave nothing pinned in the block manager") {
     val docs = Tables.documents(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
