@@ -197,6 +197,16 @@ object ScaleProbe {
         val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
         println(s"[scaleprobe] warcgz_whole_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
       }
+      // DSv2 route: driver-planned byte ranges, zero planning jobs
+      val dsv2 = spark.read.format("warcgz")
+        .option("maxSplitBytes", 4L << 20).load(gdir)
+      println(s"[scaleprobe] dsv2_partitions = ${dsv2.rdd.getNumPartitions}")
+      timed("DSv2 format(\"warcgz\") full read") {
+        println(s"[scaleprobe] dsv2_clean = ${dsv2.where(org.apache.spark.sql.functions.col("_ok")).count()}")
+      }
+      timed("DSv2 pruned read (doc_id only — body decode skipped)") {
+        println(s"[scaleprobe] dsv2_ids = ${dsv2.select("doc_id").count()}")
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gdir))
       spark.stop()
       return

@@ -620,6 +620,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally gq.stop()
   }
 
+  test("calibrated streaming threshold: quantile-of-history cut; empty calibration fails with remediation") {
+    import org.apache.spark.sql.functions.col
+    // history devs 1..100 (centi-exact): p90 of the binned sketch sits
+    // near 90; a live dev of 95 flags, 50 does not
+    val hist = (1 to 100).map(i => ("k", i.toLong, i.toDouble)).toDF("seriesKey", "tsMs", "dev")
+    val thr = MonitorStream.calibratedThreshold(hist, "dev", qMille = 900)
+    assert(thr > 85.0 && thr <= 91.0, s"p90 of 1..100 on 0.64-wide bins, got $thr")
+    // cold start: empty calibration window must say WHAT to do, not NPE
+    val err = intercept[IllegalArgumentException] {
+      MonitorStream.calibratedThreshold(hist.where(col("dev") < 0), "dev", qMille = 900)
+    }
+    assert(err.getMessage.contains("score_threshold"), err.getMessage)
+  }
+
   test("streaming dedup: first arrival wins across micro-batch boundaries") {
     import graft.streaming.DedupStream
     import graft.streaming.DedupStream.DocArrival
