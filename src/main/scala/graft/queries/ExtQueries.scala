@@ -3236,6 +3236,44 @@ object ExtQueries {
              |  max(ts_ms) - min(ts_ms) AS duration_ms,
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, session_seq""".stripMargin)),
+    // T5-style span corruption: deterministic (md5 of doc#block) span
+    // selection, sentinel-replaced corrupted stream + sentinel-prefixed
+    // target stream — the denoising-objective training pairs, regenerated
+    // identically on any retry/partitioning. The oracle rebuilds both
+    // streams per position with string_agg (NULL pieces drop masked
+    // tokens) and the same 60-bit md5 block vote.
+    Q(
+      "text_span_corruption",
+      (s, dir) =>
+        TextAnalysis.spanCorruption(
+          Tables.documents(s, dir), "doc_id", "text",
+          blockTokens = 10, spanTokens = 3, rateMille = 150),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |pos AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) i FROM w),
+             |tok AS (SELECT doc_id, i, words[i] tk, (i - 1) // 10 b,
+             |          (i - 1) % 10 o, len(words) n FROM pos),
+             |mb AS (SELECT DISTINCT doc_id, b,
+             |         (('0x' || substr(md5(doc_id || '#' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+             |            % 1000) < 150 m
+             |       FROM tok),
+             |sj AS (SELECT doc_id, b, row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 j
+             |       FROM mb WHERE m),
+             |t2 AS (SELECT t.doc_id, t.i, t.tk, t.o, t.n, mb.m, sj.j
+             |       FROM tok t JOIN mb USING (doc_id, b) LEFT JOIN sj USING (doc_id, b)),
+             |agg AS (SELECT doc_id,
+             |    string_agg(CASE WHEN NOT m THEN tk
+             |                    WHEN o = 0 THEN '<extra_id_' || j || '>'
+             |                    WHEN o >= 3 THEN tk END, ' ' ORDER BY i) corrupted,
+             |    string_agg(CASE WHEN m AND o = 0 THEN '<extra_id_' || j || '> ' || tk
+             |                    WHEN m AND o < 3 THEN tk END, ' ' ORDER BY i) targets,
+             |    CAST(sum(CASE WHEN m AND o < 3 THEN 1 ELSE 0 END) AS BIGINT) n_masked,
+             |    max(n) n_tokens
+             |  FROM t2 GROUP BY doc_id),
+             |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans FROM sj GROUP BY doc_id)
+             |SELECT a.doc_id, a.n_tokens, coalesce(sp.n_spans, 0) AS n_spans, a.n_masked,
+             |       a.corrupted, coalesce(a.targets, '') AS targets
+             |FROM agg a LEFT JOIN sp USING (doc_id)""".stripMargin)
+    ),
     // Overlapping fixed-window chunking (24-token windows, 8 overlap):
     // mid chunks at stride 16 while a full window fits strictly inside,
     // final chunk flushed against the end. Integer boundaries and md5

@@ -1986,6 +1986,40 @@ class ExtSpec extends AnyFunSuite {
     assert(damaged.where(col("_ok")).count() == 47L, "cleanly inflated members survive")
   }
 
+  test("span corruption: splicing targets back at the sentinels reconstructs every original document") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.spanCorruption(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("corrupted"), r.getAs[String]("targets"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked"), r.getAs[Long]("n_tokens")))).toMap
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    var spans = 0L
+    var masked = 0L
+    var tokens = 0L
+    out.foreach { case (id, (corrupted, targets, nSpans, nMasked, nTokens)) =>
+      // parse targets into sentinel -> span tokens
+      val spanMap = if (nSpans == 0) Map.empty[String, Seq[String]] else {
+        val parts = targets.split("(?=<extra_id_\\d+>)").filter(_.nonEmpty)
+        parts.map { p =>
+          val ws = p.stripSuffix(" ").split(" ", -1)
+          ws.head -> ws.tail.toSeq
+        }.toMap
+      }
+      assert(spanMap.keys.toSeq.sorted == (0L until nSpans).map(k => s"<extra_id_$k>").sorted,
+        s"doc $id sentinel indices must be 0..${nSpans - 1}")
+      val rebuilt = corrupted.split(" ", -1).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spanMap(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id must reconstruct exactly")
+      spans += nSpans; masked += nMasked; tokens += nTokens
+    }
+    // expected corruption rate 150/1000 * 3/10 = 4.5% of tokens
+    val rate = masked.toDouble / tokens
+    assert(spans > 0 && rate > 0.02 && rate < 0.08, s"corruption rate $rate far from ~4.5%")
+  }
+
   test("qualityCalibrated and withPpjoinPairs leave nothing pinned in the block manager") {
     val docs = Tables.documents(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
