@@ -1019,11 +1019,13 @@ object TextAnalysis {
   }
 
   /** Driver-collect cap for `qualityCalibrated`'s (group, score-unit)
-    * cell table: ~200 groups at the full 20001-point grid. The group
-    * column is a REPORT dimension by contract; the cap makes a
-    * per-document grouping fail loudly instead of OOMing the driver.
+    * cell table: 250 groups at the full 20001-point grid, with headroom
+    * (the grid bound means a group contributes at MOST 20001 cells, so
+    * the cap admits every bounded report dimension — source/lang/shard).
+    * The cap exists to make a per-document grouping fail loudly instead
+    * of OOMing the driver.
     */
-  val QualityCalibratedMaxCells: Int = 4000000
+  val QualityCalibratedMaxCells: Int = 5000250
 
   /** Budget-calibrated quality gate: instead of a hand-picked score
     * threshold, the caller names a KEEP RATE (`keepMille` per-mille of

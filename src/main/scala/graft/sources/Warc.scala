@@ -285,10 +285,76 @@ object Warc {
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        // inflated-size guard: text inflates 3-8x, so a ~1 GiB archive
+        // can exceed the JVM's single-array limit — fail LOUDLY with the
+        // remediation instead of dying on an uncatchable OutOfMemoryError
+        // from ByteArrayOutputStream.grow
+        if (out.size().toLong + n > Int.MaxValue - 16L)
+          throw new IllegalStateException(
+            "inflated gz stream exceeds the single-buffer limit — read this archive " +
+              "through the record-granular indexed reader (readArchivesGzIndexedCounted " +
+              "or format(\"warcgz\")) with a smaller maxSplitBytes")
+        out.write(buf, 0, n); n = in.read(buf)
+      }
       (out.toByteArray, false)
     } catch {
       case _: java.io.IOException => (out.toByteArray, true)
+    }
+  }
+
+  /** Whole-archive gz record walk shared by the batch reader and the
+    * streaming ingest: inflate the member concatenation, walk records,
+    * charge a damaged/truncated tail as exactly ONE marker row (unless
+    * the parse already charged it — a partially-inflated final member
+    * fails its own header walk).
+    */
+  def gzArchiveTuples(
+      path: String,
+      bytes: Array[Byte],
+      decodeBody: Boolean = true): Vector[(Option[Long], String, String, String, Option[Long], Boolean, Long)] = {
+    val (plain, damaged) = gunzipMembers(bytes)
+    val rows = parseArchive(path, plain, decodeBody).toVector
+    if (!damaged) rows
+    else if (rows.lastOption.exists(!_._6)) rows
+    else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
+      Option.empty[Long], false, plain.length.toLong))
+  }
+
+  /** Positioned-read gz span walk — ONE implementation of the
+    * record-granular damage contract, shared by the function-API indexed
+    * reader and the DSv2 `warcgz` partitions: read exactly the indexed
+    * byte span (or whatever of it the file still serves — a file
+    * truncated after indexing loses only this span's tail as one counted
+    * marker), inflate, walk, tail-marker dedup as above.
+    */
+  def readGzSpanTuples(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      start: Long,
+      span: Long,
+      decodeBody: Boolean = true): Vector[(Option[Long], String, String, String, Option[Long], Boolean, Long)] = {
+    // one member larger than the buffer limit cannot be range-read in
+    // one piece — fail loudly naming the span rather than let toInt wrap
+    // into a negative allocation or a silent short read
+    require(span <= Int.MaxValue - 16L,
+      s"gz member span $span bytes at $p:$start exceeds the single-buffer limit; " +
+        "lower maxSplitBytes or repack the archive (one record per member)")
+    val avail = math.min(span, math.max(0L, fs.getFileStatus(p).getLen - start))
+    if (avail <= 0L)
+      Vector((Option.empty[Long], null: String, null: String, null: String,
+        Option.empty[Long], false, start))
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](avail.toInt)
+      try in.readFully(start, buf)
+      finally in.close()
+      val (plain, damaged) = gunzipMembers(buf)
+      val rows = parseArchive(p.toString, plain, decodeBody).toVector
+      if (!damaged && avail == span) rows
+      else if (rows.lastOption.exists(!_._6)) rows
+      else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
+        Option.empty[Long], false, plain.length.toLong))
     }
   }
 
@@ -309,14 +375,7 @@ object Warc {
       .load(new org.apache.hadoop.fs.Path(dir, "*.warc.gz").toString)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val (plain, damaged) = gunzipMembers(bytes)
-        val rows = parseArchive(path, plain).toVector
-        if (!damaged) rows
-        else if (rows.lastOption.exists(!_._6)) rows // parse already charged the tail
-        else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
-          Option.empty[Long], false, plain.length.toLong))
-      }
+      .flatMap { case (path, bytes) => gzArchiveTuples(path, bytes) }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
       .observe(obs,
         count(lit(1)).as("records"),
@@ -408,36 +467,13 @@ object Warc {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
         it.flatMap { case (path, start, span) =>
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(conf)
           // a file truncated/replaced AFTER indexing serves fewer bytes
-          // than the sidecar promises: read what IS there — cleanly
-          // inflated members survive, the shortfall surfaces as this
-          // split's damaged tail (one counted reject), and the other
-          // splits are untouched. Same failure unit as the whole-file
-          // gz reader, smaller blast radius.
-          // one member larger than the buffer limit cannot be range-read
-          // in one piece — fail loudly naming the span rather than let
-          // toInt wrap into a negative allocation or a silent short read
-          require(span <= Int.MaxValue - 16L,
-            s"gz member span $span bytes at $path:$start exceeds the single-buffer limit; " +
-              "lower maxSplitBytes or repack the archive (one record per member)")
-          val avail = math.min(span, math.max(0L, fs.getFileStatus(p).getLen - start))
-          if (avail <= 0L)
-            Vector((Option.empty[Long], null: String, null: String, null: String,
-              Option.empty[Long], false, start))
-          else {
-            val in = fs.open(p)
-            val buf = new Array[Byte](avail.toInt)
-            try in.readFully(start, buf)
-            finally in.close()
-            val (plain, damaged) = gunzipMembers(buf)
-            val rows = parseArchive(path, plain).toVector
-            if (!damaged && avail == span) rows
-            else if (rows.lastOption.exists(!_._6)) rows
-            else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
-              Option.empty[Long], false, plain.length.toLong))
-          }
+          // than the sidecar promises: readGzSpanTuples reads what IS
+          // there — cleanly inflated members survive, the shortfall
+          // surfaces as this split's damaged tail (one counted reject),
+          // and the other splits are untouched
+          val p = new org.apache.hadoop.fs.Path(path)
+          readGzSpanTuples(p.getFileSystem(conf), p, start, span)
         }
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
@@ -499,15 +535,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        if (!gz) parseArchive(path, bytes)
-        else {
-          val (plain, damaged) = gunzipMembers(bytes)
-          val rows = parseArchive(path, plain).toVector
-          if (!damaged) rows
-          else if (rows.lastOption.exists(!_._6)) rows
-          else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
-            Option.empty[Long], false, plain.length.toLong))
-        }
+        if (!gz) parseArchive(path, bytes) else gzArchiveTuples(path, bytes)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
   }

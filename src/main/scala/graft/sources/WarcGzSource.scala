@@ -92,6 +92,20 @@ final case class WarcGzPartition(archive: String, rangeStart: Long, rangeEnd: Lo
 
 final class WarcGzScan(path: String, required: StructType, maxSplitBytes: Long)
     extends Scan with Batch {
+  // the SESSION's Hadoop conf (spark.hadoop.* — object-store credentials,
+  // fs overrides), captured at build time and shipped to the readers as
+  // plain properties: a bare `new Configuration()` would ignore it and
+  // break format("warcgz") on any credentialed scheme
+  private val hadoopProps: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      .asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -99,7 +113,7 @@ final class WarcGzScan(path: String, required: StructType, maxSplitBytes: Long)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val archives = fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.warc.gz"))
     if (archives == null || archives.isEmpty) return Array.empty
     archives.flatMap { st =>
@@ -115,20 +129,31 @@ final class WarcGzScan(path: String, required: StructType, maxSplitBytes: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcGzReaderFactory(required)
+    new WarcGzReaderFactory(required, hadoopProps)
 }
 
-final class WarcGzReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class WarcGzReaderFactory(required: StructType, hadoopProps: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcGzPartitionReader(partition.asInstanceOf[WarcGzPartition], required)
+    new WarcGzPartitionReader(partition.asInstanceOf[WarcGzPartition], required, hadoopProps)
 }
 
-final class WarcGzPartitionReader(part: WarcGzPartition, required: StructType)
+final class WarcGzPartitionReader(
+    part: WarcGzPartition,
+    required: StructType,
+    hadoopProps: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val needText = required.fieldNames.contains("text")
+  // positions of the pruned columns in the full schema — computed BEFORE
+  // `rows` (vals initialize in declaration order; the degraded-file
+  // branch materializes a marker row eagerly)
+  private val fieldIdx: Array[Int] =
+    required.fieldNames.map(n => WarcGzSource.Schema.fieldIndex(n))
+
   private val rows: Iterator[InternalRow] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(part.archive)
     val fs = p.getFileSystem(conf)
     // the task's member set: sidecar lines whose offset starts in-range
@@ -150,56 +175,30 @@ final class WarcGzPartitionReader(part: WarcGzPartition, required: StructType)
     else {
       val start = mine.map(_._1).min
       val span = mine.map { case (o, l) => o + l }.max - start
-      require(span <= Int.MaxValue - 16L,
-        s"gz member span $span bytes at ${part.archive}:$start exceeds the single-buffer " +
-          "limit; lower maxSplitBytes or repack the archive (one record per member)")
-      val avail = math.min(span, math.max(0L, fs.getFileStatus(p).getLen - start))
-      if (avail <= 0L)
-        Iterator.single(marker(start))
-      else {
-        val in = fs.open(p)
-        val buf = new Array[Byte](avail.toInt)
-        try in.readFully(start, buf)
-        finally in.close()
-        val (plain, damaged) = Warc.gunzipMembers(buf)
-        // parseArchive with late body materialization: when `text` is
-        // pruned away, Content-Length skips the body bytes without
-        // decoding them. The truncated-tail marker is added only when
-        // the parse didn't already charge it (a partially-inflated final
-        // member fails its own header walk — the function API's guard).
-        val tuples = Warc.parseArchive(part.archive, plain, decodeBody = needText).toVector
-        val withTail =
-          if (!damaged && avail == span) tuples
-          else if (tuples.lastOption.exists(!_._6)) tuples
-          else tuples :+ ((Option.empty[Long], null: String, null: String, null: String,
-            Option.empty[Long], false, plain.length.toLong))
-        withTail.iterator.map {
+      // ONE shared implementation of the positioned-read damage contract
+      // (Warc.readGzSpanTuples) — body decode skipped when `text` is
+      // pruned away (Content-Length steps over the bytes)
+      Warc.readGzSpanTuples(fs, p, start, span, decodeBody = needText)
+        .iterator.map {
           case (id, text, lang, source, nChars, ok, off) =>
-            if (ok) row(id.get, if (text == null) null else UTF8String.fromString(text), lang, source, nChars.get)
-            else marker(off)
+            if (ok) emit(Array[Any](
+              id.get, if (text == null) null else UTF8String.fromString(text),
+              UTF8String.fromString(lang), UTF8String.fromString(source),
+              nChars.get, true, off))
+            else emit(Array[Any](null, null, null, null, null, false, off))
         }
-      }
     }
   }
 
-  private def row(id: Long, text: UTF8String, lang: String, source: String, nChars: Long): InternalRow =
-    project(InternalRow(
-      id, text, UTF8String.fromString(lang), UTF8String.fromString(source),
-      nChars, true, 0L))
-
-  private def marker(off: Long): InternalRow =
-    project(InternalRow(null, null, null, null, null, false, off))
-
-  private val fieldIdx = required.fieldNames.map(n => WarcGzSource.Schema.fieldIndex(n))
-  private def project(full: InternalRow): InternalRow =
-    InternalRow.fromSeq(fieldIdx.toIndexedSeq.map(i =>
-      if (full.isNullAt(i)) null
-      else WarcGzSource.Schema.fields(i).dataType match {
-        case LongType => full.getLong(i)
-        case BooleanType => full.getBoolean(i)
-        case StringType => full.getUTF8String(i)
-        case dt => throw new IllegalStateException(s"unexpected type $dt")
-      }))
+  /** Build the pruned row directly: one allocation at the required
+    * width, no intermediate full row, no per-field type dispatch.
+    */
+  private def emit(full: Array[Any]): InternalRow = {
+    val out = new Array[Any](fieldIdx.length)
+    var i = 0
+    while (i < fieldIdx.length) { out(i) = full(fieldIdx(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
 
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }

@@ -1984,6 +1984,14 @@ class ExtSpec extends AnyFunSuite {
     val damaged = spark.read.format("warcgz").load(dir)
     assert(damaged.where(!col("_ok")).count() == 1L, "one aborted tail = one marker")
     assert(damaged.where(col("_ok")).count() == 47L, "cleanly inflated members survive")
+    // a span the file can no longer serve AT ALL (shrunk between
+    // planning and read): one marker row, never a crash — the shared
+    // kernel's degraded branch
+    val hp = new org.apache.hadoop.fs.Path(dir, "archive-1.warc.gz")
+    val hfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val gone = Warc.readGzSpanTuples(hfs, hp, Long.MaxValue / 2, 1024L)
+    assert(gone.length == 1 && !gone.head._6 && gone.head._7 == Long.MaxValue / 2,
+      s"unservable span = one marker carrying its start offset, got $gone")
   }
 
   test("span corruption: splicing targets back at the sentinels reconstructs every original document") {
