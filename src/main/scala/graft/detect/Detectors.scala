@@ -135,20 +135,41 @@ object Detectors {
     * stddev guard of the EMA detectors.
     */
   def madScores(points: Dataset[TsSample], k: Double = Constants.MadConsistency): DataFrame = {
-    import graft.ts.TsAlgebra
-    val df = points.toDF()
-    val med = TsAlgebra.percentiles(df, "seriesKey", "value", Seq("med" -> 0.5))
-      .select(col("seriesKey"), col("med"))
-    val dev = df.join(med, Seq("seriesKey"))
+    // ONE linear plan: both medians are computed INLINE as whole-partition
+    // window aggregates (identical rank-interpolation arithmetic to
+    // TsAlgebra.percentiles — same idx/floor/round expressions, bit-exact),
+    // instead of two percentile groupBys joined back. The old tree shape
+    // (df → med ⋈ df → dev → mad ⋈ dev) had no exchange root Spark could
+    // reuse, so the scan + n≥4 guard re-ran once per subtree — 16 parquet
+    // scans at bench scale; this shape scans once per guard branch (2) and
+    // pays one hash exchange on seriesKey reused by every window. `value`
+    // is a non-nullable Double (TsSample), so percentiles' NULL-drop
+    // clause has nothing to drop and is omitted.
+    val medDf = madMedian(points.toDF(), "value", "med")
       .withColumn("absdev", abs(col("value") - col("med")))
-    val mad = TsAlgebra.percentiles(dev, "seriesKey", "absdev", Seq("mad" -> 0.5))
-      .select(col("seriesKey"), col("mad"))
-    dev.join(mad, Seq("seriesKey"))
+    madMedian(medDf, "absdev", "mad")
       .withColumn(
         "score",
         when(col("mad") > 0, col("absdev") / (lit(k) * col("mad"))).otherwise(col("absdev")))
       .select("seriesKey", "tsMs", "value", "score")
   }
+
+  /** Per-series exact interpolated median of `v`, appended as column
+    * `out` on every row — the window-aggregate twin of
+    * `TsAlgebra.percentiles(_, _, _, Seq(out -> 0.5))`, same fp-op order.
+    */
+  private def madMedian(df: DataFrame, v: String, out: String): DataFrame =
+    df.withColumn("_rn", row_number().over(byKey.orderBy(v)))
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .withColumn("_k", floor(lit(0.5) * (col("_n") - 1)))
+      .withColumn("_f", lit(0.5) * (col("_n") - 1) - col("_k"))
+      .withColumn("_lo", max(when(col("_rn") - 1 === col("_k"), col(v))).over(byKey))
+      .withColumn("_hi", coalesce(max(when(col("_rn") - 1 === col("_k") + 1, col(v))).over(byKey), col("_lo")))
+      .withColumn(
+        out,
+        round(when(col("_f") === 0.0, col("_lo"))
+          .otherwise(col("_lo") + col("_f") * (col("_hi") - col("_lo"))), 4))
+      .drop("_rn", "_n", "_k", "_f", "_lo", "_hi")
 
   /** D6 absolute_threshold: score = how far the value sits outside the
     * [lower, upper] band — a pure codegen'd expression, no state.

@@ -850,17 +850,48 @@ object Dedup {
     * (contributing O(docs²) candidate pairs and no dup signal) and is
     * dropped — the same frequent-bucket cap as MinHash-LSH banding, so
     * the candidate join stays bounded at any corpus size.
+    *
+    * The distinct (id, chunk_md5) table feeds FOUR subtrees (sizes,
+    * keep, both self-join sides); without a persist, Spark re-runs the
+    * Rabin rolling-hash kernel over the full text once per subtree
+    * (~5 corpus passes). LAZY form: the table stays persisted for the
+    * session (same LRU contract as `ppjoinPairs`); bounded pipelines
+    * should use `withCdcPairs`, which releases it on materialization.
     */
   def cdcPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minShared: Long = 2L,
-      maxChunkDocs: Int = 100): DataFrame = {
+      maxChunkDocs: Int = 100): DataFrame =
+    cdcPairsFrom(cdcChunkTable(df, idCol, textCol), minShared, maxChunkDocs)
+
+  /** Leak-free scope for `cdcPairs`: hands the pair frame to `use`
+    * (which must MATERIALIZE it — write, count, collect) and unpersists
+    * the chunk table when `use` returns — the `withPpjoinPairs` twin.
+    */
+  def withCdcPairs[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long = 2L,
+      maxChunkDocs: Int = 100)(use: DataFrame => T): T = {
+    val chunks = cdcChunkTable(df, idCol, textCol)
+    try use(cdcPairsFrom(chunks, minShared, maxChunkDocs))
+    finally chunks.unpersist(blocking = false)
+  }
+
+  /** Distinct (id, chunk_md5), persisted — ONE CDC-kernel execution no
+    * matter how many plan subtrees consume it.
+    */
+  private def cdcChunkTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // distinct (doc, chunk): a chunk repeated WITHIN a doc counts once
-    val chunks = cdcChunks(df, idCol, textCol)
+    cdcChunks(df, idCol, textCol)
       .select(col(idCol).as("id"), col("chunk_md5"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def cdcPairsFrom(chunks: DataFrame, minShared: Long, maxChunkDocs: Int): DataFrame = {
     val sizes = chunks.groupBy("id").agg(count(lit(1)).as("n"))
     val keep = chunks
       .groupBy("chunk_md5")

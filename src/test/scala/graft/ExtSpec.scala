@@ -329,7 +329,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("cdcPairs: docs sharing chunked material pair up with sane containment") {
     val corpus = Tables.documents(spark, sf)
-    val pairs = Dedup.cdcPairs(corpus, "doc_id", "text", minShared = 2L).collect()
+    val pairs = Dedup.withCdcPairs(corpus, "doc_id", "text", minShared = 2L)(_.collect())
     assert(pairs.nonEmpty, "the synthetic corpus plants shared chunk material")
     pairs.foreach { r =>
       assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
@@ -2028,13 +2028,15 @@ class ExtSpec extends AnyFunSuite {
     assert(spans > 0 && rate > 0.02 && rate < 0.08, s"corruption rate $rate far from ~4.5%")
   }
 
-  test("qualityCalibrated and withPpjoinPairs leave nothing pinned in the block manager") {
+  test("qualityCalibrated, withPpjoinPairs and withCdcPairs leave nothing pinned in the block manager") {
     val docs = Tables.documents(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val rep = TextAnalysis.qualityCalibrated(docs, "doc_id", "text", "source", keepMille = 700)
     assert(rep.count() > 0)
     val pairs = Dedup.withPpjoinPairs(docs, "doc_id", "text", n = 3, tau = 0.5)(_.count())
     assert(pairs > 0)
+    val cdc = Dedup.withCdcPairs(docs, "doc_id", "text", minShared = 2L)(_.count())
+    assert(cdc > 0)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.isEmpty, s"leaked persisted RDDs: $added")
   }
