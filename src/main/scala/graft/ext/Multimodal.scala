@@ -379,6 +379,26 @@ object Multimodal {
       Similarity.nearDupPairs(pooled, "id", "embedding", tau, dims, maxBroadcastRows)
   }
 
+  /** Leak-free scope for [[audioNearDup]] — bounded pipelines (artifact
+    * builds, one-shot writes) come through here so the pair kernels'
+    * internal vector/class caches are released on materialization
+    * (`Similarity.withNearDupPairs` contract).
+    */
+  def withAudioNearDup[T](
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      tau: Double,
+      dims: Int = 12,
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows,
+      exactFirst: Boolean = false)(use: DataFrame => T): T = {
+    val pooled = pooledAudioEmbedding(df, idCol, payloadCol, dims)
+    if (exactFirst)
+      Similarity.withNearDupPairsExactFirst(pooled, "id", "embedding", tau, dims, maxBroadcastRows)(use)
+    else
+      Similarity.withNearDupPairs(pooled, "id", "embedding", tau, dims, maxBroadcastRows)(use)
+  }
+
   /** Deterministic fixture encoder: a minimal RIFF/AVI-shaped container
     * (hand-built like `synthWav` — byte-deterministic, no codec):
     *
@@ -672,6 +692,23 @@ object Multimodal {
       Similarity.nearDupPairsExactFirst(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)
     else
       Similarity.nearDupPairs(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)
+  }
+
+  /** Leak-free scope for [[videoNearDup]] — the [[withAudioNearDup]]
+    * twin for the video modality.
+    */
+  def withVideoNearDup[T](
+      frameFeatures: DataFrame,
+      tau: Double,
+      idCol: String = "id",
+      dims: Int = 12,
+      maxBroadcastRows: Long = Similarity.MaxBroadcastRows,
+      exactFirst: Boolean = false)(use: DataFrame => T): T = {
+    val pooled = pooledVideoEmbedding(frameFeatures, idCol)
+    if (exactFirst)
+      Similarity.withNearDupPairsExactFirst(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)(use)
+    else
+      Similarity.withNearDupPairs(pooled, idCol, "embedding", tau, dims, maxBroadcastRows)(use)
   }
 
   /** Shot-boundary (scene-cut) detection over a per-frame feature table

@@ -241,7 +241,36 @@ object Similarity {
       tau: Double,
       dims: Int,
       nBits: Int = 0,
-      nTables: Int = 8): DataFrame = {
+      nTables: Int = 8): DataFrame =
+    lshPairsBuilt(df, idCol, embCol, tau, dims, nBits, nTables)._2
+
+  /** Leak-free scope for [[lshPairs]]: `use` must MATERIALIZE the pair
+    * frame; the internal prepared-vector cache (corpus-sized — id, unit
+    * vec, norm per row) is released when it returns. The lazy form's LRU
+    * contract only covers the MEMORY tier; disk-spilled blocks stay
+    * pinned until unpersist, so bounded pipelines come through here.
+    */
+  def withLshPairs[T](
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      nBits: Int = 0,
+      nTables: Int = 8)(use: DataFrame => T): T = {
+    val (prep, pairs) = lshPairsBuilt(df, idCol, embCol, tau, dims, nBits, nTables)
+    try use(pairs)
+    finally prep.unpersist(blocking = false)
+  }
+
+  private def lshPairsBuilt(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      nBits: Int,
+      nTables: Int): (DataFrame, DataFrame) = {
     // prep feeds up to four scans (the sizing count, the bucketing pass,
     // and the two late-materialize vector joins) — persist once so they
     // share a single materialization instead of re-running the normalize
@@ -268,12 +297,13 @@ object Similarity {
     // the cached prep must outlive this call (the returned plan is lazy
     // and reads it at the caller's first action) — eviction is LRU's
     // job, and an evicted block recomputes, never corrupts
-    cand
+    val pairs = cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("va"), col("vb")))
       .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    (prep, pairs)
   }
 
   /** Deterministic pseudo-random hyperplane component via an LCG over the
@@ -1351,6 +1381,45 @@ object Similarity {
     routedPairs(prep, idCol, embCol, tau, dims, maxExactRows)
   }
 
+  /** Leak-free scope for [[nearDupPairs]]: `use` must MATERIALIZE the
+    * pair frame (write, count, collect); the prepared-vector cache is
+    * released when it returns. The lazy form's LRU contract only covers
+    * the MEMORY tier — DISK-spilled blocks stay pinned until unpersist,
+    * so bounded pipelines (artifact builds, one-shot writes) must come
+    * through here, the `withPpjoinPairs` contract.
+    */
+  def withNearDupPairs[T](
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long = MaxBroadcastRows)(use: DataFrame => T): T = {
+    val prep = df.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try routedPairsScoped(prep, idCol, embCol, tau, dims, maxExactRows)(use)
+    finally prep.unpersist(blocking = false)
+  }
+
+  /** Scoped twin of [[routedPairs]]: the banded route goes through
+    * [[withLshPairs]] so ITS internal vector cache is released too —
+    * the lazy route would leave it pinned past the caller's scope.
+    */
+  private def routedPairsScoped[T](
+      prepared: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long)(use: DataFrame => T): T = {
+    val n = prepared.count()
+    if (n <= maxExactRows)
+      use(cosinePairs(prepared, idCol, embCol, tau)
+        .select(col("va").as("id_a"), col("vb").as("id_b"), col("cosine")))
+    else
+      withLshPairs(prepared, idCol, embCol, tau, dims)(use)
+  }
+
   /** The count-then-route core of [[nearDupPairs]], for inputs that are
     * ALREADY cache-backed (exact-first calls it on the representative
     * frame derived from its persisted class table — a second persist
@@ -1404,7 +1473,65 @@ object Similarity {
       embCol: String,
       tau: Double,
       dims: Int,
-      maxExactRows: Long = MaxBroadcastRows): DataFrame = {
+      maxExactRows: Long = MaxBroadcastRows): DataFrame =
+    exactFirstPlan(df, idCol, embCol, tau, dims, maxExactRows)._3
+
+  /** Leak-free scope for [[nearDupPairsExactFirst]]: releases BOTH
+    * internal caches (prepared vectors + identity-class table) when
+    * `use` returns — same disk-tier rationale as [[withNearDupPairs]].
+    */
+  def withNearDupPairsExactFirst[T](
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long = MaxBroadcastRows)(use: DataFrame => T): T = {
+    val p = exactFirstParts(df, idCol, embCol, tau)
+    // the rep-pair routing also runs scoped, so the banded route's
+    // internal vector cache is released along with prep and classes
+    try routedPairsScoped(p.reps, "id", "emb", tau, dims, maxExactRows)(rp => use(p.expand(rp)))
+    finally {
+      p.classes.unpersist(blocking = false)
+      p.prep.unpersist(blocking = false)
+    }
+  }
+
+  /** Shared builder: returns (prep cache, class cache, pair frame); on a
+    * build failure both caches are released before the rethrow.
+    */
+  private def exactFirstPlan(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dims: Int,
+      maxExactRows: Long): (DataFrame, DataFrame, DataFrame) = {
+    val p = exactFirstParts(df, idCol, embCol, tau)
+    try (p.prep, p.classes, p.expand(routedPairs(p.reps, "id", "emb", tau, dims, maxExactRows)))
+    catch {
+      case e: Throwable =>
+        p.classes.unpersist(blocking = false)
+        p.prep.unpersist(blocking = false)
+        throw e
+    }
+  }
+
+  /** The class-collapse scaffolding shared by the lazy and scoped
+    * exact-first forms: prep + class caches, the representative frame to
+    * pair, and the expansion back to member pairs.
+    */
+  private case class ExactFirstParts(
+      prep: DataFrame,
+      classes: DataFrame,
+      reps: DataFrame,
+      expand: DataFrame => DataFrame)
+
+  private def exactFirstParts(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double): ExactFirstParts = {
     // persist the prepared vectors: they feed BOTH the class election
     // and the member join (different exchange children — without the
     // cache the caller's upstream pipeline, e.g. a media DECODE, runs
@@ -1420,11 +1547,10 @@ object Similarity {
     val classes = prep.groupBy(col("emb"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("csz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val members = prep.join(classes.select(col("emb"), col("rep")), Seq("emb"))
-        .select(col("rep"), col("id"))
-      val reps = classes.select(col("rep").as("id"), col("emb"))
-      val repPairs = routedPairs(reps, "id", "emb", tau, dims, maxExactRows)
+    val members = prep.join(classes.select(col("emb"), col("rep")), Seq("emb"))
+      .select(col("rep"), col("id"))
+    val reps = classes.select(col("rep").as("id"), col("emb"))
+    val expand = (repPairs: DataFrame) => {
       val cross = repPairs
         .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
         .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
@@ -1446,18 +1572,13 @@ object Similarity {
         .join(members.select(col("rep"), col("id").as("mb")), Seq("rep"))
         .where(col("ma") < col("mb"))
         .select(col("ma").as("id_a"), col("mb").as("id_b"), col("cosine"))
-      val out = cross.unionByName(within)
-      // the returned plan reads the persisted class table lazily; eager
-      // materialization here would defeat the single-DAG consumers —
-      // LRU owns eviction, and an evicted block recomputes, never
+      // the lazy form's plan reads the persisted class table lazily;
+      // eager materialization here would defeat the single-DAG consumers
+      // — LRU owns eviction, and an evicted block recomputes, never
       // corrupts (the lshPairs cache contract)
-      out
-    } catch {
-      case e: Throwable =>
-        classes.unpersist(blocking = false)
-        prep.unpersist(blocking = false)
-        throw e
+      cross.unionByName(within)
     }
+    ExactFirstParts(prep, classes, reps, expand)
   }
 
   /** IVF index health: per-cell occupancy and (base vs delta) assignment

@@ -2037,6 +2037,16 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs > 0)
     val cdc = Dedup.withCdcPairs(docs, "doc_id", "text", minShared = 2L)(_.count())
     assert(cdc > 0)
+    // the ANN family's scoped forms must release BOTH the outer prep
+    // cache and the banded route's internal vector cache (forced via
+    // maxExactRows = 0)
+    val embs = Tables.embeddings(spark, sf)
+    val lsh = Similarity.withLshPairs(embs, "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6)(_.count())
+    assert(lsh > 0)
+    val nd = Similarity.withNearDupPairs(embs, "vec_id", "embedding", tau = 0.4, dims = 64, maxExactRows = 0L)(_.count())
+    assert(nd > 0)
+    val xf = Similarity.withNearDupPairsExactFirst(embs, "vec_id", "embedding", tau = 0.4, dims = 64, maxExactRows = 0L)(_.count())
+    assert(xf > 0)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.isEmpty, s"leaked persisted RDDs: $added")
   }
