@@ -622,12 +622,82 @@ object Dedup {
       aCol: String = "da",
       bCol: String = "db",
       maxIter: Int = 25): DataFrame =
-    clusters(
+    // count-routed: the fold-in graph (star edges + delta edges) is
+    // usually tiny relative to the historical pair count — that is the
+    // premise of incremental maintenance — so the driver union-find
+    // route typically wins; the distributed fixpoint loop remains the
+    // 100 TB path when the member count alone exceeds the cap
+    clustersRouted(
       baseClusters
         .select(col("doc_id").cast("long").as("da"), col("canonical_id").cast("long").as("db"))
         .unionByName(
           deltaPairs.select(col(aCol).cast("long").as("da"), col(bCol).cast("long").as("db"))),
       maxIter = maxIter)
+
+  /** Edge-count cap for the driver union-find route: 1M (src, dst) Long
+    * pairs ≈ 16 MB collected — comfortably inside the same driver budget
+    * as `Similarity.MaxBroadcastRows`' vector collect.
+    */
+  val MaxLocalClusterEdges: Int = 1000000
+
+  /** Count-routed [[clusters]]: an edge list within `maxLocalEdges`
+    * collapses via in-memory union-find on the driver — ONE collect job
+    * (with an early-terminating limit probe, so the route decision and
+    * the edge fetch share a pass) instead of 3–5 rounds of
+    * join/materialize/aggregate job scheduling, which at local[32]
+    * costs more than the work itself on a tiny graph (the
+    * qualityCalibrated driver-math lesson). Anything larger runs the
+    * distributed fixpoint loop unchanged. Identical output by
+    * construction: both label every member of a connected component
+    * with the component's minimum doc id and its exact size.
+    */
+  def clustersRouted(
+      pairs: DataFrame,
+      aCol: String = "da",
+      bCol: String = "db",
+      maxLocalEdges: Int = MaxLocalClusterEdges,
+      maxIter: Int = 25): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // limit(cap + 1): if more rows exist we only learn "too many" (and
+    // fall back to the distributed loop, re-reading the input); within
+    // the cap the probe IS the edge fetch — no second pass
+    val probe = p.limit(maxLocalEdges + 1).collect()
+    if (probe.length > maxLocalEdges) clusters(pairs, aCol, bCol, maxIter)
+    else {
+      val spark = pairs.sparkSession
+      // union-find with path compression; roots are arbitrary, the
+      // canonical min id and exact component size are derived after —
+      // deterministic regardless of union order
+      val parent = new java.util.HashMap[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val minOf = new java.util.HashMap[Long, Long]
+      val sizeOf = new java.util.HashMap[Long, Long]
+      val nodes = parent.keySet.toArray(new Array[java.lang.Long](0))
+      nodes.foreach { n =>
+        val r = find(n)
+        minOf.merge(r, n.longValue, (x, y) => math.min(x, y))
+        sizeOf.merge(r, 1L, (x, y) => x + y): Unit
+      }
+      import spark.implicits._
+      nodes.map { n =>
+        val r = find(n)
+        (n.longValue, minOf.get(r).longValue, sizeOf.get(r).longValue)
+      }.toSeq.toDF("doc_id", "canonical_id", "cluster_size")
+    }
+  }
 
   /** Cluster-representative selection — the "keep best, drop rest" step
     * a dedup pipeline runs after `clusters`: per duplicate cluster, keep

@@ -117,6 +117,28 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.clusters(empty).collect().isEmpty)
   }
 
+  test("clustersRouted: driver union-find route equals the distributed fixpoint loop") {
+    // chain + pair + triangle — the chain forces multi-round propagation
+    // on the distributed side, so equality is a real fixpoint check
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (21L, 20L), (22L, 21L), (20L, 22L)
+    ).toDF("da", "db")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"))))
+      .toMap
+    val local = toMap(Dedup.clustersRouted(pairs)) // within the cap → driver route
+    val dist = toMap(Dedup.clustersRouted(pairs, maxLocalEdges = 0)) // forced loop
+    assert(local == dist, "the two routes must produce identical labelings")
+    assert(local(6L) == ((1L, 6L)) && local(22L) == ((20L, 3L)))
+    // schema parity (the query compare hashes by column name)
+    assert(Dedup.clustersRouted(pairs).columns.sorted.sameElements(
+      Dedup.clusters(pairs).columns.sorted))
+    // empty graph short-circuits on the local route too
+    assert(Dedup.clustersRouted(Seq.empty[(Long, Long)].toDF("da", "db")).collect().isEmpty)
+  }
+
   test("clusters releases superseded per-round storage (bounded cache)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // a 9-node chain needs several label-propagation rounds
