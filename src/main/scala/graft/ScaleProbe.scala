@@ -193,11 +193,11 @@ object ScaleProbe {
         val scan = graft.sources.Warc.readArchivesGzIndexedCounted(spark, gdir, mps)
         println(s"[scaleprobe] warcgz_idx_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
       }
-      timed("readArchivesGzCounted (whole-file walk, the straggler baseline)") {
-        val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
-        println(s"[scaleprobe] warcgz_whole_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
-      }
-      // DSv2 route: driver-planned byte ranges, zero planning jobs
+      // DSv2 route: driver-planned byte ranges, zero planning jobs.
+      // (These run BEFORE the whole-file walks: those allocate 2 GiB
+      // humongous buffers whose G1 fragmentation contaminates every
+      // later measurement in this JVM — observed 1.4 s → 9-32 s on
+      // identical reads.)
       val dsv2 = spark.read.format("warcgz")
         .option("maxSplitBytes", 4L << 20).load(gdir)
       println(s"[scaleprobe] dsv2_partitions = ${dsv2.rdd.getNumPartitions}")
@@ -206,6 +206,53 @@ object ScaleProbe {
       }
       timed("DSv2 pruned read (doc_id only — body decode skipped)") {
         println(s"[scaleprobe] dsv2_ids = ${dsv2.select("doc_id").count()}")
+      }
+      // filter pushdown: a selective header predicate skips the body
+      // decode of every non-matching record. sum(length(text)) forces
+      // text into the required schema (a count() would prune it and
+      // measure nothing); the no-push twin is the SAME reader with the
+      // predicate made unpushable, so decode-skip is the only variable
+      val selBound = math.max(1L, docs.count() / 100L)
+      import org.apache.spark.sql.functions.{col => c, length, sum => fsum}
+      timed(s"DSv2 selective+text (doc_id < $selBound pushed — 99% of bodies undecoded)") {
+        println(s"[scaleprobe] dsv2_selective_chars = ${dsv2
+          .where(c("doc_id") < selBound)
+          .agg(fsum(length(c("text")))).head.getLong(0)}")
+      }
+      timed("DSv2 selective+text NO pushdown (doc_id+0 defeats it — every body decoded)") {
+        println(s"[scaleprobe] dsv2_nopush_chars = ${dsv2
+          .where(c("doc_id") + 0L < selBound)
+          .agg(fsum(length(c("text")))).head.getLong(0)}")
+      }
+      timed("readArchivesGzCounted (whole-file walk, the straggler baseline)") {
+        val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
+        println(s"[scaleprobe] warcgz_whole_clean = ${scan.docs.count()} rejects = ${scan.rejects}")
+      }
+      // streaming ingest fan-out: ONE archive's sidecar folds into many
+      // positioned-read spans inside the micro-batch — the straggler fix
+      // applied to the stream (span count == the batch split table's)
+      if (nArchives == 1) {
+        val spanRows = graft.sources.Warc.gzMemberSplits(spark, gdir, mps).count()
+        val stable = s"warcidx_probe_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        timed(s"indexed STREAM ingest of the 1-archive dir ($spanRows spans/micro-batch)") {
+          val q = graft.sources.Warc.readArchivesGzIndexedStream(spark, gdir, mps)
+            .writeStream.outputMode("append").format("memory").queryName(stable).start()
+          try {
+            q.processAllAvailable()
+            println(s"[scaleprobe] stream_idx_clean = ${spark.table(stable).where(
+              org.apache.spark.sql.functions.col("_ok")).count()} spans_per_batch = $spanRows")
+          } finally q.stop()
+        }
+        timed("whole-file STREAM ingest (1 task per archive per micro-batch — the straggler)") {
+          val wtable = s"warcwhole_probe_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          val q = graft.sources.Warc.readArchivesGzStream(spark, gdir)
+            .writeStream.outputMode("append").format("memory").queryName(wtable).start()
+          try {
+            q.processAllAvailable()
+            println(s"[scaleprobe] stream_whole_clean = ${spark.table(wtable).where(
+              org.apache.spark.sql.functions.col("_ok")).count()}")
+          } finally q.stop()
+        }
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gdir))
       spark.stop()

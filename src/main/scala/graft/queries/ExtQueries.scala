@@ -294,6 +294,21 @@ object ExtQueries {
       path
     })
 
+  /** Archives written through the DSv2 WRITE path
+    * (`df.write.format("warcgz")`): 8 input partitions → 8 committed
+    * part archives + sidecars.
+    */
+  private def warcGzWrittenFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlPaths.computeIfAbsent("warcgzw:" + dir, _ => {
+      val path = artifactPath(s, "warcgzw", dir)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8, col("doc_id"))
+        .write.format("warcgz").mode("overwrite").save(path)
+      deleteOnExit(new java.io.File(path))
+      path
+    })
+
   /** The same archives with DETERMINISTIC damage planted after the valid
     * records: archive-0 gains a record whose Content-Length runs past
     * EOF (a truncated upload), archive-1 gains non-WARC garbage bytes.
@@ -2512,6 +2527,21 @@ object ExtQueries {
       "src_warcgz_dsv2",
       (s, dir) =>
         s.read.format("warcgz").option("maxSplitBytes", 16384).load(warcGzFor(s, dir))
+          .where(col("_ok"))
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5")),
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents""".stripMargin)
+    ),
+    // Round-trip through the DSv2 WRITER (df.write.format("warcgz")):
+    // partition-per-archive commit with the temp+rename contract, read
+    // back through the DSv2 reader — the write side completes the
+    // connector, and the shared oracle proves bytes round-trip exactly.
+    Q(
+      "src_warcgz_write_dsv2",
+      (s, dir) =>
+        s.read.format("warcgz").load(warcGzWrittenFor(s, dir))
           .where(col("_ok"))
           .select(
             col("doc_id"), col("lang"), col("source"), col("n_chars"),

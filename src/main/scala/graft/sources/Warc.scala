@@ -49,6 +49,39 @@ object Warc {
   private val Magic = "WARC/1.0"
   private val Crlf = "\r\n"
 
+  /** The SESSION's Hadoop conf (spark.hadoop.* — object-store
+    * credentials, fs overrides) flattened to serializable props, so
+    * executor-side code can rebuild it: a bare `new Configuration()` in
+    * a task ignores session overrides and breaks any credentialed
+    * scheme (the bug class fixed for the DSv2 path in r11; every
+    * function-API reader/writer now threads this through).
+    */
+  def sessionHadoopProps(spark: SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  /** Rebuild a Configuration from [[sessionHadoopProps]] in a task. */
+  def hadoopConfFrom(props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Resolve a path string that may be a URL-encoded URI
+    * (`input_file_name()` returns one): decode through java.net.URI so
+    * directories with spaces/%-escapable characters reach the
+    * FileSystem as real paths; plain path strings pass through.
+    */
+  def resolvePath(s: String): org.apache.hadoop.fs.Path =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null) new org.apache.hadoop.fs.Path(u)
+      else new org.apache.hadoop.fs.Path(s)
+    } catch {
+      case _: java.net.URISyntaxException => new org.apache.hadoop.fs.Path(s)
+    }
+
   /** Serialize one document record. */
   def encodeRecord(docId: Long, text: String, lang: String, source: String, nChars: Long): Array[Byte] = {
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -87,6 +120,7 @@ object Warc {
     require(nArchives >= 1, s"nArchives must be >= 1, got $nArchives")
     val spark = docs.sparkSession
     import spark.implicits._
+    val hprops = sessionHadoopProps(spark)
     docs
       .select(
         pmod(col("doc_id"), lit(nArchives.toLong)).as("_a"),
@@ -95,11 +129,8 @@ object Warc {
       .sortWithinPartitions("_a", "doc_id")
       .as[(Long, Long, String, String, String, Long)]
       .foreachPartition { (rows: Iterator[(Long, Long, String, String, String, Long)]) =>
-        // default Hadoop conf on the executor: scheme resolution is all
-        // the writer needs (file://, hdfs://); credentialed object-store
-        // schemes would thread the session conf through a broadcast
         val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(hadoopConfFrom(hprops))
         // archives are integrity-checked by their own record framing
         // (Content-Length + trailer); local-FS .crc sidecars would only
         // shadow the format's own damage accounting
@@ -134,10 +165,19 @@ object Warc {
             val idst = dst.suffix(".idx")
             val itmp = new org.apache.hadoop.fs.Path(
               idst.getParent, s".${idst.getName}.$attempt.tmp")
-            val w = fs.create(itmp, true)
-            w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            w.close()
-            commit(itmp, idst)
+            try {
+              val w = fs.create(itmp, true)
+              w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              w.close()
+              commit(itmp, idst)
+            } catch {
+              // retries use a NEW attempt id, so an orphaned hidden tmp
+              // would sit in the output dir forever — best-effort delete
+              // before rethrowing (the data-file tmp path does the same)
+              case e: Throwable =>
+                try { fs.delete(itmp, false); () } catch { case _: java.io.IOException => () }
+                throw e
+            }
           }
         }
         try {
@@ -161,32 +201,65 @@ object Warc {
             }
           }
           closeAndCommit()
-        } finally if (out != null) out.close() // failure path: tmp stays uncommitted
+        } finally if (out != null) {
+          // failure path (success leaves out == null): close, then
+          // best-effort delete the uncommitted tmp — retries get a new
+          // attempt id and would otherwise accumulate orphaned hidden
+          // files in the output directory indefinitely
+          out.close()
+          try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+        }
       }
   }
+
+  /** Header-level record predicate: (doc_id, lang, source, n_chars) →
+    * keep? Runs BETWEEN the header walk and the body decode, so a
+    * pushed-down filter skips both the UTF-8 decode and the row
+    * emission for non-matching records.
+    */
+  type HeaderKeep = (Long, String, String, Long) => Boolean
+
+  val KeepAll: HeaderKeep = (_, _, _, _) => true
 
   /** Walk one archive's bytes into parsed rows. Emits
     * `(docId, text, lang, source, nChars, ok, offset)`; on the first
     * malformed record emits one `ok = false` marker carrying the byte
     * offset and stops (see object doc for why there is no resync).
+    * Records failing `keep` are stepped over via Content-Length — no
+    * body decode, no row (the DSv2 filter-pushdown path); malformed
+    * records still emit their marker regardless of `keep`.
     */
   def parseArchive(
       path: String,
       bytes: Array[Byte],
-      decodeBody: Boolean = true): Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] =
+      decodeBody: Boolean = true,
+      keep: HeaderKeep = KeepAll): Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] =
     new Iterator[(Option[Long], String, String, String, Option[Long], Boolean, Long)] {
       private var pos = 0
       private var dead = false
-      def hasNext: Boolean = !dead && pos < bytes.length
-      def next(): (Option[Long], String, String, String, Option[Long], Boolean, Long) = {
-        val start = pos
-        parseOne() match {
-          case Some(row) => row
-          case None =>
-            dead = true
-            (None, null, null, null, None, false, start.toLong)
+      private var pending: (Option[Long], String, String, String, Option[Long], Boolean, Long) = _
+      // lookahead: a filtered-out record advances pos but yields nothing,
+      // so hasNext must walk ahead until a row, a marker, or clean EOF
+      private def fill(): Unit =
+        while (pending == null && !dead && pos < bytes.length) {
+          val start = pos
+          parseOne() match {
+            case Some(row) => pending = row // Some(null) = filtered: loop on
+            case None =>
+              dead = true
+              pending = (None, null, null, null, None, false, start.toLong)
+          }
         }
+      def hasNext: Boolean = { fill(); pending != null }
+      def next(): (Option[Long], String, String, String, Option[Long], Boolean, Long) = {
+        fill()
+        if (pending == null) throw new NoSuchElementException("next on exhausted archive walk")
+        val r = pending
+        pending = null
+        r
       }
+      // None = malformed (abort), Some(null) = filtered out (skip),
+      // Some(row) = emit
       private def parseOne(): Option[(Option[Long], String, String, String, Option[Long], Boolean, Long)] = {
         val start = pos
         // header block ends at the first \r\n\r\n
@@ -219,13 +292,16 @@ object Warc {
             bytes(bodyEnd + 2) == '\r' && bytes(bodyEnd + 3) == '\n'
         } yield {
           pos = bodyEnd + 4
-          // Content-Length framing means a pruned scan (doc ids /
-          // metadata only) skips the body DECODE entirely — the DSv2
-          // column-pruning path
-          val body =
-            if (decodeBody) new String(bytes, bodyStart, len, java.nio.charset.StandardCharsets.UTF_8)
-            else null
-          (Some(id), body, lang, source, Some(nChars), true, start.toLong)
+          if (!keep(id, lang, source, nChars)) null
+          else {
+            // Content-Length framing means a pruned scan (doc ids /
+            // metadata only) skips the body DECODE entirely — the DSv2
+            // column-pruning path
+            val body =
+              if (decodeBody) new String(bytes, bodyStart, len, java.nio.charset.StandardCharsets.UTF_8)
+              else null
+            (Some(id), body, lang, source, Some(nChars), true, start.toLong)
+          }
         }
         parsed
       }
@@ -235,6 +311,18 @@ object Warc {
     * reject accounting riding the caller's own first action (the
     * [[Jsonl.JsonlScan]] contract). `rejects` is the count of marker
     * rows: malformed/truncated records, one per aborted archive tail.
+    *
+    * Marker `_offset` coordinates, per reader:
+    *  - whole-archive readers ([[readArchivesCounted]],
+    *    [[readArchivesGzCounted]], the streams): the INFLATED byte
+    *    offset within the walked archive where the failed record (or
+    *    the damage-aborted tail) begins;
+    *  - span readers ([[readArchivesGzIndexedCounted]], the `warcgz`
+    *    DSv2 source, the indexed stream): span-level damage (short
+    *    read / inflate abort / unservable span) reports the
+    *    archive-relative COMPRESSED span start — locatable via the
+    *    `.idx` sidecar; a record that fails its header walk reports the
+    *    inflated offset within that span's buffer.
     */
   final case class WarcScan(docs: DataFrame, observation: Observation) {
     def records: Long = observation.get("records").asInstanceOf[Long]
@@ -333,7 +421,8 @@ object Warc {
       p: org.apache.hadoop.fs.Path,
       start: Long,
       span: Long,
-      decodeBody: Boolean = true): Vector[(Option[Long], String, String, String, Option[Long], Boolean, Long)] = {
+      decodeBody: Boolean = true,
+      keep: HeaderKeep = KeepAll): Vector[(Option[Long], String, String, String, Option[Long], Boolean, Long)] = {
     // one member larger than the buffer limit cannot be range-read in
     // one piece — fail loudly naming the span rather than let toInt wrap
     // into a negative allocation or a silent short read
@@ -350,11 +439,16 @@ object Warc {
       try in.readFully(start, buf)
       finally in.close()
       val (plain, damaged) = gunzipMembers(buf)
-      val rows = parseArchive(p.toString, plain, decodeBody).toVector
+      val rows = parseArchive(p.toString, plain, decodeBody, keep).toVector
       if (!damaged && avail == span) rows
       else if (rows.lastOption.exists(!_._6)) rows
+      // span-level damage (inflate abort / short read): report the
+      // archive-relative COMPRESSED span start — the same coordinate as
+      // the unservable branch above, locatable via the sidecar. (A
+      // parse-level marker from parseArchive instead carries the
+      // inflated offset within this span's walked buffer.)
       else rows :+ ((Option.empty[Long], null: String, null: String, null: String,
-        Option.empty[Long], false, plain.length.toLong))
+        Option.empty[Long], false, start))
     }
   }
 
@@ -444,9 +538,46 @@ object Warc {
         expr(s"ord DIV $membersPerSplit").as("gc"),
         expr(s"cumb DIV $maxSplitBytes").as("gb"))
       .agg(min(col("off")).as("start"), sum(col("len")).as("span"))
+      // NOTE: `path` is the URL-ENCODED URI input_file_name() reports
+      // (".idx" is ASCII, so stripping it off the encoded form is safe);
+      // consumers must resolve it with [[resolvePath]], not Path(String)
       .select(
         expr("substring(idx_path, 1, length(idx_path) - 4)").as("path"),
         col("start"), col("span"))
+  }
+
+  /** Driver/task-local twin of [[gzMemberSplits]]' grouping: fold one
+    * sidecar's `(ord, off, len)` lines (ordinal order) into positioned
+    * `(start, span)` read bounds — contiguous runs of `membersPerSplit`
+    * members, broken early when the byte budget fills. Same group keys
+    * as the SQL form (`ord DIV membersPerSplit`, cumulative-bytes `DIV
+    * maxSplitBytes` over the PRECEDING members), so the two produce
+    * identical spans; the streaming ingest uses this per landing
+    * sidecar, where a distributed window over a 100-line index would be
+    * all scheduling.
+    */
+  def gzSpanBounds(
+      members: Iterator[(Long, Long, Long)],
+      membersPerSplit: Int,
+      maxSplitBytes: Long): Vector[(Long, Long)] = {
+    require(membersPerSplit >= 1, s"membersPerSplit must be >= 1, got $membersPerSplit")
+    require(maxSplitBytes >= 1, s"maxSplitBytes must be >= 1, got $maxSplitBytes")
+    val out = Vector.newBuilder[(Long, Long)]
+    var curKey: (Long, Long) = null
+    var start = 0L
+    var span = 0L
+    var cum = 0L
+    members.foreach { case (ord, off, len) =>
+      val key = (ord / membersPerSplit, cum / maxSplitBytes)
+      if (key != curKey) {
+        if (curKey != null) out += ((start, span))
+        curKey = key; start = off; span = 0L
+      }
+      span += len
+      cum += len
+    }
+    if (curKey != null) out += ((start, span))
+    out.result()
   }
 
   def readArchivesGzIndexedCounted(
@@ -455,6 +586,7 @@ object Warc {
       membersPerSplit: Int = 4096): WarcScan = {
     import spark.implicits._
     val obs = Observation()
+    val hprops = sessionHadoopProps(spark)
     val parsed = gzMemberSplits(spark, dir, membersPerSplit)
       // EXPLICIT partition count: the split table is a few KB, so AQE's
       // small-partition coalescing would collapse the whole expansion
@@ -465,14 +597,16 @@ object Warc {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, Long, Long)]
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hadoopConfFrom(hprops)
         it.flatMap { case (path, start, span) =>
           // a file truncated/replaced AFTER indexing serves fewer bytes
           // than the sidecar promises: readGzSpanTuples reads what IS
           // there — cleanly inflated members survive, the shortfall
           // surfaces as this split's damaged tail (one counted reject),
-          // and the other splits are untouched
-          val p = new org.apache.hadoop.fs.Path(path)
+          // and the other splits are untouched. resolvePath: the split
+          // table's path is the URL-encoded URI input_file_name() gave
+          // the sidecar — decode it or dirs with spaces fail the read
+          val p = resolvePath(path)
           readGzSpanTuples(p.getFileSystem(conf), p, start, span)
         }
       }
@@ -518,18 +652,72 @@ object Warc {
   def readArchivesGzStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
     archivesStreamImpl(spark, dir, maxFilesPerTrigger, gz = true)
 
+  /** Record-granular streaming ingest — the batch straggler fix
+    * ([[readArchivesGzIndexedCounted]]) applied to the stream: the
+    * file-stream source tracks the `.warc.gz.idx` SIDECARS (the writer
+    * commits the archive before its sidecar, so a visible sidecar ⇒ a
+    * complete archive — the sidecar IS the arrival event, exactly once
+    * per archive across restarts), each landing sidecar folds into
+    * `(start, span)` read bounds via [[gzSpanBounds]], the spans
+    * round-robin across the cluster, and each task positioned-reads and
+    * inflates only its own members. A fat landing archive becomes
+    * many tasks WITHIN its micro-batch instead of one per-batch
+    * straggler. Damage contract unchanged (in-stream `_ok = false`
+    * markers, [[readArchivesStream]]'s accounting); the whole-file
+    * streams remain the foreign-archive (no-sidecar) path.
+    */
+  def readArchivesGzIndexedStream(
+      spark: SparkSession,
+      dir: String,
+      membersPerSplit: Int = 4096,
+      maxFilesPerTrigger: Int = 16,
+      maxSplitBytes: Long = 256L << 20): DataFrame = {
+    import spark.implicits._
+    val hprops = sessionHadoopProps(spark)
+    spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(new org.apache.hadoop.fs.Path(dir, "*.warc.gz.idx").toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (idxPath, content) =>
+        val members = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map { l => val f = l.split(" "); (f(0).toLong, f(1).toLong, f(2).toLong) }
+        gzSpanBounds(members, membersPerSplit, maxSplitBytes)
+          .iterator.map { case (start, span) => (idxPath, start, span) }
+      }
+      // spread the micro-batch's spans across the cluster (the
+      // explicit-numPartitions form is exempt from AQE coalescing, the
+      // batch reader's lesson); with fewer spans than slots the
+      // round-robin still lands each on its own task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val conf = hadoopConfFrom(hprops)
+        it.flatMap { case (idxPath, start, span) =>
+          val ip = resolvePath(idxPath)
+          val dp = new org.apache.hadoop.fs.Path(ip.getParent, ip.getName.stripSuffix(".idx"))
+          readGzSpanTuples(dp.getFileSystem(conf), dp, start, span)
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "_ok", "_offset")
+  }
+
+  /** binaryFile's fixed schema — streaming sources must declare it up
+    * front.
+    */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
   private def archivesStreamImpl(
       spark: SparkSession, dir: String, maxFilesPerTrigger: Int, gz: Boolean): DataFrame = {
     import spark.implicits._
     val glob = if (gz) "*.warc.gz" else "*.warc"
     spark.readStream.format("binaryFile")
-      // streaming sources require the schema up front — binaryFile's is
-      // fixed by the format
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(new org.apache.hadoop.fs.Path(dir, glob).toString)
       .select(col("path"), col("content"))

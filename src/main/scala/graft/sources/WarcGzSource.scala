@@ -61,25 +61,125 @@ object WarcGzSource {
 }
 
 final class WarcGzTable(path: String, properties: util.Map[String, String])
-    extends Table with SupportsRead {
-  require(path != null, "warcgz requires a load(path)")
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(path != null, "warcgz requires a load(path)/save(path)")
   override def name(): String = s"warcgz($path)"
   override def schema(): StructType = WarcGzSource.Schema
+  // ACCEPT_ANY_SCHEMA: writes take the 5-column document shape, reads
+  // produce the 7-column shape (+_ok/_offset) — the write builder
+  // validates the input columns itself
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcGzScanBuilder(path, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcGzWriteBuilder(path, info)
 }
 
 final class WarcGzScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = WarcGzSource.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  /** Header-level predicates (doc_id / lang / source / n_chars / _ok)
+    * are pushed into the record walk, where they skip the body decode
+    * and row emission the way column pruning already skips the decode.
+    * ALL filters are also returned as residual: the reader's skip is a
+    * pure optimization, Spark re-evaluates post-scan, so pushdown can
+    * never change results — only the bytes decoded.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(WarcGzFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = {
     val msb = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(WarcGzSource.DefaultMaxSplitBytes)
     require(msb >= 1, s"maxSplitBytes must be >= 1, got $msb")
-    new WarcGzScan(path, required, msb)
+    new WarcGzScan(path, required, msb, pushed)
+  }
+}
+
+/** The pushable-predicate subset and its executor-side evaluator.
+  * Supported: EqualTo / In / ordered comparisons / IsNull / IsNotNull
+  * on the five header-derivable columns — everything decidable BEFORE
+  * the body decode. `_offset` is excluded (its coordinate is
+  * reader-dependent); And/Or never arrive at top level (Spark splits
+  * conjuncts) and are left residual.
+  */
+private[sources] object WarcGzFilters {
+  import org.apache.spark.sql.sources._
+
+  private val cols = Set("doc_id", "lang", "source", "n_chars", "_ok")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case GreaterThan(a, _) => cols(a)
+    case GreaterThanOrEqual(a, _) => cols(a)
+    case LessThan(a, _) => cols(a)
+    case LessThanOrEqual(a, _) => cols(a)
+    case IsNull(a) => cols(a)
+    case IsNotNull(a) => cols(a)
+    case _ => false
+  }
+
+  /** SQL three-valued compare collapsed to the filter's two: a null on
+    * either side fails every comparison (and IsNotNull), exactly how
+    * Spark's residual re-evaluation treats the same rows.
+    */
+  private def cmp(v: Any, w: Any): Option[Int] = (v, w) match {
+    case (null, _) | (_, null) => None
+    case (a: java.lang.Long, b: java.lang.Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  /** Evaluate one pushed filter against header values (nulls = marker
+    * row / absent field).
+    */
+  private def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v).contains(0)
+    case In(a, vs) => vs.exists(v => cmp(get(a), v).contains(0))
+    case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case _ => true
+  }
+
+  /** Conjunction of all pushed filters over (id, lang, source, nChars,
+    * ok) — id/nChars boxed, null for marker rows.
+    */
+  def matches(
+      filters: Array[Filter],
+      id: java.lang.Long,
+      lang: String,
+      source: String,
+      nChars: java.lang.Long,
+      ok: Boolean): Boolean = {
+    val get: String => Any = {
+      case "doc_id" => id
+      case "lang" => lang
+      case "source" => source
+      case "n_chars" => nChars
+      case "_ok" => java.lang.Boolean.valueOf(ok)
+      case _ => null
+    }
+    filters.forall(eval(_, get))
   }
 }
 
@@ -90,26 +190,25 @@ final class WarcGzScanBuilder(path: String, options: CaseInsensitiveStringMap)
 final case class WarcGzPartition(archive: String, rangeStart: Long, rangeEnd: Long)
   extends InputPartition
 
-final class WarcGzScan(path: String, required: StructType, maxSplitBytes: Long)
+final class WarcGzScan(
+    path: String,
+    required: StructType,
+    maxSplitBytes: Long,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   // the SESSION's Hadoop conf (spark.hadoop.* — object-store credentials,
   // fs overrides), captured at build time and shipped to the readers as
   // plain properties: a bare `new Configuration()` would ignore it and
   // break format("warcgz") on any credentialed scheme
-  private val hadoopProps: Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-      .asScala.map(e => e.getKey -> e.getValue).toMap
-  }
-  private def hadoopConf(): org.apache.hadoop.conf.Configuration = {
-    val c = new org.apache.hadoop.conf.Configuration(false)
-    hadoopProps.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private val hadoopProps: Map[String, String] =
+    Warc.sessionHadoopProps(org.apache.spark.sql.SparkSession.active)
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    Warc.hadoopConfFrom(hadoopProps)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warcgz $path (maxSplitBytes=$maxSplitBytes, columns=${required.fieldNames.mkString(",")})"
+    s"warcgz $path (maxSplitBytes=$maxSplitBytes, columns=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -129,19 +228,23 @@ final class WarcGzScan(path: String, required: StructType, maxSplitBytes: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcGzReaderFactory(required, hadoopProps)
+    new WarcGzReaderFactory(required, hadoopProps, pushed)
 }
 
-final class WarcGzReaderFactory(required: StructType, hadoopProps: Map[String, String])
+final class WarcGzReaderFactory(
+    required: StructType,
+    hadoopProps: Map[String, String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcGzPartitionReader(partition.asInstanceOf[WarcGzPartition], required, hadoopProps)
+    new WarcGzPartitionReader(partition.asInstanceOf[WarcGzPartition], required, hadoopProps, pushed)
 }
 
 final class WarcGzPartitionReader(
     part: WarcGzPartition,
     required: StructType,
-    hadoopProps: Map[String, String])
+    hadoopProps: Map[String, String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val needText = required.fieldNames.contains("text")
@@ -152,8 +255,7 @@ final class WarcGzPartitionReader(
     required.fieldNames.map(n => WarcGzSource.Schema.fieldIndex(n))
 
   private val rows: Iterator[InternalRow] = {
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    val conf = Warc.hadoopConfFrom(hadoopProps)
     val p = new org.apache.hadoop.fs.Path(part.archive)
     val fs = p.getFileSystem(conf)
     // the task's member set: sidecar lines whose offset starts in-range
@@ -175,11 +277,26 @@ final class WarcGzPartitionReader(
     else {
       val start = mine.map(_._1).min
       val span = mine.map { case (o, l) => o + l }.max - start
+      // pushed header predicates run between header walk and body
+      // decode: a non-matching record costs a header parse and a
+      // Content-Length step — never a body UTF-8 decode or a row
+      val keep: Warc.HeaderKeep =
+        if (pushed.isEmpty) Warc.KeepAll
+        else (id, lang, source, nChars) =>
+          WarcGzFilters.matches(pushed, id, lang, source, nChars, ok = true)
       // ONE shared implementation of the positioned-read damage contract
       // (Warc.readGzSpanTuples) — body decode skipped when `text` is
       // pruned away (Content-Length steps over the bytes)
-      Warc.readGzSpanTuples(fs, p, start, span, decodeBody = needText)
-        .iterator.map {
+      Warc.readGzSpanTuples(fs, p, start, span, decodeBody = needText, keep = keep)
+        .iterator.filter {
+          // markers carry nulls: apply the same pushed conjunction, so a
+          // scan that filters them out never emits them (Spark's residual
+          // re-evaluation would drop them anyway — this just saves rows)
+          case (_, _, _, _, _, false, _) =>
+            pushed.isEmpty || WarcGzFilters.matches(pushed, null, null, null, null, ok = false)
+          case _ => true
+        }
+        .map {
           case (id, text, lang, source, nChars, ok, off) =>
             if (ok) emit(Array[Any](
               id.get, if (text == null) null else UTF8String.fromString(text),
@@ -204,4 +321,170 @@ final class WarcGzPartitionReader(
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** DSv2 WRITE path — `df.write.format("warcgz").mode(...).save(dir)`:
+  * each non-empty input partition becomes one member-gzipped archive
+  * `part-<partitionId>.warc.gz` plus its `.idx` sidecar, committed
+  * executor-side via the same temp-name + rename contract as
+  * [[Warc.writeArchivesGz]] (attempt-unique tmp, attempt-independent
+  * final name — a retried/speculative attempt's complete rename wins,
+  * never interleaves). `mode("overwrite")` truncates existing archives
+  * + sidecars at write planning; `mode("append")` adds partitions
+  * alongside (partition ids collide last-writer-wins, like any
+  * re-run into the same dir — use overwrite for reruns). Input must
+  * carry the document shape (doc_id, text, lang, source, n_chars);
+  * write-side parallelism is the input's partitioning — `repartition(n)`
+  * to size archives, exactly `nArchives` in the function API.
+  */
+final class WarcGzWriteBuilder(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new WarcGzWrite(path, info.schema(), overwrite)
+}
+
+final class WarcGzWrite(path: String, input: StructType, overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // resolve the document columns in the INPUT's layout once, driver-side;
+  // loud failure names the missing/mistyped column
+  private val fieldPos: Map[String, Int] = {
+    val want: Map[String, org.apache.spark.sql.types.DataType] = Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    want.map { case (name, dt) =>
+      val i = input.fieldNames.indexOf(name)
+      require(i >= 0, s"warcgz write needs column '$name' (document shape), input has ${input.fieldNames.mkString(",")}")
+      require(input.fields(i).dataType == dt,
+        s"warcgz write column '$name' must be $dt, got ${input.fields(i).dataType}")
+      name -> i
+    }
+  }
+
+  private val hadoopProps: Map[String, String] =
+    Warc.sessionHadoopProps(org.apache.spark.sql.SparkSession.active)
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"warcgz write $path (overwrite=$overwrite)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (overwrite) {
+      // truncate at write planning: clear prior archives + sidecars so the
+      // committed result is exactly this write's partitions
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(Warc.hadoopConfFrom(hadoopProps))
+      val old = fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.warc.gz*"))
+      if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+    }
+    new WarcGzWriterFactory(path, fieldPos, hadoopProps)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class WarcGzCommitted(file: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class WarcGzWriterFactory(
+    path: String,
+    fieldPos: Map[String, Int],
+    hadoopProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new WarcGzDataWriter(path, partitionId, taskId, fieldPos, hadoopProps)
+}
+
+final class WarcGzDataWriter(
+    dir: String,
+    partitionId: Int,
+    taskId: Long,
+    fieldPos: Map[String, Int],
+    hadoopProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val iDoc = fieldPos("doc_id")
+  private val iText = fieldPos("text")
+  private val iLang = fieldPos("lang")
+  private val iSource = fieldPos("source")
+  private val iNChars = fieldPos("n_chars")
+
+  private val name = s"part-$partitionId.warc.gz"
+  private var fs: org.apache.hadoop.fs.FileSystem = _
+  private var tmp: org.apache.hadoop.fs.Path = _
+  private var out: java.io.OutputStream = _
+  private val idx = new StringBuilder
+  private var memberOrd = 0L
+  private var memberOff = 0L
+
+  // lazy open: an empty partition writes no file at all
+  private def ensureOpen(): Unit = if (out == null) {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    fs = d.getFileSystem(Warc.hadoopConfFrom(hadoopProps))
+    fs.setWriteChecksum(false)
+    tmp = new org.apache.hadoop.fs.Path(dir, s".$name.$taskId.tmp")
+    out = fs.create(tmp, true)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iDoc) && !row.isNullAt(iText),
+      s"warcgz write: doc_id/text must be non-null (partition $partitionId)")
+    ensureOpen()
+    val rec = Warc.encodeRecord(
+      row.getLong(iDoc),
+      row.getUTF8String(iText).toString,
+      if (row.isNullAt(iLang)) "" else row.getUTF8String(iLang).toString,
+      if (row.isNullAt(iSource)) "" else row.getUTF8String(iSource).toString,
+      row.getLong(iNChars))
+    val bytes = Warc.gzipMember(rec)
+    out.write(bytes)
+    idx.append(memberOrd).append(' ').append(memberOff).append(' ').append(bytes.length).append('\n')
+    memberOrd += 1L
+    memberOff += bytes.length
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out == null) return WarcGzCommitted("") // empty partition: no file
+    out.close(); out = null
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    rename(tmp, dst)
+    val idst = dst.suffix(".idx")
+    val itmp = new org.apache.hadoop.fs.Path(dir, s".${idst.getName}.$taskId.tmp")
+    try {
+      val w = fs.create(itmp, true)
+      w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      w.close()
+      rename(itmp, idst)
+    } catch {
+      case e: Throwable =>
+        try { fs.delete(itmp, false); () } catch { case _: java.io.IOException => () }
+        throw e
+    }
+    WarcGzCommitted(dst.toString)
+  }
+
+  private def rename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(to, false)
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"warcgz commit rename failed: $from -> $to")
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = if (out != null) {
+    out.close(); out = null
+    // uncommitted attempt: remove the orphaned tmp (retries get a new
+    // task id — same hygiene as the function-API writer)
+    try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+  }
 }

@@ -1925,6 +1925,77 @@ class ExtSpec extends AnyFunSuite {
       s"only the truncated member's record is lost, survivors: $survivors")
   }
 
+  test("WARC indexed gz read resolves URL-encoded sidecar paths (dir with a space)") {
+    import spark.implicits._
+    import graft.sources.Warc
+    // input_file_name() reports a URL-encoded URI; the split table's
+    // ".idx" strip must decode it before opening the data file
+    val dir = java.nio.file.Files.createTempDirectory("warc idx spec").toString
+    assert(dir.contains(" "), "fixture dir must exercise the encoding")
+    val docs = (0L until 16L).map(i => (i, s"body $i", "en", "s0", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    val scan = Warc.readArchivesGzIndexedCounted(spark, dir, membersPerSplit = 4)
+    assert(scan.docs.count() == 16 && scan.rejects == 0L)
+  }
+
+  test("warcgz DSv2 filter pushdown: predicates reach the scan and skip non-matching bodies") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warcpush_spec").toString
+    val docs = (0L until 48L)
+      .map(i => (i, s"body $i", "en", s"s${i % 3}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    val base = spark.read.format("warcgz").load(dir)
+    // pushed predicates are visible in the physical scan description
+    val filtered = base.where(col("source") === "s1" && col("doc_id") < 30L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(source,s1)") && plan.contains("LessThan(doc_id,30)"),
+      s"pushed filters missing from the scan: $plan")
+    // result parity with post-scan filtering of an unpushed read
+    val got = filtered.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (0L until 30L).filter(_ % 3 == 1).map(i => i -> s"body $i").toMap
+    assert(got == expect, s"pushdown must not change results: got ${got.keySet}")
+    // In / IsNotNull forms push too, and marker rows obey the conjunction
+    val in = base.where(col("lang").isin("en", "fr") && col("doc_id").isNotNull)
+    assert(in.queryExecution.executedPlan.toString.contains("In(lang"), "In must push")
+    assert(in.count() == 48)
+    // unsupported predicates (on text) stay residual and still work
+    val res = base.where(col("text").endsWith("7")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res == (0L until 48L).filter(i => i % 10 == 7).toSet)
+  }
+
+  test("warcgz DSv2 write: partition-per-archive commit, roundtrip parity, overwrite truncates, no tmp orphans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcwrite_spec").toString
+    val docs = (0L until 40L)
+      .map(i => (i, s"body $i", "en", s"s${i % 2}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(3, col("doc_id")).write.format("warcgz").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.count(_.endsWith(".warc.gz")) == 3, s"3 partitions = 3 archives, got $files")
+    assert(files.count(_.endsWith(".warc.gz.idx")) == 3, "every archive commits its sidecar")
+    assert(!files.exists(_.endsWith(".tmp")), s"no orphaned tmps after commit: $files")
+    // read-back parity through the DSv2 reader (and the function reader)
+    val got = spark.read.format("warcgz").load(dir).where(col("_ok"))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (0L until 40L).map(i => i -> s"body $i").toMap)
+    val fn = graft.sources.Warc.readArchivesGzCounted(spark, dir)
+    assert(fn.docs.count() == 40 && fn.rejects == 0L)
+    // overwrite truncates the previous write entirely
+    docs.where(col("doc_id") < 5L).repartition(1)
+      .write.format("warcgz").mode("overwrite").save(dir)
+    val after = spark.read.format("warcgz").load(dir).where(col("_ok"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == (0L until 5L).toSet, s"overwrite must truncate, got $after")
+    // input missing a document column fails loudly at planning
+    val err = intercept[Exception] {
+      docs.drop("lang").write.format("warcgz").mode("overwrite").save(dir)
+    }
+    assert(err.getMessage.contains("lang"), err.getMessage)
+  }
+
   test("WARC indexed gz read: splits follow the record count; rows match the whole-file reader; split-tail damage = one reject") {
     import spark.implicits._
     import graft.sources.Warc

@@ -620,6 +620,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally gq.stop()
   }
 
+  test("record-granular streaming WARC ingest: one landing archive fans out to many spans, exactly once") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("warcidx_stream").toString
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, s"doc $i body", "en", "s", i)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // ONE fat archive — the whole-file stream's straggler shape
+    Warc.writeArchivesGz(docs(0L until 32L), dir, nArchives = 1)
+    // the per-sidecar span fold must out-parallelize the archive AND
+    // agree exactly with the batch split table (shared grouping rule)
+    val idxLines = scala.io.Source.fromFile(new java.io.File(dir, "archive-0.warc.gz.idx"))
+      .getLines().map { l => val f = l.split(" "); (f(0).toLong, f(1).toLong, f(2).toLong) }.toVector
+    val bounds = Warc.gzSpanBounds(idxLines.iterator, membersPerSplit = 4, maxSplitBytes = 256L << 20)
+    assert(bounds.length == 8, s"1 archive must become 8 member spans in the micro-batch, got ${bounds.length}")
+    val batch = Warc.gzMemberSplits(spark, dir, membersPerSplit = 4).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("span"))).toSet
+    assert(bounds.toSet == batch, "stream-side and batch-side span grouping must be identical")
+    val table = s"warcidx_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Warc.readArchivesGzIndexedStream(spark, dir, membersPerSplit = 4, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory").queryName(table).start()
+    try {
+      q.processAllAvailable()
+      def ids() = spark.table(table).where(col("_ok")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() == (0L until 32L).toSet, "every member of the fat archive arrives")
+      // wave 2 LANDS honoring the writer's commit order: data file
+      // visible before its sidecar (the sidecar is the arrival event)
+      val staging = java.nio.file.Files.createTempDirectory("warcidx_stage").toString
+      Warc.writeArchivesGz(docs(Seq(100L, 101L)), staging, nArchives = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging, "archive-0.warc.gz"),
+        java.nio.file.Paths.get(dir, "wave2.warc.gz"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging, "archive-0.warc.gz.idx"),
+        java.nio.file.Paths.get(dir, "wave2.warc.gz.idx"))
+      q.processAllAvailable()
+      assert(ids() == (0L until 32L).toSet ++ Set(100L, 101L),
+        "wave 2 arrives; wave 1 not re-read (exactly-once per sidecar)")
+    } finally q.stop()
+  }
+
   test("calibrated streaming threshold: quantile-of-history cut; empty calibration fails with remediation") {
     import org.apache.spark.sql.functions.col
     // history devs 1..100 (centi-exact): p90 of the binned sketch sits
