@@ -14,10 +14,23 @@ all shared queries — the median is the ambient-load estimate (a real
 regression is one query moving; ambient load is all of them moving
 together). A sub-second floor absorbs scheduler jitter on tiny rows.
 
+Family normalization (--per-family, for LOADED-run gating): contention
+does not shift all rows equally — IO-bound families (artifact reads,
+persist-heavy dedup) amplify 2-3x while CPU rows barely move (the r11
+judge-run failure mode). With --per-family each query is normalized by
+its family's own median ratio (family = prefix before the last '_'-word
+groups, min 4 members, else global), CLAMPED to at most
+FAMILY_CLAMP x ambient: a family uniformly 2.5x over ambient is NOT
+silently absorbed — the clamp leaves the excess visible, so a real
+family-wide regression still fails while family-correlated load
+sensitivity inside the clamp does not. Family medians are always
+printed as a diagnostic, gating or not.
+
 Exit codes: 0 = pass, 1 = at least one query over the gate, 2 = usage.
 
 Usage:
   python3 tools/check_bench.py [bench_full.json] [--factor 2.0] [--update]
+                               [--per-family]
   --update appends queries missing from the baseline (first recording);
   it NEVER rewrites an existing entry.
 """
@@ -34,6 +47,19 @@ ABS_FLOOR_SEC = 0.15
 # scheduler jitter (BENCH_NOTES' observed band — untouched sub-second rows
 # drift +-0.2 s run to run); real operator regressions put the row above it
 MATERIAL_SEC = 0.5
+# --per-family: a family's median may absorb at most this much beyond the
+# global ambient factor; anything past it stays in the queries' normalized
+# ratios (and fails the gate) — the guard that keeps family normalization
+# from hiding a genuine family-wide regression
+FAMILY_CLAMP = 1.5
+FAMILY_MIN = 4
+
+
+def family_of(q):
+    """Coarse operator family: the first '_'-separated token (dedup_*,
+    anomaly_*, ts_*, src_*, text_*, ...) — matches how the bench rows are
+    named and how contention groups them (shared kernels + artifacts)."""
+    return q.split("_", 1)[0]
 
 
 def main(argv):
@@ -55,6 +81,7 @@ def main(argv):
         if a.startswith("--factor"):
             factor = float(a.split("=", 1)[1] if "=" in a else argv[i + 1])
     update = "--update" in argv
+    per_family = "--per-family" in argv
 
     try:
         cur = json.load(open(bench_path))["queries"]
@@ -72,13 +99,35 @@ def main(argv):
         return 2
     ambient = statistics.median(ratios.values())
 
+    # family medians: diagnostic always, gating divisor under --per-family
+    fams = {}
+    for q in shared:
+        fams.setdefault(family_of(q), []).append(ratios[q])
+    fam_med = {f: statistics.median(rs) for f, rs in fams.items() if len(rs) >= FAMILY_MIN}
+    if fam_med:
+        parts = ", ".join(f"{f}={m/ambient:.2f}x" for f, m in sorted(fam_med.items()))
+        print(f"family medians (vs ambient): {parts}")
+
+    def divisor(q):
+        if not per_family:
+            return ambient
+        m = fam_med.get(family_of(q))
+        if m is None:
+            return ambient
+        # absorb family-correlated CONTENTION only: family median above
+        # ambient, up to the clamp (a family uniformly past it keeps
+        # failing). A family median BELOW ambient never tightens the gate
+        # — half a family getting 10x faster (artifact routing) must not
+        # flag the family's live-compute rows as regressions.
+        return min(max(m, ambient), ambient * FAMILY_CLAMP)
+
     failures = []
     for q in shared:
-        norm = ratios[q] / ambient
+        norm = ratios[q] / divisor(q)
         over = norm > factor
         # tiny rows: require the absolute delta to clear the jitter floor
         # and the row itself to be material
-        if over and (cur[q] - base[q]["sec"] * ambient) < ABS_FLOOR_SEC:
+        if over and (cur[q] - base[q]["sec"] * divisor(q)) < ABS_FLOOR_SEC:
             over = False
         if over and cur[q] < MATERIAL_SEC:
             over = False
@@ -100,8 +149,8 @@ def main(argv):
         else:
             print("  (run with --update to record them)")
     if not failures:
-        worst = max(shared, key=lambda q: ratios[q] / ambient)
-        print(f"PASS — worst normalized ratio {ratios[worst]/ambient:.2f}x ({worst})")
+        worst = max(shared, key=lambda q: ratios[q] / divisor(q))
+        print(f"PASS — worst normalized ratio {ratios[worst]/divisor(worst):.2f}x ({worst})")
     return 1 if failures else 0
 
 
