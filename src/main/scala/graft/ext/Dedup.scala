@@ -634,11 +634,15 @@ object Dedup {
           deltaPairs.select(col(aCol).cast("long").as("da"), col(bCol).cast("long").as("db"))),
       maxIter = maxIter)
 
-  /** Edge-count cap for the driver union-find route: 1M (src, dst) Long
-    * pairs ≈ 16 MB collected — comfortably inside the same driver budget
-    * as `Similarity.MaxBroadcastRows`' vector collect.
+  /** Edge-count cap for the driver union-find route. Honest budget at
+    * the cap: the typed collect lands specialized (Long, Long) tuples
+    * (~32 B/edge ≈ 8 MB) but the boxed HashMap union-find costs
+    * ~50 B/node over ≤2·edges nodes ≈ 25 MB — ~35 MB transient total,
+    * inside the same driver budget class as
+    * `Similarity.MaxBroadcastRows`' vector collect. The incremental
+    * fold-in graphs this route exists for are thousands of edges.
     */
-  val MaxLocalClusterEdges: Int = 1000000
+  val MaxLocalClusterEdges: Int = 250000
 
   /** Count-routed [[clusters]]: an edge list within `maxLocalEdges`
     * collapses via in-memory union-find on the driver — ONE collect job
@@ -657,11 +661,15 @@ object Dedup {
       bCol: String = "db",
       maxLocalEdges: Int = MaxLocalClusterEdges,
       maxIter: Int = 25): DataFrame = {
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // limit(cap + 1): if more rows exist we only learn "too many" (and
     // fall back to the distributed loop, re-reading the input); within
-    // the cap the probe IS the edge fetch — no second pass
-    val probe = p.limit(maxLocalEdges + 1).collect()
+    // the cap the probe IS the edge fetch — no second pass. Typed
+    // collect: specialized (Long, Long) tuples, not GenericRow wrappers
+    // (~4x the heap at the cap)
+    val probe = p.as[(Long, Long)].limit(maxLocalEdges + 1).collect()
     if (probe.length > maxLocalEdges) clusters(pairs, aCol, bCol, maxIter)
     else {
       val spark = pairs.sparkSession
@@ -676,8 +684,7 @@ object Dedup {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      probe.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      probe.foreach { case (a, b) =>
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)

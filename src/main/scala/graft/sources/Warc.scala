@@ -173,9 +173,14 @@ object Warc {
             } catch {
               // retries use a NEW attempt id, so an orphaned hidden tmp
               // would sit in the output dir forever — best-effort delete
-              // before rethrowing (the data-file tmp path does the same)
+              // before rethrowing (the data-file tmp path does the same).
+              // Also undo the already-committed ARCHIVE: an archive
+              // without its sidecar poisons DSv2 planning of the whole
+              // dir and is silently skipped by the indexed readers —
+              // commit both or neither, a retry rewrites the pair
               case e: Throwable =>
                 try { fs.delete(itmp, false); () } catch { case _: java.io.IOException => () }
+                try { fs.delete(dst, false); () } catch { case _: java.io.IOException => () }
                 throw e
             }
           }

@@ -136,13 +136,19 @@ private[sources] object WarcGzFilters {
 
   /** SQL three-valued compare collapsed to the filter's two: a null on
     * either side fails every comparison (and IsNotNull), exactly how
-    * Spark's residual re-evaluation treats the same rows.
+    * Spark's residual re-evaluation treats the same rows. Strings
+    * compare in UTF-8 BINARY order (UTF8String), not String.compareTo's
+    * UTF-16 code-unit order — the two disagree on supplementary-plane
+    * characters (U+10000+ sorts above U+E000 in UTF-8, below in
+    * UTF-16), and a scan that skips a record the residual filter would
+    * keep loses rows permanently.
     */
   private def cmp(v: Any, w: Any): Option[Int] = (v, w) match {
     case (null, _) | (_, null) => None
     case (a: java.lang.Long, b: java.lang.Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(java.lang.Boolean.compare(a, b))
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case _ => None
   }
 
@@ -437,14 +443,20 @@ final class WarcGzDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(iDoc) && !row.isNullAt(iText),
-      s"warcgz write: doc_id/text must be non-null (partition $partitionId)")
+    // ALL five fields loud-non-null: the function-API writer's tuple
+    // encoder rejects nulls, and InternalRow.getLong on a null slot
+    // would silently coerce n_chars to 0 — corrupted round-trips, not
+    // errors
+    require(
+      !row.isNullAt(iDoc) && !row.isNullAt(iText) && !row.isNullAt(iLang) &&
+        !row.isNullAt(iSource) && !row.isNullAt(iNChars),
+      s"warcgz write: document fields must be non-null (partition $partitionId)")
     ensureOpen()
     val rec = Warc.encodeRecord(
       row.getLong(iDoc),
       row.getUTF8String(iText).toString,
-      if (row.isNullAt(iLang)) "" else row.getUTF8String(iLang).toString,
-      if (row.isNullAt(iSource)) "" else row.getUTF8String(iSource).toString,
+      row.getUTF8String(iLang).toString,
+      row.getUTF8String(iSource).toString,
       row.getLong(iNChars))
     val bytes = Warc.gzipMember(rec)
     out.write(bytes)
@@ -466,8 +478,13 @@ final class WarcGzDataWriter(
       w.close()
       rename(itmp, idst)
     } catch {
+      // the pair must commit atomically: an archive WITHOUT its sidecar
+      // hard-fails every future DSv2 planning of the whole directory
+      // (and the indexed readers silently skip it) — undo the archive
+      // rename so a retry rewrites both, or neither exists
       case e: Throwable =>
         try { fs.delete(itmp, false); () } catch { case _: java.io.IOException => () }
+        try { fs.delete(dst, false); () } catch { case _: java.io.IOException => () }
         throw e
     }
     WarcGzCommitted(dst.toString)

@@ -1964,6 +1964,18 @@ class ExtSpec extends AnyFunSuite {
     // unsupported predicates (on text) stay residual and still work
     val res = base.where(col("text").endsWith("7")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(res == (0L until 48L).filter(i => i % 10 == 7).toSet)
+    // string ORDER comparisons must use UTF-8 binary collation (Spark's),
+    // not UTF-16: U+10000 (surrogate pair, UTF-16 code unit 0xD800)
+    // sorts ABOVE U+E000 in UTF-8 — a UTF-16 compare would skip the
+    // record at the scan while the residual filter keeps it
+    val supp = new String(Character.toChars(0x10000))
+    val sdir = java.nio.file.Files.createTempDirectory("warcpush_utf8").toString
+    Seq((1L, "b", "en", supp, 1L), (2L, "b", "en", "", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.format("warcgz").mode("append").save(sdir)
+    val hi = spark.read.format("warcgz").load(sdir)
+      .where(col("source") > "").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hi == Set(1L), s"UTF-8 binary order: supplementary char must survive the pushed scan, got $hi")
   }
 
   test("warcgz DSv2 write: partition-per-archive commit, roundtrip parity, overwrite truncates, no tmp orphans") {

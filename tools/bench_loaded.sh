@@ -20,7 +20,15 @@ CORES=$(nproc)
 NSPIN="${3:-$((CORES / 2))}"
 
 PIDS=()
-cleanup() { for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null; done; wait 2>/dev/null; }
+cleanup() {
+  for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null; done
+  # the churner's in-flight dd is a CHILD of the killed sh and survives
+  # it — reap it too, then remove the stress file AFTER the writers are
+  # gone (an rm before the kill gets recreated by the surviving dd)
+  pkill -f '/tmp/.bench_stress_io' 2>/dev/null
+  wait 2>/dev/null
+  rm -f /tmp/.bench_stress_io
+}
 trap cleanup EXIT
 
 # CPU pressure: nSpin busy loops
@@ -42,4 +50,3 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" java -cp "$CP" \
   --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   -Xmx24g graft.Bench
-rm -f /tmp/.bench_stress_io

@@ -18,8 +18,8 @@ Family normalization (--per-family, for LOADED-run gating): contention
 does not shift all rows equally — IO-bound families (artifact reads,
 persist-heavy dedup) amplify 2-3x while CPU rows barely move (the r11
 judge-run failure mode). With --per-family each query is normalized by
-its family's own median ratio (family = prefix before the last '_'-word
-groups, min 4 members, else global), CLAMPED to at most
+its family's own median ratio (family = the FIRST '_'-separated token,
+e.g. dedup_*/anomaly_*/ts_*; min 4 members, else global), CLAMPED to at most
 FAMILY_CLAMP x ambient: a family uniformly 2.5x over ambient is NOT
 silently absorbed — the clamp leaves the excess visible, so a real
 family-wide regression still fails while family-correlated load
