@@ -77,10 +77,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_embedding_lsh: bucket equi-join candidates, never a cartesian") {
-    val p = plan("dedup_embedding_lsh")
+    // the QUERY row reads the session artifact since r12 (the
+    // load-sensitivity pin), so the plan-shape pin targets the KERNEL
+    // the artifact build runs — lshPairs on the same inputs
+    val p = graft.ext.Similarity.lshPairs(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", tau = 0.4, dims = 64, nBits = 6)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "LSH pair generation must never degrade to all-pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
       s"candidates must come from an equi-join on the bucket key:\n$p")
+    // and the query row itself must read the persisted artifact
+    assert(plan("dedup_embedding_lsh").contains("graft_emblsh_"),
+      "the query row must read the session artifact, not re-derive the kernel")
   }
 
   test("profile_sketch: register aggregation — no exact-distinct Expand rewrite") {
