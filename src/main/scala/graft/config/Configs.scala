@@ -37,6 +37,15 @@ object Constants {
     * absolute deviation).
     */
   val MadConsistency = 1.4826
+  /** Two-sided CUSUM slack (allowance) in σ units, the classic
+    * k = δ/2 for a target shift of δ = 1σ: noise within half a sigma
+    * is absorbed, a sustained level shift integrates linearly.
+    */
+  val CusumSlack = 0.5
+  /** Holt double-exponential TREND smoothing factor β (the level factor
+    * α reuses DefaultSmoothingFactor).
+    */
+  val HoltTrendFactor = 0.1
   /** bitmap_detector defaults (SURVEY.md §2.4 D4). */
   val BitmapPrecision = 4
   val BitmapChunkSize = 2

@@ -98,6 +98,46 @@ object Detectors {
       .select("seriesKey", "tsMs", "value", "score")
   }
 
+  /** Two-sided CUSUM changepoint scores (beyond the reference suite):
+    * the per-series mean/stddev join onto the stream (broadcast when the
+    * key count is small), then the O(1)-state fold accumulates
+    * standardized deviations with slack — score = max(s⁺, s⁻), already
+    * in σ units (no further normalization). The EMA family's complement:
+    * it catches the SMALL sustained shift (0.7σ for 50 points) that
+    * never clears an instantaneous-deviation threshold.
+    */
+  def cusumScores(points: Dataset[TsSample], slack: Double = Constants.CusumSlack): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val stats = points
+      .groupBy("seriesKey")
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val enriched = points.toDF()
+      .join(stats, Seq("seriesKey"))
+      .select(col("seriesKey"), col("tsMs"), col("value"), col("mu"), col("sd"))
+      .as[StatPoint]
+    KeyedFold
+      .foldOnExec[StatPoint, RawScored, String](enriched, "seriesKey", "tsMs", _.seriesKey)(() =>
+        new CusumKernel(slack))
+      .toDF()
+      .withColumnRenamed("dev", "score")
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
+  /** Holt double-exponential (level + trend) forecaster deviation scores
+    * (beyond the reference suite): |v − (l+b) forecast| / stddev_pop(v),
+    * the exp_avg normalization applied to a trend-aware baseline — a
+    * steady ramp is NORMAL here and scores ~0 where exp_avg flags every
+    * point of it.
+    */
+  def holtScores(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      beta: Double = Constants.HoltTrendFactor): DataFrame =
+    normalizeEmaDevs(
+      KeyedFold.foldExec(points)(() => new HoltKernel(alpha, beta)).toDF(),
+      points)
+
   /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
   def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
     val folded = KeyedFold.foldExec(points)(() => new DerivativeKernel(alpha)).toDF()
@@ -351,6 +391,8 @@ object Detectors {
       case "default_detector" => defaultScores(points, cfg.smoothingFactor)
       case "bitmap_detector" => BitmapDetector.scores(points)
       case "mad_detector" => madScores(points)
+      case "cusum_detector" => cusumScores(points)
+      case "holt_winters_detector" => holtScores(points, cfg.smoothingFactor)
       case "absolute_threshold" =>
         absoluteThresholdScores(points, cfg.absoluteThresholdUpper, cfg.absoluteThresholdLower)
           .select("seriesKey", "tsMs", "value", "score")

@@ -23,6 +23,69 @@ final class ExpAvgKernel(alpha: Double) extends SeriesKernel {
 /** Sample enriched with per-series count + value stddev (lag-window EMA). */
 final case class CountedPoint(seriesKey: String, tsMs: Long, value: Double, n: Long, sd: Double)
 
+/** Sample enriched with per-series mean + value stddev (CUSUM). */
+final case class StatPoint(seriesKey: String, tsMs: Long, value: Double, mu: Double, sd: Double)
+
+/** Two-sided CUSUM changepoint kernel (Page's cumulative-sum chart):
+  * over standardized values z_i = (v_i − μ)/σ (per-series μ, σ carried
+  * on the input; σ = 0 → z = v − μ),
+  * {{{
+  * s⁺_i = max(0, s⁺_{i−1} + z_i − slack)
+  * s⁻_i = max(0, s⁻_{i−1} − z_i − slack)
+  * }}}
+  * dev = max(s⁺, s⁻). A sustained LEVEL SHIFT integrates linearly on one
+  * side while zero-mean noise is absorbed by the slack — the
+  * change-point signal the EMA family cannot express (those score the
+  * instantaneous deviation and forget it one smoothing constant later;
+  * CUSUM accumulates until the shift is undeniable). O(1) state.
+  */
+final class CusumKernel(slack: Double) extends StreamKernel[StatPoint, RawScored] {
+  private var sp = 0.0
+  private var sn = 0.0
+
+  override def feed(p: StatPoint): Iterator[RawScored] = {
+    val z = if (p.sd > 0) (p.value - p.mu) / p.sd else p.value - p.mu
+    sp = math.max(0.0, sp + z - slack)
+    sn = math.max(0.0, sn - z - slack)
+    Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, math.max(sp, sn)))
+  }
+  override def flush(): Iterator[RawScored] = Iterator.empty
+}
+
+/** Holt double-exponential smoothing (level + trend) forecaster,
+  * deviation-scored: one-step-ahead forecast f_i = l_{i−1} + b_{i−1},
+  * raw dev_i = v_i − f_i, then
+  * {{{
+  * l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})
+  * b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+  * }}}
+  * with l_0 = v_0, b_0 = 0, dev_0 = 0. A trending series is NORMAL here
+  * (the trend term follows it), so a steady ramp scores ~0 where plain
+  * exp_avg scores every point of it — the complementary failure mode.
+  * Normalization (|dev|/stddev) happens relationally downstream. O(1)
+  * state.
+  */
+final class HoltKernel(alpha: Double, beta: Double) extends SeriesKernel {
+  private var l = 0.0
+  private var b = 0.0
+  private var first = true
+
+  override def feed(p: TsSample): Iterator[RawScored] = {
+    if (first) {
+      first = false; l = p.value; b = 0.0
+      Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, 0.0))
+    } else {
+      val f = l + b
+      val dev = p.value - f
+      val l1 = alpha * p.value + (1 - alpha) * (l + b)
+      b = beta * (l1 - l) + (1 - beta) * b
+      l = l1
+      Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, dev))
+    }
+  }
+  override def flush(): Iterator[RawScored] = Iterator.empty
+}
+
 /** exp_avg detector, lag-window form: per point, EMA over the trailing
   * min(maxLag, pct·n)+1 values (ring buffer — bounded state), normalized
   * by the per-series population stddev carried on the input. Emits the

@@ -326,6 +326,53 @@ object DetectQueries {
               |       round(coalesce(d.score, 0.0), 4) AS score
               |FROM syms s LEFT JOIN ssd d ON s.k = d.k AND s.rn = d.j""".stripMargin)
     ),
+    // Two-sided CUSUM changepoint scores (beyond the reference suite):
+    // the oracle standardizes with the same per-series avg/stddev_pop,
+    // then replays the max(0, ·)-clamped accumulation recurrence with
+    // the identical fp-op order (s + z − slack, left-associated).
+    Q(
+      "anomaly_cusum_scores",
+      (s, dir) => asOut(Detectors.cusumScores(pts(s, dir))),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |vstat AS (SELECT k, avg(v) mu, stddev_pop(v) sd FROM pts GROUP BY k),
+              |zp AS (SELECT r.k, r.ts_ms, r.v, r.rn,
+              |         CASE WHEN s.sd > 0 THEN (r.v - s.mu)/s.sd ELSE r.v - s.mu END z
+              |       FROM rpts r JOIN vstat s ON r.k = s.k),
+              |cus AS (
+              |  SELECT k, ts_ms, v, rn,
+              |         greatest(0, 0 + z - 0.5) sp, greatest(0, 0 - z - 0.5) sn
+              |  FROM zp WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn,
+              |         greatest(0, c.sp + p.z - 0.5), greatest(0, c.sn - p.z - 0.5)
+              |  FROM zp p JOIN cus c ON p.k = c.k AND p.rn = c.rn + 1)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       round(greatest(sp, sn), 4) AS score FROM cus""".stripMargin)
+    ),
+    // Holt double-exponential (level+trend) forecaster deviations
+    // (beyond the reference suite): the oracle carries (l, b) through the
+    // recursive CTE with the kernel's exact expression text — the level
+    // update appears verbatim inside the trend update, so the fp
+    // sequences are identical — then applies the exp_avg normalization.
+    Q(
+      "anomaly_holt_scores",
+      (s, dir) => asOut(Detectors.holtScores(pts(s, dir))),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |hw AS (
+              |  SELECT k, ts_ms, v, rn, v AS l, CAST(0 AS DOUBLE) b, CAST(0 AS DOUBLE) dev
+              |  FROM rpts WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn,
+              |         0.2*p.v + (1 - 0.2)*(h.l + h.b),
+              |         0.1*((0.2*p.v + (1 - 0.2)*(h.l + h.b)) - h.l) + (1 - 0.1)*h.b,
+              |         p.v - (h.l + h.b)
+              |  FROM rpts p JOIN hw h ON p.k = h.k AND p.rn = h.rn + 1),
+              |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+              |hs AS (SELECT h.k, h.ts_ms, h.v,
+              |         CASE WHEN s.sd > 0 THEN abs(h.dev / s.sd) ELSE h.dev END score
+              |       FROM hw h JOIN vsd s ON h.k = s.k)
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
+    ),
     // Robust z-score (median/MAD — beyond the reference suite): the
     // oracle replays the exact rank-interpolation median twice (values,
     // then absolute deviations) and the same guarded normalization.

@@ -70,6 +70,59 @@ class DetectorsSpec extends AnyFunSuite {
     assert(res.scores.count() == 4 && res.anomalies.count() == 0)
   }
 
+  test("CUSUM: a small sustained shift accumulates past any instantaneous-deviation score") {
+    // 40 baseline points at 10.0 then 10 shifted at 10.7: global μ=10.14,
+    // σ=0.28, so pre-shift z = −0.5 lands exactly ON the slack (s⁻ stays
+    // 0) while post-shift z = 2 accumulates 1.5/point — the shift is
+    // mild point-by-point but undeniable in sum
+    val rows = (1L to 40L).map(i => (1L, i * 1000L, 10.0)) ++
+      (41L to 50L).map(i => (1L, i * 1000L, 10.7))
+    val out = Detectors.cusumScores(pts(rows: _*)).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(out(50000L) > 12.0, s"10 post-shift points at z=2, slack .5 → ~15, got ${out(50000L)}")
+    val preMax = (1L to 40L).map(i => out(i * 1000L)).max
+    assert(preMax < 0.01 && out(50000L) > 100 * (preMax + 0.01),
+      s"pre-shift accumulation ($preMax) must stay at zero")
+    // the EMA family's score on the same data never clears ~2 — the
+    // complementary-detector claim, measured not asserted
+    val ema = Detectors.expAvgScores(pts(rows: _*)).collect().map(_.getAs[Double]("score")).max
+    assert(ema < out(50000L) / 3, s"exp_avg max $ema vs cusum ${out(50000L)}")
+    // constant series: sd = 0 → z = 0 → slack eats everything → all zero
+    val flat = pts((2, 1000, 5.0), (2, 2000, 5.0), (2, 3000, 5.0), (2, 4000, 5.0))
+    assert(Detectors.cusumScores(flat).collect().forall(_.getAs[Double]("score") == 0.0))
+    // registry dispatch
+    val viaRegistry = Detectors.score(pts(rows: _*), DetectorConfig(algorithmName = "cusum_detector"))
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(viaRegistry == out)
+  }
+
+  test("Holt level+trend: a steady ramp is normal (trend-aware) where exp_avg flags it; spikes still score") {
+    val ramp = pts((1L to 60L).map(i => (1L, i * 1000L, i.toDouble)): _*)
+    def lateMean(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+      (51L to 60L).map(i => m(i * 1000L)).sum / 10.0
+    }
+    val holtLate = lateMean(Detectors.holtScores(ramp))
+    val emaLate = lateMean(Detectors.expAvgScores(ramp))
+    assert(holtLate < emaLate / 3,
+      s"the trend term must absorb the ramp: holt $holtLate vs exp_avg $emaLate")
+    // a spike off the ramp still scores: append 100 after 1..10
+    val spike = pts(((1L to 10L).map(i => (1L, i * 1000L, i.toDouble)) :+ ((1L, 11000L, 100.0))): _*)
+    val s = Detectors.holtScores(spike).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(s(11000L) > 5 * (1L to 10L).map(i => s(i * 1000L)).max,
+      s"the spike must dominate the ramp scores: $s")
+    // constant series: dev 0 everywhere, sd 0 → signed-dev fallback = 0
+    val flat = pts((2, 1000, 5.0), (2, 2000, 5.0), (2, 3000, 5.0), (2, 4000, 5.0))
+    assert(Detectors.holtScores(flat).collect().forall(_.getAs[Double]("score") == 0.0))
+    // registry dispatch
+    val viaRegistry = Detectors.score(ramp, DetectorConfig(algorithmName = "holt_winters_detector"))
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    val direct = Detectors.holtScores(ramp).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(viaRegistry == direct)
+  }
+
   test("MAD robust z-score: outlier scored high, masking resistance vs stddev normalization") {
     // values 10,10,10,10,1000: median 10, absdevs 0,0,0,0,990 → MAD 0...
     // use 9,10,10,11,1000: median 10, absdevs 1,0,0,1,990 → MAD 1
