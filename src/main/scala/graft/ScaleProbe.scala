@@ -24,8 +24,10 @@ object ScaleProbe {
     val warcMode = args.length > 1 && args(1) == "warc"
     val ledgerMode = args.length > 1 && args(1) == "ledger"
     val asofMode = args.length > 1 && args(1) == "asof"
+    val detectMode = args.length > 1 && args(1) == "detect"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
-      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode || asofMode
+      lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode ||
+      asofMode || detectMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -263,6 +265,30 @@ object ScaleProbe {
     // owning ~1/3 of all rows (worst realistic series skew): confirms
     // the one-exchange claim and measures the skewed-key wall time for
     // BENCH_NOTES' 100x table
+    // detect mode: runMain graft.ScaleProbe <sfDir> detect — the fold
+    // detectors (new + reference-shape) over the dir's full events table:
+    // wall must track rows ~linearly (one exchange + O(1)-state streams)
+    if (detectMode) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val ev = Tables.events(spark, sfDir)
+        .select(
+          col("user_id").cast("string").as("seriesKey"),
+          col("ts_ms").as("tsMs"), col("value"))
+        .as[graft.model.TsSample]
+      println(s"[scaleprobe] detect_rows = ${ev.count()}")
+      timed("cusumScores (stats join + clamped-accumulation fold)") {
+        println(s"[scaleprobe] cusum_rows = ${graft.detect.Detectors.cusumScores(ev).count()}")
+      }
+      timed("holtScores (level+trend fold + stddev normalization)") {
+        println(s"[scaleprobe] holt_rows = ${graft.detect.Detectors.holtScores(ev).count()}")
+      }
+      timed("expAvgScores (the reference-shape fold, for comparison)") {
+        println(s"[scaleprobe] expavg_rows = ${graft.detect.Detectors.expAvgScores(ev).count()}")
+      }
+      spark.stop()
+      return
+    }
     if (asofMode) {
       import org.apache.spark.sql.functions._
       val mult = if (args.length > 2) args(2).toInt else 100

@@ -373,6 +373,39 @@ object DetectQueries {
               |       FROM hw h JOIN vsd s ON h.k = s.k)
               |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
     ),
+    // Streaming CUSUM, batch-parity replayed: the day-chunked stream
+    // carries (s⁺, s⁻) across ~30 micro-batch boundaries, calibrated by
+    // the batch mean/stddev over the same points. Oracle = the batch
+    // CUSUM recursion over the min-per-duplicated-ts deduped stream view
+    // (the stream's late/dup policy), standardized by stats over ALL
+    // points (the calibration side sees history pre-dedup).
+    Q(
+      "anomaly_stream_cusum",
+      (s, dir) =>
+        graft.streaming.Replay
+          .cusumReplay(pts(s, dir), p => p.tsMs / 86400000L)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            round(col("sp"), 4).as("sp"), round(col("sn"), 4).as("sn"),
+            round(col("score"), 4).as("score")),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |vstat AS (SELECT k, avg(v) mu, stddev_pop(v) sd FROM pts GROUP BY k),
+              |d AS (SELECT k, ts_ms, min(v) v FROM pts GROUP BY k, ts_ms),
+              |rd AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM d),
+              |zp AS (SELECT r.k, r.ts_ms, r.v, r.rn,
+              |         CASE WHEN s.sd > 0 THEN (r.v - s.mu)/s.sd ELSE r.v - s.mu END z
+              |       FROM rd r JOIN vstat s ON r.k = s.k),
+              |cus AS (
+              |  SELECT k, ts_ms, v, rn,
+              |         greatest(0, 0 + z - 0.5) sp, greatest(0, 0 - z - 0.5) sn
+              |  FROM zp WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn,
+              |         greatest(0, c.sp + p.z - 0.5), greatest(0, c.sn - p.z - 0.5)
+              |  FROM zp p JOIN cus c ON p.k = c.k AND p.rn = c.rn + 1)
+              |SELECT k AS user_id, ts_ms, v AS value, round(sp, 4) AS sp,
+              |       round(sn, 4) AS sn, round(greatest(sp, sn), 4) AS score FROM cus""".stripMargin)
+    ),
     // Robust z-score (median/MAD — beyond the reference suite): the
     // oracle replays the exact rank-interpolation median twice (values,
     // then absolute deviations) and the same guarded normalization.

@@ -23,6 +23,18 @@ final case class TimedScore(
 /** Carried open-window state for streaming sessionization (O(1)). */
 final case class OpenWindow(startTsMs: Long, endTsMs: Long, peak: Double, exactTsMs: Long)
 
+/** Carried two-sided CUSUM accumulators per series key (O(1)). */
+final case class CusumState(sp: Double, sn: Double, lastTsMs: Long)
+
+/** One streaming CUSUM record: both accumulator sides + their max. */
+final case class CusumScore(
+    seriesKey: String, tsMs: Long, value: Double, sp: Double, sn: Double, score: Double)
+
+/** TimedSample enriched with the calibration stats (stream-static join). */
+final case class StatTimedSample(
+    seriesKey: String, tsMs: Long, value: Double, mu: Double, sd: Double,
+    eventTime: java.sql.Timestamp)
+
 /** Structured-Streaming upgrade of the reference's polling `monitor()`
   * loop (/root/reference/potoos/client.py:113-139, polled per
   * /root/reference/README.md:126-129; BASELINE.json sanctions
@@ -222,6 +234,62 @@ object MonitorStream {
     *    the batch normalized score — the documented batch/stream
     *    divergence; pick the threshold for the raw-dev scale.
     */
+  /** Streaming two-sided CUSUM changepoint scoring — the streaming twin
+    * of `Detectors.cusumScores`, with the standardization baseline as an
+    * explicit CALIBRATION input: a stream cannot compute whole-series
+    * mean/stddev, so `stats` (seriesKey, mu, sd — a batch aggregate over
+    * history, re-derived on whatever cadence drift demands, the
+    * `calibratedThreshold` contract) broadcast-joins onto the stream and
+    * the O(1) accumulator pair carries across micro-batches in the state
+    * store. Same recurrence, same fp-op order as `CusumKernel`, so a
+    * replay over the batch stats is bit-identical to the batch detector.
+    * Same late/dup policy as the EMA stream (per-batch (ts, value) sort,
+    * `tsMs <= lastTsMs` dropped ⇒ min value wins a duplicated ts); same
+    * event-time TTL eviction (a returning key restarts at (0, 0)).
+    */
+  def cusumStream(
+      points: Dataset[TsSample],
+      stats: DataFrame, // (seriesKey, mu, sd)
+      slack: Double = Constants.CusumSlack,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[CusumScore] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .join(broadcast(stats.select(col("seriesKey"), col("mu"), col("sd"))), Seq("seriesKey"))
+      .select(col("seriesKey"), col("tsMs"), col("value"), col("mu"), col("sd"), col("eventTime"))
+      .as[StatTimedSample]
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[CusumState, CusumScore](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[StatTimedSample], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+            var st = state.getOption.getOrElse(CusumState(0.0, 0.0, Long.MinValue))
+            val out = batch.iterator.flatMap { p =>
+              if (p.tsMs <= st.lastTsMs) Iterator.empty
+              else {
+                val z = if (p.sd > 0) (p.value - p.mu) / p.sd else p.value - p.mu
+                val sp = math.max(0.0, st.sp + z - slack)
+                val sn = math.max(0.0, st.sn - z - slack)
+                st = CusumState(sp, sn, p.tsMs)
+                Iterator.single(CusumScore(p.seriesKey, p.tsMs, p.value, sp, sn, math.max(sp, sn)))
+              }
+            }.toVector
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   def monitorStreamCfg(
       points: Dataset[TsSample],
       cfg: graft.config.DetectorConfig,

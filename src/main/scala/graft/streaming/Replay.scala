@@ -91,4 +91,28 @@ object Replay {
     val out = MonitorStream.monitorStreamCfg(mem.toDS(), cfg, stateTtlMs)
     runSink(spark, out)(q => feedChunks(q, mem, chunks))
   }
+
+  /** Replay `points` through the streaming CUSUM in `chunkKey` order,
+    * calibrated by the batch mean/stddev over the SAME points (the
+    * batch-parity configuration: with full-history calibration the
+    * stream must reproduce `Detectors.cusumScores` exactly on dup-free
+    * series). Infinite-TTL default, as in [[monitorCfgReplay]].
+    */
+  def cusumReplay(
+      points: Dataset[TsSample],
+      chunkKey: TsSample => Long,
+      slack: Double = graft.config.Constants.CusumSlack,
+      stateTtlMs: Long = Long.MaxValue / 4): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, col, stddev_pop}
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val stats = points
+      .groupBy("seriesKey")
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[TsSample]
+    val out = MonitorStream.cusumStream(mem.toDS(), stats, slack, stateTtlMs = stateTtlMs)
+    runSink(spark, out.toDF())(q => feedChunks(q, mem, chunks))
+  }
 }

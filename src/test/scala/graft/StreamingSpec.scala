@@ -141,6 +141,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals the batch detector across micro-batch boundaries; TTL eviction restarts at zero") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{avg, col, stddev_pop}
+    // dup-free fixture: 6 baseline points then a sustained shift, split
+    // across 3 micro-batches — the accumulators must carry through the
+    // state store
+    val all = (1L to 6L).map(i => TsSample("1", i * 1000, 10.0)) ++
+      (7L to 12L).map(i => TsSample("1", i * 1000, 10.7))
+    val stats = all.toDS().groupBy("seriesKey")
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream.cusumStream(mem.toDS(), stats)
+      .writeStream.outputMode("append").format("memory").queryName("cusum_out").start()
+    try {
+      all.grouped(4).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val got = spark.table("cusum_out").collect()
+        .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+      val batch = graft.detect.Detectors.cusumScores(all.toDS()).collect()
+        .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (ts, s) =>
+        assert(s == batch(ts), s"stream/batch divergence at $ts: $s vs ${batch(ts)}")
+      }
+      assert(got(12000L) > 1.0, "the shift must have accumulated by series end")
+    } finally q.stop()
+    // TTL eviction: a returning key restarts its accumulators at (0, 0)
+    val mem2 = MemoryStream[TsSample]
+    val flatStats = Seq(("1", 0.0, 1.0), ("2", 0.0, 1.0)).toDF("seriesKey", "mu", "sd")
+    val q2 = MonitorStream
+      .cusumStream(mem2.toDS(), flatStats, watermarkDelay = "0 seconds", stateTtlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("cusum_ttl").start()
+    try {
+      // z = v (mu 0, sd 1): two points at 2 → sp = 1.5 then 3.0
+      mem2.addData(TsSample("1", 1000, 2.0), TsSample("1", 2000, 2.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 100000, 0.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 110000, 0.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("1", 120000, 2.0)); q2.processAllAvailable()
+      val s = spark.table("cusum_ttl").collect()
+        .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("score")).toMap
+      assert(s(("1", 2000L)) == 3.0, "pre-expiry state was live and accumulating")
+      assert(s(("1", 120000L)) == 1.5, s"state not expired: ${s(("1", 120000L))} (continuation would be 4.5)")
+    } finally q2.stop()
+  }
+
   test("dead series expire from the state store after the event-time TTL") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TsSample]
