@@ -36,6 +36,8 @@ object FoldTableFunctions {
 
   val ExpAvgName = "exp_avg_fold"
   val DerivativeName = "derivative_fold"
+  val HoltName = "holt_fold"
+  val CusumName = "cusum_fold"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -101,12 +103,56 @@ object FoldTableFunctions {
       () => new DerivativeKernel(alpha).asInstanceOf[StreamKernel[Any, Any]])
   }
 
+  /** `holt_fold(table[, alpha[, beta]])` — Holt level+trend forecaster
+    * raw deviations (normalization stays in SQL, like the EMA folds).
+    */
+  def holtBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 3, s"usage: $HoltName(table[, alpha[, beta]])")
+    val alpha = doubleArg(HoltName, args, 1, Constants.DefaultSmoothingFactor)
+    val beta = doubleArg(HoltName, args, 2, Constants.HoltTrendFactor)
+    foldPlan(
+      stringArg(HoltName, args, 0),
+      () => new graft.detect.HoltKernel(alpha, beta).asInstanceOf[StreamKernel[Any, Any]])
+  }
+
+  /** `cusum_fold(table[, slack])` — two-sided CUSUM over a PRE-STANDARDIZED
+    * relation `(seriesKey, tsMs, value, mu, sd)`: the per-series moments
+    * are plain SQL (GROUP BY + join), the clamped accumulation is the
+    * fold — the same split as every other TVF (recurrence in the node,
+    * relational algebra in SQL). `dev` carries max(s⁺, s⁻), already in σ
+    * units.
+    */
+  def cusumBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $CusumName(table[, slack])")
+    val slack = doubleArg(CusumName, args, 1, Constants.CusumSlack)
+    val outEnc = ExpressionEncoder[RawScored]()
+    val proj = Project(
+      Seq(
+        Alias(Cast(UnresolvedAttribute("seriesKey"), StringType), "seriesKey")(),
+        Alias(Cast(UnresolvedAttribute("tsMs"), LongType), "tsMs")(),
+        Alias(Cast(UnresolvedAttribute("value"), DoubleType), "value")(),
+        Alias(Cast(UnresolvedAttribute("mu"), DoubleType), "mu")(),
+        Alias(Cast(UnresolvedAttribute("sd"), DoubleType), "sd")()),
+      UnresolvedRelation(stringArg(CusumName, args, 0).split('.').toSeq))
+    KeyedFoldNode(
+      () => new graft.detect.CusumKernel(slack).asInstanceOf[StreamKernel[Any, Any]],
+      (p: Any) => p.asInstanceOf[graft.detect.StatPoint].seriesKey,
+      ExpressionEncoder[graft.detect.StatPoint](),
+      outEnc,
+      "seriesKey",
+      "tsMs",
+      KeyedFoldPlan.outputFor(outEnc),
+      proj)
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
   def register(spark: SparkSession): Unit = {
     graft.bridge.SqlBridge.registerTableFunction(spark, ExpAvgName, expAvgBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, DerivativeName, derivativeBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, HoltName, holtBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, CusumName, cusumBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

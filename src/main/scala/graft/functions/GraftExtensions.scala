@@ -52,6 +52,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
           ""),
         FoldTableFunctions.derivativeBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.HoltName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.HoltName,
+          "holt_fold(table[, alpha[, beta]]) - Holt level+trend forecaster raw deviations " +
+            "over a (seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
+          ""),
+        FoldTableFunctions.holtBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.CusumName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.CusumName,
+          "cusum_fold(table[, slack]) - two-sided CUSUM accumulation over a pre-standardized " +
+            "(seriesKey, tsMs, value, mu, sd) relation; dev carries max(s+, s-)",
+          ""),
+        FoldTableFunctions.cusumBuilder))
     // SQL surface of the flagship extension operators (dedup/text): the
     // builders delegate to the Scala implementations, zero drift
     extensions.injectTableFunction(

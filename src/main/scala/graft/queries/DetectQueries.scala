@@ -232,6 +232,50 @@ object DetectQueries {
            |             ELSE e.score * 0.65 END, 4) AS score
            |FROM escore e JOIN dscore d ON e.k = d.k AND e.ts_ms = d.ts_ms""".stripMargin)
     ),
+    // The NEW detectors' SQL surface: the whole CUSUM pipeline from pure
+    // SQL strings — per-series moments as plain GROUP BY + join, the
+    // clamped accumulation through the cusum_fold TVF (same KeyedFoldNode
+    // as the Scala path). Oracle = the batch CUSUM recursion.
+    Q(
+      "anomaly_sql_cusum",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("graft_sqlc_events")
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqlc_pts AS
+             |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+             |FROM (SELECT user_id, ts_ms, value,
+             |             count(*) OVER (PARTITION BY user_id) AS n
+             |      FROM graft_sqlc_events)
+             |WHERE n >= ${Constants.MinPoints}""".stripMargin)
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqlc_stat AS
+             |SELECT p.seriesKey, p.tsMs, p.value, s.mu, s.sd
+             |FROM graft_sqlc_pts p JOIN (
+             |  SELECT seriesKey, avg(value) AS mu, stddev_pop(value) AS sd
+             |  FROM graft_sqlc_pts GROUP BY seriesKey) s
+             |ON p.seriesKey = s.seriesKey""".stripMargin)
+        s.sql(
+          s"""SELECT CAST(seriesKey AS BIGINT) AS user_id, tsMs AS ts_ms, value,
+             |       round(dev, 4) AS score
+             |FROM cusum_fold('graft_sqlc_stat', ${Constants.CusumSlack})""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |vstat AS (SELECT k, avg(v) mu, stddev_pop(v) sd FROM pts GROUP BY k),
+              |zp AS (SELECT r.k, r.ts_ms, r.v, r.rn,
+              |         CASE WHEN s.sd > 0 THEN (r.v - s.mu)/s.sd ELSE r.v - s.mu END z
+              |       FROM rpts r JOIN vstat s ON r.k = s.k),
+              |cus AS (
+              |  SELECT k, ts_ms, v, rn,
+              |         greatest(0, 0 + z - 0.5) sp, greatest(0, 0 - z - 0.5) sn
+              |  FROM zp WHERE rn = 1
+              |  UNION ALL
+              |  SELECT p.k, p.ts_ms, p.v, p.rn,
+              |         greatest(0, c.sp + p.z - 0.5), greatest(0, c.sn - p.z - 0.5)
+              |  FROM zp p JOIN cus c ON p.k = c.k AND p.rn = c.rn + 1)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |       round(greatest(sp, sn), 4) AS score FROM cus""".stripMargin)
+    ),
     // D2 exp_avg over Redis-style STRING series keys, through the full
     // EP2 monitor facade (range-query algebra → D0 guard → scoring): the
     // reference's keys are key strings (/root/reference/potoos/client.py:39),

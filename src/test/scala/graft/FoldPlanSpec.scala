@@ -95,6 +95,35 @@ class FoldPlanSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("string literal"))
   }
 
+  test("holt_fold and cusum_fold TVFs equal their Scala kernels and plan through KeyedFoldExec") {
+    graft.functions.FoldTableFunctions.register(spark)
+    import spark.implicits._
+    pts.toDF().createOrReplaceTempView("fold_tvf_pts")
+    // holt: plain (seriesKey, tsMs, value) relation
+    val holtSql = spark.sql("SELECT * FROM holt_fold('fold_tvf_pts', 0.2, 0.1)")
+    assert(plan(holtSql).contains("KeyedFold "))
+    val viaSql = holtSql.collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("dev")).toMap
+    val viaScala = KeyedFold.foldExec(pts)(() => new graft.detect.HoltKernel(0.2, 0.1)).collect()
+      .map(r => (r.seriesKey, r.tsMs) -> r.dev).toMap
+    assert(viaSql.nonEmpty && viaSql == viaScala)
+    // cusum: pre-standardized relation built in plain SQL
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW fold_tvf_stat AS
+        |SELECT p.seriesKey, p.tsMs, p.value, s.mu, s.sd
+        |FROM fold_tvf_pts p JOIN (
+        |  SELECT seriesKey, avg(value) mu, stddev_pop(value) sd
+        |  FROM fold_tvf_pts GROUP BY seriesKey) s
+        |ON p.seriesKey = s.seriesKey""".stripMargin)
+    val cusumSql = spark.sql("SELECT * FROM cusum_fold('fold_tvf_stat', 0.5)")
+    assert(plan(cusumSql).contains("KeyedFold "))
+    val cSql = cusumSql.collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("dev")).toMap
+    val cScala = graft.detect.Detectors.cusumScores(pts, slack = 0.5).collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("score")).toMap
+    assert(cSql.nonEmpty && cSql == cScala)
+  }
+
   test("fold partitioning propagates downstream; the typed-MapPartitions path erases it") {
     // this is the structural advantage over the composed fold: a typed
     // MapPartitions node reports unknown partitioning, so everything
