@@ -222,6 +222,43 @@ object TsQueries {
              |  round(CASE WHEN f99 = 0 THEN lo99 ELSE lo99 + f99 * (coalesce(hi99, lo99) - lo99) END, 4) AS p99
              |FROM a""".stripMargin)
     ),
+    // Seasonal-trend decomposition (STL-lite) at period 24: centered-MA
+    // trend, per-phase seasonal, residual — ALL in exact 4-dp fixed
+    // point (centi-int inputs, sign-magnitude half-away integer means),
+    // so the oracle replays the identical integer arithmetic and the
+    // compare is bit-exact. Frames/ranks are stable: (user_id, ts) is
+    // unique in events.
+    Q(
+      "ts_stl_decompose",
+      (s, dir) =>
+        TsAlgebra.stlDecompose(ev(s, dir), "user_id", "ts_ms", "value", period = 24)
+          .select(
+            col("user_id"), col("ts_ms"), col("value"), col("phase"),
+            col("trend_fp"), col("seasonal_fp"), col("resid_fp")),
+      Some("""WITH r AS (
+             |  SELECT user_id, epoch_ms(ts) ts_ms, value,
+             |         CAST(round(value*100, 0) AS BIGINT) vm,
+             |         CAST((row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1) % 24 AS BIGINT) phase
+             |  FROM events),
+             |t AS (SELECT *,
+             |        CAST(sum(vm) OVER wo AS BIGINT) + CAST(sum(vm) OVER wi AS BIGINT) tsum,
+             |        count(*) OVER wo + count(*) OVER wi tn
+             |      FROM r
+             |      WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms
+             |                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+             |             wi AS (PARTITION BY user_id ORDER BY ts_ms
+             |                    ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+             |tr AS (SELECT *, CAST(sign(tsum) AS BIGINT) * ((abs(tsum)*200 + tn) // (2*tn)) AS trend_fp FROM t),
+             |d AS (SELECT *, vm*100 - trend_fp AS dt FROM tr),
+             |sg AS (SELECT *, CAST(sum(dt) OVER wp AS BIGINT) ssum, count(*) OVER wp sn FROM d
+             |       WINDOW wp AS (PARTITION BY user_id, phase)),
+             |f AS (SELECT *, CAST(sign(ssum) AS BIGINT) * ((abs(ssum)*2 + sn) // (2*sn)) AS seasonal_fp FROM sg)
+             |SELECT user_id, ts_ms, value, CAST(phase AS INT) AS phase,
+             |       CAST(trend_fp AS BIGINT) AS trend_fp,
+             |       CAST(seasonal_fp AS BIGINT) AS seasonal_fp,
+             |       CAST(dt - seasonal_fp AS BIGINT) AS resid_fp
+             |FROM f""".stripMargin)
+    ),
     // Trailing 7-sample moving aggregates per series — identical
     // ROWS-frame semantics on both engines. Frames are stable because
     // (user_id, ts) is unique in events (verified at every SF); inputs

@@ -387,6 +387,86 @@ object TsAlgebra {
       .withColumn("mov_n", count(lit(1)).over(w))
   }
 
+  /** Seasonal-trend decomposition (additive, STL-lite) in EXACT 4-dp
+    * fixed point: per series ordered by time,
+    *
+    *  - `trend_fp` — the classical detrending MA, PHASE-UNBIASED in
+    *    both parities: odd periods take the plain centered MA over
+    *    exactly `period` rows (each phase once); even periods take the
+    *    2×MA (rows ±period/2 with half-weighted ends — the two end rows
+    *    share a phase, so their half-weights sum to every middle row's
+    *    full weight);
+    *  - `seasonal_fp` — the per-(series, phase) mean of the detrended
+    *    values, phase = (rank − 1) mod period — the repeating profile;
+    *  - `resid_fp` = detrended − seasonal — what anomaly scoring should
+    *    look at once trend and seasonality are explained away (a
+    *    pure-seasonal spike scores ~0 here and fools exp_avg every
+    *    period).
+    *
+    * All three are BIGINT multiples of 1e-4: values enter as exact
+    * centi-integers (2-decimal inputs), every mean is the
+    * sign-magnitude half-away-from-zero integer division `movingAgg`
+    * uses, so the output is bit-identical on any engine — no float mean
+    * ever lands on a rounding half-way point. Plan shape: ONE hash
+    * exchange on the series key; both windows (centered frame, phase
+    * partition) and the final projection reuse it.
+    *
+    * Requires unique (key, ts) — duplicate timestamps make the rank
+    * (hence the phase) order-dependent; resolve them first (F5 latest
+    * semantics). Bounds: |value| ≤ 1e12 and per-(series, phase) row
+    * counts ≤ 1e5 keep every intermediate inside a BIGINT via the
+    * DECIMAL(38) accumulation, same as `movingAgg`.
+    */
+  def stlDecompose(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(keyCol).orderBy(tsCol)
+    val half = period / 2
+    val base = df.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("_vm", round(col(valueCol) * 100, 0).cast("long"))
+      .withColumn("phase", (row_number().over(ordered) - 1) % period)
+    val weighted =
+      if (period % 2 == 1) {
+        // odd: plain centered MA over exactly `period` rows
+        val frame = ordered.rowsBetween(-half, half)
+        base
+          .withColumn("_tsum", sum(col("_vm")).over(frame))
+          .withColumn("_tn", count(lit(1)).over(frame))
+      } else {
+        // even: 2×MA — outer frame once + inner frame once ⇒ ends
+        // weighted 1, middles 2; the two ends share a phase, so every
+        // phase's total weight is 2
+        val outer = ordered.rowsBetween(-half, half)
+        val inner = ordered.rowsBetween(-(half - 1), half - 1)
+        base
+          .withColumn("_tsum", sum(col("_vm")).over(outer) + sum(col("_vm")).over(inner))
+          .withColumn("_tn", count(lit(1)).over(outer) + count(lit(1)).over(inner))
+      }
+    weighted
+      // round-half-away(100·_tsum/_tn) — trend in 1e-4 units
+      .withColumn(
+        "trend_fp",
+        expr("""CAST(CAST(sign(_tsum) AS DECIMAL(2,0))
+                | * ((abs(CAST(_tsum AS DECIMAL(38,0))) * 200 + _tn) DIV (2 * _tn)) AS BIGINT)""".stripMargin))
+      .withColumn("_dt", col("_vm") * 100 - col("trend_fp"))
+      .withColumn("_ssum", sum(col("_dt")).over(W.partitionBy(col(keyCol), col("phase"))))
+      .withColumn("_sn", count(lit(1)).over(W.partitionBy(col(keyCol), col("phase"))))
+      // round-half-away(_ssum/_sn) — seasonal in the same 1e-4 units
+      .withColumn(
+        "seasonal_fp",
+        expr("""CAST(CAST(sign(_ssum) AS DECIMAL(2,0))
+                | * ((abs(CAST(_ssum AS DECIMAL(38,0))) * 2 + _sn) DIV (2 * _sn)) AS BIGINT)""".stripMargin))
+      .withColumn("resid_fp", col("_dt") - col("seasonal_fp"))
+      .select(
+        col(keyCol), col(tsCol), col(valueCol), col("phase"),
+        col("trend_fp"), col("seasonal_fp"), col("resid_fp"))
+  }
+
   /** Pairwise Pearson correlation between series, over their aligned
     * time buckets — the cross-series dependence report (which hosts
     * move together, which metric leads which). Plan shape: bucket-avg

@@ -296,4 +296,50 @@ class TsAlgebraSpec extends AnyFunSuite {
       .limit(1).collect().head.getAs[Double]("mov_avg")
     assert(mov == -0.0013, s"movingAgg last frame mean must round away from zero, got $mov")
   }
+
+  test("stlDecompose: reconstruction identity holds exactly; seasonal profile recovered; spike lands in the residual") {
+    import org.apache.spark.sql.functions.col
+    // clean series: period-4 pattern [0, 5, 0, -5] on a gentle ramp; a
+    // SEPARATE series carries the same shape plus one injected spike
+    // (keeping the profile check spike-free: a spike inflates its own
+    // phase's seasonal mean by ~detrended/occurrences by construction)
+    val pattern = Array(0.0, 5.0, 0.0, -5.0)
+    def mk(key: String, spikeAt: Int): Seq[(String, Long, Double)] =
+      (0 until 40).map { i =>
+        val spike = if (i == spikeAt) 50.0 else 0.0
+        (key, (i + 1) * 1000L, 10.0 + 0.25 * i + pattern(i % 4) + spike)
+      }
+    val rows = mk("clean", -1) ++ mk("spiked", 21)
+    val all = TsAlgebra.stlDecompose(rows.toDF("k", "ts", "v"), "k", "ts", "v", period = 4)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("ts")) ->
+        ((r.getAs[Double]("v"), r.getAs[Int]("phase"), r.getAs[Long]("trend_fp"),
+          r.getAs[Long]("seasonal_fp"), r.getAs[Long]("resid_fp")))).toMap
+    // exact reconstruction: trend + seasonal + resid == the 4-dp value, per row
+    all.foreach { case (kts, (v, _, t, s, rd)) =>
+      assert(t + s + rd == math.round(v * 100) * 100, s"identity broken at $kts")
+    }
+    // the injected spike dominates the spiked series' residuals
+    // (single-pass STL: some leakage into the spike's MA-frame neighbors
+    // and its phase's seasonal mean is inherent)
+    val spikeResid = math.abs(all(("spiked", 22000L))._5)
+    val restMax = all.collect {
+      case ((k, ts), r) if k == "spiked" && ts != 22000L => math.abs(r._5)
+    }.max
+    assert(spikeResid > 2.5 * restMax, s"spike resid $spikeResid vs rest max $restMax")
+    // clean series: interior seasonal recovers the planted pattern and
+    // residuals are small (MA edge effects only)
+    (10 to 16).foreach { i =>
+      val s = all(("clean", (i + 1) * 1000L))._4 / 10000.0
+      assert(math.abs(s - pattern(i % 4)) < 0.5, s"phase ${i % 4}: seasonal $s vs ${pattern(i % 4)}")
+    }
+    val cleanInteriorMax = (4 to 35).map(i => math.abs(all(("clean", (i + 1) * 1000L))._5)).max
+    assert(cleanInteriorMax < 10000L, s"clean interior residuals must stay under 1.0: $cleanInteriorMax")
+    // a flat series decomposes to itself: zero seasonal, zero residual
+    val flat = (0 until 12).map(i => ("flat", (i + 1) * 1000L, 7.0)).toDF("k", "ts", "v")
+    TsAlgebra.stlDecompose(flat, "k", "ts", "v", period = 4).collect().foreach { r =>
+      assert(r.getAs[Long]("seasonal_fp") == 0L && r.getAs[Long]("resid_fp") == 0L)
+      assert(r.getAs[Long]("trend_fp") == 70000L)
+    }
+  }
 }
