@@ -25,9 +25,10 @@ object ScaleProbe {
     val ledgerMode = args.length > 1 && args(1) == "ledger"
     val asofMode = args.length > 1 && args(1) == "asof"
     val detectMode = args.length > 1 && args(1) == "detect"
+    val tsopsMode = args.length > 1 && args(1) == "tsops"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
       lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode ||
-      asofMode || detectMode
+      asofMode || detectMode || tsopsMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -285,6 +286,43 @@ object ScaleProbe {
       }
       timed("expAvgScores (the reference-shape fold, for comparison)") {
         println(s"[scaleprobe] expavg_rows = ${graft.detect.Detectors.expAvgScores(ev).count()}")
+      }
+      spark.stop()
+      return
+    }
+    // tsops mode: runMain graft.ScaleProbe <sfDir> tsops [mult] — replicates
+    // events mult× with DISTINCT series keys per replica (throughput
+    // scaling of the seasonal/spectral family: hwScores fold, exact-int
+    // ACF, periodogram). The row count grows mult×, the per-series length
+    // stays constant — the 100 TB shape (more series, not longer ones).
+    if (tsopsMode) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val mult = if (args.length > 2) args(2).toInt else 100
+      val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts_ms"), col("value"))
+      val reps = spark.range(mult.toLong).select(col("id").as("rep"))
+      val big = ev.crossJoin(broadcast(reps))
+        .select(
+          (col("user_id") + col("rep") * 1000000L).as("user_id"),
+          col("ts_ms"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scaleprobe] tsops rows = ${big.count()}")
+      val pts = big.select(
+        col("user_id").cast("string").as("seriesKey"),
+        col("ts_ms").as("tsMs"), col("value")).as[graft.model.TsSample]
+      // toRdd.count() forces EVERY output column: a plain count() lets
+      // Catalyst prune the aggregate/struct columns straight out of the
+      // plan (measured: periodogram "ran" 10x faster under count() with
+      // all 46 trig sums pruned — a probe measuring nothing)
+      def force(d: org.apache.spark.sql.DataFrame): Long = d.queryExecution.toRdd.count()
+      timed("hwScores (level+trend+seasonal fold + stddev normalization)") {
+        println(s"[scaleprobe] hw_rows = ${force(graft.detect.Detectors.hwScores(pts))}")
+      }
+      timed("acf lags 1..8 (lag window + exact-int estimator)") {
+        println(s"[scaleprobe] acf_rows = ${force(graft.ts.TsAlgebra.acf(big, "user_id", "ts_ms", "value", 8))}")
+      }
+      timed("periodogram periods 2..24 (rank/total windows + 46 trig sums)") {
+        println(s"[scaleprobe] pg_rows = ${force(graft.ts.TsAlgebra.periodogram(big, "user_id", "ts_ms", "value", 2 to 24))}")
       }
       spark.stop()
       return

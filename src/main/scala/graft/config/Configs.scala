@@ -46,6 +46,13 @@ object Constants {
     * α reuses DefaultSmoothingFactor).
     */
   val HoltTrendFactor = 0.1
+  /** Holt-Winters SEASONAL smoothing factor γ and default additive
+    * period m (slots in the repeating profile; the oracled query uses
+    * m = 4 so the recursive-CTE oracle can carry the seasonal state as
+    * columns — the kernel itself takes any m ≥ 2 with O(m) state).
+    */
+  val HwSeasonFactor = 0.3
+  val HwPeriod = 4
   /** bitmap_detector defaults (SURVEY.md §2.4 D4). */
   val BitmapPrecision = 4
   val BitmapChunkSize = 2

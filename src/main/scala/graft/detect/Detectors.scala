@@ -138,6 +138,23 @@ object Detectors {
       KeyedFold.foldExec(points)(() => new HoltKernel(alpha, beta)).toDF(),
       points)
 
+  /** Holt-Winters (level + trend + additive seasonality, period m)
+    * forecaster deviation scores (beyond the reference suite): the
+    * exp_avg normalization applied to a seasonality-aware baseline — a
+    * clean daily/weekly cycle is NORMAL here and scores ~0 where both
+    * exp_avg and Holt flag every swing of it; what stands out is the
+    * point that breaks the learned profile.
+    */
+  def hwScores(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      beta: Double = Constants.HoltTrendFactor,
+      gamma: Double = Constants.HwSeasonFactor,
+      period: Int = Constants.HwPeriod): DataFrame =
+    normalizeEmaDevs(
+      KeyedFold.foldExec(points)(() => new HoltWintersKernel(alpha, beta, gamma, period)).toDF(),
+      points)
+
   /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
   def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {
     val folded = KeyedFold.foldExec(points)(() => new DerivativeKernel(alpha)).toDF()
@@ -393,6 +410,7 @@ object Detectors {
       case "mad_detector" => madScores(points)
       case "cusum_detector" => cusumScores(points)
       case "holt_winters_detector" => holtScores(points, cfg.smoothingFactor)
+      case "holt_winters_seasonal_detector" => hwScores(points, cfg.smoothingFactor)
       case "absolute_threshold" =>
         absoluteThresholdScores(points, cfg.absoluteThresholdUpper, cfg.absoluteThresholdLower)
           .select("seriesKey", "tsMs", "value", "score")

@@ -86,6 +86,54 @@ final class HoltKernel(alpha: Double, beta: Double) extends SeriesKernel {
   override def flush(): Iterator[RawScored] = Iterator.empty
 }
 
+/** Holt-Winters triple-exponential smoothing (level + trend + additive
+  * seasonality, period m), deviation-scored: with j = (i−1) mod m the
+  * phase slot, one-step-ahead forecast f_i = l + b + s_j,
+  * raw dev_i = v_i − f_i, then
+  * {{{
+  * l_i = α·(v_i − s_j) + (1−α)·(l_{i−1} + b_{i−1})
+  * b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+  * s_j ← γ·(v_i − l_i) + (1−γ)·s_j
+  * }}}
+  * seeded l_1 = v_1, b_1 = 0, s ≡ 0, dev_1 = 0 (the cold-start seasonal
+  * profile is flat and LEARNED online — no two-cycle warmup pass, so the
+  * kernel streams with O(m) state and one partition visit, the property
+  * every kernel here must keep at 100 TB). A series that repeats every m
+  * samples is NORMAL here and scores ~0 where Holt flags each period's
+  * swing — the seasonal complement to HoltKernel's trend complement.
+  * State updates read only OLD values (f/dev/l/b/s all derive from the
+  * pre-update state), so the fp-op sequence is replayable by a recursive
+  * SQL oracle carrying (l, b, s_0..s_{m−1}).
+  */
+final class HoltWintersKernel(alpha: Double, beta: Double, gamma: Double, period: Int)
+    extends SeriesKernel {
+  require(period >= 2, s"period must be >= 2, got $period")
+  private var l = 0.0
+  private var b = 0.0
+  private val s = new Array[Double](period)
+  private var i = 0L
+
+  override def feed(p: TsSample): Iterator[RawScored] = {
+    i += 1
+    val j = ((i - 1) % period).toInt
+    if (i == 1) {
+      l = p.value; b = 0.0
+      s(j) = gamma * (p.value - l) + (1 - gamma) * s(j) // = 0: seed slot touched, unchanged
+      Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, 0.0))
+    } else {
+      val sj = s(j)
+      val f = l + b + sj
+      val dev = p.value - f
+      val l1 = alpha * (p.value - sj) + (1 - alpha) * (l + b)
+      b = beta * (l1 - l) + (1 - beta) * b
+      s(j) = gamma * (p.value - l1) + (1 - gamma) * sj
+      l = l1
+      Iterator.single(RawScored(p.seriesKey, p.tsMs, p.value, dev))
+    }
+  }
+  override def flush(): Iterator[RawScored] = Iterator.empty
+}
+
 /** exp_avg detector, lag-window form: per point, EMA over the trailing
   * min(maxLag, pct·n)+1 values (ring buffer — bounded state), normalized
   * by the per-series population stddev carried on the input. Emits the

@@ -417,6 +417,46 @@ object DetectQueries {
               |       FROM hw h JOIN vsd s ON h.k = s.k)
               |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
     ),
+    // Holt-Winters (level + trend + additive seasonality, period 4)
+    // forecaster deviations (beyond the reference suite): the oracle
+    // carries (l, b, s0..s3) through the recursive CTE; the phase slot is
+    // selected by a CASE over (rn−1) mod 4, the level update appears
+    // VERBATIM inside the trend and seasonal updates (identical fp
+    // sequence — the Holt-oracle trick one state wider), then the
+    // exp_avg normalization applies.
+    Q(
+      "anomaly_hw_scores",
+      (s, dir) => asOut(Detectors.hwScores(pts(s, dir))),
+      Some {
+        // sj = seasonal slot read BEFORE update; l1 = level update text,
+        // inlined verbatim wherever the kernel reads the new level.
+        val sj = "CASE (p.rn-1)%4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END"
+        val l1 = s"0.2*(p.v - ($sj)) + (1 - 0.2)*(h.l + h.b)"
+        val sCols = (0 to 3)
+          .map(j =>
+            s"CASE WHEN (p.rn-1)%4 = $j THEN 0.3*(p.v - ($l1)) + (1 - 0.3)*h.s$j ELSE h.s$j END")
+          .mkString(",\n|         ")
+        s"""WITH RECURSIVE $ptsCte,
+           |hw AS (
+           |  SELECT k, ts_ms, v, rn, v AS l, CAST(0 AS DOUBLE) b,
+           |         CAST(0 AS DOUBLE) s0, CAST(0 AS DOUBLE) s1,
+           |         CAST(0 AS DOUBLE) s2, CAST(0 AS DOUBLE) s3,
+           |         CAST(0 AS DOUBLE) dev
+           |  FROM rpts WHERE rn = 1
+           |  UNION ALL
+           |  SELECT p.k, p.ts_ms, p.v, p.rn,
+           |         $l1,
+           |         0.1*(($l1) - h.l) + (1 - 0.1)*h.b,
+           |         $sCols,
+           |         p.v - (h.l + h.b + ($sj))
+           |  FROM rpts p JOIN hw h ON p.k = h.k AND p.rn = h.rn + 1),
+           |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+           |hs AS (SELECT w.k, w.ts_ms, w.v,
+           |         CASE WHEN s.sd > 0 THEN abs(w.dev / s.sd) ELSE w.dev END score
+           |       FROM hw w JOIN vsd s ON w.k = s.k)
+           |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin
+      }
+    ),
     // Streaming CUSUM, batch-parity replayed: the day-chunked stream
     // carries (s⁺, s⁻) across ~30 micro-batch boundaries, calibrated by
     // the batch mean/stddev over the same points. Oracle = the batch

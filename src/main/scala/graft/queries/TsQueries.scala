@@ -82,6 +82,64 @@ object TsQueries {
        |FROM g""".stripMargin
   }
 
+  /** ts_acf oracle — generated for lags 1..acfK; mirrors TsAlgebra.acf's
+    * integer algebra term by term (HUGEINT sums, one final double divide).
+    */
+  private val acfK = 8
+  private val acfOracleSql: String = {
+    val lagCols = (1 to acfK).map(l => s"lag(p, $l) OVER w p_$l").mkString(", ")
+    val aggCols = (1 to acfK)
+      .map(l => s"sum(p*p_$l) c_$l, sum(CASE WHEN p_$l IS NOT NULL THEN p END) a_$l, sum(p_$l) b_$l")
+      .mkString(",\n|        ")
+    val rows = (1 to acfK)
+      .map(l => s"{'lag_k': $l, 'num': n*n*c_$l - n*s1*(a_$l + b_$l) + (n - $l)*s1*s1}")
+      .mkString(",\n|          ")
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, CAST(round(value*100, 0) AS HUGEINT) p FROM events),
+       |l AS (SELECT user_id, p, $lagCols
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm)),
+       |g AS (SELECT user_id, CAST(count(*) AS HUGEINT) n, sum(p) s1, sum(p*p) q,
+       |        $aggCols
+       |      FROM l GROUP BY 1),
+       |x AS (SELECT user_id, n, n*n*q - n*s1*s1 den,
+       |        unnest([$rows]) r
+       |      FROM g)
+       |SELECT user_id, CAST(r.lag_k AS INT) AS lag_k, CAST(n - r.lag_k AS BIGINT) AS n_pairs,
+       |       CASE WHEN den > 0 THEN round(CAST(r.num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0 END AS acf
+       |FROM x WHERE r.lag_k < n""".stripMargin
+  }
+
+  /** ts_periodogram oracle — generated for the candidate period grid;
+    * the θ and power expressions are written with the identical fp-op
+    * order as TsAlgebra.periodogram (see its determinism note).
+    */
+  private val pgPeriods: Seq[Int] = 2 to 24
+  private val pgOracleSql: String = {
+    val aggCols = pgPeriods
+      .map(p =>
+        s"sum(dm * cos(2.0 * pi() * CAST(t % $p AS DOUBLE) / $p.0)) c_$p, " +
+          s"sum(dm * sin(2.0 * pi() * CAST(t % $p AS DOUBLE) / $p.0)) s_$p")
+      .mkString(",\n|        ")
+    val rows = pgPeriods
+      .map(p => s"{'period': $p, 'spec_power': round((c_$p*c_$p + s_$p*s_$p) / (10000.0 * n * n * n), 2) + 0.0}")
+      .mkString(",\n|          ")
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, CAST(round(value*100, 0) AS BIGINT) vm FROM events),
+       |r AS (SELECT user_id, vm,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY tm) - 1 t,
+       |        count(*) OVER (PARTITION BY user_id) n,
+       |        sum(vm) OVER (PARTITION BY user_id) s
+       |      FROM e),
+       |d AS (SELECT user_id, n, t, CAST(vm*n - s AS DOUBLE) dm FROM r),
+       |g AS (SELECT user_id, max(n) n,
+       |        $aggCols
+       |      FROM d GROUP BY 1),
+       |x AS (SELECT user_id, n,
+       |        unnest([$rows]) r
+       |      FROM g)
+       |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(r.period AS INT) AS period,
+       |       r.spec_power AS spec_power
+       |FROM x""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // F1 time-range + F6 order + F7 projection (TS.RANGE, SURVEY S1/F1)
     Q(
@@ -411,6 +469,24 @@ object TsQueries {
              |  CASE WHEN a2 > 0 THEN round(CAST(b3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))), 4) + 0.0 END AS skewness,
              |  CASE WHEN a2 > 0 THEN round(CAST(c4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3, 4) + 0.0 END AS kurtosis_excess
              |FROM c""".stripMargin)
-    )
+    ),
+    // Exact per-series autocorrelation, lags 1..8: centi-int power/cross
+    // sums in DECIMAL(38)/HUGEINT, integer estimator algebra, ONE final
+    // double division — deterministic at any partitioning (see
+    // TsAlgebra.acf). (user_id, ts) is unique in events, so the lag
+    // window is stable.
+    Q(
+      "ts_acf",
+      (s, dir) => TsAlgebra.acf(ev(s, dir), "user_id", "ts_ms", "value", maxLag = acfK),
+      Some(acfOracleSql)),
+    // Per-series periodogram over the period grid 2..24: spectral power
+    // of the mean-centered series at frequency 1/P — the dominant-cycle
+    // report that picks stlDecompose's period. Exact-integer centering
+    // (dm = vm·n − S), identical θ/power expression text on both sides;
+    // round(2) sits 5 orders above the residual libm/summation noise.
+    Q(
+      "ts_periodogram",
+      (s, dir) => TsAlgebra.periodogram(ev(s, dir), "user_id", "ts_ms", "value", periods = pgPeriods),
+      Some(pgOracleSql))
   )
 }

@@ -505,6 +505,140 @@ object TsAlgebra {
       .where(col("n_buckets") >= minBuckets)
   }
 
+  /** Exact per-series autocorrelation at lags 1..maxLag — the
+    * seasonality/memory probe (which lag explains the series; feeds the
+    * period choice for [[stlDecompose]]/[[periodogram]]). Values enter as
+    * exact centi-integers, all cross/partial sums accumulate in
+    * DECIMAL(38,0), and the estimator is assembled by integer algebra
+    * with ONE final double division — deterministic at any partitioning,
+    * matching any engine on the round(4) grid.
+    *
+    * Estimator (Pearson-style ACF with full-series mean μ and
+    * full-series denominator): ρ_ℓ = Σ_{t>ℓ}(v_t−μ)(v_{t−ℓ}−μ) /
+    * Σ_t(v_t−μ)². Multiplied out over vm = round(100v), S = Σvm:
+    * num_ℓ = n²·Cℓ − n·S·(Aℓ+Bℓ) + (n−ℓ)·S², den = n²·Q − n·S², with
+    * Cℓ = Σ vm_t·vm_{t−ℓ}, Aℓ/Bℓ the two lagged partial sums, Q = Σvm².
+    *
+    * Plan shape: ONE hash exchange on the series key — the lag window
+    * and the final per-key aggregate share it; per-row state is maxLag
+    * lagged values (bounded), never a collected series. Requires unique
+    * (key, ts) (duplicate timestamps make the lag order-dependent —
+    * resolve with F5 latest first). Bounds: the per-row products and
+    * power sums accumulate in LONG — exact while the per-series Σvm²
+    * fits 2^63 (2-decimal values ≤ 1e4 up to ~9e9 points per series,
+    * ≤ 1e6 up to ~9e5 points), with a loud ANSI overflow beyond (never
+    * a silent wrap). A DECIMAL(38) hot path would be exact at any
+    * magnitude but runs interpreted BigDecimal per row — measured 8×
+    * the whole aggregation's cost at 1M rows — so the wide arithmetic
+    * is reserved for the estimator algebra (n²·Cℓ − …, which DOES
+    * exceed long at modest series lengths): that runs on the
+    * one-row-per-series aggregate table, off the hot path.
+    */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(keyCol).orderBy(tsCol)
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(
+        col(keyCol), col(tsCol),
+        expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)").as("_p"))) {
+      case (d, l) => d.withColumn(s"_p_$l", lag(col("_p"), l).over(ordered))
+    }
+    val aggs =
+      Seq(
+        count(lit(1)).as("n"),
+        sum(col("_p")).as("s1L"),
+        sum(col("_p") * col("_p")).as("qL")) ++
+        (1 to maxLag).flatMap { l =>
+          Seq(
+            sum(col("_p") * col(s"_p_$l")).as(s"c_${l}L"),
+            sum(when(col(s"_p_$l").isNotNull, col("_p"))).as(s"a_${l}L"),
+            sum(col(s"_p_$l")).as(s"b_${l}L"))
+        }
+    val dec = "decimal(38,0)"
+    val widened =
+      (Seq("s1", "q") ++ (1 to maxLag).flatMap(l => Seq(s"c_$l", s"a_$l", s"b_$l")))
+        .foldLeft(lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)) {
+          case (d, c) => d.withColumn(c, col(s"${c}L").cast(dec))
+        }
+    val lagRows = (1 to maxLag).map { l =>
+      struct(
+        lit(l).as("lag_k"),
+        expr(s"n*n*c_$l - n*s1*(a_$l + b_$l) + (n - $l)*s1*s1").as("num"))
+    }
+    widened
+      .withColumn("den", expr("n*n*q - n*s1*s1"))
+      .select(col(keyCol), col("n"), col("den"), explode(array(lagRows: _*)).as("_lr"))
+      .where(col("_lr.lag_k") < col("n"))
+      .select(
+        col(keyCol),
+        col("_lr.lag_k").as("lag_k"),
+        (col("n") - col("_lr.lag_k")).as("n_pairs"),
+        expr("CASE WHEN den > 0 THEN round(CAST(_lr.num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0 END")
+          .as("acf"))
+  }
+
+  /** Per-series periodogram at candidate periods — the dominant-cycle
+    * report feeding [[stlDecompose]]'s period choice. Power at period P
+    * is the squared DFT magnitude of the mean-centered series at
+    * frequency 1/P (sample units), normalized by n:
+    * power = ((Σ x_t·cos θ_t)² + (Σ x_t·sin θ_t)²) / n with
+    * θ_t = 2π·(t mod P)/P, t the 0-based rank.
+    *
+    * Cross-engine determinism: x_t enters as the exact integer
+    * dm = vm·n − S (= 100·n·x_t, exactly representable far below 2^53),
+    * θ uses (t mod P) so both engines evaluate cos/sin at the same small
+    * argument, and the only noise left is libm 1-ulp differences plus
+    * summation order — a random-walk error ~1e-5 of the sums, ~1e-7 of
+    * the power, 5 orders below the round(2) grid.
+    *
+    * Plan shape: ONE hash exchange on the series key — the rank/total
+    * windows and the final aggregate share it; the period dimension is
+    * 2·|periods| aggregate COLUMNS, never a row explosion (an
+    * explode-by-period would multiply the 100 TB shuffle by |periods|).
+    */
+  def periodogram(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), s"periods must all be >= 2: $periods")
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(keyCol).orderBy(tsCol)
+    val whole = W.partitionBy(keyCol)
+    val base = df
+      .select(col(keyCol), col(tsCol), round(col(valueCol) * 100, 0).cast("long").as("_vm"))
+      .withColumn("_t", row_number().over(ordered) - 1)
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("_s", sum(col("_vm")).over(whole))
+      .withColumn("_dm", (col("_vm") * col("_n") - col("_s")).cast("double"))
+    val aggs = max(col("_n")).as("n") +: periods.flatMap { p =>
+      val theta = lit(2.0) * lit(math.Pi) * (col("_t") % p).cast("double") / lit(p.toDouble)
+      Seq(
+        sum(col("_dm") * cos(theta)).as(s"c_$p"),
+        sum(col("_dm") * sin(theta)).as(s"s_$p"))
+    }
+    val perRows = periods.map { p =>
+      struct(
+        lit(p).as("period"),
+        expr(s"round((c_$p*c_$p + s_$p*s_$p) / (10000.0 * n * n * n), 2) + 0.0").as("spec_power"))
+    }
+    base
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), col("n"), explode(array(perRows: _*)).as("_pr"))
+      .select(
+        col(keyCol), col("n"),
+        col("_pr.period").as("period"),
+        col("_pr.spec_power").as("spec_power"))
+  }
+
   def aggExpr(name: String, value: Column, ts: Column): Column = name match {
     case "avg" => avg(value)
     case "sum" => sum(value)

@@ -123,6 +123,38 @@ class DetectorsSpec extends AnyFunSuite {
     assert(viaRegistry == direct)
   }
 
+  test("Holt-Winters seasonal scores absorb a pure cycle; breaking the profile still flags; registry dispatches") {
+    // period-4 square-ish wave: Holt's trend term chases each swing and
+    // flags forever; the seasonal slots learn the profile and go quiet
+    val wave = pts((0 until 60).map(i =>
+      (1L, (i + 1) * 1000L, 20.0 + Array(0.0, 8.0, 0.0, -8.0)(i % 4))): _*)
+    def lateMean(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+      (49 to 60).map(i => m(i * 1000L)).sum / 12.0
+    }
+    val hwLate = lateMean(Detectors.hwScores(wave))
+    val holtLate = lateMean(Detectors.holtScores(wave))
+    assert(hwLate < holtLate / 5,
+      s"the seasonal slots must absorb the cycle: hw $hwLate vs holt $holtLate")
+    // a point that BREAKS the learned profile (phase-1 slot delivering the
+    // phase-3 trough) dominates the settled scores around it
+    val broken = (0 until 60).map { i =>
+      val v = if (i == 49) 12.0 else 20.0 + Array(0.0, 8.0, 0.0, -8.0)(i % 4)
+      (1L, (i + 1) * 1000L, v)
+    }
+    val bs = Detectors.hwScores(pts(broken: _*)).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    val settled = (41 to 48).map(i => bs(i * 1000L)).max
+    assert(bs(50000L) > 4 * settled, s"profile break ${bs(50000L)} vs settled max $settled")
+    // registry dispatch
+    val viaRegistry = Detectors
+      .score(wave, DetectorConfig(algorithmName = "holt_winters_seasonal_detector"))
+      .collect().map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    val direct = Detectors.hwScores(wave).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(viaRegistry == direct)
+  }
+
   test("MAD robust z-score: outlier scored high, masking resistance vs stddev normalization") {
     // values 10,10,10,10,1000: median 10, absdevs 0,0,0,0,990 → MAD 0...
     // use 9,10,10,11,1000: median 10, absdevs 1,0,0,1,990 → MAD 1

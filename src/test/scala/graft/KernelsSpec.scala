@@ -30,6 +30,39 @@ class KernelsSpec extends AnyFunSuite {
     out.zip(expect).foreach { case (s, e) => assert(math.abs(s.dev - e) < 1e-12) }
   }
 
+  test("HoltWintersKernel matches a naive replay and absorbs a pure seasonal cycle") {
+    // independent naive replay (array-of-state loop, distinct from the kernel's code path)
+    def naive(vs: Seq[Double], a: Double, b0: Double, g: Double, m: Int): Seq[Double] = {
+      var l = 0.0; var b = 0.0; val s = Array.fill(m)(0.0)
+      vs.zipWithIndex.map { case (v, i) =>
+        val j = i % m
+        if (i == 0) { l = v; b = 0.0; 0.0 }
+        else {
+          val dev = v - (l + b + s(j))
+          val l1 = a * (v - s(j)) + (1 - a) * (l + b)
+          val b1 = b0 * (l1 - l) + (1 - b0) * b
+          s(j) = g * (v - l1) + (1 - g) * s(j)
+          l = l1; b = b1
+          dev
+        }
+      }
+    }
+    val pattern = Array(0.0, 8.0, 0.0, -8.0)
+    val vs = (0 until 48).map(i => 20.0 + pattern(i % 4))
+    val in = vs.zipWithIndex.map { case (v, i) => p(1, (i + 1) * 1000L, v) }
+    val out = KeyedFold
+      .run[TsSample, RawScored, String](in.iterator, _.seriesKey, () => new HoltWintersKernel(0.2, 0.1, 0.3, 4))
+      .toSeq
+    val expect = naive(vs, 0.2, 0.1, 0.3, 4)
+    out.zip(expect).foreach { case (s, e) => assert(s.dev == e, s"ts ${s.tsMs}") }
+    // the seasonal profile is learned: last-cycle deviations are a small
+    // fraction of the first post-seed cycle's (Holt would keep flagging
+    // every swing of the period-4 pattern forever)
+    val early = out.slice(1, 5).map(s => math.abs(s.dev)).max
+    val late = out.takeRight(4).map(s => math.abs(s.dev)).max
+    assert(late < 0.15 * early, s"late $late vs early $early")
+  }
+
   test("KeyedFold resets state between keys and preserves order") {
     val in = Seq(p(1, 1000, 10), p(1, 2000, 20), p(2, 1000, 5), p(2, 2000, 5))
     val out = KeyedFold.run[TsSample, RawScored, String](in.iterator, _.seriesKey, () => new ExpAvgKernel(0.2)).toSeq

@@ -342,4 +342,67 @@ class TsAlgebraSpec extends AnyFunSuite {
       assert(r.getAs[Long]("trend_fp") == 70000L)
     }
   }
+
+  test("acf: matches a naive double replay; alternating series anti-correlates at odd lags") {
+    // planted period-4 pattern + mild ramp; naive double-arithmetic ACF
+    // (textbook formula, not the integer-algebra route) within 1e-4 + the
+    // rounding grid
+    val vs = (0 until 40).map(i => 10.0 + 0.1 * i + Array(0.0, 4.0, 0.0, -4.0)(i % 4))
+    val rows = vs.zipWithIndex.map { case (v, i) => ("a", (i + 1) * 1000L, v) }
+    def naiveAcf(xs: Seq[Double], l: Int): Double = {
+      val mu = xs.sum / xs.size
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      val num = (l until xs.size).map(t => (xs(t) - mu) * (xs(t - l) - mu)).sum
+      num / den
+    }
+    val out = TsAlgebra.acf(rows.toDF("k", "ts", "v"), "k", "ts", "v", maxLag = 6)
+      .collect().map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("acf")).toMap
+    (1 to 6).foreach { l =>
+      assert(math.abs(out(l) - naiveAcf(vs, l)) < 2e-4, s"lag $l: ${out(l)} vs ${naiveAcf(vs, l)}")
+    }
+    // the period-4 signature: lag 4 strongly positive, lag 2 strongly negative
+    assert(out(4) > 0.5 && out(2) < -0.5)
+    // alternating +/- series: lag 1 ≈ −1, lag 2 ≈ +1
+    val alt = (0 until 30).map(i => ("b", (i + 1) * 1000L, if (i % 2 == 0) 1.0 else -1.0))
+    val aout = TsAlgebra.acf(alt.toDF("k", "ts", "v"), "k", "ts", "v", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("acf")).toMap
+    assert(aout(1) < -0.9 && aout(2) > 0.9)
+    // constant series: zero denominator → NULL acf, never a crash
+    val const = (0 until 10).map(i => ("c", (i + 1) * 1000L, 5.0))
+    val cout = TsAlgebra.acf(const.toDF("k", "ts", "v"), "k", "ts", "v", maxLag = 2).collect()
+    assert(cout.length == 2 && cout.forall(_.isNullAt(3)))
+    // lags >= series length are not emitted
+    val short = (0 until 3).map(i => ("d", (i + 1) * 1000L, i.toDouble))
+    assert(TsAlgebra.acf(short.toDF("k", "ts", "v"), "k", "ts", "v", maxLag = 6).count() == 2)
+  }
+
+  test("periodogram: a planted cosine's period dominates; matches a naive DFT; flat series → zero power") {
+    val n = 96
+    val planted = 8
+    // on the 2-decimal grid (the operator's exact centi-int domain, like
+    // the events table) so the naive replay sees the same inputs
+    val vs = (0 until n).map(i => math.round((50.0 + 20.0 * math.cos(2 * math.Pi * i / planted)) * 100) / 100.0)
+    val rows = vs.zipWithIndex.map { case (v, i) => ("a", (i + 1) * 1000L, v) }
+    val out = TsAlgebra
+      .periodogram(rows.toDF("k", "ts", "v"), "k", "ts", "v", periods = 2 to 16)
+      .collect().map(r => r.getAs[Int]("period") -> r.getAs[Double]("spec_power")).toMap
+    // naive double DFT on the mean-centered values
+    def naivePower(xs: Seq[Double], p: Int): Double = {
+      val mu = xs.sum / xs.size
+      val c = xs.zipWithIndex.map { case (x, t) => (x - mu) * math.cos(2 * math.Pi * (t % p) / p) }.sum
+      val s = xs.zipWithIndex.map { case (x, t) => (x - mu) * math.sin(2 * math.Pi * (t % p) / p) }.sum
+      (c * c + s * s) / xs.size
+    }
+    (2 to 16).foreach { p =>
+      val e = naivePower(vs, p)
+      assert(math.abs(out(p) - e) <= 0.01 + 1e-6 * math.abs(e), s"period $p: ${out(p)} vs $e")
+    }
+    // the planted period towers over every other candidate
+    val rest = out.collect { case (p, v) if p != planted => v }.max
+    assert(out(planted) > 20 * math.max(rest, 1.0), s"planted ${out(planted)} vs rest $rest")
+    // flat series: zero centered signal → exactly 0.0 power everywhere
+    val flat = (0 until 24).map(i => ("f", (i + 1) * 1000L, 3.0))
+    TsAlgebra.periodogram(flat.toDF("k", "ts", "v"), "k", "ts", "v", periods = Seq(4, 6))
+      .collect().foreach(r => assert(r.getAs[Double]("spec_power") == 0.0))
+  }
 }
