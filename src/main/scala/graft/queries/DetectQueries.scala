@@ -72,6 +72,36 @@ object DetectQueries {
       |  FROM ema e JOIN vsd s ON e.k = s.k)""".stripMargin
 
   /** D3 derivative: |Δv/Δt_s| with d_0 := d_1, ema, |d-ema|/stddev_pop(dev). */
+  /** Holt-Winters (m = 4) recursive CTE over `src` (a (k, ts_ms, v, rn)
+    * relation): carries (l, b, s0..s3, dev) with the HoltWintersKernel's
+    * exact expression text — the seasonal slot is a CASE over (rn−1) mod
+    * 4, the level update appears VERBATIM inside the trend and seasonal
+    * updates (identical fp sequence — the Holt-oracle trick one state
+    * wider). Lines are '|'-joined for the caller's stripMargin.
+    */
+  private def hwRecursionSql(src: String): String = {
+    // sj = seasonal slot read BEFORE update; l1 = level update text
+    val sj = "CASE (p.rn-1)%4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END"
+    val l1 = s"0.2*(p.v - ($sj)) + (1 - 0.2)*(h.l + h.b)"
+    val sCols = (0 to 3).map(j =>
+      s"CASE WHEN (p.rn-1)%4 = $j THEN 0.3*(p.v - ($l1)) + (1 - 0.3)*h.s$j ELSE h.s$j END")
+    (Seq(
+      "hw AS (",
+      "  SELECT k, ts_ms, v, rn, v AS l, CAST(0 AS DOUBLE) b,",
+      "         CAST(0 AS DOUBLE) s0, CAST(0 AS DOUBLE) s1,",
+      "         CAST(0 AS DOUBLE) s2, CAST(0 AS DOUBLE) s3,",
+      "         CAST(0 AS DOUBLE) dev",
+      s"  FROM $src WHERE rn = 1",
+      "  UNION ALL",
+      "  SELECT p.k, p.ts_ms, p.v, p.rn,",
+      s"         $l1,",
+      s"         0.1*(($l1) - h.l) + (1 - 0.1)*h.b,") ++
+      sCols.map(c => s"         $c,") ++
+      Seq(
+        s"         p.v - (h.l + h.b + ($sj))",
+        s"  FROM $src p JOIN hw h ON p.k = h.k AND p.rn = h.rn + 1)")).mkString("\n|")
+  }
+
   private val dscoreCte =
     """dv AS (
       |  SELECT k, ts_ms, v, rn,
@@ -427,35 +457,37 @@ object DetectQueries {
     Q(
       "anomaly_hw_scores",
       (s, dir) => asOut(Detectors.hwScores(pts(s, dir))),
-      Some {
-        // sj = seasonal slot read BEFORE update; l1 = level update text,
-        // inlined verbatim wherever the kernel reads the new level.
-        val sj = "CASE (p.rn-1)%4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END"
-        val l1 = s"0.2*(p.v - ($sj)) + (1 - 0.2)*(h.l + h.b)"
-        val sCols = (0 to 3)
-          .map(j =>
-            s"CASE WHEN (p.rn-1)%4 = $j THEN 0.3*(p.v - ($l1)) + (1 - 0.3)*h.s$j ELSE h.s$j END")
-          .mkString(",\n|         ")
-        s"""WITH RECURSIVE $ptsCte,
-           |hw AS (
-           |  SELECT k, ts_ms, v, rn, v AS l, CAST(0 AS DOUBLE) b,
-           |         CAST(0 AS DOUBLE) s0, CAST(0 AS DOUBLE) s1,
-           |         CAST(0 AS DOUBLE) s2, CAST(0 AS DOUBLE) s3,
-           |         CAST(0 AS DOUBLE) dev
-           |  FROM rpts WHERE rn = 1
-           |  UNION ALL
-           |  SELECT p.k, p.ts_ms, p.v, p.rn,
-           |         $l1,
-           |         0.1*(($l1) - h.l) + (1 - 0.1)*h.b,
-           |         $sCols,
-           |         p.v - (h.l + h.b + ($sj))
-           |  FROM rpts p JOIN hw h ON p.k = h.k AND p.rn = h.rn + 1),
-           |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
-           |hs AS (SELECT w.k, w.ts_ms, w.v,
-           |         CASE WHEN s.sd > 0 THEN abs(w.dev / s.sd) ELSE w.dev END score
-           |       FROM hw w JOIN vsd s ON w.k = s.k)
-           |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin
-      }
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |${hwRecursionSql("rpts")},
+              |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+              |hs AS (SELECT w.k, w.ts_ms, w.v,
+              |         CASE WHEN s.sd > 0 THEN abs(w.dev / s.sd) ELSE w.dev END score
+              |       FROM hw w JOIN vsd s ON w.k = s.k)
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
+    ),
+    // Streaming Holt-Winters, batch-parity replayed: the day-chunked
+    // stream carries (l, b, s0..s3) across ~30 micro-batch boundaries.
+    // Oracle = the batch HW recursion over the min-per-duplicated-ts
+    // deduped stream view (the stream's late/dup policy), normalized by
+    // stddev over ALL points (the normalization side sees history
+    // pre-dedup, as the replay harness does).
+    Q(
+      "anomaly_stream_hw",
+      (s, dir) =>
+        graft.streaming.Replay
+          .hwReplay(pts(s, dir), p => p.tsMs / 86400000L)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            round(col("score"), 4).as("score")),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |d AS (SELECT k, ts_ms, min(v) v FROM pts GROUP BY k, ts_ms),
+              |rd AS (SELECT k, ts_ms, v, row_number() OVER (PARTITION BY k ORDER BY ts_ms) rn FROM d),
+              |${hwRecursionSql("rd")},
+              |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+              |hs AS (SELECT w.k, w.ts_ms, w.v,
+              |         CASE WHEN s.sd > 0 THEN abs(w.dev / s.sd) ELSE w.dev END score
+              |       FROM hw w JOIN vsd s ON w.k = s.k)
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
     ),
     // Streaming CUSUM, batch-parity replayed: the day-chunked stream
     // carries (s⁺, s⁻) across ~30 micro-batch boundaries, calibrated by

@@ -30,6 +30,12 @@ final case class CusumState(sp: Double, sn: Double, lastTsMs: Long)
 final case class CusumScore(
     seriesKey: String, tsMs: Long, value: Double, sp: Double, sn: Double, score: Double)
 
+/** Carried Holt-Winters state per series key: level, trend, the m
+  * seasonal slots, the 1-based point counter (selects the phase slot),
+  * and the dup/late guard — O(m), bounded like every streaming state here.
+  */
+final case class HwState(l: Double, b: Double, s: Seq[Double], i: Long, lastTsMs: Long)
+
 /** TimedSample enriched with the calibration stats (stream-static join). */
 final case class StatTimedSample(
     seriesKey: String, tsMs: Long, value: Double, mu: Double, sd: Double,
@@ -280,6 +286,76 @@ object MonitorStream {
                 val sn = math.max(0.0, st.sn - z - slack)
                 st = CusumState(sp, sn, p.tsMs)
                 Iterator.single(CusumScore(p.seriesKey, p.tsMs, p.value, sp, sn, math.max(sp, sn)))
+              }
+            }.toVector
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming Holt-Winters (level + trend + additive seasonality) — the
+    * streaming twin of `Detectors.hwScores`'s kernel. The per-key state is
+    * (l, b, s[0..m−1], i): O(m), carried across micro-batches; the update
+    * is the HoltWintersKernel recurrence with the IDENTICAL fp-op order,
+    * so a full-history replay is bit-equal to the batch fold. Emits the
+    * one-step forecast in `ema` and the SIGNED raw deviation in `dev`
+    * (the batch stddev normalization needs the whole series — apply it
+    * relationally downstream, as `Replay.hwReplay` does for the
+    * batch-parity oracle). Same late/dup policy as the EMA stream
+    * (per-batch (ts, value) sort, `tsMs <= lastTsMs` dropped ⇒ min value
+    * wins a duplicated ts); same event-time TTL eviction (a returning key
+    * re-learns the profile from scratch).
+    */
+  def hwStream(
+      points: Dataset[TsSample],
+      alpha: Double = Constants.DefaultSmoothingFactor,
+      beta: Double = Constants.HoltTrendFactor,
+      gamma: Double = Constants.HwSeasonFactor,
+      period: Int = Constants.HwPeriod,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[StreamScore] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedSample]
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[HwState, StreamScore](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[TimedSample], state: GroupState[HwState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+            var st = state.getOption.getOrElse(
+              HwState(0.0, 0.0, Vector.fill(period)(0.0), 0L, Long.MinValue))
+            val out = batch.iterator.flatMap { p =>
+              if (p.tsMs <= st.lastTsMs) Iterator.empty
+              else {
+                val i = st.i + 1
+                val j = ((i - 1) % period).toInt
+                if (i == 1L) {
+                  // seed: l = v, b = 0, slots stay 0 (the kernel's touched
+                  // slot computes to exactly 0.0)
+                  st = HwState(p.value, 0.0, st.s, i, p.tsMs)
+                  Iterator.single(StreamScore(p.seriesKey, p.tsMs, p.value, p.value, 0.0))
+                } else {
+                  val sj = st.s(j)
+                  val f = st.l + st.b + sj
+                  val dev = p.value - f
+                  val l1 = alpha * (p.value - sj) + (1 - alpha) * (st.l + st.b)
+                  val b1 = beta * (l1 - st.l) + (1 - beta) * st.b
+                  st = HwState(
+                    l1, b1, st.s.updated(j, gamma * (p.value - l1) + (1 - gamma) * sj), i, p.tsMs)
+                  Iterator.single(StreamScore(p.seriesKey, p.tsMs, p.value, f, dev))
+                }
               }
             }.toVector
             state.update(st)

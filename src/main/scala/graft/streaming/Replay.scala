@@ -98,6 +98,31 @@ object Replay {
     * stream must reproduce `Detectors.cusumScores` exactly on dup-free
     * series). Infinite-TTL default, as in [[monitorCfgReplay]].
     */
+  /** Replay `points` through the streaming Holt-Winters in `chunkKey`
+    * order, then apply the batch normalization (|dev|/stddev_pop over ALL
+    * input values, signed fallback when flat — `normalizeEmaDevs`'s exact
+    * arithmetic) so the result is comparable to `Detectors.hwScores`:
+    * on dup-free series the full-history replay must reproduce it
+    * bit-exactly. Infinite-TTL default, as in [[monitorCfgReplay]].
+    */
+  def hwReplay(
+      points: Dataset[TsSample],
+      chunkKey: TsSample => Long,
+      stateTtlMs: Long = Long.MaxValue / 4): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{abs, col, stddev_pop, when}
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val stats = points.groupBy("seriesKey").agg(stddev_pop(col("value")).as("_sd"))
+    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[TsSample]
+    val out = MonitorStream.hwStream(mem.toDS(), stateTtlMs = stateTtlMs)
+    runSink(spark, out.toDF())(q => feedChunks(q, mem, chunks))
+      .join(stats, Seq("seriesKey"))
+      .withColumn("score", when(col("_sd") > 0, abs(col("dev") / col("_sd"))).otherwise(col("dev")))
+      .select("seriesKey", "tsMs", "value", "score")
+  }
+
   def cusumReplay(
       points: Dataset[TsSample],
       chunkKey: TsSample => Long,

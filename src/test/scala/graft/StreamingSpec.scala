@@ -185,6 +185,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming Holt-Winters equals the batch detector across micro-batch boundaries; TTL restarts the profile") {
+    implicit val sqlCtx = spark.sqlContext
+    // period-4 pattern + ramp, split across micro-batches: the seasonal
+    // slots and the point counter must carry through the state store
+    val all = (0 until 24).map(i =>
+      TsSample("1", (i + 1) * 1000L, 10.0 + 0.5 * i + Array(0.0, 6.0, 0.0, -6.0)(i % 4)))
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream.hwStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("hw_out").start()
+    try {
+      all.grouped(5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val got = spark.table("hw_out").as[graft.streaming.StreamScore].collect()
+        .map(s => s.tsMs -> s.dev).toMap
+      val batch = KeyedFold
+        .run[TsSample, RawScored, String](all.iterator, _.seriesKey,
+          () => new graft.detect.HoltWintersKernel(0.2, 0.1, 0.3, 4))
+        .map(s => s.tsMs -> s.dev).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (ts, d) =>
+        assert(d == batch(ts), s"stream/batch divergence at $ts: $d vs ${batch(ts)}")
+      }
+    } finally q.stop()
+    // TTL eviction: a returning key re-learns from scratch (dev 0,
+    // forecast = the raw value — fresh seed, not a continued profile)
+    val mem2 = MemoryStream[TsSample]
+    val q2 = MonitorStream
+      .hwStream(mem2.toDS(), watermarkDelay = "0 seconds", stateTtlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("hw_ttl").start()
+    try {
+      mem2.addData(TsSample("1", 1000, 10.0), TsSample("1", 2000, 30.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 100000, 1.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 110000, 1.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("1", 120000, 50.0)); q2.processAllAvailable()
+      val s = spark.table("hw_ttl").as[graft.streaming.StreamScore].collect()
+        .map(r => (r.seriesKey, r.tsMs) -> ((r.ema, r.dev))).toMap
+      assert(s(("1", 2000L))._2 == 20.0, "pre-expiry state was live (dev = 30 - l=10)")
+      assert(s(("1", 120000L)) == ((50.0, 0.0)), s"state not expired: ${s(("1", 120000L))}")
+    } finally q2.stop()
+  }
+
   test("dead series expire from the state store after the event-time TTL") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TsSample]
