@@ -38,6 +38,7 @@ object FoldTableFunctions {
   val DerivativeName = "derivative_fold"
   val HoltName = "holt_fold"
   val CusumName = "cusum_fold"
+  val HwName = "hw_fold"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -115,6 +116,23 @@ object FoldTableFunctions {
       () => new graft.detect.HoltKernel(alpha, beta).asInstanceOf[StreamKernel[Any, Any]])
   }
 
+  /** `hw_fold(table[, alpha[, beta[, gamma[, period]]]])` — Holt-Winters
+    * level+trend+additive-seasonal forecaster raw deviations
+    * (normalization stays in SQL, like the EMA folds).
+    */
+  def hwBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 5,
+      s"usage: $HwName(table[, alpha[, beta[, gamma[, period]]]])")
+    val alpha = doubleArg(HwName, args, 1, Constants.DefaultSmoothingFactor)
+    val beta = doubleArg(HwName, args, 2, Constants.HoltTrendFactor)
+    val gamma = doubleArg(HwName, args, 3, Constants.HwSeasonFactor)
+    val period = doubleArg(HwName, args, 4, Constants.HwPeriod.toDouble).toInt
+    foldPlan(
+      stringArg(HwName, args, 0),
+      () => new graft.detect.HoltWintersKernel(alpha, beta, gamma, period)
+        .asInstanceOf[StreamKernel[Any, Any]])
+  }
+
   /** `cusum_fold(table[, slack])` — two-sided CUSUM over a PRE-STANDARDIZED
     * relation `(seriesKey, tsMs, value, mu, sd)`: the per-series moments
     * are plain SQL (GROUP BY + join), the clamped accumulation is the
@@ -153,6 +171,7 @@ object FoldTableFunctions {
     graft.bridge.SqlBridge.registerTableFunction(spark, DerivativeName, derivativeBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, HoltName, holtBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, CusumName, cusumBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, HwName, hwBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(seriesKey, tsMs, value, mu, sd) relation; dev carries max(s+, s-)",
           ""),
         FoldTableFunctions.cusumBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.HwName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.HwName,
+          "hw_fold(table[, alpha[, beta[, gamma[, period]]]]) - Holt-Winters " +
+            "level+trend+additive-seasonal forecaster raw deviations over a " +
+            "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
+          ""),
+        FoldTableFunctions.hwBuilder))
     // SQL surface of the flagship extension operators (dedup/text): the
     // builders delegate to the Scala implementations, zero drift
     extensions.injectTableFunction(

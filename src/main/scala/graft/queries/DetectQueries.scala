@@ -306,6 +306,37 @@ object DetectQueries {
               |SELECT k AS user_id, ts_ms, v AS value,
               |       round(greatest(sp, sn), 4) AS score FROM cus""".stripMargin)
     ),
+    // The Holt-Winters pipeline as pure SQL: D0 guard + hw_fold TVF
+    // (same KeyedFoldNode as the Scala path) + the exp_avg normalization
+    // as a relational join — SQL users get the seasonal detector without
+    // touching Scala. Oracle = the batch HW recursion.
+    Q(
+      "anomaly_sql_hw",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("graft_sqlh_events")
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqlh_pts AS
+             |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+             |FROM (SELECT user_id, ts_ms, value,
+             |             count(*) OVER (PARTITION BY user_id) AS n
+             |      FROM graft_sqlh_events)
+             |WHERE n >= ${Constants.MinPoints}""".stripMargin)
+        s.sql(
+          s"""WITH sd AS (SELECT seriesKey, stddev_pop(value) AS sd
+             |            FROM graft_sqlh_pts GROUP BY seriesKey)
+             |SELECT CAST(f.seriesKey AS BIGINT) AS user_id, f.tsMs AS ts_ms, f.value,
+             |       round(CASE WHEN s.sd > 0 THEN abs(f.dev / s.sd) ELSE f.dev END, 4) AS score
+             |FROM hw_fold('graft_sqlh_pts') f JOIN sd s ON f.seriesKey = s.seriesKey""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |${hwRecursionSql("rpts")},
+              |vsd AS (SELECT k, stddev_pop(v) sd FROM pts GROUP BY k),
+              |hs AS (SELECT w.k, w.ts_ms, w.v,
+              |         CASE WHEN s.sd > 0 THEN abs(w.dev / s.sd) ELSE w.dev END score
+              |       FROM hw w JOIN vsd s ON w.k = s.k)
+              |SELECT k AS user_id, ts_ms, v AS value, round(score, 4) AS score FROM hs""".stripMargin)
+    ),
     // D2 exp_avg over Redis-style STRING series keys, through the full
     // EP2 monitor facade (range-query algebra → D0 guard → scoring): the
     // reference's keys are key strings (/root/reference/potoos/client.py:39),

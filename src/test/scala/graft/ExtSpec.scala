@@ -1451,6 +1451,10 @@ class ExtSpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("dev")).toMap
       // ema: 1.0, 2.0, 2.0 → dev: 0.0, 1.0, 0.0
       assert(folded == Map(10L -> 0.0, 20L -> 1.0, 30L -> 0.0))
+      // hw_fold rides the same injection (first point dev 0 by seed)
+      val hw = s2.sql("SELECT * FROM hw_fold('ext_tvf_probe')").collect()
+        .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("dev")).toMap
+      assert(hw(10L) == 0.0 && hw.size == 3)
       // the ext TVFs (dedup/text) ride the same injection: pure-SQL
       // near-dup pairs + keywords over a (doc_id, text) view
       s2.sql(

@@ -124,6 +124,28 @@ class FoldPlanSpec extends AnyFunSuite {
     assert(cSql.nonEmpty && cSql == cScala)
   }
 
+  test("hw_fold TVF equals the Holt-Winters kernel, defaults every factor, plans through KeyedFoldExec") {
+    graft.functions.FoldTableFunctions.register(spark)
+    pts.toDF().createOrReplaceTempView("fold_tvf_hw_pts")
+    val viaSql = spark.sql("SELECT * FROM hw_fold('fold_tvf_hw_pts')")
+    assert(plan(viaSql).contains("KeyedFold "))
+    val sqlMap = viaSql.collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("dev")).toMap
+    val scalaMap = KeyedFold
+      .foldExec(pts)(() => new graft.detect.HoltWintersKernel(
+        graft.config.Constants.DefaultSmoothingFactor, graft.config.Constants.HoltTrendFactor,
+        graft.config.Constants.HwSeasonFactor, graft.config.Constants.HwPeriod))
+      .collect().map(r => (r.seriesKey, r.tsMs) -> r.dev).toMap
+    assert(sqlMap.nonEmpty && sqlMap == scalaMap)
+    // explicit period overrides the default and changes the profile slots
+    val p2 = spark.sql("SELECT * FROM hw_fold('fold_tvf_hw_pts', 0.2, 0.1, 0.3, 2)").collect()
+      .map(r => (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) -> r.getAs[Double]("dev")).toMap
+    val p2Scala = KeyedFold
+      .foldExec(pts)(() => new graft.detect.HoltWintersKernel(0.2, 0.1, 0.3, 2))
+      .collect().map(r => (r.seriesKey, r.tsMs) -> r.dev).toMap
+    assert(p2 == p2Scala && p2 != sqlMap)
+  }
+
   test("fold partitioning propagates downstream; the typed-MapPartitions path erases it") {
     // this is the structural advantage over the composed fold: a typed
     // MapPartitions node reports unknown partitioning, so everything
