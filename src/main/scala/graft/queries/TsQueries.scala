@@ -487,6 +487,20 @@ object TsQueries {
     Q(
       "ts_periodogram",
       (s, dir) => TsAlgebra.periodogram(ev(s, dir), "user_id", "ts_ms", "value", periods = pgPeriods),
-      Some(pgOracleSql))
+      Some(pgOracleSql)),
+    // Per-series dominant period: argmax over the ROUNDED periodogram
+    // power with a total tie-break (power DESC, period ASC) — the rank
+    // runs on the already-deterministic round(2) grid, so the winner is
+    // engine-independent even when a flat series ties every candidate
+    // at 0.00.
+    Q(
+      "ts_dominant_period",
+      (s, dir) => TsAlgebra.dominantPeriod(ev(s, dir), "user_id", "ts_ms", "value", pgPeriods),
+      Some(s"""WITH pg AS ($pgOracleSql)
+              |SELECT user_id, n, CAST(period AS INT) AS dominant_period, spec_power
+              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              |        ORDER BY spec_power DESC, period ASC) rk FROM pg)
+              |WHERE rk = 1""".stripMargin)
+    )
   )
 }

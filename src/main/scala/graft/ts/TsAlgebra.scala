@@ -639,6 +639,62 @@ object TsAlgebra {
         col("_pr.spec_power").as("spec_power"))
   }
 
+  /** Per-series dominant cycle: the candidate period with the highest
+    * periodogram power, tie-broken toward the SMALLER period — the
+    * comparison runs over the round(2) power (already cross-engine
+    * deterministic) plus a total tie-break, so the argmax itself is
+    * deterministic (a flat series, all powers 0.00, resolves to the
+    * smallest candidate on every engine). Plan: the rank window reuses
+    * the periodogram aggregate's key partitioning — still ONE exchange
+    * end to end.
+    */
+  def dominantPeriod(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col("spec_power").desc, col("period").asc)
+    periodogram(df, keyCol, tsCol, valueCol, periods)
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col(keyCol), col("n"), col("period").as("dominant_period"), col("spec_power"))
+  }
+
+  /** Corpus-level period vote: the modal per-series dominant period
+    * (ties toward the smaller period). The collect is ≤|periods| rows —
+    * a bounded driver read, the same class as a broadcast threshold.
+    */
+  def autoPeriod(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      periods: Seq[Int]): Int =
+    dominantPeriod(df, keyCol, tsCol, valueCol, periods)
+      .groupBy(col("dominant_period"))
+      .agg(count(lit(1)).as("_votes"))
+      .orderBy(col("_votes").desc, col("dominant_period").asc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getAs[Int]("dominant_period"))
+      .getOrElse(throw new IllegalArgumentException("autoPeriod: empty input"))
+
+  /** [[stlDecompose]] with the period discovered by the periodogram vote
+    * — the composed "find the cycle, then explain it away" pipeline
+    * (two jobs: the tiny period vote, then the decomposition).
+    */
+  def stlDecomposeAuto(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      candidates: Seq[Int]): DataFrame =
+    stlDecompose(df, keyCol, tsCol, valueCol, autoPeriod(df, keyCol, tsCol, valueCol, candidates))
+
   def aggExpr(name: String, value: Column, ts: Column): Column = name match {
     case "avg" => avg(value)
     case "sum" => sum(value)

@@ -279,4 +279,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!pc.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       s"scene-cut window must be per-video, not global:\n$pc")
   }
+
+  test("ts_acf / ts_periodogram: ONE key exchange shared by window and aggregate; pruned scan") {
+    for (q <- Seq("ts_acf", "ts_periodogram")) {
+      val p = plan(q)
+      val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q must shuffle exactly once (lag/rank window + per-key agg " +
+        s"share the key partitioning), saw $exchanges:\n$p")
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q must stay per-series, never a global sort:\n$p")
+      assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,value:double>"),
+        s"$q must prune the events scan to (ts, user_id, value):\n$p")
+    }
+    // the period dimension is aggregate COLUMNS, not an explode before the
+    // shuffle: the only Generate sits above the aggregate (23 rows/series)
+    val pg = plan("ts_periodogram")
+    val genIdx = pg.indexOf("Generate")
+    val aggIdx = pg.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"periodogram explode must be ABOVE the aggregate (post-reduction):\n$pg")
+  }
 }

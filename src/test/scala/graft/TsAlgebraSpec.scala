@@ -405,4 +405,24 @@ class TsAlgebraSpec extends AnyFunSuite {
     TsAlgebra.periodogram(flat.toDF("k", "ts", "v"), "k", "ts", "v", periods = Seq(4, 6))
       .collect().foreach(r => assert(r.getAs[Double]("spec_power") == 0.0))
   }
+
+  test("dominantPeriod picks the planted cycle (flat ties resolve to the smallest); auto-STL explains it away") {
+    def cyc(key: String, p: Int, n: Int) = (0 until n).map(i =>
+      (key, (i + 1) * 1000L, math.round((20.0 + 10.0 * math.cos(2 * math.Pi * i / p)) * 100) / 100.0))
+    // two period-6 series outvote one period-4 series; a flat series ties
+    // every candidate at 0.00 and must resolve to the smallest (2)
+    val rows = cyc("a", 6, 48) ++ cyc("b", 6, 48) ++ cyc("c", 4, 48) ++
+      (0 until 48).map(i => ("flat", (i + 1) * 1000L, 5.0))
+    val df = rows.toDF("k", "ts", "v")
+    val dom = TsAlgebra.dominantPeriod(df, "k", "ts", "v", 2 to 12)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Int]("dominant_period")).toMap
+    assert(dom == Map("a" -> 6, "b" -> 6, "c" -> 4, "flat" -> 2), s"got $dom")
+    assert(TsAlgebra.autoPeriod(df, "k", "ts", "v", 2 to 12) == 6)
+    // the auto decomposition at the voted period absorbs the cycle: the
+    // periodic series' interior residuals stay well under the 10.0 swing
+    val resid = TsAlgebra.stlDecomposeAuto(df, "k", "ts", "v", 2 to 12)
+      .collect().filter(r => r.getAs[String]("k") == "a")
+      .map(r => math.abs(r.getAs[Long]("resid_fp")))
+    assert(resid.sorted.apply(resid.length / 2) < 10000L, "median |resid| must be < 1.0")
+  }
 }
