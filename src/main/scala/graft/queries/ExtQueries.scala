@@ -3455,6 +3455,42 @@ object ExtQueries {
              |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
              |FROM events GROUP BY user_id""".stripMargin)
     ),
+    // Typed extraction from the semi-structured props column: pinned DDL
+    // parse with the all-fields-present reject flag (the JSONL source's
+    // policy applied to an embedded column), then one exact-integer
+    // partial-agg shuffle — the parse is a per-row expression inside the
+    // scan stage, so there is no extra pass at 100 TB.
+    Q(
+      "events_json_extract",
+      (s, dir) =>
+        graft.ext.SemiStructured.typedJson(Tables.events(s, dir), "props", "k BIGINT")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("_parsed.k")).as("k_sum"),
+            sum(when(col("_json_ok"), 0L).otherwise(1L)).as("n_rejects")),
+      Some("""WITH p AS (SELECT event_type,
+             |            CASE WHEN json_valid(props) THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+             |          FROM events)
+             |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+             |       CAST(count(*) - count(k) AS BIGINT) AS n_rejects
+             |FROM p GROUP BY 1""".stripMargin)
+    ),
+    // Schema DISCOVERY over the same column: top-level key histogram +
+    // lexical type votes (what `typedJson`'s DDL should pin). Map-typed
+    // parse → explode → partial-agg; one shuffle of (key, counters).
+    Q(
+      "events_json_profile",
+      (s, dir) => graft.ext.SemiStructured.jsonKeyProfile(Tables.events(s, dir), "props"),
+      Some("""WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
+             |            FROM events WHERE json_valid(props)),
+             |v AS (SELECT key, props->>key AS v FROM kv)
+             |SELECT key, count(*) AS n_present,
+             |  CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+             |  CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+             |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+             |FROM v GROUP BY 1""".stripMargin)
+    ),
     // Log2-bucketed inter-event gap histogram per the whole stream: the
     // latency/cadence distribution view. Bucket = bit-length of gap+1,
     // pure integer.

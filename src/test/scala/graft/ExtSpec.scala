@@ -2258,4 +2258,42 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L)._2 < out(2L)._1, "embedded copy must lose its interior duplicated chunks")
     assert(out(2L)._3.nonEmpty, "edited prefix/suffix must survive")
   }
+
+  test("typedJson reject flag: malformed, missing field, JSON null, wrong type all flag; clean rows pass") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, """{"k": 7, "s": "x"}"""), // clean
+      (2L, """{"k": 7}"""), // s missing
+      (3L, """{"k": null, "s": "x"}"""), // JSON null
+      (4L, """not json at all"""), // malformed
+      (5L, """{"k": "abc", "s": "x"}""") // k not castable to BIGINT
+    ).toDF("id", "props")
+    val out = graft.ext.SemiStructured.typedJson(rows, "props", "k BIGINT, s STRING")
+      .select(col("id"), col("_json_ok"), col("_parsed.k"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2))))).toMap
+    assert(out(1L) == ((true, Some(7L))))
+    assert(out(2L)._1 == false && out(2L)._2 == Some(7L), "missing field flags but keeps parsed k")
+    assert(out(3L)._1 == false)
+    assert(out(4L) == ((false, None)))
+    assert(out(5L)._1 == false && out(5L)._2 == None, "uncastable value nulls the field and flags")
+  }
+
+  test("jsonKeyProfile: key histogram with integer/numeric/null votes; nested values vote string") {
+    val rows = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": -22, "b": 2.5}""",
+      """{"a": 3.0, "c": null}""",
+      """{"a": 4, "d": {"nested": 1}}""",
+      """garbage""" // malformed: contributes to no key
+    ).toDF("props")
+    val out = graft.ext.SemiStructured.jsonKeyProfile(rows, "props")
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_present"), r.getAs[Long]("n_int"), r.getAs[Long]("n_num"), r.getAs[Long]("n_null"))))
+      .toMap
+    assert(out("a") == ((4L, 3L, 4L, 0L))) // -22 is int; 3.0 numeric-only
+    assert(out("b") == ((2L, 0L, 1L, 0L)))
+    assert(out("c") == ((1L, 0L, 0L, 1L)))
+    assert(out("d")._1 == 1L && out("d")._2 == 0L, "nested object votes non-numeric")
+  }
 }
