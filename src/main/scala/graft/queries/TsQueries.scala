@@ -140,6 +140,28 @@ object TsQueries {
        |FROM x""".stripMargin
   }
 
+  /** ts_rollup_cascade oracle — each resolution aggregated DIRECTLY from
+    * raw (the cascade must equal it exactly: integer sums/counts and
+    * min/max are associative), avg via the same sign-magnitude
+    * fixed-decimal integer math as `avgOracleSql`.
+    */
+  private val rollupBuckets = Seq(3600000L, 86400000L, 604800000L)
+  private val rollupOracleSql: String = {
+    val levels = rollupBuckets
+      .map(b =>
+        s"""SELECT user_id, CAST($b AS BIGINT) resolution_ms, tm - tm % $b AS bucket_ms,
+           |  sum(vc) sum_pts, count(*) n, min(value) min_v, max(value) max_v
+           |FROM e GROUP BY 1, 2, 3""".stripMargin.linesIterator.mkString("\n|"))
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value,
+       |             CAST(round(value*100) AS BIGINT) vc FROM events),
+       |u AS ($levels)
+       |SELECT user_id, resolution_ms, bucket_ms,
+       |  CAST(sum_pts AS BIGINT) AS sum_pts, CAST(n AS BIGINT) AS n, min_v, max_v,
+       |  CAST(sign(sum_pts) AS BIGINT) * ((abs(sum_pts) * 20000 + 100 * n) // (200 * n)) / 10000.0 AS avg_v
+       |FROM u""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // F1 time-range + F6 order + F7 projection (TS.RANGE, SURVEY S1/F1)
     Q(
@@ -501,6 +523,16 @@ object TsQueries {
               |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
               |        ORDER BY spec_power DESC, period ASC) rk FROM pg)
               |WHERE rk = 1""".stripMargin)
-    )
+    ),
+    // TS.CREATERULE-shaped multi-resolution rollup, computed as a CASCADE
+    // (hour from raw, day from the hour rollup, week from the day rollup)
+    // — the oracle aggregates each resolution directly from raw, which
+    // the cascade must match bit-exactly (associative integer sums,
+    // min/max, and the shared fixed-decimal mean).
+    Q(
+      "ts_rollup_cascade",
+      (s, dir) =>
+        TsAlgebra.rollupCascade(ev(s, dir), "user_id", "ts_ms", "value", rollupBuckets),
+      Some(rollupOracleSql))
   )
 }

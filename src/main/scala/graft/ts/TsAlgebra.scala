@@ -639,6 +639,68 @@ object TsAlgebra {
         col("_pr.spec_power").as("spec_power"))
   }
 
+  /** Multi-resolution rollup CASCADE — the TS.CREATERULE continuous-
+    * downsampling shape (the reference backend's compaction rules) as
+    * one batch operator: hour from raw, day from the HOUR ROLLUP, week
+    * from the DAY rollup. Each resolution carries the mergeable
+    * decomposition (exact centi-int sum, count, min, max) plus the exact
+    * fixed-decimal mean derived from it, so coarser levels re-aggregate
+    * the previous level — at 100 TB the corpus is scanned and shuffled
+    * ONCE (the finest bucket); every coarser resolution aggregates a
+    * frame that is bucketMs-ratio× smaller (24×, 7×, …), where the naive
+    * per-resolution form re-scans and re-shuffles the corpus per rule.
+    * Associativity is exact: integer sums/counts and min/max compose
+    * bit-identically with direct aggregation from raw (spec-pinned).
+    *
+    * `bucketsMs` must be ascending with each resolution dividing the
+    * next (floor-alignment composes only then); mirrors the bound
+    * documented on `moments` for the centi-int sums.
+    */
+  def rollupCascade(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketsMs: Seq[Long]): DataFrame = {
+    require(bucketsMs.nonEmpty && bucketsMs.head > 0, "need at least one positive resolution")
+    require(
+      bucketsMs.sliding(2).forall {
+        case Seq(a, b) => b > a && b % a == 0
+        case _ => true
+      },
+      s"resolutions must ascend and each must divide the next: $bucketsMs")
+    def withAvg(d: DataFrame): DataFrame =
+      d.withColumn(
+        "avg_v",
+        expr("""CAST(CAST(sign(sum_pts) AS DECIMAL(2,0))
+               | * ((abs(CAST(sum_pts AS DECIMAL(38,0))) * 20000 + 100 * n) DIV (200 * n))
+               | AS BIGINT) / CAST(10000.0 AS DOUBLE)""".stripMargin))
+    val base = df
+      .select(
+        col(keyCol),
+        (col(tsCol) - col(tsCol) % bucketsMs.head).as("bucket_ms"),
+        round(col(valueCol) * 100, 0).cast("long").as("_vc"),
+        col(valueCol).as("_v"))
+      .groupBy(col(keyCol), col("bucket_ms"))
+      .agg(
+        sum(col("_vc")).as("sum_pts"), count(lit(1)).as("n"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"))
+      .withColumn("resolution_ms", lit(bucketsMs.head))
+    val (_, out) = bucketsMs.tail.foldLeft((base, withAvg(base))) {
+      case ((prev, acc), b) =>
+        val next = prev
+          .groupBy(col(keyCol), (col("bucket_ms") - col("bucket_ms") % b).as("bucket_ms"))
+          .agg(
+            sum(col("sum_pts")).as("sum_pts"), sum(col("n")).as("n"),
+            min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+          .withColumn("resolution_ms", lit(b))
+        (next, acc.unionByName(withAvg(next)))
+    }
+    out.select(
+      col(keyCol), col("resolution_ms"), col("bucket_ms"),
+      col("sum_pts"), col("n"), col("min_v"), col("max_v"), col("avg_v"))
+  }
+
   /** Per-series dominant cycle: the candidate period with the highest
     * periodogram power, tie-broken toward the SMALLER period — the
     * comparison runs over the round(2) power (already cross-engine

@@ -406,6 +406,40 @@ class TsAlgebraSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getAs[Double]("spec_power") == 0.0))
   }
 
+  test("rollupCascade equals direct per-resolution aggregation bit-exactly; rejects non-dividing grids") {
+    import org.apache.spark.sql.functions._
+    // two series, values on the 2-decimal grid, spanning several weeks
+    val rows = (0 until 500).flatMap { i =>
+      Seq(("a", i * 3600123L, (i % 37) + 0.25), ("b", i * 7200007L, -((i % 11) * 1.5)))
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val buckets = Seq(3600000L, 86400000L, 604800000L)
+    val cascade = TsAlgebra.rollupCascade(df, "k", "ts", "v", buckets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // direct: every resolution aggregated straight from raw
+    val direct = buckets.flatMap { b =>
+      df.groupBy(col("k"), (col("ts") - col("ts") % b).as("bucket_ms"))
+        .agg(
+          sum(round(col("v") * 100, 0).cast("long")).as("sum_pts"), count(lit(1)).as("n"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .collect().map(r => (r.getString(0), b, r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+    }.toMap
+    assert(cascade.keySet == direct.keySet)
+    cascade.foreach { case (key, (sp, n, mn, mx, avg)) =>
+      val (dsp, dn, dmn, dmx) = direct(key)
+      assert((sp, n, mn, mx) == ((dsp, dn, dmn, dmx)), s"cascade != direct at $key")
+      // the mean is the exact fixed-decimal division of the shared sums
+      val expAvg = (if (dsp < 0) -1L else if (dsp > 0) 1L else 0L) *
+        ((math.abs(dsp) * 20000L + 100L * dn) / (200L * dn)) / 10000.0
+      assert(avg == expAvg, s"avg mismatch at $key: $avg vs $expAvg")
+    }
+    intercept[IllegalArgumentException] {
+      TsAlgebra.rollupCascade(df, "k", "ts", "v", Seq(3600000L, 5000000L))
+    }
+  }
+
   test("dominantPeriod picks the planted cycle (flat ties resolve to the smallest); auto-STL explains it away") {
     def cyc(key: String, p: Int, n: Int) = (0 until n).map(i =>
       (key, (i + 1) * 1000L, math.round((20.0 + 10.0 * math.cos(2 * math.Pi * i / p)) * 100) / 100.0))
