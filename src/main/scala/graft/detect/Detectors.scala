@@ -2,7 +2,7 @@ package graft.detect
 
 import graft.config.{Constants, DetectorConfig}
 import graft.model.TsSample
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,62 @@ object Detectors {
     normalizeEmaDevs(
       KeyedFold.foldExec(points)(() => new HoltWintersKernel(alpha, beta, gamma, period)).toDF(),
       points)
+
+  /** Control-chart rule flags (the Western Electric zone tests) —
+    * beyond the reference suite: per point, the four classic rules
+    * against the per-series mean/σ zones:
+    *
+    *  - r1_beyond3: the point sits beyond μ ± 3σ;
+    *  - r2_2of3_2sigma: ≥2 of the trailing 3 points beyond 2σ on the
+    *    SAME side;
+    *  - r3_4of5_1sigma: ≥4 of the trailing 5 points beyond 1σ on the
+    *    same side;
+    *  - r4_run8: 8 consecutive points strictly on one side of μ.
+    *
+    * Every zone test is an INTEGER comparison: with vm = round(100v),
+    * S = Σvm, Q = Σvm², dm = vm·n − S and D = nQ − S², the test
+    * (v−μ)² > k²σ² is exactly dm² > k²·D — no float mean/σ ever
+    * computed, so the flags are bit-deterministic on any engine and at
+    * any partitioning (a constant series has D = 0, dm = 0 → every
+    * flag false). Exact while n·|vm| and n·Q fit 2⁶³ (loud ANSI
+    * overflow beyond — the acf bound class). Plan: per-series stats
+    * partial-agg + broadcast join, then ONE key exchange for the three
+    * trailing-window counts (shared frames).
+    */
+  def controlRuleFlags(points: Dataset[TsSample]): DataFrame = {
+    val vm = round(col("value") * 100, 0).cast("long")
+    val stats = points.toDF()
+      .select(col("seriesKey"), vm.as("_vm"))
+      .groupBy("seriesKey")
+      .agg(count(lit(1)).as("_n"), sum(col("_vm")).as("_s"), sum(col("_vm") * col("_vm")).as("_q"))
+      .withColumn("_d", col("_n") * col("_q") - col("_s") * col("_s"))
+      .select("seriesKey", "_n", "_s", "_d")
+    val w = Window.partitionBy("seriesKey").orderBy("tsMs")
+    def lastN(n: Int) = w.rowsBetween(-(n - 1), 0)
+    def sideCount(cond: Column, side: Int, n: Int) =
+      sum(when(cond && col("_sgn") === side, 1L).otherwise(0L)).over(lastN(n))
+    points.toDF()
+      .withColumn("_vm", vm)
+      .join(stats, Seq("seriesKey"))
+      .withColumn("_dm", col("_vm") * col("_n") - col("_s"))
+      .withColumn("_dm2", col("_dm") * col("_dm"))
+      .withColumn("_sgn", when(col("_dm") > 0, 1).when(col("_dm") < 0, -1).otherwise(0))
+      .withColumn("_b2", col("_dm2") > lit(4L) * col("_d"))
+      .withColumn("_b1", col("_dm2") > col("_d"))
+      .withColumn("r1_beyond3", col("_dm2") > lit(9L) * col("_d"))
+      .withColumn(
+        "r2_2of3_2sigma",
+        sideCount(col("_b2"), 1, 3) >= 2 || sideCount(col("_b2"), -1, 3) >= 2)
+      .withColumn(
+        "r3_4of5_1sigma",
+        sideCount(col("_b1"), 1, 5) >= 4 || sideCount(col("_b1"), -1, 5) >= 4)
+      .withColumn(
+        "r4_run8",
+        sideCount(lit(true), 1, 8) === 8 || sideCount(lit(true), -1, 8) === 8)
+      .select(
+        col("seriesKey"), col("tsMs"), col("value"),
+        col("r1_beyond3"), col("r2_2of3_2sigma"), col("r3_4of5_1sigma"), col("r4_run8"))
+  }
 
   /** D3 derivative: |d − ema(d)| / stddev_pop(devs). */
   def derivativeScores(points: Dataset[TsSample], alpha: Double = Constants.DefaultSmoothingFactor): DataFrame = {

@@ -590,6 +590,40 @@ object DetectQueries {
               |       round(CASE WHEN mad.mad > 0 THEN d.ad / (1.4826 * mad.mad) ELSE d.ad END, 4) AS score
               |FROM d JOIN mad USING (k)""".stripMargin)
     ),
+    // Western Electric control-chart zone rules (beyond the reference
+    // suite): every zone test is the INTEGER comparison dm² > k²·D
+    // (dm = vm·n − S, D = nQ − S²) — no float mean/σ anywhere, so both
+    // engines produce bit-identical booleans; the run rules are trailing
+    // ROWS-frame counts over the deterministic (user, ts) order.
+    Q(
+      "anomaly_control_rules",
+      (s, dir) =>
+        Detectors.controlRuleFlags(pts(s, dir))
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            col("r1_beyond3"), col("r2_2of3_2sigma"), col("r3_4of5_1sigma"), col("r4_run8")),
+      Some(s"""WITH $ptsCte,
+              |e AS (SELECT k, ts_ms, v, CAST(round(v*100) AS BIGINT) vm FROM pts),
+              |g AS (SELECT k, CAST(count(*) AS BIGINT) n, sum(vm) s, sum(vm*vm) q FROM e GROUP BY 1),
+              |j AS (SELECT e.k, e.ts_ms, e.v, e.vm*g.n - g.s AS dm, g.n*g.q - g.s*g.s AS d
+              |      FROM e JOIN g USING (k)),
+              |f AS (SELECT k, ts_ms, v,
+              |        CASE WHEN dm > 0 THEN 1 WHEN dm < 0 THEN -1 ELSE 0 END sgn,
+              |        dm*dm > 9*d b3, dm*dm > 4*d b2, dm*dm > d b1
+              |      FROM j)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |  b3 AS r1_beyond3,
+              |  (sum(CASE WHEN b2 AND sgn = 1 THEN 1 ELSE 0 END) OVER w3 >= 2
+              |   OR sum(CASE WHEN b2 AND sgn = -1 THEN 1 ELSE 0 END) OVER w3 >= 2) AS r2_2of3_2sigma,
+              |  (sum(CASE WHEN b1 AND sgn = 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+              |   OR sum(CASE WHEN b1 AND sgn = -1 THEN 1 ELSE 0 END) OVER w5 >= 4) AS r3_4of5_1sigma,
+              |  (sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) OVER w8 = 8
+              |   OR sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) OVER w8 = 8) AS r4_run8
+              |FROM f
+              |WINDOW w3 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              |       w5 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+              |       w8 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
     // Seasonal hour-of-day baseline (composition showcase): each point
     // diff-percent-scored against its series' average at the same hour
     // of day — the daily-seasonality profile every ops dashboard keeps.

@@ -155,6 +155,30 @@ class DetectorsSpec extends AnyFunSuite {
     assert(viaRegistry == direct)
   }
 
+  test("control-chart rules: each Western Electric zone test fires exactly where planted") {
+    // base series: alternating ±1 around 0 keeps μ≈0 and a modest σ, so a
+    // planted run/excursion is attributable to one rule
+    def flags(vals: Seq[Double]) =
+      Detectors.controlRuleFlags(pts(vals.zipWithIndex.map { case (v, i) => (1L, (i + 1) * 1000L, v) }: _*))
+        .collect()
+        .map(r => r.getAs[Long]("tsMs") -> ((r.getAs[Boolean]("r1_beyond3"), r.getAs[Boolean]("r2_2of3_2sigma"),
+          r.getAs[Boolean]("r3_4of5_1sigma"), r.getAs[Boolean]("r4_run8"))))
+        .toMap
+    // one extreme spike among alternating noise → r1 at the spike only
+    val spiked = Seq.tabulate(40)(i => if (i == 20) 50.0 else if (i % 2 == 0) 1.0 else -1.0)
+    val f1 = flags(spiked)
+    assert(f1(21000L)._1, "the spike must break 3 sigma")
+    assert(f1.count(_._2._1) == 1, "only the spike breaks 3 sigma")
+    // 8 consecutive points above the mean → r4 fires at the 8th
+    val run = Seq.tabulate(40)(i => if (i >= 20 && i < 28) 2.0 else if (i % 2 == 0) 1.0 else -1.0)
+    val f4 = flags(run)
+    assert(f4(28000L)._4, "8th consecutive same-side point must fire the run rule")
+    assert(!f4(27000L)._4, "7 in a row must not")
+    // constant series: D = 0, dm = 0 → nothing fires, no crash
+    val f0 = flags(Seq.fill(10)(5.0))
+    assert(f0.values.forall(t => !t._1 && !t._2 && !t._3 && !t._4))
+  }
+
   test("MAD robust z-score: outlier scored high, masking resistance vs stddev normalization") {
     // values 10,10,10,10,1000: median 10, absdevs 0,0,0,0,990 → MAD 0...
     // use 9,10,10,11,1000: median 10, absdevs 1,0,0,1,990 → MAD 1
