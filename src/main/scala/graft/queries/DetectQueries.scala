@@ -624,6 +624,44 @@ object DetectQueries {
               |       w5 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
               |       w8 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin)
     ),
+    // Streaming control rules, batch-parity replayed: the day-chunked
+    // stream carries the trailing zone-code ring across ~30 micro-batch
+    // boundaries, calibrated by the batch integer stats over the same
+    // points. Oracle = the batch rule algebra over the
+    // min-per-duplicated-ts deduped stream view, with stats over ALL
+    // points (the calibration side sees history pre-dedup).
+    Q(
+      "anomaly_stream_control",
+      (s, dir) =>
+        graft.streaming.Replay
+          .controlRulesReplay(pts(s, dir), p => p.tsMs / 86400000L)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            col("r1_beyond3"), col("r2_2of3_2sigma"), col("r3_4of5_1sigma"), col("r4_run8")),
+      Some(s"""WITH $ptsCte,
+              |ea AS (SELECT k, CAST(round(v*100) AS BIGINT) vm FROM pts),
+              |g AS (SELECT k, CAST(count(*) AS BIGINT) n, sum(vm) s, sum(vm*vm) q FROM ea GROUP BY 1),
+              |dd AS (SELECT k, ts_ms, min(v) v FROM pts GROUP BY k, ts_ms),
+              |e AS (SELECT k, ts_ms, v, CAST(round(v*100) AS BIGINT) vm FROM dd),
+              |j AS (SELECT e.k, e.ts_ms, e.v, e.vm*g.n - g.s AS dm, g.n*g.q - g.s*g.s AS d
+              |      FROM e JOIN g USING (k)),
+              |f AS (SELECT k, ts_ms, v,
+              |        CASE WHEN dm > 0 THEN 1 WHEN dm < 0 THEN -1 ELSE 0 END sgn,
+              |        dm*dm > 9*d b3, dm*dm > 4*d b2, dm*dm > d b1
+              |      FROM j)
+              |SELECT k AS user_id, ts_ms, v AS value,
+              |  b3 AS r1_beyond3,
+              |  (sum(CASE WHEN b2 AND sgn = 1 THEN 1 ELSE 0 END) OVER w3 >= 2
+              |   OR sum(CASE WHEN b2 AND sgn = -1 THEN 1 ELSE 0 END) OVER w3 >= 2) AS r2_2of3_2sigma,
+              |  (sum(CASE WHEN b1 AND sgn = 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+              |   OR sum(CASE WHEN b1 AND sgn = -1 THEN 1 ELSE 0 END) OVER w5 >= 4) AS r3_4of5_1sigma,
+              |  (sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) OVER w8 = 8
+              |   OR sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) OVER w8 = 8) AS r4_run8
+              |FROM f
+              |WINDOW w3 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              |       w5 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+              |       w8 AS (PARTITION BY k ORDER BY ts_ms ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
     // Seasonal hour-of-day baseline (composition showcase): each point
     // diff-percent-scored against its series' average at the same hour
     // of day — the daily-seasonality profile every ops dashboard keeps.

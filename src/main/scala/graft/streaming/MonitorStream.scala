@@ -36,6 +36,22 @@ final case class CusumScore(
   */
 final case class HwState(l: Double, b: Double, s: Seq[Double], i: Long, lastTsMs: Long)
 
+/** Carried control-rule state per series key: the trailing ≤7 packed
+  * zone codes (((sgn+1) << 2) | b2 << 1 | b1) plus the dup/late guard —
+  * O(1), the run rules never need more than the last 7 points.
+  */
+final case class CtrlState(hist: Seq[Int], lastTsMs: Long)
+
+/** One streaming control-rule record: the four Western Electric flags. */
+final case class CtrlFlags(
+    seriesKey: String, tsMs: Long, value: Double,
+    r1_beyond3: Boolean, r2_2of3_2sigma: Boolean, r3_4of5_1sigma: Boolean, r4_run8: Boolean)
+
+/** TimedSample enriched with the integer calibration stats (n, S, D). */
+final case class CtrlTimedSample(
+    seriesKey: String, tsMs: Long, value: Double, n: Long, s: Long, d: Long,
+    eventTime: java.sql.Timestamp)
+
 /** TimedSample enriched with the calibration stats (stream-static join). */
 final case class StatTimedSample(
     seriesKey: String, tsMs: Long, value: Double, mu: Double, sd: Double,
@@ -356,6 +372,76 @@ object MonitorStream {
                     l1, b1, st.s.updated(j, gamma * (p.value - l1) + (1 - gamma) * sj), i, p.tsMs)
                   Iterator.single(StreamScore(p.seriesKey, p.tsMs, p.value, f, dev))
                 }
+              }
+            }.toVector
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming Western Electric control-chart rules — the streaming twin
+    * of `Detectors.controlRuleFlags`, with the zone geometry as an
+    * explicit CALIBRATION input (`stats`: seriesKey, n, s, d — the
+    * integer per-series count, Σvm and nQ−S² from a batch pass over
+    * history, the cusumStream contract). Every zone test stays the exact
+    * integer comparison dm² > k²·D, and the run rules read an O(1) ring
+    * of the trailing ≤7 packed zone codes carried in the state store —
+    * a full-history replay is bit-equal to the batch flags on dup-free
+    * series. Same late/dup policy and event-time TTL as the other
+    * monitors (a returning key restarts its run history empty, so the
+    * run-of-8 rule needs 8 fresh points before it can fire again).
+    */
+  def controlRulesStream(
+      points: Dataset[TsSample],
+      stats: DataFrame, // (seriesKey, n, s, d)
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): Dataset[CtrlFlags] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .join(broadcast(stats.select(col("seriesKey"), col("n"), col("s"), col("d"))), Seq("seriesKey"))
+      .select(col("seriesKey"), col("tsMs"), col("value"), col("n"), col("s"), col("d"), col("eventTime"))
+      .as[CtrlTimedSample]
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[CtrlState, CtrlFlags](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[CtrlTimedSample], state: GroupState[CtrlState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+            var st = state.getOption.getOrElse(CtrlState(Vector.empty, Long.MinValue))
+            val out = batch.iterator.flatMap { p =>
+              if (p.tsMs <= st.lastTsMs) Iterator.empty
+              else {
+                // vm = round-half-away(100·v) — the exact arithmetic Spark's
+                // round(x, 0) applies on the batch side
+                val x = p.value * 100
+                val vmL = if (x < 0) -math.round(-x) else math.round(x)
+                val dm = vmL * p.n - p.s
+                val dm2 = dm * dm
+                val sgn = java.lang.Long.signum(dm)
+                val b3 = dm2 > 9L * p.d
+                val b2 = dm2 > 4L * p.d
+                val b1 = dm2 > p.d
+                val code = ((sgn + 1) << 2) | ((if (b2) 1 else 0) << 1) | (if (b1) 1 else 0)
+                val win = st.hist :+ code
+                def sideCount(last: Int, bit: Int, side: Int) =
+                  win.takeRight(last).count { c =>
+                    ((c >> 2) - 1) == side && (bit == -1 || ((c >> bit) & 1) == 1)
+                  }
+                val r2 = sideCount(3, 1, 1) >= 2 || sideCount(3, 1, -1) >= 2
+                val r3 = sideCount(5, 0, 1) >= 4 || sideCount(5, 0, -1) >= 4
+                val r4 = sideCount(8, -1, 1) == 8 || sideCount(8, -1, -1) == 8
+                st = CtrlState(win.takeRight(7), p.tsMs)
+                Iterator.single(CtrlFlags(p.seriesKey, p.tsMs, p.value, b3, r2, r3, r4))
               }
             }.toVector
             state.update(st)

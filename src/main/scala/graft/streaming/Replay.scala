@@ -123,6 +123,33 @@ object Replay {
       .select("seriesKey", "tsMs", "value", "score")
   }
 
+  /** Replay `points` through the streaming control rules in `chunkKey`
+    * order, calibrated by the batch integer stats (n, S, D = nQ−S²)
+    * over the SAME points — the batch-parity configuration: with
+    * full-history calibration the stream must reproduce
+    * `Detectors.controlRuleFlags` exactly on dup-free series.
+    */
+  def controlRulesReplay(
+      points: Dataset[TsSample],
+      chunkKey: TsSample => Long,
+      stateTtlMs: Long = Long.MaxValue / 4): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val vm = round(col("value") * 100, 0).cast("long")
+    val stats = points.toDF()
+      .select(col("seriesKey"), vm.as("_vm"))
+      .groupBy("seriesKey")
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("s"), sum(col("_vm") * col("_vm")).as("_q"))
+      .withColumn("d", col("n") * col("_q") - col("s") * col("s"))
+      .select("seriesKey", "n", "s", "d")
+    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[TsSample]
+    val out = MonitorStream.controlRulesStream(mem.toDS(), stats, stateTtlMs = stateTtlMs)
+    runSink(spark, out.toDF())(q => feedChunks(q, mem, chunks))
+  }
+
   def cusumReplay(
       points: Dataset[TsSample],
       chunkKey: TsSample => Long,

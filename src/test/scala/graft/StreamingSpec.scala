@@ -225,6 +225,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming control rules equal the batch flags across micro-batch boundaries; TTL clears the run history") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    // alternating base + a planted 8-run and one spike, split across
+    // micro-batches: the zone-code ring must carry through the state store
+    val vals = Seq.tabulate(40) { i =>
+      if (i == 10) 50.0 else if (i >= 20 && i < 28) 2.0 else if (i % 2 == 0) 1.0 else -1.0
+    }
+    val all = vals.zipWithIndex.map { case (v, i) => TsSample("1", (i + 1) * 1000L, v) }
+    val vm = round(col("value") * 100, 0).cast("long")
+    val stats = all.toDF().select(col("seriesKey"), vm.as("_vm"))
+      .groupBy("seriesKey")
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("s"), sum(col("_vm") * col("_vm")).as("_q"))
+      .withColumn("d", col("n") * col("_q") - col("s") * col("s"))
+      .select("seriesKey", "n", "s", "d")
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream.controlRulesStream(mem.toDS(), stats)
+      .writeStream.outputMode("append").format("memory").queryName("ctrl_out").start()
+    try {
+      all.grouped(6).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val got = spark.table("ctrl_out").as[graft.streaming.CtrlFlags].collect()
+        .map(f => f.tsMs -> ((f.r1_beyond3, f.r2_2of3_2sigma, f.r3_4of5_1sigma, f.r4_run8))).toMap
+      val batch = graft.detect.Detectors.controlRuleFlags(all.toDS()).collect()
+        .map(r => r.getAs[Long]("tsMs") -> ((r.getAs[Boolean]("r1_beyond3"), r.getAs[Boolean]("r2_2of3_2sigma"),
+          r.getAs[Boolean]("r3_4of5_1sigma"), r.getAs[Boolean]("r4_run8")))).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (ts, f) => assert(f == batch(ts), s"stream/batch divergence at $ts") }
+      assert(got(11000L)._1, "the planted spike must flag rule 1")
+      assert(got(28000L)._4, "the planted run must flag rule 4 at its 8th point")
+    } finally q.stop()
+    // TTL eviction: the run history clears — 7 pre-expiry same-side points
+    // plus 1 post-expiry point must NOT fire the run-of-8 rule
+    val mem2 = MemoryStream[TsSample]
+    val flatStats = Seq(("1", 100L, 0L, 1000000L), ("2", 100L, 0L, 1000000L))
+      .toDF("seriesKey", "n", "s", "d")
+    val q2 = MonitorStream
+      .controlRulesStream(mem2.toDS(), flatStats, watermarkDelay = "0 seconds", stateTtlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("ctrl_ttl").start()
+    try {
+      // 7 same-side key-1 points (one short of the run rule), then key-2
+      // events advance the watermark past key 1's TTL
+      mem2.addData((1 to 7).map(i => TsSample("1", i * 1000L, 5.0)): _*); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 100000L, 5.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("2", 110000L, 5.0)); q2.processAllAvailable()
+      mem2.addData(TsSample("1", 120000L, 5.0)); q2.processAllAvailable() // state gone: history restarts
+      val s = spark.table("ctrl_ttl").as[graft.streaming.CtrlFlags].collect()
+        .map(f => (f.seriesKey, f.tsMs) -> f.r4_run8).toMap
+      assert(!s(("1", 120000L)), "run history must clear on TTL eviction (8th point after a continued history would fire)")
+    } finally q2.stop()
+  }
+
   test("dead series expire from the state store after the event-time TTL") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TsSample]
