@@ -35,6 +35,15 @@ final case class AudioMeta(
   */
 object Multimodal {
 
+  // ImageIO wraps InputStreams in a DISK-backed cache by default — one
+  // temp file created/written/deleted in java.io.tmpdir PER DECODE.
+  // Every payload here is already an in-memory byte array, so that file
+  // is pure IO tax, and a measured source of 3× wall flapping on the
+  // decode family whenever tmp-dir IO state is dirty (r12 bench
+  // investigation). Memory-backed caching is strictly better for this
+  // access pattern. JVM-global; runs once per executor at object init.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image-header decode via `javax.imageio` (ships in the JDK — no
     * new dependency): sniffs the container by magic bytes, then reads
     * dimensions and band count from the HEADER only — `setInput(…,
