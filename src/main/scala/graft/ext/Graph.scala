@@ -98,4 +98,75 @@ object Graph {
       col("rm").as("rank_micro"),
       (col("rm") / 1000000.0).as("rank"))
   }
+
+  /** Per-node triangle counts and local clustering coefficients over an
+    * undirected edge list — the density QA for the dedup graph: a dup
+    * family that is a clique (cc ≈ 1) is safe to collapse transitively,
+    * while a long chain (cc ≈ 0) is exactly where transitive-closure
+    * dedup deletes non-duplicates. Same role in co-occurrence graphs
+    * (community tightness vs hub spray).
+    *
+    * Scale shape: the textbook degree-ordered orientation. Every
+    * canonical edge {a,b} is directed from the (degree, node)-smaller
+    * endpoint to the larger, wedges are generated only at a vertex's
+    * oriented OUT-neighbors, and a wedge (v, w) closes iff the oriented
+    * edge v→w exists — each triangle is found exactly once, at its
+    * lowest-rank vertex. Orientation bounds every out-degree by
+    * O(√m) on any graph (a vertex with out-degree d has d neighbors of
+    * degree ≥ its own, so d² ≤ 2m), which bounds total wedge rows by
+    * O(m^1.5) — the hub vertex that would make naive neighbor-pairing
+    * quadratic fans its wedges across its (higher-rank, low-out-degree)
+    * neighbors instead. Three hash joins, no cartesian, no driver state.
+    *
+    * Determinism: counts are exact integers; the local clustering
+    * coefficient surfaces as cc_micro = (2·t·10⁶) DIV (deg·(deg−1))
+    * (truncating division, all operands non-negative) so every engine
+    * computes the identical integer, plus the cc double derived from it.
+    * Input edges may carry duplicates, reversals, and self-loops — the
+    * canonical distinct (least, greatest) pass absorbs all three.
+    */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    // (deg, node) rank is a total order: equal-degree endpoints of one
+    // edge still differ on node. src = lower rank, dst = higher.
+    val ranked = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da_")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db_")), "b")
+    val rA = struct(col("da_").as("d"), col("a").as("n"))
+    val rB = struct(col("db_").as("d"), col("b").as("n"))
+    val aLower = rA < rB
+    val oriented = ranked.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, rA).otherwise(rB).as("srcR"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, rB).otherwise(rA).as("dstR"))
+    // wedges at u: unordered out-neighbor pairs, canonicalized by rank so
+    // the closing edge (if present) is oriented exactly v→w
+    val w1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dstR").as("vR"))
+    val w2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("dstR").as("wR"))
+    val wedges = w1.join(w2, Seq("u")).where(col("vR") < col("wR"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    val triPerNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(triPerNode, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("CASE WHEN deg >= 2 THEN (2 * coalesce(n_tri, 0) * 1000000) DIV (deg * (deg - 1)) ELSE 0 END")
+          .as("cc_micro"))
+      .withColumn("cc", col("cc_micro") / 1000000.0)
+  }
 }

@@ -1685,6 +1685,57 @@ object ExtQueries {
               |SELECT node, CAST(rm AS BIGINT) AS rank_micro, rm / 1000000.0 AS rank
               |FROM r3""".stripMargin)
     ),
+    // Triangle counts + local clustering coefficients over the
+    // co-purchase graph (users who share >= 3 distinct purchased items,
+    // item fan-out capped so a hub item cannot emit quadratic pairs):
+    // the graph-density QA of the dedup/community layer — cc ~ 1 means a
+    // clique-like family safe for transitive collapse, cc ~ 0 a chain
+    // where transitive dedup over-merges. Spark runs the degree-ordered
+    // wedge orientation (each triangle found once at its lowest-rank
+    // vertex, out-degrees bounded by O(sqrt(m))); the oracle counts the
+    // same triangles from the canonical a<b edge list directly — the
+    // orientation is a pure execution device, invisible in the result.
+    Q(
+      "graph_triangles",
+      (s, dir) => {
+        val uk = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .distinct()
+        val kept = uk.join(
+          uk.groupBy(col("k")).agg(count(lit(1)).as("nu"))
+            .where(col("nu") <= 100000).select(col("k")),
+          Seq("k"))
+        val pairs = kept.as("x")
+          .join(kept.as("y"), col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
+          .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+          .agg(count(lit(1)).as("sh"))
+          .where(col("sh") >= 3)
+        graft.ext.Graph.triangles(pairs, "ua", "ub")
+      },
+      Some("""WITH uk AS (SELECT DISTINCT user_id u, json_extract(props, '$.k')::INT k
+             |            FROM events WHERE event_type = 'purchase'),
+             |kc AS (SELECT k FROM (SELECT k, count(*) nu FROM uk GROUP BY 1) WHERE nu <= 100000),
+             |ku AS (SELECT u, k FROM uk JOIN kc USING (k)),
+             |e AS (SELECT a.u a, b.u b FROM ku a JOIN ku b ON a.k = b.k AND a.u < b.u
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
+             |d AS (SELECT node, CAST(count(*) AS BIGINT) deg
+             |      FROM (SELECT a node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+             |tri AS (SELECT e1.a x, e1.b y, e2.b z
+             |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tn AS (SELECT node, CAST(count(*) AS BIGINT) n_tri
+             |       FROM (SELECT x node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+             |       GROUP BY 1)
+             |SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+             |       CASE WHEN d.deg >= 2
+             |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+             |            ELSE 0 END AS cc_micro,
+             |       CAST(CASE WHEN d.deg >= 2
+             |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+             |            ELSE 0 END AS DOUBLE) / 1000000.0 AS cc
+             |FROM d LEFT JOIN tn USING (node)""".stripMargin)
+    ),
     // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
     // to vectors sharing an IVF coarse cell — the ANN index the pipeline
     // already maintains doubles as the dedup partitioner. The oracle

@@ -641,6 +641,51 @@ class ExtSpec extends AnyFunSuite {
     assert(!got3.contains("zzz"), "a node with only w<1 edges must be absent, not teleport-ranked")
   }
 
+  test("triangles: diamond counts, clique cc=1, path cc=0, canonicalization of dup/reversed/self edges") {
+    import graft.ext.Graph
+    // K4 minus {c,d}: triangles abc and abd only
+    val diamond = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("x", "y")
+    val got = Graph.triangles(diamond, "x", "y").collect()
+      .map(r => r.getAs[String]("node") -> ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("cc_micro")))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L, 666666L)), // (2·2·1e6) DIV (3·2), truncating
+      "b" -> ((3L, 2L, 666666L)),
+      "c" -> ((2L, 1L, 1000000L)),
+      "d" -> ((2L, 1L, 1000000L))))
+    // duplicates, reversals, and self-loops canonicalize away
+    val noisy = diamond
+      .union(Seq(("b", "a"), ("a", "b"), ("c", "a"), ("d", "d")).toDF("x", "y"))
+    val got2 = Graph.triangles(noisy, "x", "y").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(got2 == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    // a path has no triangles and cc 0 everywhere
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4")).toDF("x", "y")
+    val got3 = Graph.triangles(path, "x", "y").collect()
+    assert(got3.length == 4 && got3.forall(r => r.getAs[Long]("n_tri") == 0L && r.getAs[Long]("cc_micro") == 0L))
+  }
+
+  test("triangles: degree-ordered orientation matches driver brute force on a seeded random graph") {
+    import graft.ext.Graph
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.2
+    } yield (i.toLong, j.toLong)).toVector
+    val got = Graph.triangles(edges.toDF("x", "y"), "x", "y").collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri")))).toMap
+    // brute force: all (i<j<k) triples over the adjacency set
+    val adj = edges.toSet
+    def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- 0L until n; j <- (i + 1) until n; k <- (j + 1) until n)
+      if (has(i, j) && has(j, k) && has(i, k)) { triCount(i) += 1; triCount(j) += 1; triCount(k) += 1 }
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == deg.map { case (v, d) => v -> ((d, triCount(v))) }.toMap)
+    // plan shape: three hash joins, never a cartesian/nested-loop product
+    val plan = Graph.triangles(edges.toDF("x", "y"), "x", "y").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("semanticPairs: verified subset of exact pairs; within-cell recall is total; dups always pair") {
     val e = Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding")
