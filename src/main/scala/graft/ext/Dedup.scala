@@ -109,6 +109,145 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directed shingle-containment pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|,
+    * the ASYMMETRIC companion to Jaccard. Jaccard misses the excerpt
+    * case — a 50-shingle quote inside a 5000-shingle page scores
+    * J ≈ 0.01 but C(quote→page) = 1.0 — which is exactly the sub-document
+    * duplication (syndicated snippets, quoted passages, subset pages) a
+    * training pipeline must catch to avoid double-counting content that
+    * survives symmetric dedup. Rows are DIRECTED: (inner_id, outer_id)
+    * means inner's shingle set lies (fraction ≥ τ) inside outer's; both
+    * directions are emitted independently, so full twins appear twice at
+    * 1.0 while true excerpts appear once. `jaccard` rides along — a row
+    * with high containment and low jaccard IS the excerpt signal.
+    *
+    * Scale levers, mirrored exactly in the SQL oracle: a document-
+    * frequency cap (shingles in > maxDf docs are boilerplate — no
+    * containment signal, and the quadratic join blow-up at corpus
+    * scale), and a minShingles floor (containment over a 2-shingle set
+    * is noise). Intersections count 32-bit md5 shingle HASHES on both
+    * engines (same collision behavior), computed once per unordered
+    * pair and fanned to the two directed rows.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int = 8,
+      maxDf: Int = 100000): DataFrame =
+    containmentBuild(df, idCol, textCol, n, tau, minShingles, maxDf)._2
+
+  /** Leak-free scope for `containmentPairs` — same contract as
+    * `withPpjoinPairs`: `use` must materialize the frame; the internal
+    * hash-set persist is released when it returns.
+    */
+  def withContainmentPairs[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int = 8,
+      maxDf: Int = 100000)(use: DataFrame => T): T = {
+    val (hashed, out) = containmentBuild(df, idCol, textCol, n, tau, minShingles, maxDf)
+    try use(out)
+    finally hashed.unpersist(blocking = false)
+  }
+
+  /** The containment pipeline. Candidate generation uses the ASYMMETRIC
+    * prefix filter — the PPJoin argument adapted to containment: if
+    * C(A→B) = i/na ≥ τ then i ≥ ⌈τ·na⌉, so A∩B must touch A's
+    * rarest-first prefix of length na − ⌈τ·na⌉ + 1 (missing all of it
+    * bounds i ≤ ⌈τ·na⌉ − 1). LOSSLESS, so the oracle stays the naive
+    * full shingle join; only A's ~(1−τ) rarest shingles enter the join
+    * (the B side joins its full set — containment has no symmetric
+    * shrink), plus the length bound nb ≥ ⌈τ·na⌉. Exact intersections are
+    * in-row sorted-array intersects on the surviving candidates, never a
+    * token-level pair explosion.
+    */
+  private def containmentBuild(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persisted once: the md5 kernel feeds the df-count, prefix, candidate
+    // and both verify branches (the ppjoinCandidates pattern)
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          val hs = (0 to words.length - n).iterator
+            .map(i => words.slice(i, i + n).mkString(" "))
+            .toSet[String]
+            .map(g => shingleHash32(md, g))
+            .toArray
+          java.util.Arrays.sort(hs)
+          (id, hs)
+        }
+      }
+      .toDF("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
+    // document frequency drives BOTH the boilerplate cap and the
+    // rarest-first prefix ordering
+    val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val kh = sh.join(dfh.where(col("dfreq") <= maxDf), "h")
+    // per-doc KEPT size is the containment denominator: a doc whose text
+    // is pure boilerplate (all shingles capped away) exits here rather
+    // than scoring 0/0; the floor also keeps 2-shingle noise out
+    val sizes = kh.groupBy(col("id")).agg(count(lit(1)).as("nk"))
+      .where(col("nk") >= minShingles)
+    val khf = kh.join(sizes, "id")
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("h"))
+    val prefix = khf
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("nk") - expr(s"CAST(ceil(nk * $tau) AS BIGINT)") + 1)
+      .select(col("id").as("ia"), col("h"), col("nk").as("na"))
+    val cand = prefix
+      .join(khf.select(col("id").as("ib"), col("h"), col("nk").as("nb")), "h")
+      .where(col("ia") =!= col("ib") && col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
+      .select(least(col("ia"), col("ib")).as("da"), greatest(col("ia"), col("ib")).as("db"))
+      .distinct()
+    // verify on per-doc KEPT sorted arrays (late materialization)
+    val khArr = khf.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("khs"), first(col("nk")).as("nk"))
+    val ws = cand
+      .join(khArr.select(col("id").as("da"), col("khs").as("hsa"), col("nk").as("na")), "da")
+      .join(khArr.select(col("id").as("db"), col("khs").as("hsb"), col("nk").as("nb")), "db")
+      .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"))
+    val directed = ws.select(
+        col("da").as("inner_id"), col("db").as("outer_id"),
+        col("i"), col("na").as("n_inner"), col("nb").as("n_outer"))
+      .union(ws.select(col("db"), col("da"), col("i"), col("nb"), col("na")))
+    val out = directed
+      .withColumn("c_raw", col("i").cast("double") / col("n_inner"))
+      .where(col("c_raw") >= tau)
+      .select(
+        col("inner_id"),
+        col("outer_id"),
+        col("n_inner"),
+        col("i").as("n_shared"),
+        round(col("c_raw"), 4).as("containment"),
+        round(col("i").cast("double") / (col("n_inner") + col("n_outer") - col("i")), 4)
+          .as("jaccard"))
+    (hashed, out)
+  }
+
   /** Exact set-similarity self-join by PREFIX FILTERING (the PPJoin
     * family, Xiao et al. 2008): order every document's shingle set by
     * global rarity (document frequency asc, hash asc) and compare only

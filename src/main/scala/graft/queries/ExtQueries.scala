@@ -1320,6 +1320,39 @@ object ExtQueries {
           |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
           |SELECT da, db, round(jaccard, 4) AS jaccard FROM jc WHERE jaccard >= 0.3""".stripMargin)
     ),
+    // Directed shingle containment (|S(A)∩S(B)| / |S(A)|): the excerpt/
+    // sub-document detector symmetric Jaccard misses — a quote inside a
+    // long page scores J~0 but containment 1.0. Df-capped + min-size
+    // floored, hash-exact on 32-bit md5 shingle hashes in both engines.
+    Q(
+      "dedup_containment",
+      // session artifact through the scoped kernel form: the prefix-filter
+      // pipeline runs once per session, its internal hash-set persist is
+      // released when the parquet write lands (the ppjoin pattern)
+      (s, dir) =>
+        artifactForScoped(s, dir, "containment") { write =>
+          Dedup.withContainmentPairs(
+            Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.8)(write)
+        },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |keep AS (SELECT h FROM (SELECT h, count(*) dfreq FROM hs GROUP BY 1) WHERE dfreq <= 100000),
+             |kh AS (SELECT doc_id, h FROM hs JOIN keep USING (h)),
+             |sz AS (SELECT doc_id, count(*) nk FROM kh GROUP BY 1 HAVING count(*) >= 8),
+             |iv AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+             |       FROM kh a JOIN kh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |ws AS (SELECT iv.da, iv.db, iv.i, sa.nk na, sb.nk nb
+             |       FROM iv JOIN sz sa ON iv.da = sa.doc_id JOIN sz sb ON iv.db = sb.doc_id),
+             |d AS (SELECT da inner_id, db outer_id, i, na n_inner, nb n_outer FROM ws
+             |      UNION ALL SELECT db, da, i, nb, na FROM ws)
+             |SELECT inner_id, outer_id, CAST(n_inner AS BIGINT) AS n_inner,
+             |       CAST(i AS BIGINT) AS n_shared,
+             |       round(CAST(i AS DOUBLE) / n_inner, 4) AS containment,
+             |       round(CAST(i AS DOUBLE) / (n_inner + n_outer - i), 4) AS jaccard
+             |FROM d WHERE CAST(i AS DOUBLE) / n_inner >= 0.8""".stripMargin)
+    ),
     // Exact set-similarity join by prefix filtering (PPJoin): LOSSLESS
     // candidate pruning — any Jaccard ≥ τ pair must share a token in
     // both docs' rarest-token prefixes — so the oracle is simply the

@@ -36,6 +36,71 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case ((a, b), _) => b == 4L || a == 4L })
   }
 
+  test("containmentPairs: directed excerpt detection, twins both ways, min-size floor, df cap") {
+    val page = ((1 to 40).map(i => s"tok$i") ++ Seq("unique", "page", "tail", "words", "here")).mkString(" ")
+    val quote = (5 to 20).map(i => s"tok$i").mkString(" ") // strict sub-span of page
+    val cdocs = Seq(
+      (1L, page), (2L, quote),
+      (3L, "twin text body alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "twin text body alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "tiny doc") // below minShingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs, "doc_id", "text", n = 3, tau = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("inner_id"), r.getAs[Long]("outer_id")) ->
+        ((r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))).toMap
+    // the quote is fully inside the page — one DIRECTED row, jaccard low
+    assert(out((2L, 1L))._1 == 1.0)
+    assert(out((2L, 1L))._2 < 0.8, s"excerpt must show low jaccard, got ${out((2L, 1L))}")
+    assert(!out.contains((1L, 2L)), "page is not contained in its quote")
+    // exact twins contain each other: both directions at 1.0, jaccard 1.0
+    assert(out((3L, 4L)) == ((1.0, 1.0)) && out((4L, 3L)) == ((1.0, 1.0)))
+    // the tiny doc is floored out entirely
+    assert(!out.keys.exists { case (a, b) => a == 5L || b == 5L })
+    // df cap: at maxDf = 2 every shingle shared 3 ways drops; the quote/
+    // page pair (df 2) survives, a tripled text would not
+    val tripled = Seq(
+      (1L, "same body of shared text repeated across three documents"),
+      (2L, "same body of shared text repeated across three documents"),
+      (3L, "same body of shared text repeated across three documents"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(tripled, "doc_id", "text", n = 3, tau = 0.1, maxDf = 2)
+    assert(capped.count() == 0, "df-capped shingles must not pair")
+  }
+
+  test("containmentPairs: asymmetric prefix filter is LOSSLESS — equals the naive full shingle join") {
+    val corpus = Tables.documents(spark, sf)
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("inner_id"), r.getAs[Long]("outer_id")) ->
+        ((r.getAs[Long]("n_inner"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))).toMap
+    // naive reference: full shingle-hash equi-join, no prefix filter —
+    // the shape the DuckDB oracle replays
+    val kh = Dedup.shingleHashesAndSig(corpus, "doc_id", "text", n = 3, perms = 1)
+      .select(col("id"), explode(col("hs")).as("h"))
+    val sz = kh.groupBy("id").agg(count(lit(1)).as("nk")).where(col("nk") >= 8)
+    val iv = kh.as("a").join(kh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("id").as("da"), col("nk").as("na")), "da")
+      .join(sz.select(col("id").as("db"), col("nk").as("nb")), "db")
+      .collect()
+    val ref = iv.flatMap { r =>
+      val (da, db, i) = (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("i"))
+      val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      def row(in: Long, out: Long, nIn: Long, nOut: Long) = {
+        val c = i.toDouble / nIn
+        if (c >= 0.8)
+          Some((in, out) -> ((nIn, i,
+            BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(i.toDouble / (nIn + nOut - i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        else None
+      }
+      row(da, db, na, nb) ++ row(db, da, nb, na)
+    }.toMap
+    assert(got == ref, s"prefix-filtered (${got.size}) != naive (${ref.size})")
+  }
+
   test("ppjoin: prefix filtering is LOSSLESS — output equals the exact unblocked Jaccard join") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -2191,6 +2256,8 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs > 0)
     val cdc = Dedup.withCdcPairs(docs, "doc_id", "text", minShared = 2L)(_.count())
     assert(cdc > 0)
+    val cont = Dedup.withContainmentPairs(docs, "doc_id", "text", n = 3, tau = 0.8)(_.count())
+    assert(cont > 0)
     // the ANN family's scoped forms must release BOTH the outer prep
     // cache and the banded route's internal vector cache (forced via
     // maxExactRows = 0)
