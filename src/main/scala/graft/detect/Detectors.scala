@@ -284,6 +284,120 @@ object Detectors {
           .otherwise(col("_lo") + col("_f") * (col("_hi") - col("_lo"))), 4))
       .drop("_rn", "_n", "_k", "_f", "_lo", "_hi")
 
+  /** Generalized-ESD outlier detection (Rosner 1983, the iterative
+    * unmasking detector behind Twitter's AnomalyDetection): up to `k`
+    * rounds per series, each recomputing mean/variance over the REMAINING
+    * points, removing the max-deviation point, and testing its
+    * studentized deviation — removal-then-retest is what lets a second
+    * outlier emerge after a first masks the variance (a plain z-score
+    * never flags it). The flagged set follows Rosner exactly: maxI =
+    * the LAST round whose test fires, and ALL first maxI removed points
+    * are outliers (a round-2 point that failed its own test is still
+    * flagged when round 3 fires).
+    *
+    * Two deliberate deviations from the textbook, both documented for
+    * the oracle's sake: the per-round critical value is the constant
+    * `cut` (λ_i's t-quantile has no SQL form; cut = 3 ≈ λ at n ~ 60,
+    * α = 0.05) and the test runs in EXACT integers — centi-int values
+    * (the acf convention: LONG sums, loud on overflow, estimator algebra
+    * widened to DECIMAL(38,0)), test (n·v − S)² > cut²·(n·Q − S²), which
+    * is |v−μ|/σ_pop > cut cleared of division — so both engines flag the
+    * identical points with zero fp drift. Reported r2_micro is the
+    * squared studentized deviation in micro-units (truncating division,
+    * both engines).
+    *
+    * Scale shape: ONE hash exchange and ONE linear plan — no unions, no
+    * joins, no per-round re-aggregation. Removing a point changes the
+    * running stats in CLOSED FORM (n → n−1, S → S−v, Q → Q−v²), so all
+    * k rounds ride a single window chain over the same partitioning:
+    * round i is ONE window pass of three same-spec aggregates (the
+    * max_by argmax over (dev, −ts), its value, and max(dev)) — k+2
+    * unordered windows total, zero per-round sorts, zero shuffles after
+    * the first, zero recompute fan-out (the naive union-of-rounds shape
+    * re-executed the scan+guard per round consumer: measured 12 parquet
+    * scans and 3× the wall). The test verdict is a partition-constant
+    * closed form (the candidate's dev IS max(dev)) and the Rosner flag
+    * rule a greatest() over the k verdict columns — no joins anywhere.
+    * Series that shrink below 4 active points stop testing (the D0
+    * guard, re-applied per round via n₀ − (i−1) ≥ 4). Duplicate-ts
+    * rows within one series are resolved by the ts tie-break alone (the
+    * TsSample contract everywhere else in this file).
+    */
+  def esdOutliers(points: Dataset[TsSample], k: Int = 3, cut: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    require(cut >= 1, s"cut must be >= 1, got $cut")
+    val dec = "decimal(38,0)"
+    // hot path stays LONG (the acf lesson: per-row DECIMAL(38) ops are
+    // interpreted BigDecimal — measured multi-second at bench scale);
+    // sums are exact while they fit 2⁶³ and fail LOUDLY (ANSI) past it.
+    // Only the per-round estimator algebra (squares and n·Q − S²)
+    // widens to DECIMAL(38,0).
+    var df = points.toDF()
+      .repartition(col("seriesKey"))
+      .select(
+        col("seriesKey"), col("tsMs"), col("value"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+      .withColumn("n0", count(lit(1)).over(byKey))
+      .where(col("n0") >= Constants.MinPoints)
+      // running sums over the ACTIVE set, maintained by subtraction
+      .withColumn("s_c", sum(col("vc")).over(byKey))
+      .withColumn("q_c", sum(col("vc") * col("vc")).over(byKey))
+      .withColumn("act", lit(true))
+    for (i <- 1 to k) {
+      val nI = col("n0") - lit(i - 1)
+      // the argmax is a max_by over (dev, −ts) — no per-round SORT; all
+      // three window aggregates share one spec, so each round is ONE
+      // window pass. num/den/test are partition-constant closed forms
+      // (the candidate's dev IS max(dev)), so the verdict needs no
+      // second pass either.
+      val argKey = struct(col("devI"), (-col("tsMs")).as("nt"))
+      df = df
+        // inactive / under-guard rows sink below every real |dev| >= 0
+        .withColumn(
+          "devI",
+          when(
+            col("act") && nI >= Constants.MinPoints,
+            abs(nI * col("vc") - col("s_c")))
+            .otherwise(lit(-1L)))
+        .withColumn("candTs", max_by(col("tsMs"), argKey).over(byKey))
+        .withColumn("candVc", max_by(col("vc"), argKey).over(byKey))
+        .withColumn("maxDev", max(col("devI")).over(byKey))
+        .withColumn(s"cand$i", col("tsMs") === col("candTs") && col("devI") >= 0)
+        .withColumn(s"num$i", col("maxDev").cast(dec) * col("maxDev").cast(dec))
+        .withColumn(
+          s"den$i",
+          nI.cast(dec) * col("q_c").cast(dec) - col("s_c").cast(dec) * col("s_c").cast(dec))
+        .withColumn(
+          s"test$i",
+          when(
+            col("maxDev") >= 0 && col(s"den$i") > 0 &&
+              col(s"num$i") > lit(cut * cut) * col(s"den$i"),
+            lit(1)).otherwise(lit(0)))
+        .withColumn("s_c", when(col("maxDev") >= 0, col("s_c") - col("candVc")).otherwise(col("s_c")))
+        .withColumn(
+          "q_c",
+          when(col("maxDev") >= 0, col("q_c") - col("candVc") * col("candVc")).otherwise(col("q_c")))
+        .withColumn("act", col("act") && !col(s"cand$i"))
+    }
+    val iterCol = (k to 1 by -1).foldLeft(lit(null).cast("int")) {
+      case (acc, i) => when(col(s"cand$i"), lit(i)).otherwise(acc)
+    }
+    val r2Col = (k to 1 by -1).foldLeft(lit(null).cast("long")) {
+      case (acc, i) =>
+        when(
+          col(s"cand$i"),
+          when(col(s"den$i") > 0, expr(s"(num$i * 1000000) DIV den$i")).otherwise(lit(0L)))
+          .otherwise(acc)
+    }
+    val maxI = greatest(
+      (1 to k).map(i => when(col(s"test$i") === 1, lit(i)).otherwise(lit(0))): _*)
+    df.withColumn("iter", iterCol)
+      .withColumn("r2_micro", r2Col)
+      .withColumn("max_i", maxI)
+      .where(col("iter").isNotNull && col("iter") <= col("max_i"))
+      .select(col("seriesKey"), col("tsMs"), col("value"), col("iter"), col("r2_micro"))
+  }
+
   /** D6 absolute_threshold: score = how far the value sits outside the
     * [lower, upper] band — a pure codegen'd expression, no state.
     */

@@ -102,6 +102,26 @@ object DetectQueries {
         s"  FROM $src p JOIN hw h ON p.k = h.k AND p.rn = h.rn + 1)")).mkString("\n|")
   }
 
+  /** Generalized-ESD oracle rounds g/j/c/a 1..k over the centi-int table
+    * `a0(k, ts_ms, v, vc)` — each round mirrors `Detectors.esdOutliers`:
+    * per-series HUGEINT (n, Σv, Σv²) over the REMAINING points with the
+    * n ≥ 4 re-guard, max-|n·v − S| candidate (ts tie-break), removal via
+    * rn > 1. Lines '|'-joined for the caller's stripMargin.
+    */
+  private def esdIterCte(k: Int): String =
+    (1 to k).map { i =>
+      Seq(
+        s"g$i AS (SELECT k, CAST(count(*) AS HUGEINT) n, sum(vc) s1, sum(vc*vc) q",
+        s"        FROM a${i - 1} GROUP BY k HAVING count(*) >= 4),",
+        s"j$i AS (SELECT a.k, a.ts_ms, a.v, a.vc, g.n, g.s1, g.q,",
+        s"          abs(g.n * a.vc - g.s1) dev,",
+        s"          row_number() OVER (PARTITION BY a.k ORDER BY abs(g.n * a.vc - g.s1) DESC, a.ts_ms) rn",
+        s"        FROM a${i - 1} a JOIN g$i g ON a.k = g.k),",
+        s"c$i AS (SELECT k, ts_ms, v, $i iter, dev*dev num, n*q - s1*s1 den FROM j$i WHERE rn = 1),",
+        s"a$i AS (SELECT k, ts_ms, v, vc FROM j$i WHERE rn > 1)"
+      ).mkString("\n|")
+    }.mkString(",\n|")
+
   private val dscoreCte =
     """dv AS (
       |  SELECT k, ts_ms, v, rn,
@@ -589,6 +609,40 @@ object DetectQueries {
               |SELECT d.k AS user_id, d.ts_ms, d.v AS value,
               |       round(CASE WHEN mad.mad > 0 THEN d.ad / (1.4826 * mad.mad) ELSE d.ad END, 4) AS score
               |FROM d JOIN mad USING (k)""".stripMargin)
+    ),
+    // Generalized-ESD outliers (Rosner; the iterative unmasking detector):
+    // k=3 rounds, each recomputing stats over the REMAINING points and
+    // removing the max-deviation point; flagged set = first maxI removed
+    // where maxI is the last round whose exact-integer test
+    // (n·v − S)² > 9·(nQ − S²) fires. The oracle unrolls the three
+    // rounds with the identical HUGEINT algebra and row_number removal.
+    Q(
+      "anomaly_esd",
+      (s, dir) => {
+        // UNGUARDED points: esdOutliers re-applies the D0 floor per round
+        // internally (n₀ − (i−1) ≥ 4 subsumes the initial guard), so the
+        // minPointsGuard semi-join would be a second scan for nothing
+        import s.implicits._
+        val raw = Tables.events(s, dir)
+          .select(
+            col("user_id").cast("string").as("seriesKey"),
+            col("ts_ms").as("tsMs"), col("value"))
+          .as[graft.model.TsSample]
+        Detectors.esdOutliers(raw, k = 3, cut = 3)
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+            col("iter"), col("r2_micro"))
+      },
+      Some(s"""WITH a0 AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v,
+              |             CAST(round(value * 100, 0) AS HUGEINT) vc FROM events),
+              |${esdIterCte(3)},
+              |cand AS (SELECT k, ts_ms, v, iter, (den > 0 AND num > 9*den) test,
+              |           CASE WHEN den > 0 THEN (num * 1000000) // den ELSE 0 END r2m
+              |         FROM (${(1 to 3).map(i => s"SELECT * FROM c$i").mkString(" UNION ALL ")})),
+              |mi AS (SELECT k, max(CASE WHEN test THEN iter ELSE 0 END) max_i FROM cand GROUP BY k)
+              |SELECT cand.k AS user_id, cand.ts_ms, cand.v AS value,
+              |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
+              |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin)
     ),
     // Western Electric control-chart zone rules (beyond the reference
     // suite): every zone test is the INTEGER comparison dm² > k²·D

@@ -197,6 +197,51 @@ class DetectorsSpec extends AnyFunSuite {
     assert(viaRegistry == out)
   }
 
+  test("ESD: iterative unmasking flags what one-shot z-scores miss; Rosner maxI rule; flat/short series silent") {
+    // driver-side replica of the exact integer recurrence
+    def refEsd(rows: Seq[(Long, Double)], k: Int, cut: Int): Seq[(Long, Int)] = {
+      var active = rows.map { case (t, v) => (t, BigInt(math.round(v * 100))) }
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Boolean)]
+      for (i <- 1 to k if active.size >= 4) {
+        val n = BigInt(active.size)
+        val s1 = active.map(_._2).sum
+        val q = active.map(x => x._2 * x._2).sum
+        val cand = active.minBy { case (t, vc) => (-(n * vc - s1).abs, t) }
+        val num = (n * cand._2 - s1).pow(2)
+        val den = n * q - s1 * s1
+        cands += ((cand._1, i, den > 0 && num > cut * cut * den))
+        active = active.filterNot(_ == cand)
+      }
+      val maxI = (0 +: cands.filter(_._3).map(_._2).toSeq).max
+      cands.filter(_._2 <= maxI).map(c => (c._1, c._2)).toSeq
+    }
+    // masking: two extreme points; the huge one hides the second from a
+    // one-shot test, removal un-masks it. NOTE the base must be wide
+    // enough: a single outlier's population z-score is capped at
+    // (n−1)/√n, so cut = 3 cannot fire below n = 11 — 20 stable points
+    // puts the planted spikes far past the cap
+    val masked = (1 to 20).map(i => (i * 1000L, 10.0 + (i % 5) * 0.1)) ++
+      Seq((21000L, 500.0), (22000L, 80.0))
+    val got = Detectors.esdOutliers(pts(masked.map { case (t, v) => (7L, t, v) }: _*))
+      .collect().map(r => (r.getAs[Long]("tsMs"), r.getAs[Int]("iter"))).toSeq.sorted
+    val want = refEsd(masked, k = 3, cut = 3).sorted
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._1).toSet == Set(21000L, 22000L), s"both planted outliers must flag: $got")
+    // seeded random series + one planted spike: engine == driver replica
+    val rnd = new scala.util.Random(7)
+    val noisy = (1 to 40).map(i => (i * 1000L, 50.0 + rnd.nextInt(200) / 100.0)) :+ (41000L, 300.0)
+    val got2 = Detectors.esdOutliers(pts(noisy.map { case (t, v) => (8L, t, v) }: _*))
+      .collect().map(r => (r.getAs[Long]("tsMs"), r.getAs[Int]("iter"))).toSeq.sorted
+    assert(got2 == refEsd(noisy, 3, 3).sorted)
+    assert(got2.map(_._1).contains(41000L))
+    // constant series: zero variance, no outliers
+    val flat = pts((1 to 8).map(i => (9L, i * 1000L, 5.0)): _*)
+    assert(Detectors.esdOutliers(flat).count() == 0)
+    // short series never reach a test
+    val short = pts((10L, 1000L, 1.0), (10L, 2000L, 99.0), (10L, 3000L, 1.0))
+    assert(Detectors.esdOutliers(short).count() == 0)
+  }
+
   test("absolute_threshold scores distance outside the band (D6)") {
     val s = Detectors
       .absoluteThresholdScores(rampSpike, upper = Some(35.0), lower = Some(15.0))
