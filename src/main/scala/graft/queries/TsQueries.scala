@@ -533,6 +533,43 @@ object TsQueries {
       "ts_rollup_cascade",
       (s, dir) =>
         TsAlgebra.rollupCascade(ev(s, dir), "user_id", "ts_ms", "value", rollupBuckets),
-      Some(rollupOracleSql))
+      Some(rollupOracleSql)),
+    // Gorilla-style compressed-size estimate per series (the reference's
+    // Redis TS backend stores delta-of-delta compressed chunks): DoD
+    // bucket bits for timestamps, integer first-difference buckets for
+    // centi values — the storage-planning report, exact integers on both
+    // engines. Bucket edges and the first/second-point costs are in
+    // TsAlgebra.compressEstimate's doc.
+    Q(
+      "ts_compress_estimate",
+      (s, dir) => TsAlgebra.compressEstimate(ev(s, dir), "user_id", "ts_ms", "value"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) t, CAST(round(value*100, 0) AS BIGINT) vc
+             |           FROM events),
+             |l1 AS (SELECT user_id, t, vc, t - lag(t) OVER w dt, vc - lag(vc) OVER w dv
+             |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |l2 AS (SELECT user_id, dt, dv,
+             |         dt - lag(dt) OVER (PARTITION BY user_id ORDER BY t) dod
+             |       FROM l1),
+             |b AS (SELECT user_id,
+             |        CASE WHEN dt IS NULL THEN 64 WHEN dod IS NULL THEN 36
+             |             WHEN dod = 0 THEN 1
+             |             WHEN dod BETWEEN -63 AND 64 THEN 9
+             |             WHEN dod BETWEEN -255 AND 256 THEN 12
+             |             WHEN dod BETWEEN -2047 AND 2048 THEN 16 ELSE 36 END tb,
+             |        CASE WHEN dv IS NULL THEN 64
+             |             WHEN dv = 0 THEN 1
+             |             WHEN dv BETWEEN -63 AND 64 THEN 9
+             |             WHEN dv BETWEEN -511 AND 512 THEN 13
+             |             WHEN dv BETWEEN -4095 AND 4096 THEN 17 ELSE 36 END vb
+             |      FROM l2),
+             |g AS (SELECT user_id, CAST(count(*) AS BIGINT) n_points,
+             |        CAST(sum(tb) AS BIGINT) ts_bits, CAST(sum(vb) AS BIGINT) val_bits
+             |      FROM b GROUP BY 1)
+             |SELECT user_id, n_points, ts_bits, val_bits,
+             |       CAST((ts_bits + val_bits + 7) // 8 AS BIGINT) AS bytes_est,
+             |       CAST(n_points * 16 AS BIGINT) AS bytes_raw,
+             |       CAST((((ts_bits + val_bits + 7) // 8) * 1000) // (n_points * 16) AS BIGINT)
+             |         AS ratio_milli
+             |FROM g""".stripMargin))
   )
 }

@@ -772,4 +772,54 @@ object TsAlgebra {
     case "var.s" => var_samp(value)
     case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
+
+  /** Per-series compressed-size estimate under Gorilla-style coding —
+    * the storage-planning report for a TS store whose chunks are
+    * delta-of-delta compressed (the reference's Redis TS backend stores
+    * exactly such chunks; this answers "what will this series cost on
+    * disk / how should I size chunks" before writing). Timestamps pay
+    * the Gorilla DoD buckets (0 → 1 bit; ±64 → 9; ±256 → 12; ±2048 →
+    * 16; else 36; first point 64, second 36 for its raw delta). Values
+    * use the INTEGER variant, documented deviation from the paper's
+    * double-XOR scheme: centi-int first differences in buckets 0 → 1,
+    * ±64 → 9, ±512 → 13, ±4096 → 17, else 36 — the XOR
+    * leading/trailing-zero form needs raw double bits, which neither
+    * engine exposes to SQL, and the integer variant is what a
+    * fixed-decimal store would code anyway. Everything is exact integer
+    * arithmetic → the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: two lag windows and a partial-aggregated groupBy on
+    * the series key — ONE exchange, no joins, output one row per
+    * series.
+    */
+  def compressEstimate(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("_t")
+    def bucket(c: Column, cuts: Seq[(Long, Int)], wide: Int): Column =
+      cuts.foldLeft(when(c === 0L, lit(1))) {
+        case (acc, (bound, bits)) => acc.when(c >= -bound + 1 && c <= bound, lit(bits))
+      }.otherwise(lit(wide))
+    val lagged = df
+      .select(
+        col(keyCol), col(tsCol).as("_t"),
+        expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)").as("_vc"))
+      .withColumn("_dt", col("_t") - lag(col("_t"), 1).over(w))
+      .withColumn("_dod", col("_dt") - lag(col("_dt"), 1).over(w))
+      .withColumn("_dv", col("_vc") - lag(col("_vc"), 1).over(w))
+    val tsBits = when(col("_dt").isNull, lit(64))
+      .when(col("_dod").isNull, lit(36))
+      .otherwise(bucket(col("_dod"), Seq(64L -> 9, 256L -> 12, 2048L -> 16), 36))
+    val valBits = when(col("_dv").isNull, lit(64))
+      .otherwise(bucket(col("_dv"), Seq(64L -> 9, 512L -> 13, 4096L -> 17), 36))
+    lagged
+      .select(col(keyCol), tsBits.cast("long").as("_tb"), valBits.cast("long").as("_vb"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"), sum(col("_tb")).as("ts_bits"), sum(col("_vb")).as("val_bits"))
+      .withColumn("bytes_est", expr("(ts_bits + val_bits + 7) DIV 8"))
+      .withColumn("bytes_raw", col("n_points") * 16L)
+      .withColumn("ratio_milli", expr("(bytes_est * 1000) DIV bytes_raw"))
+  }
 }

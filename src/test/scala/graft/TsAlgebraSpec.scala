@@ -459,4 +459,34 @@ class TsAlgebraSpec extends AnyFunSuite {
       .map(r => math.abs(r.getAs[Long]("resid_fp")))
     assert(resid.sorted.apply(resid.length / 2) < 10000L, "median |resid| must be < 1.0")
   }
+
+  test("compressEstimate: hand-computed bits for steady cadence, bucket edges, and the derived ratios") {
+    // steady cadence + constant value: ts = 64 + 36 + (p-2)*1, val = 64 + (p-1)*1
+    val steady = (1 to 10).map(i => (1L, i * 1000L, 5.0, i.toLong))
+    val got = TsAlgebra.compressEstimate(df(steady: _*), "k", "ts", "v").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("ts_bits"), r.getAs[Long]("val_bits"),
+          r.getAs[Long]("bytes_est"), r.getAs[Long]("bytes_raw"), r.getAs[Long]("ratio_milli")))).toMap
+    // ts: 64 + 36 + 8*1 = 108; val: 64 + 9*1 = 73; bytes = (181+7) DIV 8 = 23
+    assert(got(1L) == ((10L, 108L, 73L, 23L, 160L, 143L)), s"got ${got(1L)}")
+    // bucket edges, exact both sides: dod = 64 -> 9 bits, 65 -> 12; value
+    // dv = 512 -> 13, 513 -> 17. Series 2: dt 1000, 1064 (dod 64), then
+    // 1064+65 (dod 65). Values: dv 5.12 -> 512 (13), then +5.13 -> 513 (17).
+    val edges = Seq(
+      (2L, 0L, 1.0, 1L), (2L, 1000L, 1.0, 2L),
+      (2L, 2064L, 6.12, 3L), (2L, 3193L, 11.25, 4L))
+    val e = TsAlgebra.compressEstimate(df(edges: _*), "k", "ts", "v").collect().head
+    // ts: 64 + 36 + 9 + 12 = 121; val: 64 + 1 (dv 0) + 13 + 17 = 95
+    assert(e.getAs[Long]("ts_bits") == 121L && e.getAs[Long]("val_bits") == 95L,
+      s"edges: ${e.mkString(",")}")
+    // negative edges: dod/dv of -63 stays narrow, -64 widens one bucket
+    val neg = Seq(
+      (3L, 0L, 10.0, 1L), (3L, 2000L, 9.37, 2L),
+      (3L, 3937L, 8.73, 3L), (3L, 5810L, 8.09, 4L))
+    // dt: 2000, 1937, 1873 -> dod: -63 (9 bits), -64 (12 bits)
+    // vc: 1000, 937, 873, 809 -> dv: -63 (9), -64 (13), -64 (13)
+    val n3 = TsAlgebra.compressEstimate(df(neg: _*), "k", "ts", "v").collect().head
+    assert(n3.getAs[Long]("ts_bits") == (64L + 36L + 9L + 12L), s"neg ts: ${n3.mkString(",")}")
+    assert(n3.getAs[Long]("val_bits") == (64L + 9L + 13L + 13L), s"neg val: ${n3.mkString(",")}")
+  }
 }
