@@ -534,6 +534,37 @@ object TsQueries {
       (s, dir) =>
         TsAlgebra.rollupCascade(ev(s, dir), "user_id", "ts_ms", "value", rollupBuckets),
       Some(rollupOracleSql)),
+    // Best changepoint per series by depth-1 binary segmentation:
+    // retrospective "where did the level shift" (CUSUM's stored-data
+    // complement). Winner = max_by over (gain_micro, -ts) where
+    // gain_micro is the truncated integer between-variance — argmax
+    // engine-exact even at post-truncation ties.
+    Q(
+      "ts_changepoint",
+      (s, dir) => TsAlgebra.changepoint(ev(s, dir), "user_id", "ts_ms", "value"),
+      Some("""WITH e AS (SELECT user_id k, epoch_ms(ts) t,
+             |             CAST(round(value*100, 0) AS HUGEINT) vc FROM events),
+             |r AS (SELECT k, t, vc, row_number() OVER w rn,
+             |        sum(vc) OVER (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING) s1,
+             |        count(*) OVER (PARTITION BY k) n,
+             |        sum(vc) OVER (PARTITION BY k) s
+             |      FROM e WINDOW w AS (PARTITION BY k ORDER BY t)),
+             |c AS (SELECT k, t, rn n1, n - rn n2, s1, s - s1 s2,
+             |        (n - rn)*s1 - rn*(s - s1) x
+             |      FROM r WHERE rn >= 2 AND n - rn >= 2),
+             |g AS (SELECT *, (x*x*1000000) // (n1*n2) gm FROM c),
+             |m AS (SELECT k, t bt FROM (
+             |        SELECT k, t, row_number() OVER (PARTITION BY k ORDER BY gm DESC, t ASC) wrn
+             |        FROM g) WHERE wrn = 1)
+             |SELECT g.k AS user_id, g.t AS split_ts_ms,
+             |       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
+             |       CAST(sign(s1) AS BIGINT) * ((abs(s1) * 20000 + 100 * n1) // (200 * n1)) / 10000.0
+             |         AS left_mean,
+             |       CAST(sign(s2) AS BIGINT) * ((abs(s2) * 20000 + 100 * n2) // (200 * n2)) / 10000.0
+             |         AS right_mean,
+             |       CAST(gm AS BIGINT) AS gain_micro
+             |FROM g JOIN m ON g.k = m.k AND g.t = m.bt""".stripMargin)
+    ),
     // Gorilla-style compressed-size estimate per series (the reference's
     // Redis TS backend stores delta-of-delta compressed chunks): DoD
     // bucket bits for timestamps, integer first-difference buckets for

@@ -773,6 +773,75 @@ object TsAlgebra {
     case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 
+  /** Per-series best changepoint by binary segmentation (depth 1): the
+    * split t maximizing the between-segment variance — the retrospective
+    * "where did the level shift happen" answer that complements CUSUM's
+    * sequential drift alarm (CUSUM tells you WHEN to raise the flag on a
+    * live stream; this tells you WHERE the break sits in stored data,
+    * the first step of the classic recursive segmentation).
+    *
+    * Selection is engine-exact by construction: the gain surfaces as
+    * gain_micro = (X²·10⁶) DIV (n₁·n₂) with X = n₂·S₁ − n₁·S₂ over
+    * centi-int prefix sums (X² widened to DECIMAL(38,0); X itself LONG —
+    * loud ANSI overflow, the acf contract), and the winner is the
+    * max_by over (gain_micro, −ts) — truncating division and the ts
+    * tie-break make the argmax identical in Spark and the SQL oracle
+    * even when two splits tie after truncation (a flat series picks its
+    * earliest valid split on both engines). Both segments must hold ≥ 2
+    * points (series below 4 points exit, the D0 floor).
+    *
+    * Scale shape: one ordered prefix-sum window, one whole-partition
+    * totals window, one argmax window — ONE exchange, no joins, one
+    * output row per series.
+    */
+  def changepoint(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      minSeg: Int = 2): DataFrame = {
+    require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    val W = org.apache.spark.sql.expressions.Window
+    val byK = W.partitionBy(keyCol)
+    val ordered = byK.orderBy("_t")
+    val dec = "decimal(38,0)"
+    val cand = df
+      .select(
+        col(keyCol), col(tsCol).as("_t"),
+        expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)").as("_vc"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("s1", sum(col("_vc")).over(ordered.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(byK))
+      .withColumn("s", sum(col("_vc")).over(byK))
+      .where(col("rn") >= minSeg && col("n") - col("rn") >= minSeg)
+      .withColumn("n1", col("rn").cast("long"))
+      .withColumn("n2", col("n") - col("rn"))
+      .withColumn("s2", col("s") - col("s1"))
+      .withColumn("x", col("n2") * col("s1") - col("n1") * col("s2"))
+      .withColumn("xd", col("x").cast(dec))
+      .withColumn("gm", expr("(xd * xd * 1000000) DIV (n1 * n2)"))
+    cand
+      .withColumn(
+        "bt",
+        max_by(col("_t"), struct(col("gm"), (-col("_t")).as("nt"))).over(byK))
+      .where(col("_t") === col("bt"))
+      .select(
+        col(keyCol),
+        col("_t").as("split_ts_ms"),
+        col("n1").as("n_left"),
+        col("n2").as("n_right"),
+        // sign-magnitude fixed-decimal half-up mean (the rollup avg
+        // convention): double round() differs cross-engine exactly on
+        // the representation-boundary .5 cases integer DIV never hits
+        expr("""CAST(CAST(sign(s1) AS DECIMAL(2,0))
+               | * ((abs(CAST(s1 AS DECIMAL(38,0))) * 20000 + 100 * n1) DIV (200 * n1))
+               | AS BIGINT) / CAST(10000.0 AS DOUBLE)""".stripMargin).as("left_mean"),
+        expr("""CAST(CAST(sign(s2) AS DECIMAL(2,0))
+               | * ((abs(CAST(s2 AS DECIMAL(38,0))) * 20000 + 100 * n2) DIV (200 * n2))
+               | AS BIGINT) / CAST(10000.0 AS DOUBLE)""".stripMargin).as("right_mean"),
+        col("gm").as("gain_micro"))
+  }
+
   /** Per-series compressed-size estimate under Gorilla-style coding —
     * the storage-planning report for a TS store whose chunks are
     * delta-of-delta compressed (the reference's Redis TS backend stores

@@ -460,6 +460,43 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(resid.sorted.apply(resid.length / 2) < 10000L, "median |resid| must be < 1.0")
   }
 
+  test("changepoint: planted level shift found exactly; flat series picks earliest valid split; short series exit") {
+    // 10@10.0 then 10@50.0 — the best split is after point 10 (ts 10000)
+    val shift = (1 to 10).map(i => (1L, i * 1000L, 10.0, i.toLong)) ++
+      (11 to 20).map(i => (1L, i * 1000L, 50.0, i.toLong))
+    val got = TsAlgebra.changepoint(df(shift: _*), "k", "ts", "v").collect().head
+    assert(got.getAs[Long]("split_ts_ms") == 10000L, got.mkString(","))
+    assert(got.getAs[Long]("n_left") == 10L && got.getAs[Long]("n_right") == 10L)
+    assert(got.getAs[Double]("left_mean") == 10.0 && got.getAs[Double]("right_mean") == 50.0)
+    // gain = X^2*1e6 DIV (n1*n2); X = 10*10000 - 10*50000 = -400000 (centi)
+    assert(got.getAs[Long]("gain_micro") == (BigInt(400000).pow(2) * 1000000 / 100).toLong)
+    // flat series: every split gains 0 -> earliest valid split (rn = 2)
+    val flat = (1 to 8).map(i => (2L, i * 1000L, 7.0, i.toLong))
+    val f = TsAlgebra.changepoint(df(flat: _*), "k", "ts", "v").collect().head
+    assert(f.getAs[Long]("split_ts_ms") == 2000L && f.getAs[Long]("gain_micro") == 0L)
+    // 3-point series has no split with 2 points per side
+    val short3 = Seq((3L, 1000L, 1.0, 1L), (3L, 2000L, 2.0, 2L), (3L, 3000L, 99.0, 3L))
+    assert(TsAlgebra.changepoint(df(short3: _*), "k", "ts", "v").count() == 0)
+    // driver replica on a seeded random walk: exact argmax agreement
+    val rnd = new scala.util.Random(11)
+    var lvl = 100.0
+    val walk = (1 to 60).map { i =>
+      lvl += (rnd.nextInt(21) - 10) / 10.0 + (if (i == 37) 25.0 else 0.0)
+      (4L, i * 500L, math.rint(lvl * 100) / 100, i.toLong)
+    }
+    val w = TsAlgebra.changepoint(df(walk: _*), "k", "ts", "v").collect().head
+    val vcs = walk.map(r => BigInt(math.round(r._3 * 100)))
+    val n = vcs.size
+    val s = vcs.sum
+    val best = (2 to n - 2).map { t =>
+      val s1 = vcs.take(t).sum
+      val x = BigInt(n - t) * s1 - BigInt(t) * (s - s1)
+      val gm = x * x * 1000000 / (BigInt(t) * BigInt(n - t))
+      (gm, -t * 500L, t)
+    }.max
+    assert(w.getAs[Long]("split_ts_ms") == best._3 * 500L, s"engine ${w.mkString(",")} vs replica $best")
+  }
+
   test("compressEstimate: hand-computed bits for steady cadence, bucket edges, and the derived ratios") {
     // steady cadence + constant value: ts = 64 + 36 + (p-2)*1, val = 64 + (p-1)*1
     val steady = (1 to 10).map(i => (1L, i * 1000L, 5.0, i.toLong))
