@@ -19,6 +19,8 @@ object ScaleProbe {
     val audioMode = args.length > 1 && args(1) == "audio"
     val lshIdxMode = args.length > 1 && args(1) == "lshidx"
     val splitSafeMode = args.length > 1 && args(1) == "splitsafe"
+    val graphMode = args.length > 1 && args(1) == "graph"
+    val containMode = args.length > 1 && args(1) == "contain"
     val exciseMode = args.length > 1 && args(1) == "excise"
     val phashMode = args.length > 1 && args(1) == "phash"
     val warcMode = args.length > 1 && args(1) == "warc"
@@ -28,7 +30,7 @@ object ScaleProbe {
     val tsopsMode = args.length > 1 && args(1) == "tsops"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
       lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode ||
-      asofMode || detectMode || tsopsMode
+      asofMode || detectMode || tsopsMode || graphMode || containMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -74,6 +76,67 @@ object ScaleProbe {
         }
       val f = timed(s"ppjoin funnel tau=$t") {
         Dedup.ppjoinFunnel(docs, "doc_id", "text", n = 3, tau = t)
+      }
+      f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
+      spark.stop()
+      return
+    }
+    // graph mode: runMain graft.ScaleProbe <sfDir> graph [mult] [shThresh]
+    // — build the sf-dir's co-purchase graph, replicate it `mult`x with
+    // offset node ids (disjoint copies — fixed per-component density, so
+    // the probe measures KERNEL scaling, not graph densification), and
+    // time the degree-ordered triangle count. NOTE the 10x events
+    // replica fixture is the WRONG input here: it multiplies users over
+    // the same 100-item space, so the co-occurrence graph itself
+    // densifies quadratically (a data-model artifact of the fixture's
+    // fixed key space, the pathology the query's per-item cap cuts off).
+    if (graphMode) {
+      import org.apache.spark.sql.functions._
+      val mult = if (args.length > 2) args(2).toInt else 1
+      val sh = if (args.length > 3) args(3).toInt else 3
+      val uk = Tables.events(spark, sfDir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .distinct()
+      val kept = uk.join(
+        uk.groupBy(col("k")).agg(count(lit(1)).as("nu"))
+          .where(col("nu") <= 100000).select(col("k")),
+        Seq("k"))
+      val base = kept.as("x")
+        .join(kept.as("y"), col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
+        .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+        .agg(count(lit(1)).as("shn"))
+        .where(col("shn") >= sh)
+      val pairs = (if (mult <= 1) base
+        else
+          base.crossJoin(spark.range(mult.toLong).select(col("id").as("rep")))
+            .select(
+              (col("ua") + col("rep") * 10000000L).as("ua"),
+              (col("ub") + col("rep") * 10000000L).as("ub")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = timed(s"edge build (co-purchase pairs, ${mult}x replicas)")(pairs.count())
+      try {
+        timed(s"triangles (degree-ordered wedge join) on $m edges") {
+          val t = graft.ext.Graph.triangles(pairs, "ua", "ub")
+            .agg(
+              count(lit(1)).as("nodes"), sum("n_tri").as("tri3"),
+              max("deg").as("max_deg"))
+            .head()
+          val bound = math.sqrt(2.0 * m).toLong
+          println(s"[scaleprobe] nodes=${t.getLong(0)} triangles=${t.getLong(1) / 3} " +
+            s"max_deg=${t.getLong(2)} orient_bound_sqrt2m=$bound")
+        }
+      } finally pairs.unpersist()
+      spark.stop()
+      return
+    }
+    // contain mode: runMain graft.ScaleProbe <sfDir> contain [tau] — the
+    // containment candidate funnel: how far the asymmetric prefix filter
+    // prunes below the naive all-pairs shingle join
+    if (containMode) {
+      val t = if (args.length > 2) args(2).toDouble else 0.8
+      val f = timed(s"containment funnel tau=$t") {
+        Dedup.containmentFunnel(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, tau = t)
       }
       f.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[scaleprobe] $k = $v") }
       spark.stop()

@@ -175,6 +175,51 @@ object Dedup {
       tau: Double,
       minShingles: Int,
       maxDf: Int): (DataFrame, DataFrame) = {
+    val st = containmentStages(df, idCol, textCol, n, tau, minShingles, maxDf)
+    (st.hashed, st.out)
+  }
+
+  /** Candidate-funnel counts for `containmentPairs` — the pruning
+    * evidence (kept shingle rows vs prefix rows vs candidates vs
+    * verified directed rows), sharing the exact production pipeline so
+    * the funnel can never drift from it (the ppjoinFunnel pattern).
+    */
+  def containmentFunnel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int = 8,
+      maxDf: Int = 100000): Map[String, Long] = {
+    val docs = df.count()
+    val st = containmentStages(df, idCol, textCol, n, tau, minShingles, maxDf)
+    try {
+      Map(
+        "docs" -> docs,
+        "all_pairs" -> docs * (docs - 1) / 2,
+        "kept_shingle_rows" -> st.khf.count(),
+        "prefix_rows" -> st.prefix.count(),
+        "candidates" -> st.cand.count(),
+        "verified_rows" -> st.out.count())
+    } finally st.hashed.unpersist()
+  }
+
+  private final case class ContainmentStages(
+      hashed: DataFrame,
+      khf: DataFrame,
+      prefix: DataFrame,
+      cand: DataFrame,
+      out: DataFrame)
+
+  private def containmentStages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int,
+      maxDf: Int): ContainmentStages = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
@@ -245,7 +290,7 @@ object Dedup {
         round(col("c_raw"), 4).as("containment"),
         round(col("i").cast("double") / (col("n_inner") + col("n_outer") - col("i")), 4)
           .as("jaccard"))
-    (hashed, out)
+    ContainmentStages(hashed, khf, prefix, cand, out)
   }
 
   /** Exact set-similarity self-join by PREFIX FILTERING (the PPJoin
