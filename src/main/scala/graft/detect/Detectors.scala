@@ -323,7 +323,33 @@ object Detectors {
     * rows within one series are resolved by the ts tie-break alone (the
     * TsSample contract everywhere else in this file).
     */
-  def esdOutliers(points: Dataset[TsSample], k: Int = 3, cut: Int = 3): DataFrame = {
+  def esdOutliers(points: Dataset[TsSample], k: Int = 3, cut: Int = 3): DataFrame =
+    esdCore(
+      points.toDF().select(
+        col("seriesKey"), col("tsMs"), col("value"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc")),
+      k, cut)
+
+  /** ESD over an ALREADY-INTEGER value column — the composition entry
+    * for S-ESD (STL residual → ESD), where re-rounding a double residual
+    * would reintroduce exactly the cross-engine .5 drift the fixed-point
+    * decomposition eliminated. `value` in the output is the fp column
+    * itself.
+    */
+  def esdOutliersFp(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      fpCol: String,
+      k: Int = 3,
+      cut: Int = 3): DataFrame =
+    esdCore(
+      df.select(
+        col(keyCol).as("seriesKey"), col(tsCol).as("tsMs"),
+        col(fpCol).as("value"), col(fpCol).as("vc")),
+      k, cut)
+
+  private def esdCore(points: DataFrame, k: Int, cut: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
     require(cut >= 1, s"cut must be >= 1, got $cut")
     val dec = "decimal(38,0)"
@@ -332,11 +358,8 @@ object Detectors {
     // sums are exact while they fit 2⁶³ and fail LOUDLY (ANSI) past it.
     // Only the per-round estimator algebra (squares and n·Q − S²)
     // widens to DECIMAL(38,0).
-    var df = points.toDF()
+    var df = points
       .repartition(col("seriesKey"))
-      .select(
-        col("seriesKey"), col("tsMs"), col("value"),
-        expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
       .withColumn("n0", count(lit(1)).over(byKey))
       .where(col("n0") >= Constants.MinPoints)
       // running sums over the ACTIVE set, maintained by subtraction

@@ -644,6 +644,48 @@ object DetectQueries {
               |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
               |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin)
     ),
+    // S-ESD (the Twitter seasonal-hybrid shape): STL fixed-point
+    // decomposition first, generalized ESD on the RESIDUAL — a pure
+    // cycle is explained away by the seasonal profile, so only genuine
+    // departures from it reach the outlier test. The residual is the
+    // exact fp integer (no re-rounding), so the composed oracle is the
+    // shared STL CTE chain feeding the unrolled ESD rounds verbatim.
+    Q(
+      "anomaly_sesd",
+      (s, dir) => {
+        val stl = graft.ts.TsAlgebra.stlDecompose(
+          Tables.events(s, dir).select(col("user_id"), col("ts_ms"), col("value")),
+          "user_id", "ts_ms", "value", period = 24)
+        // edge guard: the centered 2xMA trend truncates inside the first/
+        // last half-period, leaving systematic edge residuals that are
+        // false positives by construction — standard S-H-ESD trim
+        val w = org.apache.spark.sql.expressions.Window
+        val trimmed = stl
+          .withColumn("_rn", row_number().over(w.partitionBy("user_id").orderBy("ts_ms")))
+          .withColumn("_nn", count(lit(1)).over(w.partitionBy("user_id")))
+          .where(col("_rn") > 12 && col("_rn") <= col("_nn") - 12)
+        Detectors.esdOutliersFp(trimmed, "user_id", "ts_ms", "resid_fp", k = 3, cut = 3)
+          .select(
+            col("seriesKey").cast("long").as("user_id"),
+            col("tsMs").as("ts_ms"),
+            col("value").as("resid_fp"),
+            col("iter"), col("r2_micro"))
+      },
+      Some(s"""WITH ${TsQueries.stlCte},
+              |a0 AS (SELECT user_id k, ts_ms, CAST(dt - seasonal_fp AS BIGINT) v,
+              |         CAST(dt - seasonal_fp AS HUGEINT) vc
+              |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms) ern,
+              |               count(*) OVER (PARTITION BY user_id) enn FROM f)
+              |       WHERE ern > 12 AND ern <= enn - 12),
+              |${esdIterCte(3)},
+              |cand AS (SELECT k, ts_ms, v, iter, (den > 0 AND num > 9*den) test,
+              |           CASE WHEN den > 0 THEN (num * 1000000) // den ELSE 0 END r2m
+              |         FROM (${(1 to 3).map(i => s"SELECT * FROM c$i").mkString(" UNION ALL ")})),
+              |mi AS (SELECT k, max(CASE WHEN test THEN iter ELSE 0 END) max_i FROM cand GROUP BY k)
+              |SELECT cand.k AS user_id, cand.ts_ms, CAST(cand.v AS BIGINT) AS resid_fp,
+              |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
+              |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin)
+    ),
     // Western Electric control-chart zone rules (beyond the reference
     // suite): every zone test is the INTEGER comparison dm² > k²·D
     // (dm = vm·n − S, D = nQ − S²) — no float mean/σ anywhere, so both

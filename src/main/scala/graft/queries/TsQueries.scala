@@ -140,6 +140,31 @@ object TsQueries {
        |FROM x""".stripMargin
   }
 
+  /** The period-24 STL fixed-point decomposition CTE chain (ends at
+    * `f`, whose residual is `dt - seasonal_fp`) — shared by the
+    * ts_stl_decompose oracle and DetectQueries' S-ESD composition so
+    * the two can never drift apart.
+    */
+  private[queries] val stlCte: String =
+    """r AS (
+      |  SELECT user_id, epoch_ms(ts) ts_ms, value,
+      |         CAST(round(value*100, 0) AS BIGINT) vm,
+      |         CAST((row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1) % 24 AS BIGINT) phase
+      |  FROM events),
+      |t AS (SELECT *,
+      |        CAST(sum(vm) OVER wo AS BIGINT) + CAST(sum(vm) OVER wi AS BIGINT) tsum,
+      |        count(*) OVER wo + count(*) OVER wi tn
+      |      FROM r
+      |      WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms
+      |                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+      |             wi AS (PARTITION BY user_id ORDER BY ts_ms
+      |                    ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+      |tr AS (SELECT *, CAST(sign(tsum) AS BIGINT) * ((abs(tsum)*200 + tn) // (2*tn)) AS trend_fp FROM t),
+      |d AS (SELECT *, vm*100 - trend_fp AS dt FROM tr),
+      |sg AS (SELECT *, CAST(sum(dt) OVER wp AS BIGINT) ssum, count(*) OVER wp sn FROM d
+      |       WINDOW wp AS (PARTITION BY user_id, phase)),
+      |f AS (SELECT *, CAST(sign(ssum) AS BIGINT) * ((abs(ssum)*2 + sn) // (2*sn)) AS seasonal_fp FROM sg)""".stripMargin
+
   /** ts_rollup_cascade oracle — each resolution aggregated DIRECTLY from
     * raw (the cascade must equal it exactly: integer sums/counts and
     * min/max are associative), avg via the same sign-magnitude
@@ -315,24 +340,7 @@ object TsQueries {
           .select(
             col("user_id"), col("ts_ms"), col("value"), col("phase"),
             col("trend_fp"), col("seasonal_fp"), col("resid_fp")),
-      Some("""WITH r AS (
-             |  SELECT user_id, epoch_ms(ts) ts_ms, value,
-             |         CAST(round(value*100, 0) AS BIGINT) vm,
-             |         CAST((row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1) % 24 AS BIGINT) phase
-             |  FROM events),
-             |t AS (SELECT *,
-             |        CAST(sum(vm) OVER wo AS BIGINT) + CAST(sum(vm) OVER wi AS BIGINT) tsum,
-             |        count(*) OVER wo + count(*) OVER wi tn
-             |      FROM r
-             |      WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms
-             |                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
-             |             wi AS (PARTITION BY user_id ORDER BY ts_ms
-             |                    ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
-             |tr AS (SELECT *, CAST(sign(tsum) AS BIGINT) * ((abs(tsum)*200 + tn) // (2*tn)) AS trend_fp FROM t),
-             |d AS (SELECT *, vm*100 - trend_fp AS dt FROM tr),
-             |sg AS (SELECT *, CAST(sum(dt) OVER wp AS BIGINT) ssum, count(*) OVER wp sn FROM d
-             |       WINDOW wp AS (PARTITION BY user_id, phase)),
-             |f AS (SELECT *, CAST(sign(ssum) AS BIGINT) * ((abs(ssum)*2 + sn) // (2*sn)) AS seasonal_fp FROM sg)
+      Some(s"""WITH $stlCte
              |SELECT user_id, ts_ms, value, CAST(phase AS INT) AS phase,
              |       CAST(trend_fp AS BIGINT) AS trend_fp,
              |       CAST(seasonal_fp AS BIGINT) AS seasonal_fp,

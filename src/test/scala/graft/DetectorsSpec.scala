@@ -242,6 +242,41 @@ class DetectorsSpec extends AnyFunSuite {
     assert(Detectors.esdOutliers(short).count() == 0)
   }
 
+  test("S-ESD: a pure cycle is explained away; a spike breaking the profile flags on the residual") {
+    import graft.ts.TsAlgebra
+    // 96 points of a clean period-24 profile: raw ESD would see the
+    // profile's own extremes as outliers; the STL residual is ~flat
+    val profile = (0 until 24).map(p => 10.0 + 5.0 * math.sin(2 * math.Pi * p / 24))
+    def mk(k: Long, spikeAt: Int): Seq[(Long, Long, Double)] =
+      (0 until 96).map { i =>
+        val v = profile(i % 24) + (if (i == spikeAt) 40.0 else 0.0)
+        (k, (i + 1) * 1000L, math.rint(v * 100) / 100)
+      }
+    // edge guard: the 2xMA trend truncates inside the first/last half
+    // period — those rows carry systematic residuals (false positives by
+    // construction) and are trimmed, the anomaly_sesd composition's rule
+    def trim(stl: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+      stl.withColumn("_rn", org.apache.spark.sql.functions.row_number()
+          .over(w.partitionBy("user_id").orderBy("ts_ms")))
+        .withColumn("_nn", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(w.partitionBy("user_id")))
+        .where(org.apache.spark.sql.functions.col("_rn") > 12 &&
+          org.apache.spark.sql.functions.col("_rn") <= org.apache.spark.sql.functions.col("_nn") - 12)
+    }
+    val clean = mk(1L, spikeAt = -1).toDF("user_id", "ts_ms", "value")
+    val stlClean = trim(TsAlgebra.stlDecompose(clean, "user_id", "ts_ms", "value", period = 24))
+    assert(Detectors.esdOutliersFp(stlClean, "user_id", "ts_ms", "resid_fp").count() == 0,
+      "a pure seasonal cycle must not flag")
+    // plain ESD on the raw values of the SPIKED series dilutes the spike
+    // with the cycle's own variance; the residual isolates it
+    val spiked = mk(2L, spikeAt = 50).toDF("user_id", "ts_ms", "value")
+    val stlSpiked = trim(TsAlgebra.stlDecompose(spiked, "user_id", "ts_ms", "value", period = 24))
+    val flagged = Detectors.esdOutliersFp(stlSpiked, "user_id", "ts_ms", "resid_fp")
+      .collect().map(_.getAs[Long]("tsMs"))
+    assert(flagged.contains(51000L), s"spike at ts 51000 must flag, got ${flagged.toSeq}")
+  }
+
   test("absolute_threshold scores distance outside the band (D6)") {
     val s = Detectors
       .absoluteThresholdScores(rampSpike, upper = Some(35.0), lower = Some(15.0))
