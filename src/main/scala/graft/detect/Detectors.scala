@@ -272,10 +272,17 @@ object Detectors {
     * `TsAlgebra.percentiles(_, _, _, Seq(out -> 0.5))`, same fp-op order.
     */
   private def madMedian(df: DataFrame, v: String, out: String): DataFrame =
+    pctWindow(df, v, 0.5, out)
+
+  /** Per-series exact interpolated percentile `p` of `v` as a window
+    * aggregate (rank interpolation, round(4) — identical fp-op order to
+    * the percentile groupBy form and its SQL oracle).
+    */
+  private def pctWindow(df: DataFrame, v: String, p: Double, out: String): DataFrame =
     df.withColumn("_rn", row_number().over(byKey.orderBy(v)))
       .withColumn("_n", count(lit(1)).over(byKey))
-      .withColumn("_k", floor(lit(0.5) * (col("_n") - 1)))
-      .withColumn("_f", lit(0.5) * (col("_n") - 1) - col("_k"))
+      .withColumn("_k", floor(lit(p) * (col("_n") - 1)))
+      .withColumn("_f", lit(p) * (col("_n") - 1) - col("_k"))
       .withColumn("_lo", max(when(col("_rn") - 1 === col("_k"), col(v))).over(byKey))
       .withColumn("_hi", coalesce(max(when(col("_rn") - 1 === col("_k") + 1, col(v))).over(byKey), col("_lo")))
       .withColumn(
@@ -283,6 +290,34 @@ object Detectors {
         round(when(col("_f") === 0.0, col("_lo"))
           .otherwise(col("_lo") + col("_f") * (col("_hi") - col("_lo"))), 4))
       .drop("_rn", "_n", "_k", "_f", "_lo", "_hi")
+
+  /** Tukey-fence (boxplot) outlier scores: distance outside
+    * [Q1 − k·IQR, Q3 + k·IQR], 0 inside — the quartile-based robust
+    * detector (50% breakdown on the fences vs the mean/σ detectors'
+    * 0%), the standard first look when a distribution is skewed enough
+    * that symmetric z-scores mislabel the long tail. Quartiles are the
+    * exact rank-interpolation form (round 4, the percentile/MAD
+    * convention); the FENCE arithmetic then runs in integer
+    * half-ten-thousandths — a 4-decimal quartile ×20000 is an even
+    * integer, so 1.5·IQR is exact and the score is an integer ratio
+    * both engines derive identically (the double form hit the .5
+    * representation boundary at sf0.01: round(15.31375, 4) disagreed
+    * cross-engine). Same linear one-exchange plan shape as madScores:
+    * two ordered quartile windows inline, no joins. k=1.5 is fixed by
+    * the integer form (3/2); the classic "far out" variant (k=3) would
+    * be 3·iqru exactly.
+    */
+  def tukeyScores(points: Dataset[TsSample]): DataFrame =
+    pctWindow(pctWindow(points.toDF(), "value", 0.25, "q1"), "value", 0.75, "q3")
+      .withColumn("q1u", expr("CAST(round(q1 * 20000) AS BIGINT)"))
+      .withColumn("q3u", expr("CAST(round(q3 * 20000) AS BIGINT)"))
+      .withColumn("vu", expr("CAST(round(value * 20000) AS BIGINT)"))
+      .withColumn("feu", expr("(3 * (q3u - q1u)) DIV 2"))
+      .withColumn(
+        "score",
+        greatest(col("q1u") - col("feu") - col("vu"), col("vu") - col("q3u") - col("feu"), lit(0L))
+          / 20000.0)
+      .select("seriesKey", "tsMs", "value", "score")
 
   /** Generalized-ESD outlier detection (Rosner 1983, the iterative
     * unmasking detector behind Twitter's AnomalyDetection): up to `k`

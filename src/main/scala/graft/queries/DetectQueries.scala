@@ -644,6 +644,45 @@ object DetectQueries {
               |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
               |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin)
     ),
+    // Tukey fences (boxplot outliers): distance outside
+    // [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the quartile-based robust detector
+    // next to MAD; quartiles via the exact rank-interpolation form the
+    // percentile/MAD oracles already pin, fences computed on the rounded
+    // quartiles so both engines see identical doubles.
+    Q(
+      "anomaly_tukey",
+      // NOT asOut: score is already an exact integer ratio; a round(4)
+      // would reintroduce the .5-boundary drift the integer fences fixed
+      (s, dir) =>
+        Detectors.tukeyScores(pts(s, dir))
+          .select(
+            keyAsLong.as("user_id"), col("tsMs").as("ts_ms"),
+            col("value"), col("score")),
+      Some(s"""WITH $ptsCte,
+              |r1 AS (SELECT k, ts_ms, v,
+              |         row_number() OVER (PARTITION BY k ORDER BY v) vrn,
+              |         count(*) OVER (PARTITION BY k) vn
+              |       FROM pts),
+              |m1 AS (SELECT k,
+              |         max(CASE WHEN vrn - 1 = floor(0.25 * (vn-1)) THEN v END) lo1,
+              |         max(CASE WHEN vrn - 1 = floor(0.25 * (vn-1)) + 1 THEN v END) hi1,
+              |         max(0.25 * (vn-1) - floor(0.25 * (vn-1))) f1,
+              |         max(CASE WHEN vrn - 1 = floor(0.75 * (vn-1)) THEN v END) lo3,
+              |         max(CASE WHEN vrn - 1 = floor(0.75 * (vn-1)) + 1 THEN v END) hi3,
+              |         max(0.75 * (vn-1) - floor(0.75 * (vn-1))) f3
+              |       FROM r1 GROUP BY k),
+              |q AS (SELECT k,
+              |        round(CASE WHEN f1 = 0 THEN lo1 ELSE lo1 + f1 * (coalesce(hi1, lo1) - lo1) END, 4) q1,
+              |        round(CASE WHEN f3 = 0 THEN lo3 ELSE lo3 + f3 * (coalesce(hi3, lo3) - lo3) END, 4) q3
+              |      FROM m1),
+              |qu AS (SELECT k, CAST(round(q1 * 20000) AS BIGINT) q1u,
+              |         CAST(round(q3 * 20000) AS BIGINT) q3u FROM q)
+              |SELECT p.k AS user_id, p.ts_ms, p.v AS value,
+              |       greatest(q1u - (3*(q3u - q1u))//2 - CAST(round(p.v * 20000) AS BIGINT),
+              |                CAST(round(p.v * 20000) AS BIGINT) - q3u - (3*(q3u - q1u))//2,
+              |                0) / 20000.0 AS score
+              |FROM pts p JOIN qu USING (k)""".stripMargin)
+    ),
     // S-ESD (the Twitter seasonal-hybrid shape): STL fixed-point
     // decomposition first, generalized ESD on the RESIDUAL — a pure
     // cycle is explained away by the seasonal profile, so only genuine

@@ -242,6 +242,22 @@ class DetectorsSpec extends AnyFunSuite {
     assert(Detectors.esdOutliers(short).count() == 0)
   }
 
+  test("Tukey fences: hand-computed quartiles and fence distances; inliers score 0") {
+    // 1..20 plus one far point; quartiles run over ALL 21 points (the
+    // outlier participates): n=21 -> q1 = sorted[5] = 6, q3 = sorted[15]
+    // = 16, iqr = 10, fences [-9, 31] -> only 100.0 flags, score 69
+    val rows = (1 to 20).map(i => (5L, i * 1000L, i.toDouble)) :+ ((5L, 21000L, 100.0))
+    val out = Detectors.tukeyScores(pts(rows: _*)).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(out(21000L) == 69.0, s"outlier score: ${out(21000L)}")
+    assert(rows.init.forall { case (_, t, _) => out(t) == 0.0 }, "inliers must score 0")
+    // low-side outlier scores its distance below the lower fence
+    val low = (1 to 20).map(i => (6L, i * 1000L, 50.0 + (i % 5).toDouble)) :+ ((6L, 21000L, 1.0))
+    val lo = Detectors.tukeyScores(pts(low: _*)).collect()
+      .map(r => r.getAs[Long]("tsMs") -> r.getAs[Double]("score")).toMap
+    assert(lo(21000L) > 0, s"low outlier must flag: ${lo(21000L)}")
+  }
+
   test("S-ESD: a pure cycle is explained away; a spike breaking the profile flags on the residual") {
     import graft.ts.TsAlgebra
     // 96 points of a clean period-24 profile: raw ESD would see the
