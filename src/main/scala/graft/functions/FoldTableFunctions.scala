@@ -39,6 +39,8 @@ object FoldTableFunctions {
   val HoltName = "holt_fold"
   val CusumName = "cusum_fold"
   val HwName = "hw_fold"
+  val EsdName = "esd_outliers"
+  val ChangepointName = "changepoint"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -163,6 +165,40 @@ object FoldTableFunctions {
       proj)
   }
 
+  /** `esd_outliers(table[, k[, cut]])` — generalized-ESD flagged points
+    * `(seriesKey, tsMs, value, iter, r2_micro)` over a
+    * `(seriesKey, tsMs, value)` relation. Not a fold (the iterative
+    * argmax is windowed, not sequential-state), so it plans as the plain
+    * analyzed window chain — same physical plan as the Scala path.
+    */
+  def esdBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 3, s"usage: $EsdName(table[, k[, cut]])")
+    val k = doubleArg(EsdName, args, 1, 3.0).toInt
+    val cut = doubleArg(EsdName, args, 2, 3.0).toInt
+    val spark = SparkSession.active
+    val pts = spark.table(stringArg(EsdName, args, 0)).selectExpr(
+      "CAST(seriesKey AS STRING) AS seriesKey",
+      "CAST(tsMs AS BIGINT) AS tsMs",
+      "CAST(value AS DOUBLE) AS value")
+    import spark.implicits._
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.detect.Detectors.esdOutliers(pts.as[TsSample], k, cut))
+  }
+
+  /** `changepoint(table[, minSeg])` — per-series best level-shift split
+    * `(seriesKey, split_ts_ms, n_left, n_right, left_mean, right_mean,
+    * gain_micro)` over a `(seriesKey, tsMs, value)` relation.
+    */
+  def changepointBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $ChangepointName(table[, minSeg])")
+    val minSeg = doubleArg(ChangepointName, args, 1, 2.0).toInt
+    val spark = SparkSession.active
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.ts.TsAlgebra.changepoint(
+        spark.table(stringArg(ChangepointName, args, 0)),
+        "seriesKey", "tsMs", "value", minSeg))
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -172,6 +208,8 @@ object FoldTableFunctions {
     graft.bridge.SqlBridge.registerTableFunction(spark, HoltName, holtBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, CusumName, cusumBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, HwName, hwBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, EsdName, esdBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, ChangepointName, changepointBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

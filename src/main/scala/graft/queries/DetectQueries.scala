@@ -122,6 +122,21 @@ object DetectQueries {
       ).mkString("\n|")
     }.mkString(",\n|")
 
+  /** anomaly_esd / anomaly_sql_esd shared oracle: centi-int points,
+    * three unrolled ESD rounds, Rosner maxI flag rule.
+    */
+  private lazy val esdOracleSql: String =
+    s"""WITH a0 AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v,
+       |             CAST(round(value * 100, 0) AS HUGEINT) vc FROM events),
+       |${esdIterCte(3)},
+       |cand AS (SELECT k, ts_ms, v, iter, (den > 0 AND num > 9*den) test,
+       |           CASE WHEN den > 0 THEN (num * 1000000) // den ELSE 0 END r2m
+       |         FROM (${(1 to 3).map(i => s"SELECT * FROM c$i").mkString(" UNION ALL ")})),
+       |mi AS (SELECT k, max(CASE WHEN test THEN iter ELSE 0 END) max_i FROM cand GROUP BY k)
+       |SELECT cand.k AS user_id, cand.ts_ms, cand.v AS value,
+       |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
+       |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin
+
   private val dscoreCte =
     """dv AS (
       |  SELECT k, ts_ms, v, rn,
@@ -633,16 +648,26 @@ object DetectQueries {
             keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
             col("iter"), col("r2_micro"))
       },
-      Some(s"""WITH a0 AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v,
-              |             CAST(round(value * 100, 0) AS HUGEINT) vc FROM events),
-              |${esdIterCte(3)},
-              |cand AS (SELECT k, ts_ms, v, iter, (den > 0 AND num > 9*den) test,
-              |           CASE WHEN den > 0 THEN (num * 1000000) // den ELSE 0 END r2m
-              |         FROM (${(1 to 3).map(i => s"SELECT * FROM c$i").mkString(" UNION ALL ")})),
-              |mi AS (SELECT k, max(CASE WHEN test THEN iter ELSE 0 END) max_i FROM cand GROUP BY k)
-              |SELECT cand.k AS user_id, cand.ts_ms, cand.v AS value,
-              |       CAST(cand.iter AS INT) AS iter, CAST(cand.r2m AS BIGINT) AS r2_micro
-              |FROM cand JOIN mi ON cand.k = mi.k WHERE cand.iter <= mi.max_i""".stripMargin)
+      Some(esdOracleSql)
+    ),
+    // The same ESD through the SQL TVF surface: esd_outliers('view')
+    // plans the identical window chain, proven by sharing anomaly_esd's
+    // oracle verbatim.
+    Q(
+      "anomaly_sql_esd",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("graft_sqle_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sqle_pts AS
+            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+            |FROM graft_sqle_events""".stripMargin)
+        s.sql(
+          """SELECT CAST(seriesKey AS BIGINT) AS user_id, tsMs AS ts_ms, value,
+            |       iter, r2_micro
+            |FROM esd_outliers('graft_sqle_pts')""".stripMargin)
+      },
+      Some(esdOracleSql)
     ),
     // Tukey fences (boxplot outliers): distance outside
     // [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the quartile-based robust detector

@@ -165,6 +165,34 @@ object TsQueries {
       |       WINDOW wp AS (PARTITION BY user_id, phase)),
       |f AS (SELECT *, CAST(sign(ssum) AS BIGINT) * ((abs(ssum)*2 + sn) // (2*sn)) AS seasonal_fp FROM sg)""".stripMargin
 
+  /** ts_changepoint / ts_sql_changepoint shared oracle: centi-int prefix
+    * sums, truncated integer gain, row_number argmax with ts tie-break,
+    * sign-magnitude fixed-decimal segment means.
+    */
+  private val changepointOracleSql: String =
+    """WITH e AS (SELECT user_id k, epoch_ms(ts) t,
+      |             CAST(round(value*100, 0) AS HUGEINT) vc FROM events),
+      |r AS (SELECT k, t, vc, row_number() OVER w rn,
+      |        sum(vc) OVER (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING) s1,
+      |        count(*) OVER (PARTITION BY k) n,
+      |        sum(vc) OVER (PARTITION BY k) s
+      |      FROM e WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |c AS (SELECT k, t, rn n1, n - rn n2, s1, s - s1 s2,
+      |        (n - rn)*s1 - rn*(s - s1) x
+      |      FROM r WHERE rn >= 2 AND n - rn >= 2),
+      |g AS (SELECT *, (x*x*1000000) // (n1*n2) gm FROM c),
+      |m AS (SELECT k, t bt FROM (
+      |        SELECT k, t, row_number() OVER (PARTITION BY k ORDER BY gm DESC, t ASC) wrn
+      |        FROM g) WHERE wrn = 1)
+      |SELECT g.k AS user_id, g.t AS split_ts_ms,
+      |       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
+      |       CAST(sign(s1) AS BIGINT) * ((abs(s1) * 20000 + 100 * n1) // (200 * n1)) / 10000.0
+      |         AS left_mean,
+      |       CAST(sign(s2) AS BIGINT) * ((abs(s2) * 20000 + 100 * n2) // (200 * n2)) / 10000.0
+      |         AS right_mean,
+      |       CAST(gm AS BIGINT) AS gain_micro
+      |FROM g JOIN m ON g.k = m.k AND g.t = m.bt""".stripMargin
+
   /** ts_rollup_cascade oracle — each resolution aggregated DIRECTLY from
     * raw (the cascade must equal it exactly: integer sums/counts and
     * min/max are associative), avg via the same sign-magnitude
@@ -550,28 +578,26 @@ object TsQueries {
     Q(
       "ts_changepoint",
       (s, dir) => TsAlgebra.changepoint(ev(s, dir), "user_id", "ts_ms", "value"),
-      Some("""WITH e AS (SELECT user_id k, epoch_ms(ts) t,
-             |             CAST(round(value*100, 0) AS HUGEINT) vc FROM events),
-             |r AS (SELECT k, t, vc, row_number() OVER w rn,
-             |        sum(vc) OVER (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING) s1,
-             |        count(*) OVER (PARTITION BY k) n,
-             |        sum(vc) OVER (PARTITION BY k) s
-             |      FROM e WINDOW w AS (PARTITION BY k ORDER BY t)),
-             |c AS (SELECT k, t, rn n1, n - rn n2, s1, s - s1 s2,
-             |        (n - rn)*s1 - rn*(s - s1) x
-             |      FROM r WHERE rn >= 2 AND n - rn >= 2),
-             |g AS (SELECT *, (x*x*1000000) // (n1*n2) gm FROM c),
-             |m AS (SELECT k, t bt FROM (
-             |        SELECT k, t, row_number() OVER (PARTITION BY k ORDER BY gm DESC, t ASC) wrn
-             |        FROM g) WHERE wrn = 1)
-             |SELECT g.k AS user_id, g.t AS split_ts_ms,
-             |       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
-             |       CAST(sign(s1) AS BIGINT) * ((abs(s1) * 20000 + 100 * n1) // (200 * n1)) / 10000.0
-             |         AS left_mean,
-             |       CAST(sign(s2) AS BIGINT) * ((abs(s2) * 20000 + 100 * n2) // (200 * n2)) / 10000.0
-             |         AS right_mean,
-             |       CAST(gm AS BIGINT) AS gain_micro
-             |FROM g JOIN m ON g.k = m.k AND g.t = m.bt""".stripMargin)
+      Some(changepointOracleSql)
+    ),
+    // The same changepoint through the SQL TVF surface —
+    // changepoint('view') plans the identical window chain, proven by
+    // sharing ts_changepoint's oracle verbatim.
+    Q(
+      "ts_sql_changepoint",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        ev(s, dir).createOrReplaceTempView("graft_sqlc_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sqlc_pts AS
+            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+            |FROM graft_sqlc_events""".stripMargin)
+        s.sql(
+          """SELECT CAST(seriesKey AS BIGINT) AS user_id, split_ts_ms,
+            |       n_left, n_right, left_mean, right_mean, gain_micro
+            |FROM changepoint('graft_sqlc_pts')""".stripMargin)
+      },
+      Some(changepointOracleSql)
     ),
     // Gorilla-style compressed-size estimate per series (the reference's
     // Redis TS backend stores delta-of-delta compressed chunks): DoD
