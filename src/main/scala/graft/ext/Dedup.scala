@@ -293,6 +293,92 @@ object Dedup {
     ContainmentStages(hashed, khf, prefix, cand, out)
   }
 
+  /** Incremental (delta-vs-base) containment: for each NEW document, is
+    * it already contained (fraction ≥ τ of its shingles) in some stored
+    * document — the ingest-time gate that keeps excerpts/quotes of
+    * already-held pages from re-entering the corpus, without ever
+    * re-pairing the base against itself. Directed one way only:
+    * inner = delta, outer = base.
+    *
+    * Scale shape: the base side contributes its kept (id, shingle-hash)
+    * table and its df stats — the STORED INDEX an ingest pipeline
+    * maintains across batches; only the (small) delta is hashed fresh.
+    * Candidates come from the delta-side rarest-first prefix (ranked by
+    * BASE document frequency; delta-only shingles rank df = 0). The
+    * prefix filter stays lossless whatever the ranking: A∩B misses at
+    * most na − ⌈τ·na⌉ of A's shingles, so it must touch the
+    * (na − ⌈τ·na⌉ + 1)-element prefix. Df cap semantics: BASE df only
+    * (the index's stats; a boilerplate shingle is one the corpus has
+    * seen > maxDf times). Verification is in-row sorted-array
+    * intersection on surviving candidate pairs.
+    */
+  def containmentDelta(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int = 8,
+      maxDf: Int = 100000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(minShingles >= 1 && maxDf >= 2, s"bad floors: $minShingles/$maxDf")
+    val spark = base.sparkSession
+    import spark.implicits._
+    def hashSide(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          val hs = (0 to words.length - n).iterator
+            .map(i => words.slice(i, i + n).mkString(" "))
+            .toSet[String].map(g => shingleHash32(md, g)).toArray
+          java.util.Arrays.sort(hs)
+          (id, hs)
+        }
+      }
+      .toDF("id", "hs")
+    val bSh = hashSide(base).select(col("id"), explode(col("hs")).as("h"))
+    val dSh = hashSide(delta).select(col("id"), explode(col("hs")).as("h"))
+    val bDf = bSh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val bK = bSh.join(bDf.where(col("dfreq") <= maxDf).select(col("h")), Seq("h"))
+    val dK = dSh.join(bDf, Seq("h"), "left")
+      .where(coalesce(col("dfreq"), lit(0L)) <= maxDf)
+      .select(col("id"), col("h"), coalesce(col("dfreq"), lit(0L)).as("dfreq"))
+    val bSz = bK.groupBy(col("id")).agg(count(lit(1)).as("nb")).where(col("nb") >= minShingles)
+    val dSz = dK.groupBy(col("id")).agg(count(lit(1)).as("na")).where(col("na") >= minShingles)
+    val dKf = dK.join(dSz, "id")
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("h"))
+    val prefix = dKf
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("na") - expr(s"CAST(ceil(na * $tau) AS BIGINT)") + 1)
+      .select(col("id").as("da"), col("h"), col("na"))
+    val cand = prefix
+      .join(bK.join(bSz, "id").select(col("id").as("db"), col("h"), col("nb")), "h")
+      .where(col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
+      .select(col("da"), col("db")).distinct()
+    val dArr = dKf.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("ah"), first(col("na")).as("na"))
+    val bArr = bK.join(bSz, "id").groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("bh"), first(col("nb")).as("nb"))
+    cand
+      .join(dArr.select(col("id").as("da"), col("ah"), col("na")), "da")
+      .join(bArr.select(col("id").as("db"), col("bh"), col("nb")), "db")
+      .withColumn("i", size(array_intersect(col("ah"), col("bh"))).cast("long"))
+      .withColumn("c_raw", col("i").cast("double") / col("na"))
+      .where(col("c_raw") >= tau)
+      .select(
+        col("da").as("delta_id"),
+        col("db").as("base_id"),
+        col("na").as("n_delta"),
+        col("i").as("n_shared"),
+        round(col("c_raw"), 4).as("containment"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+  }
+
   /** Exact set-similarity self-join by PREFIX FILTERING (the PPJoin
     * family, Xiao et al. 2008): order every document's shingle set by
     * global rarity (document frequency asc, hash asc) and compare only

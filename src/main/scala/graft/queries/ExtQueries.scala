@@ -1353,6 +1353,42 @@ object ExtQueries {
              |       round(CAST(i AS DOUBLE) / (n_inner + n_outer - i), 4) AS jaccard
              |FROM d WHERE CAST(i AS DOUBLE) / n_inner >= 0.8""".stripMargin)
     ),
+    // Incremental containment: each DELTA doc (doc_id < 20, the
+    // dedup_incremental split convention) checked for containment in the
+    // stored BASE corpus — the ingest gate, never re-pairing base
+    // against itself. Base-df cap/rarity; delta-only shingles rank
+    // rarest (df 0) and stay lossless (pigeonhole holds regardless of
+    // prefix ranking).
+    Q(
+      "dedup_containment_incr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.containmentDelta(
+          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 3, tau = 0.8)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |bd AS (SELECT doc_id, h FROM hs WHERE doc_id >= 20),
+             |dd AS (SELECT doc_id, h FROM hs WHERE doc_id < 20),
+             |bdf AS (SELECT h, count(*) dfreq FROM bd GROUP BY 1),
+             |bk AS (SELECT doc_id, h FROM bd JOIN bdf USING (h) WHERE dfreq <= 100000),
+             |dk AS (SELECT dd.doc_id, dd.h FROM dd LEFT JOIN bdf USING (h)
+             |       WHERE coalesce(bdf.dfreq, 0) <= 100000),
+             |bsz AS (SELECT doc_id, count(*) nb FROM bk GROUP BY 1 HAVING count(*) >= 8),
+             |dsz AS (SELECT doc_id, count(*) na FROM dk GROUP BY 1 HAVING count(*) >= 8),
+             |iv AS (SELECT d.doc_id da, b.doc_id db, count(*) i
+             |       FROM dk d JOIN bk b ON d.h = b.h GROUP BY 1, 2),
+             |ws AS (SELECT iv.da, iv.db, iv.i, dsz.na, bsz.nb
+             |       FROM iv JOIN dsz ON iv.da = dsz.doc_id JOIN bsz ON iv.db = bsz.doc_id)
+             |SELECT da AS delta_id, db AS base_id, CAST(na AS BIGINT) AS n_delta,
+             |       CAST(i AS BIGINT) AS n_shared,
+             |       round(CAST(i AS DOUBLE) / na, 4) AS containment,
+             |       round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM ws WHERE CAST(i AS DOUBLE) / na >= 0.8""".stripMargin)
+    ),
     // Exact set-similarity join by prefix filtering (PPJoin): LOSSLESS
     // candidate pruning — any Jaccard ≥ τ pair must share a token in
     // both docs' rarest-token prefixes — so the oracle is simply the

@@ -68,6 +68,45 @@ class ExtSpec extends AnyFunSuite {
     assert(capped.count() == 0, "df-capped shingles must not pair")
   }
 
+  test("containmentDelta: delta-in-base direction only; delta-only shingles rank rarest yet stay lossless") {
+    val page = ((1 to 40).map(i => s"tok$i")).mkString(" ")
+    val base = Seq((100L, page), (101L, "stored corpus body alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // delta 1 = quote of the base page prefixed by NOVEL tokens (delta-only
+    // shingles rank df=0, ahead of every real one — losslessness must hold);
+    // delta 2 = unrelated
+    val quote = "novelword1 novelword2 " + (5 to 20).map(i => s"tok$i").mkString(" ")
+    val delta = Seq((1L, quote), (2L, "entirely different new content nothing shared here at all today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentDelta(base, delta, "doc_id", "text", n = 3, tau = 0.7)
+      .collect().map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(out.contains((1L, 100L)), s"quote must be found contained in the page: $out")
+    assert(out((1L, 100L)) >= 0.7 && out((1L, 100L)) < 1.0, s"novel prefix lowers containment: $out")
+    assert(!out.keys.exists(_._1 == 2L), "unrelated delta must not pair")
+    // direction: base docs are never reported as contained in delta
+    assert(out.keys.forall { case (d, b) => d < 100L && b >= 100L })
+    // lossless vs the naive join at the same floors, on the corpus split
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.containmentDelta(
+      docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+      "doc_id", "text", n = 3, tau = 0.8)
+      .collect().map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"))).toSet
+    val kh = Dedup.shingleHashesAndSig(docs, "doc_id", "text", n = 3, perms = 1)
+      .select(col("id"), explode(col("hs")).as("h"))
+    val bk = kh.where(col("id") >= 20)
+    val dk = kh.where(col("id") < 20)
+    val bsz = bk.groupBy("id").agg(count(lit(1)).as("nb")).where(col("nb") >= 8)
+    val dsz = dk.groupBy("id").agg(count(lit(1)).as("na")).where(col("na") >= 8)
+    val ref = dk.as("d").join(bk.as("b"), col("d.h") === col("b.h"))
+      .groupBy(col("d.id").as("da"), col("b.id").as("db")).agg(count(lit(1)).as("i"))
+      .join(dsz.select(col("id").as("da"), col("na")), "da")
+      .join(bsz.select(col("id").as("db"), col("nb")), "db")
+      .where(col("i").cast("double") / col("na") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(got == ref, s"prefix-filtered (${got.size}) != naive (${ref.size})")
+  }
+
   test("containmentPairs: asymmetric prefix filter is LOSSLESS — equals the naive full shingle join") {
     val corpus = Tables.documents(spark, sf)
     val got = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.8)
