@@ -86,6 +86,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(seriesKey, tsMs, value) relation, planned through KeyedFoldExec",
           ""),
         FoldTableFunctions.hwBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.EsdName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.EsdName,
+          "esd_outliers(table[, k[, cut]]) - generalized-ESD flagged points " +
+            "(seriesKey, tsMs, value, iter, r2_micro) over a (seriesKey, tsMs, value) relation",
+          ""),
+        FoldTableFunctions.esdBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.ChangepointName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.ChangepointName,
+          "changepoint(table[, minSeg]) - per-series best level-shift split " +
+            "(split_ts_ms, n_left, n_right, left_mean, right_mean, gain_micro) " +
+            "over a (seriesKey, tsMs, value) relation",
+          ""),
+        FoldTableFunctions.changepointBuilder))
     // SQL surface of the flagship extension operators (dedup/text): the
     // builders delegate to the Scala implementations, zero drift
     extensions.injectTableFunction(

@@ -1657,6 +1657,24 @@ class ExtSpec extends AnyFunSuite {
       assert(ex.keySet == Set(1L, 2L, 3L), "one ledgered row per input doc")
       assert(ex(2L)._1 == 0L && ex(2L)._2.isEmpty, "identical copy excises to empty")
       assert(ex(1L)._2.nonEmpty && ex(3L)._2.nonEmpty, "first/unique occurrences keep text")
+      // r12 TVFs: ESD + changepoint ride the same injection. 20 stable
+      // points + one spike: ESD flags the spike; changepoint splits at
+      // the shift of a step series.
+      s2.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ext_esd_probe AS
+          |SELECT 'k' AS seriesKey, CAST(id * 1000 AS BIGINT) AS tsMs,
+          |       CASE WHEN id = 21 THEN 500.0D ELSE 10.0D + (id % 5) / 10.0D END AS value
+          |FROM range(1, 22)""".stripMargin)
+      val esd = s2.sql("SELECT * FROM esd_outliers('ext_esd_probe')").collect()
+        .map(_.getAs[Long]("tsMs"))
+      assert(esd.toSeq == Seq(21000L), s"ESD TVF must flag the spike: ${esd.toSeq}")
+      s2.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW ext_cp_probe AS
+          |SELECT 'k' AS seriesKey, CAST(id * 1000 AS BIGINT) AS tsMs,
+          |       CASE WHEN id <= 10 THEN 10.0D ELSE 50.0D END AS value
+          |FROM range(1, 21)""".stripMargin)
+      val cp = s2.sql("SELECT * FROM changepoint('ext_cp_probe')").head()
+      assert(cp.getAs[Long]("split_ts_ms") == 10000L, s"changepoint TVF split: $cp")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
