@@ -570,6 +570,36 @@ object TsQueries {
       (s, dir) =>
         TsAlgebra.rollupCascade(ev(s, dir), "user_id", "ts_ms", "value", rollupBuckets),
       Some(rollupOracleSql)),
+    // Seasonal/trend strength per series (Hyndman's STL variance
+    // ratios, exact fixed-point): which series deserve a seasonal model.
+    // sr = seasonal+resid = dt (detrended), tr = trend+resid =
+    // vm·100 − seasonal_fp (deseasonalized) — the oracle reuses the
+    // shared STL chain and the identical HUGEINT variance algebra.
+    Q(
+      "ts_seasonal_strength",
+      (s, dir) =>
+        TsAlgebra.seasonalStrength(ev(s, dir), "user_id", "ts_ms", "value", period = 24),
+      Some(s"""WITH $stlCte,
+              |c AS (SELECT user_id, CAST(dt - seasonal_fp AS HUGEINT) r,
+              |        CAST(dt AS HUGEINT) sr,
+              |        CAST(vm*100 - seasonal_fp AS HUGEINT) tr
+              |      FROM f),
+              |g AS (SELECT user_id, CAST(count(*) AS HUGEINT) n,
+              |        sum(r) sR, sum(r*r) qR, sum(sr) sS, sum(sr*sr) qS,
+              |        sum(tr) sT, sum(tr*tr) qT
+              |      FROM c GROUP BY 1),
+              |dv AS (SELECT user_id, n, n*qR - sR*sR dR, n*qS - sS*sS dS, n*qT - sT*sT dT FROM g)
+              |SELECT user_id, CAST(n AS BIGINT) AS n_points,
+              |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT)
+              |         AS season_strength_milli,
+              |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT)
+              |         AS trend_strength_milli,
+              |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT) / 1000.0
+              |         AS season_strength,
+              |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT) / 1000.0
+              |         AS trend_strength
+              |FROM dv""".stripMargin)
+    ),
     // Best changepoint per series by depth-1 binary segmentation:
     // retrospective "where did the level shift" (CUSUM's stored-data
     // complement). Winner = max_by over (gain_micro, -ts) where

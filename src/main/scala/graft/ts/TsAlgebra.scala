@@ -773,6 +773,60 @@ object TsAlgebra {
     case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 
+  /** Per-series seasonal and trend STRENGTH (Hyndman's STL variance
+    * ratios): F_seasonal = 1 − Var(resid)/Var(seasonal+resid) and
+    * F_trend = 1 − Var(resid)/Var(trend+resid) — the triage report that
+    * says which series deserve a seasonal model (feeds the
+    * dominant-period / auto-STL choices) and which are trend- or
+    * noise-dominated. Computed from [[stlDecompose]]'s exact fixed-point
+    * components, so the variances are integer algebra
+    * (n·ΣX² − (ΣX)², LONG sums widened to DECIMAL(38,0)) and the
+    * strengths surface as truncating-division milli integers — engine
+    * exact, clamped at 0 like the reference definition. A zero-variance
+    * denominator (flat series) reports strength 0.
+    *
+    * Scale shape: the STL window chain plus ONE partial-aggregated
+    * groupBy on the series key; output one row per series.
+    */
+  def seasonalStrength(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    stlDecompose(df, keyCol, tsCol, valueCol, period)
+      .select(
+        col(keyCol),
+        col("resid_fp").as("r"),
+        (col("seasonal_fp") + col("resid_fp")).as("sr"), // = detrended
+        (col("trend_fp") + col("resid_fp")).as("tr")) // = deseasonalized
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r")).as("sRL"), sum(col("r") * col("r")).as("qRL"),
+        sum(col("sr")).as("sSL"), sum(col("sr") * col("sr")).as("qSL"),
+        sum(col("tr")).as("sTL"), sum(col("tr") * col("tr")).as("qTL"))
+      .withColumn("dR", expr(s"CAST(n AS $dec) * CAST(qRL AS $dec) - CAST(sRL AS $dec) * CAST(sRL AS $dec)"))
+      .withColumn("dS", expr(s"CAST(n AS $dec) * CAST(qSL AS $dec) - CAST(sSL AS $dec) * CAST(sSL AS $dec)"))
+      .withColumn("dT", expr(s"CAST(n AS $dec) * CAST(qTL AS $dec) - CAST(sTL AS $dec) * CAST(sTL AS $dec)"))
+      .withColumn(
+        "season_strength_milli",
+        when(col("dS") > 0, greatest(lit(0L), lit(1000L) - expr("(dR * 1000) DIV dS")))
+          .otherwise(lit(0L)))
+      .withColumn(
+        "trend_strength_milli",
+        when(col("dT") > 0, greatest(lit(0L), lit(1000L) - expr("(dR * 1000) DIV dT")))
+          .otherwise(lit(0L)))
+      .select(
+        col(keyCol),
+        col("n").as("n_points"),
+        col("season_strength_milli"),
+        col("trend_strength_milli"),
+        (col("season_strength_milli") / 1000.0).as("season_strength"),
+        (col("trend_strength_milli") / 1000.0).as("trend_strength"))
+  }
+
   /** Per-series best changepoint by binary segmentation (depth 1): the
     * split t maximizing the between-segment variance — the retrospective
     * "where did the level shift happen" answer that complements CUSUM's

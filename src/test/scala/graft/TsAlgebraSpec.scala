@@ -460,6 +460,23 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(resid.sorted.apply(resid.length / 2) < 10000L, "median |resid| must be < 1.0")
   }
 
+  test("seasonalStrength: pure cycle scores seasonal-high, ramp scores trend-high, flat scores 0/0") {
+    // 96 points of a clean period-4 square-ish cycle
+    val cyc = (0 until 96).map(i => (1L, (i + 1) * 1000L, Seq(10.0, 20.0, 30.0, 20.0)(i % 4), i.toLong))
+    // a pure ramp
+    val ramp = (0 until 96).map(i => (2L, (i + 1) * 1000L, 5.0 + i * 2.0, i.toLong))
+    // flat
+    val flat = (0 until 96).map(i => (3L, (i + 1) * 1000L, 7.0, i.toLong))
+    val out = TsAlgebra.seasonalStrength(df(cyc ++ ramp ++ flat: _*), "k", "ts", "v", period = 4)
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("season_strength_milli"), r.getAs[Long]("trend_strength_milli")))).toMap
+    assert(out(1L)._1 >= 900, s"cycle must be seasonal-dominated: ${out(1L)}")
+    assert(out(2L)._2 >= 900, s"ramp must be trend-dominated: ${out(2L)}")
+    assert(out(2L)._1 < out(2L)._2, s"ramp is not seasonal: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L)), s"flat series: zero-variance denominators report 0: ${out(3L)}")
+  }
+
   test("changepoint: planted level shift found exactly; flat series picks earliest valid split; short series exit") {
     // 10@10.0 then 10@50.0 — the best split is after point 10 (ts 10000)
     val shift = (1 to 10).map(i => (1L, i * 1000L, 10.0, i.toLong)) ++
