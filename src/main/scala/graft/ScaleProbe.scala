@@ -119,8 +119,10 @@ object ScaleProbe {
         timed(s"triangles (degree-ordered wedge join) on $m edges") {
           val t = graft.ext.Graph.triangles(pairs, "ua", "ub")
             .agg(
-              count(lit(1)).as("nodes"), sum("n_tri").as("tri3"),
-              max("deg").as("max_deg"))
+              count(lit(1)).as("nodes"),
+              // triangle-free graph → zero rows → NULL aggregates
+              coalesce(sum("n_tri"), lit(0L)).as("tri3"),
+              coalesce(max("deg"), lit(0L)).as("max_deg"))
             .head()
           val bound = math.sqrt(2.0 * m).toLong
           println(s"[scaleprobe] nodes=${t.getLong(0)} triangles=${t.getLong(1) / 3} " +

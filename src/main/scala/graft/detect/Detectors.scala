@@ -420,7 +420,15 @@ object Detectors {
         .withColumn("candTs", max_by(col("tsMs"), argKey).over(byKey))
         .withColumn("candVc", max_by(col("vc"), argKey).over(byKey))
         .withColumn("maxDev", max(col("devI")).over(byKey))
-        .withColumn(s"cand$i", col("tsMs") === col("candTs") && col("devI") >= 0)
+        // the candidate is matched on (ts, vc), not ts alone: a series
+        // carrying duplicate timestamps with DIFFERENT values must not
+        // deactivate both rows while s_c/q_c subtract only one (exact
+        // duplicate (ts, vc) rows remain outside the TsSample unique-ts
+        // contract and would still co-deactivate — the oracle's rn > 1
+        // removes exactly one; callers own de-duplication at entry)
+        .withColumn(
+          s"cand$i",
+          col("tsMs") === col("candTs") && col("vc") === col("candVc") && col("devI") >= 0)
         .withColumn(s"num$i", col("maxDev").cast(dec) * col("maxDev").cast(dec))
         .withColumn(
           s"den$i",
@@ -444,7 +452,15 @@ object Detectors {
       case (acc, i) =>
         when(
           col(s"cand$i"),
-          when(col(s"den$i") > 0, expr(s"(num$i * 1000000) DIV den$i")).otherwise(lit(0L)))
+          // divide-before-scale: (q·10⁶ + (r·10⁶) DIV den) with
+          // num = q·den + r equals (num·10⁶) DIV den exactly for the
+          // non-negative operands here, but moves the DECIMAL(38,0)
+          // overflow ceiling from num ≤ 10³² (maxDev ~3.2e15 — well
+          // below the LONG range the hot path defends) to den ≤ 10³²
+          when(
+            col(s"den$i") > 0,
+            expr(s"(num$i DIV den$i) * 1000000 + ((num$i % den$i) * 1000000) DIV den$i"))
+            .otherwise(lit(0L)))
           .otherwise(acc)
     }
     val maxI = greatest(

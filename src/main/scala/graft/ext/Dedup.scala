@@ -128,6 +128,11 @@ object Dedup {
     * is noise). Intersections count 32-bit md5 shingle HASHES on both
     * engines (same collision behavior), computed once per unordered
     * pair and fanned to the two directed rows.
+    *
+    * Persist contract: the shingle-hash table stays persisted for the
+    * session (the result plan reads it from two branches). Callers that
+    * consume the frame once should use [[withContainmentPairs]], which
+    * releases it on exit.
     */
   def containmentPairs(
       df: DataFrame,
@@ -385,7 +390,10 @@ object Dedup {
       .select(col("id").as("da"), col("h"), col("na"))
     val cand = prefix
       .join(bK.join(bSz, "id").select(col("id").as("db"), col("h"), col("nb")), "h")
-      .where(col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
+      // a doc id present in BOTH the stored base index and the delta
+      // batch (a re-ingest) must not self-pair at containment 1.0
+      .where(col("da") =!= col("db") &&
+        col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
       .select(col("da"), col("db")).distinct()
     val dArr = dKf.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("ah"), first(col("na")).as("na"))

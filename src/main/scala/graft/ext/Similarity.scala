@@ -64,17 +64,21 @@ object Similarity {
       labelCol: String,
       queryPred: Column,
       k: Int): DataFrame = {
-    val all = prepared(df, idCol, embCol)
-      .join(df.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl")), "id")
+    // id, vec and label come out of ONE scan — the earlier
+    // prepared(df) ⋈ df.select(label) shape re-read the table and paid
+    // a join just to reattach a column already sitting in the row
+    val all = df
+      .select(
+        col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("vec"),
+        col(labelCol).cast("long").as("lbl"))
       .withColumn("lbl",
         when(col("lbl").isNotNull, col("lbl"))
           .otherwise(raise_error(concat(
             lit(s"hardNegatives: NULL $labelCol for id "), col("id").cast("string"))))
           .cast("long"))
     val q = all.where(queryPred)
-      .select(
-        col("id").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("lbl").as("qlbl"))
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("lbl").as("qlbl"))
     val scored = all
       .join(broadcast(q), col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))

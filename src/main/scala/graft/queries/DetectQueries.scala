@@ -112,7 +112,7 @@ object DetectQueries {
     (1 to k).map { i =>
       Seq(
         s"g$i AS (SELECT k, CAST(count(*) AS HUGEINT) n, sum(vc) s1, sum(vc*vc) q",
-        s"        FROM a${i - 1} GROUP BY k HAVING count(*) >= 4),",
+        s"        FROM a${i - 1} GROUP BY k HAVING count(*) >= ${Constants.MinPoints}),",
         s"j$i AS (SELECT a.k, a.ts_ms, a.v, a.vc, g.n, g.s1, g.q,",
         s"          abs(g.n * a.vc - g.s1) dev,",
         s"          row_number() OVER (PARTITION BY a.k ORDER BY abs(g.n * a.vc - g.s1) DESC, a.ts_ms) rn",

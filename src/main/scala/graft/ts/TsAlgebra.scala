@@ -873,7 +873,13 @@ object TsAlgebra {
       .withColumn("s2", col("s") - col("s1"))
       .withColumn("x", col("n2") * col("s1") - col("n1") * col("s2"))
       .withColumn("xd", col("x").cast(dec))
-      .withColumn("gm", expr("(xd * xd * 1000000) DIV (n1 * n2)"))
+      // divide-before-scale: identical to (x²·10⁶) DIV (n₁n₂) for these
+      // non-negative operands, but the DECIMAL(38,0) ceiling moves from
+      // x² ≤ 10³² (|x| ~3.2e15) to the far roomier n₁n₂ remainder term
+      .withColumn("x2", expr("xd * xd"))
+      .withColumn(
+        "gm",
+        expr("(x2 DIV (n1 * n2)) * 1000000 + ((x2 % (n1 * n2)) * 1000000) DIV (n1 * n2)"))
     cand
       .withColumn(
         "bt",
