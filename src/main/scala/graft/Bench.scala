@@ -17,7 +17,7 @@ object Bench {
     // MemoryStream from the driver one micro-batch at a time, so their
     // wall time measures the replay harness, not a distributed operator —
     // excluded here (Verify still runs them)
-    val skip = Set("anomaly_stream_monitor", "anomaly_stream_calibrated", "anomaly_stream_cusum", "anomaly_stream_hw", "anomaly_stream_control", "stream_dedup", "stream_neardup", "stream_sessions",
+    val skip = Set("anomaly_stream_monitor", "anomaly_stream_calibrated", "anomaly_stream_cusum", "anomaly_stream_hw", "anomaly_stream_control", "anomaly_stream_seasonal", "stream_dedup", "stream_neardup", "stream_sessions",
       "stream_join", "stream_join_outer", "stream_join_right", "stream_join_full", "stream_enrich", "stream_kmv",
       "stream_scene_cuts", "stream_cms", "stream_drift")
     // optional subset (comma-separated names): targeted re-measurement of
@@ -58,7 +58,7 @@ object Bench {
     // bench_full.json stays the "latest" pointer; the round-stamped copy
     // makes history append-only instead of a single mutable file
     // (bump Round per build round).
-    val Round = "r12"
+    val Round = "r13"
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Seq(_))
       .getOrElse(if (only.isEmpty) Seq("bench_full.json", s"bench_full_$Round.json") else Seq.empty)

@@ -389,6 +389,31 @@ object ScaleProbe {
       timed("periodogram periods 2..24 (rank/total windows + 46 trig sums)") {
         println(s"[scaleprobe] pg_rows = ${force(graft.ts.TsAlgebra.periodogram(big, "user_id", "ts_ms", "value", 2 to 24))}")
       }
+      def exchanges(d: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(d.queryExecution.executedPlan.toString).length
+      // the r12 additions (VERDICT r13 ask #3): the STL→ESD composition,
+      // changepoint, and seasonal strength at the same more-series shape,
+      // with the exchange count pinned in the output
+      timed("sesd (STL fixed point -> edge trim -> integer ESD, k=3)") {
+        val w = org.apache.spark.sql.expressions.Window
+        val trimmed = graft.ts.TsAlgebra
+          .stlDecompose(big, "user_id", "ts_ms", "value", period = 24)
+          .withColumn("_rn", row_number().over(w.partitionBy("user_id").orderBy("ts_ms")))
+          .withColumn("_nn", count(lit(1)).over(w.partitionBy("user_id")))
+          .where(col("_rn") > 12 && col("_rn") <= col("_nn") - 12)
+        val out = graft.detect.Detectors
+          .esdOutliersFp(trimmed, "user_id", "ts_ms", "resid_fp", k = 3, cut = 3)
+        println(s"[scaleprobe] sesd_rows = ${force(out)} sesd_exchanges = ${exchanges(out)}")
+      }
+      timed("changepoint (depth-1 binary segmentation)") {
+        val out = graft.ts.TsAlgebra.changepoint(big, "user_id", "ts_ms", "value")
+        println(s"[scaleprobe] cp_rows = ${force(out)} cp_exchanges = ${exchanges(out)}")
+      }
+      timed("seasonalStrength (STL chain + variance-ratio aggregate)") {
+        val out = graft.ts.TsAlgebra.seasonalStrength(big, "user_id", "ts_ms", "value", period = 24)
+        println(s"[scaleprobe] ss_rows = ${force(out)} ss_exchanges = ${exchanges(out)}")
+      }
       spark.stop()
       return
     }

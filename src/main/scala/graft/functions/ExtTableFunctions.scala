@@ -39,6 +39,8 @@ object ExtTableFunctions {
   val PpjoinPairsName = "ppjoin_pairs"
   val DedupClustersName = "dedup_clusters"
   val DedupExciseName = "dedup_excise"
+  val TrianglesName = "triangles"
+  val ContainmentPairsName = "containment_pairs"
 
   /** Session-scoped artifact cache for the PAIR-GRAPH TVFs (minhash /
     * ppjoin) — the builders whose whole signature→candidate→verify
@@ -188,6 +190,39 @@ object ExtTableFunctions {
     }
   }
 
+  /** `triangles(table[, acol[, bcol]])` — per-node triangle counts and
+    * local clustering coefficients `(node, deg, n_tri, cc_micro, cc)`
+    * over an undirected edge relation (default columns `a`, `b`;
+    * duplicates/reversals/self-loops absorbed). The degree-ordered
+    * wedge-orientation plan — the same O(m^1.5) shape as the Scala path.
+    */
+  def trianglesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 3, s"usage: $TrianglesName(table[, acol[, bcol]])")
+    val table = FoldTableFunctions.stringArg(TrianglesName, args, 0)
+    val aCol = if (args.length > 1) FoldTableFunctions.stringArg(TrianglesName, args, 1) else "a"
+    val bCol = if (args.length > 2) FoldTableFunctions.stringArg(TrianglesName, args, 2) else "b"
+    val spark = SparkSession.active
+    SqlBridge.analyzedPlan(graft.ext.Graph.triangles(spark.table(table), aCol, bCol))
+  }
+
+  /** `containment_pairs(table[, tau])` — directed shingle-containment
+    * pairs `(inner_id, outer_id, n_inner, n_shared, containment,
+    * jaccard)` over a `(doc_id, text)` relation (3-gram shingles,
+    * lossless asymmetric prefix filter). Routed through the artifact
+    * cache like the other pair-graph TVFs: the shingle→prefix→verify
+    * pipeline runs once per (table, τ), inside the kernel's persist
+    * release scope; later SQL reads parquet.
+    */
+  def containmentPairsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $ContainmentPairsName(table[, tau])")
+    val table = FoldTableFunctions.stringArg(ContainmentPairsName, args, 0)
+    val tau = FoldTableFunctions.doubleArg(ContainmentPairsName, args, 1, 0.8)
+    val spark = SparkSession.active
+    cachedPlanScoped(s"$ContainmentPairsName:$table:$tau:${spark.sparkContext.applicationId}") { write =>
+      Dedup.withContainmentPairs(spark.table(table), "doc_id", "text", n = 3, tau = tau)(write)
+    }
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -199,5 +234,7 @@ object ExtTableFunctions {
     SqlBridge.registerTableFunction(spark, PpjoinPairsName, ppjoinPairsBuilder)
     SqlBridge.registerTableFunction(spark, DedupClustersName, dedupClustersBuilder)
     SqlBridge.registerTableFunction(spark, DedupExciseName, dedupExciseBuilder)
+    SqlBridge.registerTableFunction(spark, TrianglesName, trianglesBuilder)
+    SqlBridge.registerTableFunction(spark, ContainmentPairsName, containmentPairsBuilder)
   }
 }

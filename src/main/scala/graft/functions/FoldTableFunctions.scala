@@ -41,6 +41,8 @@ object FoldTableFunctions {
   val HwName = "hw_fold"
   val EsdName = "esd_outliers"
   val ChangepointName = "changepoint"
+  val StlName = "stl_decompose"
+  val SeasonalStrengthName = "seasonal_strength"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -199,6 +201,36 @@ object FoldTableFunctions {
         "seriesKey", "tsMs", "value", minSeg))
   }
 
+  /** `stl_decompose(table, period)` — exact fixed-point STL-lite
+    * decomposition `(seriesKey, tsMs, value, phase, trend_fp,
+    * seasonal_fp, resid_fp)` over a `(seriesKey, tsMs, value)`
+    * relation; plans as the same linear window chain as the Scala path.
+    */
+  def stlBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, s"usage: $StlName(table, period)")
+    val period = doubleArg(StlName, args, 1, Double.NaN).toInt
+    val spark = SparkSession.active
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.ts.TsAlgebra.stlDecompose(
+        spark.table(stringArg(StlName, args, 0)),
+        "seriesKey", "tsMs", "value", period))
+  }
+
+  /** `seasonal_strength(table, period)` — per-series Hyndman seasonal /
+    * trend strength `(seriesKey, n_points, season_strength_milli,
+    * trend_strength_milli, season_strength, trend_strength)` from the
+    * STL fixed point, over a `(seriesKey, tsMs, value)` relation.
+    */
+  def seasonalStrengthBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, s"usage: $SeasonalStrengthName(table, period)")
+    val period = doubleArg(SeasonalStrengthName, args, 1, Double.NaN).toInt
+    val spark = SparkSession.active
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.ts.TsAlgebra.seasonalStrength(
+        spark.table(stringArg(SeasonalStrengthName, args, 0)),
+        "seriesKey", "tsMs", "value", period))
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -210,6 +242,8 @@ object FoldTableFunctions {
     graft.bridge.SqlBridge.registerTableFunction(spark, HwName, hwBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, EsdName, esdBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, ChangepointName, changepointBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, StlName, stlBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, SeasonalStrengthName, seasonalStrengthBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

@@ -188,6 +188,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(doc_id, n_chunks, n_kept, clean_text) over a (doc_id, text) relation",
           ""),
         ExtTableFunctions.dedupExciseBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.StlName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.StlName,
+          "stl_decompose(table, period) - exact fixed-point STL-lite decomposition " +
+            "(seriesKey, tsMs, value, phase, trend_fp, seasonal_fp, resid_fp) " +
+            "over a (seriesKey, tsMs, value) relation",
+          ""),
+        FoldTableFunctions.stlBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.SeasonalStrengthName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.SeasonalStrengthName,
+          "seasonal_strength(table, period) - per-series Hyndman seasonal/trend " +
+            "strength from the STL fixed point over a (seriesKey, tsMs, value) relation",
+          ""),
+        FoldTableFunctions.seasonalStrengthBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.TrianglesName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.TrianglesName,
+          "triangles(table[, acol[, bcol]]) - per-node triangle counts and local " +
+            "clustering coefficients (node, deg, n_tri, cc_micro, cc) over an " +
+            "undirected edge relation",
+          ""),
+        ExtTableFunctions.trianglesBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.ContainmentPairsName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.ContainmentPairsName,
+          "containment_pairs(table[, tau]) - directed shingle-containment pairs " +
+            "(inner_id, outer_id, n_inner, n_shared, containment, jaccard) over a " +
+            "(doc_id, text) relation",
+          ""),
+        ExtTableFunctions.containmentPairsBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

@@ -1216,6 +1216,78 @@ object DetectQueries {
               |SELECT k AS user_id, ts_ms, v AS value, round(abs(v - ema), 4) AS dev,
               |       abs(v - ema) > th.thr AS is_anomaly, th.thr AS threshold
               |FROM semal CROSS JOIN th""".stripMargin)
+    ),
+    // Streaming seasonal-residual monitor: days 1-15 decompose into a
+    // STORED STL profile (per-phase seasonal + level-hold + history
+    // length) and calibrate the p99 residual threshold; days 16+ stream
+    // against the profile through two broadcast stream-static joins and
+    // an O(1) phase-continuation fold. Closes the last batch/stream
+    // asymmetry: the trailing-EMA monitors flag every on-peak hour of a
+    // cyclic series, this one flags deviation FROM the cycle. The
+    // oracle replays the decomposition (history split), the profile
+    // derivation, the integer histogram-quantile calibration, and the
+    // live phase/residual arithmetic.
+    Q(
+      "anomaly_stream_seasonal",
+      (s, dir) => {
+        val all = pts(s, dir)
+        val splitMs = 1705363200000L // 2024-01-16T00:00Z: days 1-15 profile
+        // the decomposition feeds three consumers (profile aggs +
+        // calibration) and the profile is re-read by EVERY micro-batch's
+        // stream-static join — scoped persists, released after the
+        // memory sink has materialized
+        val stl = graft.ts.TsAlgebra.stlDecompose(
+          all.filter(col("tsMs") < splitMs).toDF(),
+          "seriesKey", "tsMs", "value", period = 24).persist()
+        try {
+          val profile = graft.streaming.MonitorStream
+            .seasonalProfileFrom(stl, "seriesKey", "tsMs").persist()
+          profile.count()
+          try {
+            val thr = graft.streaming.MonitorStream.calibratedThreshold(
+              stl.withColumn("dev", abs(col("resid_fp")) / 10000.0), "dev", qMille = 990)
+            graft.streaming.Replay
+              .seasonalReplay(
+                all.filter(col("tsMs") >= splitMs), profile, period = 24, threshold = thr,
+                p => p.tsMs / 86400000L)
+              .select(
+                keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+                col("phase").cast("long").as("phase"), col("resid_fp"),
+                round(col("dev"), 4).as("dev"), col("isAnomaly").as("is_anomaly"),
+                lit(thr).as("threshold"))
+          } finally profile.unpersist(blocking = false)
+        } finally stl.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${TsQueries.stlCteFor(s"(SELECT * FROM events WHERE epoch_ms(ts) < 1705363200000)")},
+              |prof_p AS (SELECT user_id, phase, min(seasonal_fp) seasonal_fp FROM f GROUP BY 1, 2),
+              |prof_k AS (SELECT user_id, n0, level_fp FROM (
+              |             SELECT user_id, trend_fp level_fp,
+              |                    count(*) OVER (PARTITION BY user_id) n0,
+              |                    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC) rn
+              |             FROM f) WHERE rn = 1),
+              |cells AS (SELECT least(greatest(CAST(round((abs(dt - seasonal_fp) / 10000.0) * 100, 0) AS BIGINT) // 64, 0), 639) bin,
+              |                 count(*) cnt
+              |          FROM f GROUP BY 1),
+              |cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum, sum(cnt) OVER () total FROM cells),
+              |th AS (SELECT round(CAST(bin * 64 + ((target - (cum - cnt)) * 64) // cnt AS BIGINT) / 100.0, 4) thr
+              |       FROM (SELECT bin, cnt, cum, total,
+              |               greatest((990 * total + 999) // 1000, 1) target FROM cc)
+              |       WHERE cum >= target AND cum - cnt < target),
+              |lv AS (SELECT user_id, epoch_ms(ts) ts_ms, value,
+              |         CAST(round(value*100, 0) AS BIGINT) * 100 value_fp,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1 idx
+              |       FROM events WHERE epoch_ms(ts) >= 1705363200000),
+              |sc AS (SELECT l.user_id, l.ts_ms, l.value, l.value_fp,
+              |         (k.n0 + l.idx) % 24 phase, k.level_fp
+              |       FROM lv l JOIN prof_k k USING (user_id)),
+              |j AS (SELECT s.user_id, s.ts_ms, s.value, s.phase,
+              |        s.value_fp - s.level_fp - p.seasonal_fp resid_fp
+              |      FROM sc s JOIN prof_p p ON p.user_id = s.user_id AND p.phase = s.phase)
+              |SELECT user_id, ts_ms, value, CAST(phase AS BIGINT) AS phase,
+              |       CAST(resid_fp AS BIGINT) AS resid_fp,
+              |       round(abs(resid_fp) / 10000.0, 4) AS dev,
+              |       abs(resid_fp) / 10000.0 > th.thr AS is_anomaly, th.thr AS threshold
+              |FROM j CROSS JOIN th""".stripMargin)
     )
   )
 }

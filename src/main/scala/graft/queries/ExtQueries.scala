@@ -222,15 +222,22 @@ object ExtQueries {
     * (`dedup_embedding_lsh_idx`) rows: same layout ⇒ same pairs ⇒ the
     * gate proves the index read path changes nothing.
     */
-  private lazy val lshPairs6OracleSql =
-    s"""WITH $embCte,
+  /** The 6-bit / 8-table bucketing CTE alone (per-(vec_id, table) sign
+    * buckets) — shared by the pair oracle below and the
+    * `build_lsh_index` build-cost row's summary oracle.
+    */
+  private lazy val lshBucket6Cte =
+    s"""$embCte,
        |b AS (SELECT vec_id, v, nrm, t.t,
        |        list_sum(list_transform(range(0, 6), k ->
        |          CASE WHEN list_sum(list_transform(range(1, 65), d ->
        |                 v[d] * ((((1103515245 * ((k + t.t*6) * 64 + (d-1)) + 12345) % 2147483648)
        |                          / 2147483648.0) - 0.5))) > 0
        |               THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) bucket
-       |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t),
+       |      FROM n CROSS JOIN (SELECT unnest(range(0, 8)) t) t)""".stripMargin
+
+  private lazy val lshPairs6OracleSql =
+    s"""WITH $lshBucket6Cte,
        |cand AS (SELECT DISTINCT a.vec_id ida, c.vec_id idb
        |         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
        |p AS (SELECT ida, idb,
@@ -736,6 +743,262 @@ object ExtQueries {
       |j AS (SELECT iv.da, iv.db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) jaccard
       |      FROM iv JOIN sz sa ON sa.doc_id = iv.da JOIN sz sb ON sb.doc_id = iv.db),
       |mh_pairs AS (SELECT da, db, jaccard FROM j WHERE jaccard >= 0.3)""".stripMargin
+
+  /** Artifact BUILD-cost gate rows (VERDICT r12 ask #2): the steady-state
+    * rows for the session-artifact families measure parquet READS of a
+    * once-per-session build, which left the expensive offline half —
+    * index fits, shingle/chunk kernels, payload encode — invisible to
+    * `check_bench.py`. Each row here runs its family's build kernel
+    * FRESH on every invocation (no `artifactFor` cache) and reduces to a
+    * one-row integer summary, so a build-side regression moves a gated
+    * bench row. Kernel-internal persists are released before returning
+    * (the summary is collected inside the scope); checksums replay in
+    * DuckDB through the same CTE chains the steady-state oracles use.
+    */
+  private def summaryRow(
+      s: org.apache.spark.sql.SparkSession,
+      names: Seq[String],
+      r: org.apache.spark.sql.Row) = {
+    import s.implicits._
+    Seq(Tuple1(0)).toDF("_x").select(
+      names.zipWithIndex.map { case (nm, i) => lit(r.getLong(i)).as(nm) }: _*)
+  }
+
+  /** dedup_containment / ext_sql_containment shared oracle: the naive
+    * full shingle join (the prefix filter is lossless, so candidates
+    * never change the result set), df-capped + min-size-floored, both
+    * directed rows fanned from each unordered pair.
+    */
+  private lazy val containmentOracleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+      |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+      |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+      |keep AS (SELECT h FROM (SELECT h, count(*) dfreq FROM hs GROUP BY 1) WHERE dfreq <= 100000),
+      |kh AS (SELECT doc_id, h FROM hs JOIN keep USING (h)),
+      |sz AS (SELECT doc_id, count(*) nk FROM kh GROUP BY 1 HAVING count(*) >= 8),
+      |iv AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+      |       FROM kh a JOIN kh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |ws AS (SELECT iv.da, iv.db, iv.i, sa.nk na, sb.nk nb
+      |       FROM iv JOIN sz sa ON iv.da = sa.doc_id JOIN sz sb ON iv.db = sb.doc_id),
+      |d AS (SELECT da inner_id, db outer_id, i, na n_inner, nb n_outer FROM ws
+      |      UNION ALL SELECT db, da, i, nb, na FROM ws)
+      |SELECT inner_id, outer_id, CAST(n_inner AS BIGINT) AS n_inner,
+      |       CAST(i AS BIGINT) AS n_shared,
+      |       round(CAST(i AS DOUBLE) / n_inner, 4) AS containment,
+      |       round(CAST(i AS DOUBLE) / (n_inner + n_outer - i), 4) AS jaccard
+      |FROM d WHERE CAST(i AS DOUBLE) / n_inner >= 0.8""".stripMargin
+
+  /** The co-purchase edge fixture for the triangle rows: users sharing
+    * ≥ 3 purchased items (hub items df-capped), canonical ua < ub.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val uk = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .distinct()
+    val kept = uk.join(
+      uk.groupBy(col("k")).agg(count(lit(1)).as("nu"))
+        .where(col("nu") <= 100000).select(col("k")),
+      Seq("k"))
+    kept.as("x")
+      .join(kept.as("y"), col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+      .agg(count(lit(1)).as("sh"))
+      .where(col("sh") >= 3)
+  }
+
+  /** graph_triangles / ext_sql_triangles shared oracle: the naive
+    * closing-edge triple join over the canonical a < b edge list — the
+    * wedge orientation is a pure execution device, invisible here.
+    */
+  private lazy val trianglesOracleSql =
+    """WITH uk AS (SELECT DISTINCT user_id u, json_extract(props, '$.k')::INT k
+      |            FROM events WHERE event_type = 'purchase'),
+      |kc AS (SELECT k FROM (SELECT k, count(*) nu FROM uk GROUP BY 1) WHERE nu <= 100000),
+      |ku AS (SELECT u, k FROM uk JOIN kc USING (k)),
+      |e AS (SELECT a.u a, b.u b FROM ku a JOIN ku b ON a.k = b.k AND a.u < b.u
+      |      GROUP BY 1, 2 HAVING count(*) >= 3),
+      |d AS (SELECT node, CAST(count(*) AS BIGINT) deg
+      |      FROM (SELECT a node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS (SELECT e1.a x, e1.b y, e2.b z
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, CAST(count(*) AS BIGINT) n_tri
+      |       FROM (SELECT x node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |       GROUP BY 1)
+      |SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+      |       CASE WHEN d.deg >= 2
+      |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+      |            ELSE 0 END AS cc_micro,
+      |       CAST(CASE WHEN d.deg >= 2
+      |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+      |            ELSE 0 END AS DOUBLE) / 1000000.0 AS cc
+      |FROM d LEFT JOIN tn USING (node)""".stripMargin
+
+  private val builds: Seq[Q] = Seq(
+    // the stored base-shingle index of incremental containment: the md5
+    // 3-gram kernel over the base split (distinct (id, h), the artifact
+    // layout `containmentDeltaOn` consumes)
+    Q(
+      "build_basesh",
+      (s, dir) =>
+        Dedup.containmentShingles(
+            Tables.documents(s, dir).where(col("doc_id") >= 20), "doc_id", "text", n = 3)
+          .distinct()
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("id")).as("n_docs"),
+            countDistinct(col("h")).as("n_hashes"),
+            sum(col("h")).as("sum_h")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents
+             |          WHERE doc_id >= 20),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(DISTINCT h) AS BIGINT) AS n_hashes,
+             |       CAST(sum(h) AS BIGINT) AS sum_h
+             |FROM hs""".stripMargin)
+    ),
+    // the ppjoin pair kernel end to end (hash sets → df stats → prefix →
+    // verify), scoped so the internal persist is released per run
+    Q(
+      "build_ppjoin",
+      (s, dir) =>
+        Dedup.withPpjoinPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5) { p =>
+          summaryRow(s, Seq("n_pairs", "sum_ids", "sum_j4"),
+            p.agg(
+              count(lit(1)),
+              coalesce(sum(col("da") + col("db")), lit(0L)),
+              coalesce(sum(expr("CAST(round(jaccard * 10000) AS BIGINT)")), lit(0L))).head())
+        },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
+             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+             |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |jc AS (SELECT da, db, CAST(i AS DOUBLE) / (na.n + nb.n - i) jaccard
+             |       FROM p JOIN sz na ON p.da = na.doc_id JOIN sz nb ON p.db = nb.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(coalesce(sum(da + db), 0) AS BIGINT) AS sum_ids,
+             |       CAST(coalesce(sum(CAST(round(round(jaccard, 4) * 10000) AS BIGINT)), 0) AS BIGINT) AS sum_j4
+             |FROM jc WHERE jaccard >= 0.5""".stripMargin)
+    ),
+    // the 6-bit / 8-table LSH bucketing fit (one corpus scan through the
+    // shared kernel); build-time corpus cache released before returning
+    Q(
+      "build_lsh_index",
+      (s, dir) => {
+        val idx = Similarity.buildLshIndex(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64, nBits = 6)
+        try
+          summaryRow(s, Seq("n_rows", "n_buckets", "sum_keys"),
+            idx.bucketed.agg(
+              count(lit(1)),
+              countDistinct(col("table").cast("long") * 64L + col("key")),
+              sum(col("key"))).head())
+        finally idx.release()
+      },
+      Some(s"""WITH $lshBucket6Cte
+              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |       CAST(count(DISTINCT t * 64 + bucket) AS BIGINT) AS n_buckets,
+              |       CAST(sum(bucket) AS BIGINT) AS sum_keys
+              |FROM b""".stripMargin)
+    ),
+    // the deterministic spherical-Lloyd IVF fit (seeds + 2 iterations +
+    // full assignment); the build's assignment persist is released after
+    // the summary collects
+    Q(
+      "build_ivf_fit",
+      (s, dir) => {
+        val idx = Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        try
+          summaryRow(s, Seq("n_assigned", "n_cells", "sum_cells", "chk"),
+            idx.assigned.agg(
+              count(lit(1)),
+              countDistinct(col("cell")),
+              sum(col("cell").cast("long")),
+              sum(col("id") * (col("cell").cast("long") + 1L))).head())
+        finally idx.assigned.unpersist(blocking = false)
+      },
+      Some(s"""WITH $ivfBuildCte
+              |SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+              |       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+              |       CAST(sum(cell) AS BIGINT) AS sum_cells,
+              |       CAST(sum(id * (cell + 1)) AS BIGINT) AS chk
+              |FROM af""".stripMargin)
+    ),
+    // the PQ codebook fit + full encode on top of a fresh coarse fit —
+    // the most expensive offline build in the ANN family
+    Q(
+      "build_pq_fit",
+      (s, dir) => {
+        val pq = Similarity.buildPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        try
+          summaryRow(s, Seq("n_codes", "sum_cid", "chk"),
+            pq.coded
+              .select(col("id"), posexplode(col("codes")).as(Seq("m", "cid")))
+              .agg(
+                count(lit(1)),
+                sum(col("cid").cast("long")),
+                sum((col("m").cast("long") + 1L) * col("cid").cast("long"))).head())
+        finally {
+          pq.coded.unpersist(blocking = false)
+          pq.ivf.assigned.unpersist(blocking = false)
+        }
+      },
+      Some(s"""WITH $ivfBuildCte,
+              |$pqFitCte
+              |SELECT CAST(count(*) AS BIGINT) AS n_codes,
+              |       CAST(sum(cid) AS BIGINT) AS sum_cid,
+              |       CAST(sum((m + 1) * cid) AS BIGINT) AS chk
+              |FROM codes""".stripMargin)
+    ),
+    // the CDC chunk kernel (rolling-hash boundaries + per-chunk md5)
+    Q(
+      "build_cdc_chunks",
+      (s, dir) =>
+        Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("len")).as("sum_len"),
+            countDistinct(col("chunk_md5")).as("n_distinct"),
+            sum(expr("CAST(conv(substring(chunk_md5, 1, 8), 16, 10) AS BIGINT)")).as("sum_h")),
+      Some(cdcChunksCte +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+          |       CAST(sum(len) AS BIGINT) AS sum_len,
+          |       CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct,
+          |       CAST(sum(('0x' || substr(chunk_md5, 1, 8))::BIGINT) AS BIGINT) AS sum_h
+          |FROM chunks""".stripMargin)
+    ),
+    // the media payload ENCODE half of the mmavi artifact (deterministic
+    // synthetic AVI containers; the decode half is the steady-state
+    // rows). JVM-side binary encode — no SQL replay, rows-only check.
+    Q(
+      "build_media_avi",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val payload =
+              if (id % 3 == 2) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              else Multimodal.synthAvi(
+                (1 + id % 20).toInt, (64 + (id % 4) * 16).toInt)
+            (id, payload.length.toLong)
+          })
+          .toDF("doc_id", "n_bytes")
+          .agg(count(lit(1)).as("n_payloads"), sum(col("n_bytes")).as("total_bytes"))
+      },
+      None
+    )
+  )
 
   val all: Seq[Q] = Seq(
     // ---- text analysis ----
@@ -1334,24 +1597,19 @@ object ExtQueries {
           Dedup.withContainmentPairs(
             Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.8)(write)
         },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
-             |         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) g FROM w),
-             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
-             |keep AS (SELECT h FROM (SELECT h, count(*) dfreq FROM hs GROUP BY 1) WHERE dfreq <= 100000),
-             |kh AS (SELECT doc_id, h FROM hs JOIN keep USING (h)),
-             |sz AS (SELECT doc_id, count(*) nk FROM kh GROUP BY 1 HAVING count(*) >= 8),
-             |iv AS (SELECT a.doc_id da, b.doc_id db, count(*) i
-             |       FROM kh a JOIN kh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-             |ws AS (SELECT iv.da, iv.db, iv.i, sa.nk na, sb.nk nb
-             |       FROM iv JOIN sz sa ON iv.da = sa.doc_id JOIN sz sb ON iv.db = sb.doc_id),
-             |d AS (SELECT da inner_id, db outer_id, i, na n_inner, nb n_outer FROM ws
-             |      UNION ALL SELECT db, da, i, nb, na FROM ws)
-             |SELECT inner_id, outer_id, CAST(n_inner AS BIGINT) AS n_inner,
-             |       CAST(i AS BIGINT) AS n_shared,
-             |       round(CAST(i AS DOUBLE) / n_inner, 4) AS containment,
-             |       round(CAST(i AS DOUBLE) / (n_inner + n_outer - i), 4) AS jaccard
-             |FROM d WHERE CAST(i AS DOUBLE) / n_inner >= 0.8""".stripMargin)
+      Some(containmentOracleSql)
+    ),
+    // The same containment pairs through the SQL TVF surface —
+    // containment_pairs('view', 0.8) delegates to the identical scoped
+    // kernel (own artifact cache), proven by sharing the oracle verbatim.
+    Q(
+      "ext_sql_containment",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sqlct_docs")
+        s.sql("SELECT * FROM containment_pairs('graft_sqlct_docs', 0.8)")
+      },
+      Some(containmentOracleSql)
     ),
     // Incremental containment: each DELTA doc (doc_id < 20, the
     // dedup_incremental split convention) checked for containment in the
@@ -1771,44 +2029,20 @@ object ExtQueries {
     // orientation is a pure execution device, invisible in the result.
     Q(
       "graph_triangles",
+      (s, dir) => graft.ext.Graph.triangles(copurchaseEdges(s, dir), "ua", "ub"),
+      Some(trianglesOracleSql)
+    ),
+    // The same triangle counts through the SQL TVF surface —
+    // triangles('view', 'ua', 'ub') plans the identical degree-ordered
+    // wedge joins, proven by sharing graph_triangles' oracle verbatim.
+    Q(
+      "ext_sql_triangles",
       (s, dir) => {
-        val uk = Tables.events(s, dir)
-          .where(col("event_type") === "purchase")
-          .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
-          .distinct()
-        val kept = uk.join(
-          uk.groupBy(col("k")).agg(count(lit(1)).as("nu"))
-            .where(col("nu") <= 100000).select(col("k")),
-          Seq("k"))
-        val pairs = kept.as("x")
-          .join(kept.as("y"), col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
-          .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
-          .agg(count(lit(1)).as("sh"))
-          .where(col("sh") >= 3)
-        graft.ext.Graph.triangles(pairs, "ua", "ub")
+        graft.functions.ExtTableFunctions.register(s)
+        copurchaseEdges(s, dir).createOrReplaceTempView("graft_sqltr_edges")
+        s.sql("SELECT * FROM triangles('graft_sqltr_edges', 'ua', 'ub')")
       },
-      Some("""WITH uk AS (SELECT DISTINCT user_id u, json_extract(props, '$.k')::INT k
-             |            FROM events WHERE event_type = 'purchase'),
-             |kc AS (SELECT k FROM (SELECT k, count(*) nu FROM uk GROUP BY 1) WHERE nu <= 100000),
-             |ku AS (SELECT u, k FROM uk JOIN kc USING (k)),
-             |e AS (SELECT a.u a, b.u b FROM ku a JOIN ku b ON a.k = b.k AND a.u < b.u
-             |      GROUP BY 1, 2 HAVING count(*) >= 3),
-             |d AS (SELECT node, CAST(count(*) AS BIGINT) deg
-             |      FROM (SELECT a node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-             |tri AS (SELECT e1.a x, e1.b y, e2.b z
-             |        FROM e e1 JOIN e e2 ON e1.b = e2.a
-             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-             |tn AS (SELECT node, CAST(count(*) AS BIGINT) n_tri
-             |       FROM (SELECT x node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-             |       GROUP BY 1)
-             |SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
-             |       CASE WHEN d.deg >= 2
-             |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
-             |            ELSE 0 END AS cc_micro,
-             |       CAST(CASE WHEN d.deg >= 2
-             |            THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
-             |            ELSE 0 END AS DOUBLE) / 1000000.0 AS cc
-             |FROM d LEFT JOIN tn USING (node)""".stripMargin)
+      Some(trianglesOracleSql)
     ),
     // SemDeDup (cluster-then-compare): semantic near-dup pairs restricted
     // to vectors sharing an IVF coarse cell — the ANN index the pipeline
@@ -2663,6 +2897,22 @@ object ExtQueries {
             md5(col("text")).as("text_md5")),
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
              |FROM documents""".stripMargin)
+    ),
+    // COUNT(*) answered from the .idx sidecars alone
+    // (SupportsPushDownAggregates, partial): each byte-range partition
+    // emits its in-range member count — no positioned read, no inflate,
+    // no header walk. The oracle pins the value; the ExtSpec plan pin
+    // proves the aggregation actually pushed (and the truncation
+    // fallback matches the walk).
+    Q(
+      "src_warcgz_count",
+      (s, dir) => {
+        import s.implicits._
+        val n = s.read.format("warcgz").option("maxSplitBytes", 16384)
+          .load(warcGzFor(s, dir)).count()
+        Seq(n).toDF("n_records")
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_records FROM documents")
     ),
     // Round-trip through the DSv2 WRITER (df.write.format("warcgz")):
     // partition-per-archive commit with the temp+rename contract, read
@@ -4593,5 +4843,5 @@ object ExtQueries {
              |  max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
              |FROM g GROUP BY user_id, sid""".stripMargin)
     )
-  )
+  ) ++ builds
 }

@@ -141,17 +141,22 @@ object TsQueries {
   }
 
   /** The period-24 STL fixed-point decomposition CTE chain (ends at
-    * `f`, whose residual is `dt - seasonal_fp`) — shared by the
-    * ts_stl_decompose oracle and DetectQueries' S-ESD composition so
-    * the two can never drift apart.
+    * `f`, whose residual is `dt - seasonal_fp`) over an arbitrary
+    * events-shaped source relation — shared by the ts_stl_decompose
+    * oracle, DetectQueries' S-ESD composition, and the seasonal-stream
+    * profile replay (which decomposes only the history split).
     */
-  private[queries] val stlCte: String =
-    """r AS (
+  private[queries] def stlCteFor(src: String): String =
+    s"""r AS (
       |  SELECT user_id, epoch_ms(ts) ts_ms, value,
       |         CAST(round(value*100, 0) AS BIGINT) vm,
       |         CAST((row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1) % 24 AS BIGINT) phase
-      |  FROM events),
-      |t AS (SELECT *,
+      |  FROM $src),""".stripMargin + "\n" + stlCteTail
+
+  private[queries] lazy val stlCte: String = stlCteFor("events")
+
+  private val stlCteTail: String =
+    """t AS (SELECT *,
       |        CAST(sum(vm) OVER wo AS BIGINT) + CAST(sum(vm) OVER wi AS BIGINT) tsum,
       |        count(*) OVER wo + count(*) OVER wi tn
       |      FROM r
@@ -164,6 +169,42 @@ object TsQueries {
       |sg AS (SELECT *, CAST(sum(dt) OVER wp AS BIGINT) ssum, count(*) OVER wp sn FROM d
       |       WINDOW wp AS (PARTITION BY user_id, phase)),
       |f AS (SELECT *, CAST(sign(ssum) AS BIGINT) * ((abs(ssum)*2 + sn) // (2*sn)) AS seasonal_fp FROM sg)""".stripMargin
+
+  /** ts_stl_decompose / ts_sql_stl shared oracle: the exact fixed-point
+    * decomposition replayed over the shared STL CTE chain.
+    */
+  private lazy val stlOracleSql: String =
+    s"""WITH $stlCte
+       |SELECT user_id, ts_ms, value, CAST(phase AS INT) AS phase,
+       |       CAST(trend_fp AS BIGINT) AS trend_fp,
+       |       CAST(seasonal_fp AS BIGINT) AS seasonal_fp,
+       |       CAST(dt - seasonal_fp AS BIGINT) AS resid_fp
+       |FROM f""".stripMargin
+
+  /** ts_seasonal_strength / ts_sql_seasonal shared oracle: Hyndman
+    * variance ratios in HUGEINT algebra over the shared STL chain.
+    */
+  private lazy val seasonalStrengthOracleSql: String =
+    s"""WITH $stlCte,
+       |c AS (SELECT user_id, CAST(dt - seasonal_fp AS HUGEINT) r,
+       |        CAST(dt AS HUGEINT) sr,
+       |        CAST(vm*100 - seasonal_fp AS HUGEINT) tr
+       |      FROM f),
+       |g AS (SELECT user_id, CAST(count(*) AS HUGEINT) n,
+       |        sum(r) sR, sum(r*r) qR, sum(sr) sS, sum(sr*sr) qS,
+       |        sum(tr) sT, sum(tr*tr) qT
+       |      FROM c GROUP BY 1),
+       |dv AS (SELECT user_id, n, n*qR - sR*sR dR, n*qS - sS*sS dS, n*qT - sT*sT dT FROM g)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_points,
+       |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT)
+       |         AS season_strength_milli,
+       |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT)
+       |         AS trend_strength_milli,
+       |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT) / 1000.0
+       |         AS season_strength,
+       |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT) / 1000.0
+       |         AS trend_strength
+       |FROM dv""".stripMargin
 
   /** ts_changepoint / ts_sql_changepoint shared oracle: centi-int prefix
     * sums, truncated integer gain, row_number argmax with ts tie-break,
@@ -368,12 +409,26 @@ object TsQueries {
           .select(
             col("user_id"), col("ts_ms"), col("value"), col("phase"),
             col("trend_fp"), col("seasonal_fp"), col("resid_fp")),
-      Some(s"""WITH $stlCte
-             |SELECT user_id, ts_ms, value, CAST(phase AS INT) AS phase,
-             |       CAST(trend_fp AS BIGINT) AS trend_fp,
-             |       CAST(seasonal_fp AS BIGINT) AS seasonal_fp,
-             |       CAST(dt - seasonal_fp AS BIGINT) AS resid_fp
-             |FROM f""".stripMargin)
+      Some(stlOracleSql)
+    ),
+    // The same decomposition through the SQL TVF surface —
+    // stl_decompose('view', 24) plans the identical window chain,
+    // proven by sharing ts_stl_decompose's oracle verbatim.
+    Q(
+      "ts_sql_stl",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        ev(s, dir).createOrReplaceTempView("graft_sqls_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sqls_pts AS
+            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+            |FROM graft_sqls_events""".stripMargin)
+        s.sql(
+          """SELECT CAST(seriesKey AS BIGINT) AS user_id, tsMs AS ts_ms, value,
+            |       phase, trend_fp, seasonal_fp, resid_fp
+            |FROM stl_decompose('graft_sqls_pts', 24)""".stripMargin)
+      },
+      Some(stlOracleSql)
     ),
     // Trailing 7-sample moving aggregates per series — identical
     // ROWS-frame semantics on both engines. Frames are stable because
@@ -579,26 +634,26 @@ object TsQueries {
       "ts_seasonal_strength",
       (s, dir) =>
         TsAlgebra.seasonalStrength(ev(s, dir), "user_id", "ts_ms", "value", period = 24),
-      Some(s"""WITH $stlCte,
-              |c AS (SELECT user_id, CAST(dt - seasonal_fp AS HUGEINT) r,
-              |        CAST(dt AS HUGEINT) sr,
-              |        CAST(vm*100 - seasonal_fp AS HUGEINT) tr
-              |      FROM f),
-              |g AS (SELECT user_id, CAST(count(*) AS HUGEINT) n,
-              |        sum(r) sR, sum(r*r) qR, sum(sr) sS, sum(sr*sr) qS,
-              |        sum(tr) sT, sum(tr*tr) qT
-              |      FROM c GROUP BY 1),
-              |dv AS (SELECT user_id, n, n*qR - sR*sR dR, n*qS - sS*sS dS, n*qT - sT*sT dT FROM g)
-              |SELECT user_id, CAST(n AS BIGINT) AS n_points,
-              |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT)
-              |         AS season_strength_milli,
-              |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT)
-              |         AS trend_strength_milli,
-              |       CAST(CASE WHEN dS > 0 THEN greatest(0, 1000 - (dR*1000)//dS) ELSE 0 END AS BIGINT) / 1000.0
-              |         AS season_strength,
-              |       CAST(CASE WHEN dT > 0 THEN greatest(0, 1000 - (dR*1000)//dT) ELSE 0 END AS BIGINT) / 1000.0
-              |         AS trend_strength
-              |FROM dv""".stripMargin)
+      Some(seasonalStrengthOracleSql)
+    ),
+    // The same strength report through the SQL TVF surface — proven by
+    // sharing ts_seasonal_strength's oracle verbatim.
+    Q(
+      "ts_sql_seasonal",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        ev(s, dir).createOrReplaceTempView("graft_sqlss_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sqlss_pts AS
+            |SELECT CAST(user_id AS STRING) AS seriesKey, ts_ms AS tsMs, value
+            |FROM graft_sqlss_events""".stripMargin)
+        s.sql(
+          """SELECT CAST(seriesKey AS BIGINT) AS user_id, n_points,
+            |       season_strength_milli, trend_strength_milli,
+            |       season_strength, trend_strength
+            |FROM seasonal_strength('graft_sqlss_pts', 24)""".stripMargin)
+      },
+      Some(seasonalStrengthOracleSql)
     ),
     // Best changepoint per series by depth-1 binary segmentation:
     // retrospective "where did the level shift" (CUSUM's stored-data

@@ -58,6 +58,33 @@ object WarcGzSource {
     StructField("_offset", LongType, nullable = false)))
 
   val DefaultMaxSplitBytes: Long = 256L << 20
+
+  /** Partial-count schema when COUNT(*) is pushed down (one LongType
+    * partial per partition; Spark sums them).
+    */
+  val CountSchema: StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+
+  /** The archive's `.idx` sidecar as (offset, length) member entries —
+    * the shared parse for the record reader and the count reader.
+    */
+  def sidecarMembers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      archive: org.apache.hadoop.fs.Path): Array[(Long, Long)] = {
+    val idxIn = fs.open(archive.suffix(".idx"))
+    val idxBytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = idxIn.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = idxIn.read(buf) }
+      out.toByteArray
+    } finally idxIn.close()
+    new String(idxBytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator
+      .filter(_.nonEmpty)
+      .map { l => val f = l.split(" "); (f(1).toLong, f(2).toLong) } // (off, len)
+      .toArray
+  }
 }
 
 final class WarcGzTable(path: String, properties: util.Map[String, String])
@@ -85,9 +112,11 @@ final class WarcGzTable(path: String, properties: util.Map[String, String])
 final class WarcGzScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = WarcGzSource.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   /** Header-level predicates (doc_id / lang / source / n_chars / _ok)
     * are pushed into the record walk, where they skip the body decode
@@ -102,11 +131,34 @@ final class WarcGzScanBuilder(path: String, options: CaseInsensitiveStringMap)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  /** Bare `COUNT(*)` comes straight from the `.idx` sidecars — one line
+    * per member, one member per record (the writer's cdx contract), so
+    * the row count needs no member decode at all. PARTIAL pushdown
+    * (`supportCompletePushDown` stays false): each partition emits its
+    * in-range member count and Spark sums the partials. Spark offers
+    * aggregate pushdown only when no post-scan filter remains; this
+    * source reports every filter residual, so a filtered count can
+    * never arrive here — the `pushed.isEmpty` guard keeps that honest
+    * if the filter contract ever changes. The count reader verifies
+    * the archive length covers its members (truncation → fall back to
+    * the header walk, matching the damage contract's marker rows);
+    * in-member corruption with an intact length is trusted to the
+    * sidecar, which the writer commits atomically with the archive.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
   override def build(): Scan = {
     val msb = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(WarcGzSource.DefaultMaxSplitBytes)
     require(msb >= 1, s"maxSplitBytes must be >= 1, got $msb")
-    new WarcGzScan(path, required, msb, pushed)
+    new WarcGzScan(path, required, msb, pushed, countPushed)
   }
 }
 
@@ -200,7 +252,8 @@ final class WarcGzScan(
     path: String,
     required: StructType,
     maxSplitBytes: Long,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    countOnly: Boolean = false)
     extends Scan with Batch {
   // the SESSION's Hadoop conf (spark.hadoop.* — object-store credentials,
   // fs overrides), captured at build time and shipped to the readers as
@@ -210,11 +263,13 @@ final class WarcGzScan(
     Warc.sessionHadoopProps(org.apache.spark.sql.SparkSession.active)
   private def hadoopConf(): org.apache.hadoop.conf.Configuration =
     Warc.hadoopConfFrom(hadoopProps)
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countOnly) WarcGzSource.CountSchema else required
   override def toBatch: Batch = this
   override def description(): String =
     s"warcgz $path (maxSplitBytes=$maxSplitBytes, columns=${required.fieldNames.mkString(",")}, " +
-      s"PushedFilters=[${pushed.mkString(", ")}])"
+      s"PushedFilters=[${pushed.mkString(", ")}]" +
+      (if (countOnly) ", PushedAggregation=[COUNT(*)]" else "") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -234,7 +289,51 @@ final class WarcGzScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcGzReaderFactory(required, hadoopProps, pushed)
+    if (countOnly) new WarcGzCountReaderFactory(hadoopProps)
+    else new WarcGzReaderFactory(required, hadoopProps, pushed)
+}
+
+final class WarcGzCountReaderFactory(hadoopProps: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcGzCountPartitionReader(partition.asInstanceOf[WarcGzPartition], hadoopProps)
+}
+
+/** COUNT(*) partial per byte range: the in-range member count straight
+  * from the sidecar — no positioned read, no inflate. If the archive is
+  * shorter than its members claim (truncation damage), the sidecar
+  * count would overstate what a record scan emits, so the reader falls
+  * back to the header walk for this partition — whose row count
+  * (records + marker rows) matches the non-pushed scan exactly.
+  */
+final class WarcGzCountPartitionReader(
+    part: WarcGzPartition,
+    hadoopProps: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val count: Long = {
+    val conf = Warc.hadoopConfFrom(hadoopProps)
+    val p = new org.apache.hadoop.fs.Path(part.archive)
+    val fs = p.getFileSystem(conf)
+    val mine = WarcGzSource.sidecarMembers(fs, p)
+      .filter { case (off, _) => off >= part.rangeStart && off < part.rangeEnd }
+    if (mine.isEmpty) 0L
+    else {
+      val need = mine.map { case (o, l) => o + l }.max
+      if (fs.getFileStatus(p).getLen >= need) mine.length.toLong
+      else {
+        val start = mine.map(_._1).min
+        Warc.readGzSpanTuples(fs, p, start, need - start, decodeBody = false, keep = Warc.KeepAll)
+          .iterator.size.toLong
+      }
+    }
+  }
+
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
 }
 
 final class WarcGzReaderFactory(
@@ -265,20 +364,8 @@ final class WarcGzPartitionReader(
     val p = new org.apache.hadoop.fs.Path(part.archive)
     val fs = p.getFileSystem(conf)
     // the task's member set: sidecar lines whose offset starts in-range
-    val idxIn = fs.open(p.suffix(".idx"))
-    val idxBytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = idxIn.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = idxIn.read(buf) }
-      out.toByteArray
-    } finally idxIn.close()
-    val mine = new String(idxBytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator
-      .filter(_.nonEmpty)
-      .map { l => val f = l.split(" "); (f(1).toLong, f(2).toLong) } // (off, len)
+    val mine = WarcGzSource.sidecarMembers(fs, p)
       .filter { case (off, _) => off >= part.rangeStart && off < part.rangeEnd }
-      .toArray
     if (mine.isEmpty) Iterator.empty
     else {
       val start = mine.map(_._1).min

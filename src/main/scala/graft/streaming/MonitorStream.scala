@@ -20,6 +20,16 @@ final case class TimedScore(
     seriesKey: String, tsMs: Long, value: Double, ema: Double, dev: Double,
     eventTime: java.sql.Timestamp)
 
+/** Carried arrival-ordinal state per series key (O(1)) — the phase
+  * continuation counter of the seasonal-residual monitor.
+  */
+final case class OrdState(n: Long, lastTsMs: Long)
+
+/** One ordinal-stamped sample: `idx` = 0-based arrival position within
+  * the key (post late/dup guard).
+  */
+final case class OrdSample(seriesKey: String, tsMs: Long, value: Double, idx: Long)
+
 /** Carried open-window state for streaming sessionization (O(1)). */
 final case class OpenWindow(startTsMs: Long, endTsMs: Long, peak: Double, exactTsMs: Long)
 
@@ -524,6 +534,113 @@ object MonitorStream {
     val thr = calibratedThreshold(calibrationScores, "dev", qMille)
     monitorStreamCfg(points, cfg.copy(scoreThreshold = Some(thr)), stateTtlMs)
       .withColumn("threshold", lit(thr))
+  }
+
+  /** The stored STL profile the seasonal-residual monitor consumes,
+    * derived from an ALREADY-DECOMPOSED history frame
+    * ([[graft.ts.TsAlgebra.stlDecompose]]'s output — exactly what a
+    * pipeline persists and refreshes on a schedule): per (key, phase)
+    * the fixed-point seasonal component (constant per phase by
+    * construction), plus per key the LEVEL (trend_fp at the last
+    * history point — the level-hold forecast) and the history length
+    * `n0` (the stream continues the batch phase sequence at
+    * (n0 + i) % period, so profile and stream phases never drift).
+    */
+  def seasonalProfileFrom(stl: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val phases = stl.groupBy(col(keyCol).as("seriesKey"), col("phase"))
+      .agg(min(col("seasonal_fp")).as("seasonal_fp"))
+    val keys = stl.groupBy(col(keyCol).as("seriesKey"))
+      .agg(
+        max_by(col("trend_fp"), col(tsCol)).as("level_fp"),
+        count(lit(1)).as("n0"))
+    phases.join(keys, "seriesKey")
+  }
+
+  /** Streaming seasonal-residual monitor — the stream-side twin of the
+    * batch seasonal family (STL / S-ESD): score each live point by its
+    * deviation from a STORED seasonal profile instead of a trailing
+    * EMA, closing the cyclic-series gap where exp_avg/CUSUM/HW flag
+    * every on-peak hour. Residual = value_fp − level_fp −
+    * seasonal_fp(phase) in the decomposition's exact 4-dp fixed point;
+    * `dev` = |residual|/10⁴ thresholds absolutely (calibrate with
+    * [[calibratedThreshold]] over the history residuals — the
+    * anomaly_stream_calibrated shape).
+    *
+    * Scale shape: one O(1)-state fold (the per-key arrival ordinal
+    * that continues the profile's phase sequence) plus two
+    * BROADCAST stream-static joins (per-key level/n0, per-(key, phase)
+    * seasonal) — the profile is bounded by series × period, never the
+    * history length. Cold-start contract: series absent from the
+    * profile (or live phases the short history never exhibited) are
+    * NOT scored until the next profile refresh — inner joins, the
+    * same posture as calibratedThreshold's loud empty-history failure.
+    * TTL: an expired series restarts its ordinal at 0 on revival (the
+    * documented re-seed divergence, like the EMA monitor).
+    */
+  def seasonalResidualStream(
+      points: Dataset[TsSample],
+      profile: DataFrame,
+      period: Int,
+      threshold: Double,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val keySide = broadcast(
+      profile.select(col("seriesKey"), col("level_fp"), col("n0")).distinct())
+    val phaseSide = broadcast(
+      profile.select(col("seriesKey"), col("phase").cast("long").as("phase"), col("seasonal_fp")))
+    statefulOrdinals(points, watermarkDelay, stateTtlMs).toDF()
+      .join(keySide, "seriesKey")
+      .withColumn("phase", (col("n0") + col("idx")) % period)
+      .join(phaseSide, Seq("seriesKey", "phase"))
+      .withColumn("value_fp", expr("CAST(round(value * 100, 0) AS BIGINT) * 100"))
+      .withColumn("resid_fp", col("value_fp") - col("level_fp") - col("seasonal_fp"))
+      .withColumn("dev", abs(col("resid_fp")) / 10000.0)
+      .withColumn("isAnomaly", col("dev") > threshold)
+      .select(
+        col("seriesKey"), col("tsMs"), col("value"), col("phase"),
+        col("resid_fp"), col("dev"), col("isAnomaly"))
+  }
+
+  /** Per-key arrival ordinals with the monitor family's watermark, TTL
+    * and late/dup hygiene — the stateful half of
+    * [[seasonalResidualStream]], kept O(1) per key.
+    */
+  private def statefulOrdinals(
+      points: Dataset[TsSample],
+      watermarkDelay: String,
+      stateTtlMs: Long): Dataset[OrdSample] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedSample]
+      .groupByKey(_.seriesKey)
+      .flatMapGroupsWithState[OrdState, OrdSample](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[TimedSample], state: GroupState[OrdState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(p => (p.tsMs, p.value))
+            var st = state.getOption.getOrElse(OrdState(0L, Long.MinValue))
+            val out = batch.iterator.flatMap { p =>
+              if (p.tsMs <= st.lastTsMs) Iterator.empty // late/dup guard
+              else {
+                val o = OrdSample(p.seriesKey, p.tsMs, p.value, st.n)
+                st = OrdState(st.n + 1, p.tsMs)
+                Iterator.single(o)
+              }
+            }.toVector
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
   }
 
   /** D12 in streaming form: run-length sessionization of above-threshold

@@ -92,6 +92,29 @@ object Replay {
     runSink(spark, out)(q => feedChunks(q, mem, chunks))
   }
 
+  /** Replay LIVE `points` through the streaming seasonal-residual
+    * monitor against a stored STL `profile`, one micro-batch per
+    * `chunkKey` — the batch-parity harness for
+    * [[MonitorStream.seasonalResidualStream]]. Infinite-TTL default,
+    * as in [[monitorCfgReplay]].
+    */
+  def seasonalReplay(
+      points: Dataset[TsSample],
+      profile: DataFrame,
+      period: Int,
+      threshold: Double,
+      chunkKey: TsSample => Long,
+      stateTtlMs: Long = Long.MaxValue / 4): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[TsSample]
+    val out = MonitorStream.seasonalResidualStream(
+      mem.toDS(), profile, period, threshold, stateTtlMs = stateTtlMs)
+    runSink(spark, out)(q => feedChunks(q, mem, chunks))
+  }
+
   /** Replay `points` through the streaming CUSUM in `chunkKey` order,
     * calibrated by the batch mean/stddev over the SAME points (the
     * batch-parity configuration: with full-history calibration the

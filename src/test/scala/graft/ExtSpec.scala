@@ -2149,6 +2149,45 @@ class ExtSpec extends AnyFunSuite {
     assert(hi == Set(1L), s"UTF-8 binary order: supplementary char must survive the pushed scan, got $hi")
   }
 
+  test("warcgz DSv2 count pushdown: COUNT(*) from sidecars, filtered counts stay unpushed, truncation falls back") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warccnt_spec").toString
+    val docs = (0L until 48L)
+      .map(i => (i, s"body $i", "en", s"s${i % 3}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    val read = () => spark.read.format("warcgz").option("maxSplitBytes", 4096).load(dir)
+    val agg = read().groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*)]"), s"count must push to the scan: $plan")
+    assert(agg.head().getLong(0) == 48L)
+    // a filtered count must NOT push: this source keeps every filter
+    // residual, so a post-scan Filter remains and blocks the aggregate
+    val fagg = read().where(col("source") === "s1").groupBy().count()
+    assert(!fagg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "filtered count must stay unpushed")
+    assert(fagg.head().getLong(0) == 16L)
+    // truncate archive-0 into its second-to-last member: the sidecar
+    // count would overstate, so the damaged range must fall back to the
+    // header walk and match the record scan's rows (survivors + marker)
+    val p0 = java.nio.file.Paths.get(dir, "archive-0.warc.gz")
+    val idx0 = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "archive-0.warc.gz.idx")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    val secondLastOff = idx0(idx0.length - 2).split(" ")(1).toLong
+    val b0 = java.nio.file.Files.readAllBytes(p0)
+    java.nio.file.Files.write(p0, b0.take(secondLastOff.toInt + 5))
+    // default splits = one partition per archive, so the damaged archive
+    // is exactly one fallback walk: 22 survivors + 1 marker + 24 intact
+    val read1 = () => spark.read.format("warcgz").load(dir)
+    val walkRows = read1().select("_ok").collect().length
+    val pushedCount = read1().groupBy().count().head().getLong(0)
+    assert(pushedCount == walkRows,
+      s"damaged-archive pushed count must equal the walked row count: $pushedCount vs $walkRows")
+    assert(pushedCount == 47L, s"two lost members collapse to one marker row, got $pushedCount")
+  }
+
   test("warcgz DSv2 write: partition-per-archive commit, roundtrip parity, overwrite truncates, no tmp orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warcwrite_spec").toString

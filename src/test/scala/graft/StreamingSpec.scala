@@ -185,6 +185,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming seasonal-residual monitor scores against the stored profile; TTL restarts the phase ordinal") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // history: a clean period-4 cycle 10/20/30/40 repeated 4x — the STL
+    // profile captures the cycle exactly; the stream continues at
+    // phase (n0 + i) % 4 = (16 + i) % 4
+    val hist = (0L until 16L).map(i => TsSample("1", (i + 1) * 1000, 10.0 * (1 + (i % 4))))
+    val stl = graft.ts.TsAlgebra
+      .stlDecompose(hist.toDS().toDF(), "seriesKey", "tsMs", "value", period = 4)
+    val profile = MonitorStream.seasonalProfileFrom(stl, "seriesKey", "tsMs")
+    val prof = profile.collect()
+      .map(r => r.getAs[Int]("phase").toLong ->
+        (r.getAs[Long]("seasonal_fp"), r.getAs[Long]("level_fp"), r.getAs[Long]("n0")))
+      .toMap
+    assert(prof.keySet == Set(0L, 1L, 2L, 3L) && prof(0L)._3 == 16L)
+    def expResid(phase: Long, v: Double): Long =
+      math.round(v * 100) * 100 - prof(phase)._2 - prof(phase)._1
+    // flags derive from the profile (the trend's edge truncation makes
+    // hand-computed levels fragile), with the gross deviation pinned
+    def expFlag(phase: Long, v: Double): Boolean =
+      math.abs(expResid(phase, v)) / 10000.0 > 5.0
+    assert(expFlag(0L, 99.0), "fixture sanity: the 99.0 point must deviate grossly")
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .seasonalResidualStream(
+        mem.toDS(), profile, period = 4, threshold = 5.0,
+        watermarkDelay = "0 seconds", stateTtlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("seas_out").start()
+    try {
+      // live: a gross phase-0 deviation and an on-cycle phase-1 point
+      mem.addData(TsSample("1", 17000, 99.0), TsSample("1", 18000, 20.0))
+      q.processAllAvailable()
+      // no-profile key: not scored, but advances the watermark past TTL
+      mem.addData(TsSample("9", 100000, 0.0)); q.processAllAvailable()
+      mem.addData(TsSample("9", 110000, 0.0)); q.processAllAvailable()
+      // key 1 returns after expiry: ordinal restarts, phase back to (16+0)%4
+      mem.addData(TsSample("1", 120000, 99.0)); q.processAllAvailable()
+      val got = spark.table("seas_out").collect()
+        .map(r => r.getAs[Long]("tsMs") ->
+          (r.getAs[Long]("phase"), r.getAs[Long]("resid_fp"), r.getAs[Boolean]("isAnomaly")))
+        .toMap
+      assert(!got.keySet.exists(_ == 100000L), "profile-less keys must not be scored")
+      assert(got(17000L) == ((0L, expResid(0L, 99.0), true)),
+        s"phase-0 deviation must flag: ${got(17000L)}")
+      assert(got(18000L) == ((1L, expResid(1L, 20.0), expFlag(1L, 20.0))),
+        s"on-cycle point must score its profile residual: ${got(18000L)}")
+      assert(got(120000L)._1 == 0L && got(120000L)._2 == expResid(0L, 99.0),
+        s"TTL must restart the ordinal at phase (n0+0)%4: ${got(120000L)}")
+    } finally q.stop()
+  }
+
   test("streaming Holt-Winters equals the batch detector across micro-batch boundaries; TTL restarts the profile") {
     implicit val sqlCtx = spark.sqlContext
     // period-4 pattern + ramp, split across micro-batches: the seasonal
