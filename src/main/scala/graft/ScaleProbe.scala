@@ -389,9 +389,11 @@ object ScaleProbe {
       timed("periodogram periods 2..24 (rank/total windows + 46 trig sums)") {
         println(s"[scaleprobe] pg_rows = ${force(graft.ts.TsAlgebra.periodogram(big, "user_id", "ts_ms", "value", 2 to 24))}")
       }
+      // count the FINAL plan only: AQE's executedPlan text appends the
+      // "== Initial Plan ==" section, which double-counts every exchange
       def exchanges(d: org.apache.spark.sql.DataFrame): Int =
         "Exchange hashpartitioning".r
-          .findAllIn(d.queryExecution.executedPlan.toString).length
+          .findAllIn(d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)).length
       // the r12 additions (VERDICT r13 ask #3): the STL→ESD composition,
       // changepoint, and seasonal strength at the same more-series shape,
       // with the exchange count pinned in the output

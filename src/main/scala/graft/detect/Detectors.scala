@@ -452,14 +452,22 @@ object Detectors {
       case (acc, i) =>
         when(
           col(s"cand$i"),
-          // divide-before-scale: (q·10⁶ + (r·10⁶) DIV den) with
-          // num = q·den + r equals (num·10⁶) DIV den exactly for the
-          // non-negative operands here, but moves the DECIMAL(38,0)
-          // overflow ceiling from num ≤ 10³² (maxDev ~3.2e15 — well
-          // below the LONG range the hot path defends) to den ≤ 10³²
+          // two equal-valued paths behind one cheap guard: the
+          // single-multiply form while num·10⁶ provably fits
+          // DECIMAL(38,0) (num < 9.9e31, compared as double — ulp slack
+          // ~1e16 against the 10³² ceiling; virtually all real data),
+          // divide-before-scale past it, which moves the overflow
+          // ceiling to den ≤ 10³². Equal exactly: for num = q·den + r,
+          // (num·10⁶) DIV den = q·10⁶ + (r·10⁶) DIV den on the
+          // non-negative operands here. (The guard reads num$i, not
+          // maxDev — that column is per-round and already overwritten.)
           when(
             col(s"den$i") > 0,
-            expr(s"(num$i DIV den$i) * 1000000 + ((num$i % den$i) * 1000000) DIV den$i"))
+            when(
+              expr(s"num$i < 9.9e31"),
+              expr(s"(num$i * 1000000) DIV den$i"))
+              .otherwise(
+                expr(s"(num$i DIV den$i) * 1000000 + ((num$i % den$i) * 1000000) DIV den$i")))
             .otherwise(lit(0L)))
           .otherwise(acc)
     }

@@ -43,6 +43,7 @@ object FoldTableFunctions {
   val ChangepointName = "changepoint"
   val StlName = "stl_decompose"
   val SeasonalStrengthName = "seasonal_strength"
+  val AsOfJoinName = "asof_join"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -231,6 +232,26 @@ object FoldTableFunctions {
         "seriesKey", "tsMs", "value", period))
   }
 
+  /** `asof_join(points, baseline[, direction[, toleranceMs]])` — the
+    * full merge_asof surface from SQL, and the first TWO-TABLE TVF:
+    * both arguments name registered relations. `points` carries
+    * (seriesKey, tsMs, value), `baseline` (seriesKey, tsMs, baseline);
+    * direction ∈ backward|forward|nearest (default backward), tolerance
+    * bounds the match gap. Returns (seriesKey, tsMs, value, baseline) —
+    * the identical one-exchange union-window plan as the Scala path.
+    */
+  def asofJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      s"usage: $AsOfJoinName(points, baseline[, direction[, toleranceMs]])")
+    val pt = stringArg(AsOfJoinName, args, 0)
+    val bt = stringArg(AsOfJoinName, args, 1)
+    val dir = if (args.length > 2) stringArg(AsOfJoinName, args, 2) else graft.ts.AsOfJoin.Backward
+    val tol = doubleArg(AsOfJoinName, args, 3, Long.MaxValue.toDouble).toLong
+    val spark = SparkSession.active
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.ts.AsOfJoin.join(spark.table(pt), spark.table(bt), dir, tol))
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -244,6 +265,7 @@ object FoldTableFunctions {
     graft.bridge.SqlBridge.registerTableFunction(spark, ChangepointName, changepointBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, StlName, stlBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, SeasonalStrengthName, seasonalStrengthBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, AsOfJoinName, asofJoinBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

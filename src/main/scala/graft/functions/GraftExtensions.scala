@@ -213,6 +213,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FoldTableFunctions.seasonalStrengthBuilder))
     extensions.injectTableFunction(
       (
+        FunctionIdentifier(FoldTableFunctions.AsOfJoinName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.AsOfJoinName,
+          "asof_join(points, baseline[, direction[, toleranceMs]]) - merge_asof from " +
+            "SQL: (seriesKey, tsMs, value) matched to the latest/earliest/nearest " +
+            "(seriesKey, tsMs, baseline) within tolerance",
+          ""),
+        FoldTableFunctions.asofJoinBuilder))
+    extensions.injectTableFunction(
+      (
         FunctionIdentifier(ExtTableFunctions.TrianglesName),
         new ExpressionInfo(
           ExtTableFunctions.getClass.getName,

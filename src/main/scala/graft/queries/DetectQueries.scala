@@ -125,6 +125,20 @@ object DetectQueries {
   /** anomaly_esd / anomaly_sql_esd shared oracle: centi-int points,
     * three unrolled ESD rounds, Rosner maxI flag rule.
     */
+  /** ts_asof_forward / ts_sql_asof shared oracle: DuckDB's native ASOF
+    * with the comparison flipped, against the end-of-day daily-avg
+    * baseline.
+    */
+  private lazy val asofForwardOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
+       |       $exactDailyAvgSql bv
+       |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
+       |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
+       |j AS (SELECT p.k, p.ts_ms, p.v, d.bv
+       |      FROM pts p ASOF JOIN daily d ON p.k = d.k AND p.ts_ms <= d.tm)
+       |SELECT k AS user_id, ts_ms, v AS value, bv AS baseline FROM j""".stripMargin
+
   private lazy val esdOracleSql: String =
     s"""WITH a0 AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v,
        |             CAST(round(value * 100, 0) AS HUGEINT) vc FROM events),
@@ -933,14 +947,29 @@ object DetectQueries {
             col("seriesKey").as("user_id"), col("tsMs").as("ts_ms"),
             col("value"), col("baseline"))
       },
-      Some(s"""WITH daily AS (
-              |  SELECT user_id k, (epoch_ms(ts) - epoch_ms(ts) % ${T.Day}) + ${T.Day} AS tm,
-              |       $exactDailyAvgSql bv
-              |  FROM events GROUP BY user_id, epoch_ms(ts) - epoch_ms(ts) % ${T.Day}),
-              |pts AS (SELECT user_id k, epoch_ms(ts) ts_ms, value v FROM events),
-              |j AS (SELECT p.k, p.ts_ms, p.v, d.bv
-              |      FROM pts p ASOF JOIN daily d ON p.k = d.k AND p.ts_ms <= d.tm)
-              |SELECT k AS user_id, ts_ms, v AS value, bv AS baseline FROM j""".stripMargin)
+      Some(asofForwardOracleSql)
+    ),
+    // The same forward as-of through the SQL TVF surface — the first
+    // TWO-TABLE TVF (both args name relations); proven by sharing
+    // ts_asof_forward's oracle verbatim.
+    Q(
+      "ts_sql_asof",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        Tables.events(s, dir)
+          .select(col("user_id").as("seriesKey"), col("ts_ms").as("tsMs"), col("value"))
+          .createOrReplaceTempView("graft_sqla_pts")
+        exactDailyAvg(s, dir)
+          .select(
+            col("user_id").as("seriesKey"),
+            (col("ts_ms") + T.Day).as("tsMs"),
+            col("value").as("baseline"))
+          .createOrReplaceTempView("graft_sqla_base")
+        s.sql(
+          """SELECT CAST(seriesKey AS BIGINT) AS user_id, tsMs AS ts_ms, value, baseline
+            |FROM asof_join('graft_sqla_pts', 'graft_sqla_base', 'forward')""".stripMargin)
+      },
+      Some(asofForwardOracleSql)
     ),
     // AS-OF JOIN with a match-gap TOLERANCE (backward, gap <= 2 days):
     // the backward match is the CLOSEST earlier baseline, so filtering it
