@@ -232,7 +232,17 @@ object ScaleProbe {
     if (warcMode) {
       import org.apache.spark.sql.functions._
       val nArchives = if (args.length > 2) args(2).toInt else 32
-      val docs = Tables.documents(spark, sfDir)
+      // optional arg 4: replicate the documents mult× with fresh ids —
+      // the 500k-record fixture the COUNT(*) pushdown evidence needs
+      val docsMult = if (args.length > 4) args(4).toInt else 1
+      val docs0 = Tables.documents(spark, sfDir)
+      val docs =
+        if (docsMult <= 1) docs0
+        else docs0
+          .crossJoin(broadcast(spark.range(docsMult.toLong).select(col("id").as("_rep"))))
+          .select(
+            (col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
       println(s"[scaleprobe] docs = ${docs.count()}")
       val dir = java.nio.file.Files.createTempDirectory("warc_probe").toString
       timed(s"writeArchives (nArchives=$nArchives)") {
@@ -272,8 +282,17 @@ object ScaleProbe {
       timed("DSv2 format(\"warcgz\") full read") {
         println(s"[scaleprobe] dsv2_clean = ${dsv2.where(org.apache.spark.sql.functions.col("_ok")).count()}")
       }
+      // toRdd, not count(): a bare count over this source now pushes to
+      // the sidecars (below) — this row must keep measuring the pruned
+      // HEADER WALK
       timed("DSv2 pruned read (doc_id only — body decode skipped)") {
-        println(s"[scaleprobe] dsv2_ids = ${dsv2.select("doc_id").count()}")
+        println(s"[scaleprobe] dsv2_ids = ${dsv2.select("doc_id").queryExecution.toRdd.count()}")
+      }
+      // aggregate pushdown: a bare COUNT(*) is answered from the .idx
+      // sidecars (per-partition member counts, zero member decode) —
+      // against the pruned header walk above as the no-push baseline
+      timed("DSv2 COUNT(*) pushed (sidecar member counts — zero decode)") {
+        println(s"[scaleprobe] dsv2_count_pushed = ${dsv2.count()}")
       }
       // filter pushdown: a selective header predicate skips the body
       // decode of every non-matching record. sum(length(text)) forces
