@@ -32,3 +32,37 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 3-10x slowdowns late in a Bench run)
   "-XX:ReservedCodeCacheSize=2g",
 )
+
+// ---- test sharding: 4 forked JVMs in parallel, local[8] each ----------
+// One sequential JVM ran the suite past 45 min and grows ~2 min/round.
+// Suites are independent (per-JVM SparkContext, per-JVM temp dirs and
+// memory sinks), so they shard cleanly; each group gets a quarter of the
+// cores via SPARK_GRAFT_CPUS (Sessions.cpus) so four JVMs don't
+// oversubscribe the box 4x. Heaviest suites are pinned to their own
+// groups; the rest spread by name hash for stability across rounds.
+val testShards = 4
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val pinned = Map(
+    "graft.ExtSpec" -> 0,
+    "graft.StreamingSpec" -> 1,
+    "graft.QueriesSpec" -> 2,
+    "graft.DetectorsSpec" -> 3,
+    "graft.TsAlgebraSpec" -> 3)
+  val groups = tests.groupBy(t =>
+    pinned.getOrElse(t.name, 2 + (math.abs(t.name.hashCode) % (testShards - 2))))
+  groups.toSeq.sortBy(_._1).map { case (i, ts) =>
+    Tests.Group(
+      s"shard$i",
+      ts,
+      Tests.SubProcess(ForkOptions()
+        .withRunJVMOptions(opts)
+        .withEnvVars(Map("SPARK_GRAFT_CPUS" ->
+          sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "8")))))
+  }
+}
+// sbt's default caps concurrently-running forked test groups at 1
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testShards),
+  Tags.limitAll(math.max(testShards, java.lang.Runtime.getRuntime.availableProcessors())))

@@ -28,9 +28,10 @@ object ScaleProbe {
     val asofMode = args.length > 1 && args(1) == "asof"
     val detectMode = args.length > 1 && args(1) == "detect"
     val tsopsMode = args.length > 1 && args(1) == "tsops"
+    val corrMode = args.length > 1 && args(1) == "corr"
     val namedMode = semanticMode || ppjoinMode || videoMode || videoLshMode || audioMode ||
       lshIdxMode || splitSafeMode || exciseMode || phashMode || warcMode || ledgerMode ||
-      asofMode || detectMode || tsopsMode || graphMode || containMode
+      asofMode || detectMode || tsopsMode || graphMode || containMode || corrMode
     val tau = if (!namedMode && args.length > 1) args(1).toDouble else 0.5
     // 0 = occupancy-aware auto cap (maxBucketFor), the production default
     val maxBucket = if (!namedMode && args.length > 2) args(2).toInt else 0
@@ -47,6 +48,54 @@ object ScaleProbe {
       val r = f
       println(f"[scaleprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
+    }
+    // corr mode: runMain graft.ScaleProbe <sfDir> corr [kSmall] [mult] [buckets]
+    // — the pairwiseCorr-vs-topCorrelatedPairs scale evidence: exact
+    // all-pairs at K series (guarded), the pruned sign-sketch funnel at
+    // K and mult·K. Synthetic cohort series (8 phase cohorts + hash
+    // noise) so real correlated pairs exist at every K; sub-quadratic =
+    // the 10x-series wall grows far below 100x.
+    if (corrMode) {
+      import org.apache.spark.sql.functions._
+      val kSmall = if (args.length > 2) args(2).toInt else 500
+      val mult = if (args.length > 3) args(3).toInt else 10
+      val bkts = if (args.length > 4) args(4).toInt else 360
+      def series(k: Int) = spark.range(k.toLong * bkts)
+        .select(
+          (col("id") % k).as("k"),
+          (expr(s"id DIV $k") * 3600000L).as("t"),
+          (sin(expr(s"id DIV $k") * 0.26 + (col("id") % k % 8).cast("double") * 0.785398) * 10.0 +
+            pmod(hash(col("id")), lit(1000)).cast("double") / 500.0).as("v"))
+      val small = series(kSmall).cache(); small.count()
+      timed(s"pairwiseCorr EXACT K=$kSmall (quadratic reference)") {
+        println(s"[scaleprobe] corr_exact_pairs = ${graft.ts.TsAlgebra
+          .pairwiseCorr(small, "k", "t", "v", bucketMs = 3600000L, minBuckets = 5,
+            maxSeries = kSmall.toLong).count()}")
+      }
+      timed(s"topCorrelatedPairs K=$kSmall") {
+        println(s"[scaleprobe] corr_pruned_pairs = ${graft.ts.TsAlgebra
+          .topCorrelatedPairs(small, "k", "t", "v", bucketMs = 3600000L, minBuckets = 5)
+          .count()}")
+      }
+      small.unpersist()
+      val kBig = kSmall * mult
+      // the guard refuses the quadratic path at this K — by design
+      try {
+        graft.ts.TsAlgebra.pairwiseCorr(series(kBig), "k", "t", "v", bucketMs = 3600000L)
+        println("[scaleprobe] ERROR: guard did not fire")
+      } catch {
+        case e: IllegalArgumentException =>
+          println(s"[scaleprobe] corr_guard_at_${kBig} = refused (${e.getMessage.take(60)}...)")
+      }
+      val big = series(kBig).cache(); big.count()
+      timed(s"topCorrelatedPairs K=$kBig (${mult}x series)") {
+        println(s"[scaleprobe] corr_pruned_pairs_big = ${graft.ts.TsAlgebra
+          .topCorrelatedPairs(big, "k", "t", "v", bucketMs = 3600000L, minBuckets = 5)
+          .count()}")
+      }
+      big.unpersist()
+      spark.stop()
+      return
     }
     // semantic-dedup mode: runMain graft.ScaleProbe <sfDir> semantic [nlist]
     // — times buildIvfIndex + within-cell pairing at the given (or
@@ -311,6 +360,33 @@ object ScaleProbe {
           .where(c("doc_id") + 0L < selBound)
           .agg(fsum(length(c("text")))).head.getLong(0)}")
       }
+      // zone-map skip: RANGE-partitioned archives (DSv2 writer, one
+      // archive per partition) give each sidecar a disjoint doc_id zone,
+      // so a selective range predicate REFUTES N−1 of N archives from
+      // their #zmap lines alone — those tasks never position-read a
+      // data byte. The pmod layout above can't show this (every archive
+      // spans the full id range); real corpora partitioned by crawl
+      // date / source get it for free. Twin rows: same predicate pushed
+      // (zones skip) vs arithmetically defeated (every header walked) —
+      // wall scales with archives TOUCHED, not archives present.
+      val zdir = java.nio.file.Files.createTempDirectory("warczmap_probe").toString
+      timed(s"DSv2 write range-partitioned ($nArchives archives, zone-mapped sidecars)") {
+        docs.repartitionByRange(nArchives, c("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.format("warcgz").mode("overwrite").save(zdir)
+      }
+      val zread = spark.read.format("warcgz").load(zdir)
+      timed(s"zone-selective read (doc_id < $selBound pushed — zones skip N-1 archives)") {
+        println(s"[scaleprobe] zmap_selective_chars = ${zread
+          .where(c("doc_id") < selBound)
+          .agg(fsum(length(c("text")))).head.getLong(0)}")
+      }
+      timed("zone-defeated read (doc_id+0 unpushable — every archive header-walked)") {
+        println(s"[scaleprobe] zmap_defeated_chars = ${zread
+          .where(c("doc_id") + 0L < selBound)
+          .agg(fsum(length(c("text")))).head.getLong(0)}")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
       timed("readArchivesGzCounted (whole-file walk, the straggler baseline)") {
         val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
         println(s"[scaleprobe] warcgz_whole_clean = ${scan.docs.count()} rejects = ${scan.rejects}")

@@ -393,9 +393,29 @@ object Detectors {
     // sums are exact while they fit 2⁶³ and fail LOUDLY (ANSI) past it.
     // Only the per-round estimator algebra (squares and n·Q − S²)
     // widens to DECIMAL(38,0).
+    // unique-(ts, vc) contract enforced LOUDLY at entry (the
+    // minPointsGuard posture): exact duplicate rows would co-deactivate
+    // on a shared candidate round while s_c/q_c subtract one copy,
+    // silently skewing every later round. The dup-count window
+    // partitions by (key, ts, vc) — a SUBSET-compatible clustering with
+    // the byKey hash partitioning, so it adds one local sort, never a
+    // second exchange (the family's one-exchange shape holds).
     var df = points
       .repartition(col("seriesKey"))
+      .withColumn(
+        "_dupN",
+        count(lit(1)).over(Window.partitionBy(col("seriesKey"), col("tsMs"), col("vc"))))
       .withColumn("n0", count(lit(1)).over(byKey))
+      .withColumn(
+        "n0",
+        when(
+          col("_dupN") > 1,
+          raise_error(concat(
+            lit("esdCore: duplicate (tsMs, value) rows in series "), col("seriesKey"),
+            lit(" at ts "), col("tsMs"),
+            lit(" violate the unique-ts contract - de-duplicate at entry (TsAlgebra.latest)"))))
+          .otherwise(col("n0")))
+      .drop("_dupN")
       .where(col("n0") >= Constants.MinPoints)
       // running sums over the ACTIVE set, maintained by subtraction
       .withColumn("s_c", sum(col("vc")).over(byKey))
@@ -423,9 +443,8 @@ object Detectors {
         // the candidate is matched on (ts, vc), not ts alone: a series
         // carrying duplicate timestamps with DIFFERENT values must not
         // deactivate both rows while s_c/q_c subtract only one (exact
-        // duplicate (ts, vc) rows remain outside the TsSample unique-ts
-        // contract and would still co-deactivate — the oracle's rn > 1
-        // removes exactly one; callers own de-duplication at entry)
+        // duplicate (ts, vc) rows can't reach here — the entry guard
+        // raises on them before round 1)
         .withColumn(
           s"cand$i",
           col("tsMs") === col("candTs") && col("vc") === col("candVc") && col("devI") >= 0)

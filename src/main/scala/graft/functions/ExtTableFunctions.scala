@@ -210,8 +210,12 @@ object ExtTableFunctions {
     * jaccard)` over a `(doc_id, text)` relation (3-gram shingles,
     * lossless asymmetric prefix filter). Routed through the artifact
     * cache like the other pair-graph TVFs: the shingle→prefix→verify
-    * pipeline runs once per (table, τ), inside the kernel's persist
-    * release scope; later SQL reads parquet.
+    * pipeline runs ONCE per (table, τ) PER SESSION, inside the kernel's
+    * persist release scope; every later SQL call reads the parquet
+    * snapshot. Consequence (the shared artifact contract above): the
+    * result reflects the relation's contents at FIRST call — a pipeline
+    * that mutates or replaces the view mid-session must register a
+    * fresh view name to get fresh pairs, or it will read stale ones.
     */
   def containmentPairsBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.length <= 2, s"usage: $ContainmentPairsName(table[, tau])")

@@ -1317,6 +1317,84 @@ object DetectQueries {
               |       round(abs(resid_fp) / 10000.0, 4) AS dev,
               |       abs(resid_fp) / 10000.0 > th.thr AS is_anomaly, th.thr AS threshold
               |FROM j CROSS JOIN th""".stripMargin)
+    ),
+    // Cold-start surface of the seasonal monitor: the stored profile is
+    // MISSING every fifth series (a stale artifact / newly-onboarded
+    // hosts), and the stream runs in emitUnscored mode — absent keys
+    // surface as explicit 'unscored' rows (NULL residual/verdict), keys
+    // whose short history never exhibited a phase score 'level_only'
+    // against the level-hold forecast, full hits score 'seasonal'. The
+    // oracle replays the same left joins over the filtered profile;
+    // calibration stays on the FULL history (the threshold artifact is
+    // refreshed separately from the profile in a real pipeline).
+    Q(
+      "anomaly_stream_seasonal_cold",
+      (s, dir) => {
+        val all = pts(s, dir)
+        val splitMs = 1705363200000L // 2024-01-16T00:00Z: days 1-15 profile
+        val stl = graft.ts.TsAlgebra.stlDecompose(
+          all.filter(col("tsMs") < splitMs).toDF(),
+          "seriesKey", "tsMs", "value", period = 24).persist()
+        try {
+          val profile = graft.streaming.MonitorStream
+            .seasonalProfileFrom(stl, "seriesKey", "tsMs")
+            .where(col("seriesKey").cast("long") % 5 =!= 0)
+            .persist()
+          profile.count()
+          try {
+            val thr = graft.streaming.MonitorStream.calibratedThreshold(
+              stl.withColumn("dev", abs(col("resid_fp")) / 10000.0), "dev", qMille = 990)
+            graft.streaming.Replay
+              .seasonalReplay(
+                all.filter(col("tsMs") >= splitMs), profile, period = 24, threshold = thr,
+                p => p.tsMs / 86400000L, emitUnscored = true)
+              .select(
+                keyAsLong.as("user_id"), col("tsMs").as("ts_ms"), col("value"),
+                col("phase").cast("long").as("phase"), col("score_mode"), col("resid_fp"),
+                round(col("dev"), 4).as("dev"), col("isAnomaly").as("is_anomaly"),
+                lit(thr).as("threshold"))
+          } finally profile.unpersist(blocking = false)
+        } finally stl.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${TsQueries.stlCteFor(s"(SELECT * FROM events WHERE epoch_ms(ts) < 1705363200000)")},
+              |prof_p AS (SELECT user_id, phase, min(seasonal_fp) seasonal_fp FROM f
+              |           WHERE user_id % 5 <> 0 GROUP BY 1, 2),
+              |prof_k AS (SELECT user_id, n0, level_fp FROM (
+              |             SELECT user_id, trend_fp level_fp,
+              |                    count(*) OVER (PARTITION BY user_id) n0,
+              |                    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC) rn
+              |             FROM f) WHERE rn = 1 AND user_id % 5 <> 0),
+              |cells AS (SELECT least(greatest(CAST(round((abs(dt - seasonal_fp) / 10000.0) * 100, 0) AS BIGINT) // 64, 0), 639) bin,
+              |                 count(*) cnt
+              |          FROM f GROUP BY 1),
+              |cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum, sum(cnt) OVER () total FROM cells),
+              |th AS (SELECT round(CAST(bin * 64 + ((target - (cum - cnt)) * 64) // cnt AS BIGINT) / 100.0, 4) thr
+              |       FROM (SELECT bin, cnt, cum, total,
+              |               greatest((990 * total + 999) // 1000, 1) target FROM cc)
+              |       WHERE cum >= target AND cum - cnt < target),
+              |lv AS (SELECT user_id, epoch_ms(ts) ts_ms, value,
+              |         CAST(round(value*100, 0) AS BIGINT) * 100 value_fp,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) - 1 idx
+              |       FROM events WHERE epoch_ms(ts) >= 1705363200000),
+              |sc AS (SELECT l.user_id, l.ts_ms, l.value, l.value_fp,
+              |         CASE WHEN k.n0 IS NOT NULL THEN (k.n0 + l.idx) % 24 END phase,
+              |         k.level_fp, k.n0
+              |       FROM lv l LEFT JOIN prof_k k USING (user_id)),
+              |j AS (SELECT s.user_id, s.ts_ms, s.value, s.phase,
+              |        CASE WHEN s.n0 IS NULL THEN 'unscored'
+              |             WHEN p.seasonal_fp IS NULL THEN 'level_only'
+              |             ELSE 'seasonal' END score_mode,
+              |        CASE WHEN s.n0 IS NULL THEN NULL
+              |             WHEN p.seasonal_fp IS NULL THEN s.value_fp - s.level_fp
+              |             ELSE s.value_fp - s.level_fp - p.seasonal_fp END resid_fp
+              |      FROM sc s LEFT JOIN prof_p p ON p.user_id = s.user_id AND p.phase = s.phase)
+              |SELECT user_id, ts_ms, value, CAST(phase AS BIGINT) AS phase, score_mode,
+              |       CAST(resid_fp AS BIGINT) AS resid_fp,
+              |       round(abs(resid_fp) / 10000.0, 4) AS dev,
+              |       CASE WHEN score_mode = 'unscored' THEN NULL
+              |            ELSE abs(resid_fp) / 10000.0 > th.thr END AS is_anomaly,
+              |       th.thr AS threshold
+              |FROM j CROSS JOIN th""".stripMargin)
     )
   )
 }

@@ -3075,6 +3075,50 @@ object ExtQueries {
           |FROM dc t JOIN dc p ON t.chunk_md5 = p.chunk_md5 AND t.doc_id >= 20 AND p.doc_id < 20
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
     ),
+    // FUZZY decontamination: directed bigram containment C(probe→train)
+    // ≥ 0.4 — catches paraphrased/partial-overlap contamination whose
+    // verbatim trigrams are all broken (decontaminate/_bloom blind spot;
+    // see DedupSpec). Output is a per-train-doc ledger (every train doc,
+    // verdict + best-matching probe). The prefix filter is lossless, so
+    // the oracle is the naive full shingle join.
+    Q(
+      "decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.fuzzyDecontamination(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", n = 2, tau = 0.4, minShingles = 4, maxDf = 100)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)),
+             |         i -> concat_ws(' ', words[i], words[i+1])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |dfh AS (SELECT h, count(*) dfreq FROM hs GROUP BY 1),
+             |kept AS (SELECT doc_id, hs.h FROM hs JOIN dfh USING (h) WHERE dfreq <= 100),
+             |p AS (SELECT doc_id, h FROM kept WHERE doc_id < 20),
+             |t AS (SELECT doc_id, h FROM kept WHERE doc_id >= 20),
+             |np AS (SELECT doc_id, count(*) na FROM p GROUP BY 1 HAVING count(*) >= 4),
+             |ix AS (SELECT t.doc_id train_id, p.doc_id probe_id, count(*) i
+             |       FROM t JOIN p ON t.h = p.h GROUP BY 1, 2),
+             |c AS (SELECT train_id, probe_id, round(i * 1.0 / na, 4) containment
+             |      FROM ix JOIN np ON ix.probe_id = np.doc_id
+             |      WHERE round(i * 1.0 / na, 4) >= 0.4),
+             |r AS (SELECT train_id, probe_id, containment,
+             |        count(*) OVER (PARTITION BY train_id) n_probe_matches,
+             |        row_number() OVER (PARTITION BY train_id
+             |                           ORDER BY containment DESC, probe_id) rn
+             |      FROM c),
+             |b AS (SELECT train_id, n_probe_matches, probe_id best_probe_id,
+             |        containment max_containment FROM r WHERE rn = 1)
+             |SELECT d.doc_id AS train_id,
+             |  b.train_id IS NOT NULL AS contaminated,
+             |  coalesce(b.n_probe_matches, 0) AS n_probe_matches,
+             |  b.best_probe_id, b.max_containment,
+             |  CASE WHEN b.train_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
+             |LEFT JOIN b ON d.doc_id = b.train_id""".stripMargin)
+    ),
     // Content-defined chunking: per-chunk rows with md5, plus cross-doc
     // chunk dedup. The oracle replays the identical windowed polynomial
     // hash (B=257, M=1e9+7, mask 64) over char positions — all-integer,
@@ -3106,6 +3150,45 @@ object ExtQueries {
     // training pipeline ships. The oracle reconstructs clean_text by the
     // identical keep rule over the shared chunk CTE, so the whole
     // chunk→elect→excise→reconstruct chain is hash-proven end to end.
+    // EXACT-SUBSTRING excision (Lee et al. 2022's exact-substring dedup
+    // mode, w-token grain): every duplicated token run >= w keeps only
+    // its corpus-first occurrence; documents are rewritten. The oracle
+    // replays the window hashes, the keep-first election, the interval
+    // merge and the token-grain reconstruction — clean_text hash-proven.
+    Q(
+      "dedup_exact_substring",
+      (s, dir) =>
+        Dedup.exciseExactSubstrings(Tables.documents(s, dir), "doc_id", "text", w = 8),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
+             |win AS (SELECT doc_id, unnest(range(1, len(words) - 6)) i, words FROM w),
+             |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+             |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
+             |      FROM win),
+             |rem AS (SELECT doc_id, pos FROM (
+             |          SELECT doc_id, pos,
+             |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
+             |                 count(*) OVER (PARTITION BY h) c
+             |          FROM h) WHERE c > 1 AND rn > 1),
+             |d AS (SELECT DISTINCT doc_id, pos FROM rem),
+             |l AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp FROM d),
+             |g AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN pp IS NULL OR pos - pp > 8 THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) grp FROM l),
+             |sp AS (SELECT doc_id, min(pos) s, max(pos) + 7 e FROM g GROUP BY doc_id, grp),
+             |agg AS (SELECT doc_id, count(*) n_spans,
+             |          CAST(sum(e - s + 1) AS BIGINT) n_tokens_removed FROM sp GROUP BY 1),
+             |tok AS (SELECT doc_id, CAST(unnest(range(1, len(words) + 1)) - 1 AS BIGINT) idx, words
+             |        FROM w),
+             |tk AS (SELECT doc_id, idx, words[CAST(idx + 1 AS INT)] tk FROM tok),
+             |keep AS (SELECT t.doc_id, t.idx, t.tk FROM tk t
+             |         WHERE NOT EXISTS (SELECT 1 FROM sp
+             |                           WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)),
+             |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) clean FROM keep GROUP BY 1)
+             |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.n_tokens_removed, 0) AS n_tokens_removed,
+             |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
+             |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin)
+    ),
     Q(
       "dedup_excise",
       (s, dir) =>

@@ -473,6 +473,56 @@ object TsQueries {
               |FROM b x JOIN b y ON x.bt = y.bt AND x.user_id < y.user_id
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
     ),
+    // Scale path for cross-series correlation: sign-sketch band-join
+    // candidates (integer-deterministic bits, occupancy-capped buckets),
+    // then EXACT Pearson r on the candidates only — sub-quadratic in the
+    // series count where ts_pairwise_corr is K². The oracle replays every
+    // stage (fixed-point sign bits, band signatures, cap, candidate join,
+    // guarded corr) so the reported r hash-matches exactly.
+    Q(
+      "ts_top_corr_pairs",
+      (s, dir) =>
+        TsAlgebra.topCorrelatedPairs(
+          ev(s, dir).select(col("user_id"), col("ts_ms"), col("value")).where(col("user_id") < 120),
+          "user_id", "ts_ms", "value", bucketMs = T.Day, minBuckets = 5,
+          nBands = 10, minBandMatches = 2, minAbsR = 0.3, maxBucket = 200),
+      Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events WHERE user_id < 120),
+              |b AS (SELECT user_id, tm - tm % ${T.Day} AS bt, avg(value) bv,
+              |        sum(CAST(round(value * 100) AS BIGINT)) svm, count(*) nvm
+              |      FROM e GROUP BY 1, 2),
+              |b2 AS (SELECT *, CAST(sign(svm) AS BIGINT) * ((abs(svm) * 2 + nvm) // (2 * nvm)) AS bvfp
+              |       FROM b),
+              |m AS (SELECT user_id, count(*) nb, sum(bvfp) tot FROM b2 GROUP BY 1
+              |      HAVING count(*) >= 5),
+              |om AS (SELECT min(bt) omin FROM b2),
+              |t AS (SELECT b2.user_id,
+              |        ((b2.bt - om.omin) // ${T.Day}) % 10 AS band,
+              |        CASE WHEN b2.bvfp * m.nb > m.tot
+              |             THEN  (((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
+              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1)
+              |             ELSE -(((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
+              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1) END AS term
+              |      FROM b2 JOIN m USING (user_id) CROSS JOIN om),
+              |bands AS (SELECT user_id, band, sum(term) sig, count(*) cnt FROM t GROUP BY 1, 2),
+              |capped AS (SELECT * FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY band, sig, cnt) occ FROM bands)
+              |  WHERE occ <= 200),
+              |cand AS (SELECT x.user_id key_a, y.user_id key_b, count(*) band_matches
+              |         FROM capped x JOIN capped y
+              |           ON x.band = y.band AND x.sig = y.sig AND x.cnt = y.cnt
+              |          AND x.user_id < y.user_id
+              |         GROUP BY 1, 2 HAVING count(*) >= 2),
+              |r AS (SELECT c.key_a, c.key_b, c.band_matches, count(*) n_buckets,
+              |        round(CASE WHEN stddev_pop(x.bv) > 0 AND stddev_pop(y.bv) > 0
+              |                   THEN covar_pop(x.bv, y.bv) / (stddev_pop(x.bv) * stddev_pop(y.bv))
+              |              END, 4) + 0.0 AS pearson_r
+              |      FROM cand c
+              |      JOIN b2 x ON c.key_a = x.user_id
+              |      JOIN b2 y ON c.key_b = y.user_id AND x.bt = y.bt
+              |      GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+              |SELECT key_a, key_b, band_matches, n_buckets, pearson_r
+              |FROM r WHERE abs(pearson_r) >= 0.3""".stripMargin)
+    ),
     // Gap-filled hourly grid with last-observation-carried-forward: no fp
     // arithmetic (max per bucket, values copied), so bit-exact on both
     // engines. Hour buckets leave real gaps in the event series.

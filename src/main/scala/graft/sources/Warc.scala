@@ -154,8 +154,10 @@ object Warc {
         var tmp: org.apache.hadoop.fs.Path = null
         var dst: org.apache.hadoop.fs.Path = null
         // member index sidecar (gz only): "<ordinal> <offset> <length>"
-        // per member — the cdx role: record-granular read splits
+        // per member — the cdx role: record-granular read splits — plus
+        // the per-archive #zmap zone-map line (selective-scan skips)
         val idx = new StringBuilder
+        val zone = new WarcGzSource.ZoneMapBuilder
         var memberOrd = 0L
         var memberOff = 0L
         def closeAndCommit(): Unit = if (out != null) {
@@ -167,7 +169,8 @@ object Warc {
               idst.getParent, s".${idst.getName}.$attempt.tmp")
             try {
               val w = fs.create(itmp, true)
-              w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              w.write((zone.line + idx.toString)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               w.close()
               commit(itmp, idst)
             } catch {
@@ -193,7 +196,7 @@ object Warc {
               dst = new org.apache.hadoop.fs.Path(dir, name)
               tmp = new org.apache.hadoop.fs.Path(dir, s".$name.$attempt.tmp")
               out = fs.create(tmp, true)
-              idx.setLength(0); memberOrd = 0L; memberOff = 0L
+              idx.setLength(0); zone.reset(); memberOrd = 0L; memberOff = 0L
               current = a
             }
             val rec = encodeRecord(id, text, lang, source, nChars)
@@ -202,6 +205,7 @@ object Warc {
             if (gz) {
               idx.append(memberOrd).append(' ').append(memberOff)
                 .append(' ').append(bytes.length).append('\n')
+              zone.add(id, lang, source, nChars)
               memberOrd += 1L; memberOff += bytes.length
             }
           }
@@ -531,6 +535,8 @@ object Warc {
     val byFile = W.partitionBy(col("idx_path")).orderBy(col("ord"))
       .rowsBetween(W.unboundedPreceding, -1)
     spark.read.textFile(new org.apache.hadoop.fs.Path(dir, "*.warc.gz.idx").toString)
+      // '#' lines are sidecar metadata (#zmap zone maps), not members
+      .where(!col("value").startsWith("#"))
       .select(input_file_name().as("idx_path"), split(col("value"), " ").as("f"))
       .select(
         col("idx_path"),
@@ -687,7 +693,7 @@ object Warc {
       .as[(String, Array[Byte])]
       .flatMap { case (idxPath, content) =>
         val members = new String(content, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.filter(_.nonEmpty)
+          .split("\n").iterator.filter(l => l.nonEmpty && !l.startsWith("#"))
           .map { l => val f = l.split(" "); (f(0).toLong, f(1).toLong, f(2).toLong) }
         gzSpanBounds(members, membersPerSplit, maxSplitBytes)
           .iterator.map { case (start, span) => (idxPath, start, span) }

@@ -31,6 +31,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Damage contract** unchanged: a member the file can no longer
   *    serve, or one that fails its header walk, is one `_ok = false`
   *    marker row for that task's aborted tail.
+  *  - **Sidecar trust caveat** (COUNT(*) pushdown + zone-map skips):
+  *    both shortcuts answer from the writer-committed `.idx` without
+  *    inflating members, guarded by the archive-length check
+  *    (truncation → fall back to the header walk). IN-PLACE corruption
+  *    that preserves the archive's length is NOT detectable from
+  *    metadata: a pushed `count(*)` then reports the sidecar's member
+  *    count while an unpushed record scan reports survivors + one
+  *    marker row — pushed and unpushed counts diverge on
+  *    damaged-but-full-length archives (pinned in ExtSpec). The
+  *    sidecar is committed atomically with the archive, so this is a
+  *    bit-rot/tamper case, not a normal pipeline state; audit damage
+  *    with the record scan (`_ok = false` markers), not counts.
   *
   * Options: `maxSplitBytes` (default 256 MiB) bounds a task's byte
   * range. Archives must carry the writer's `.warc.gz.idx` sidecars
@@ -65,12 +77,14 @@ object WarcGzSource {
   val CountSchema: StructType =
     StructType(Seq(StructField("count_star", LongType, nullable = false)))
 
-  /** The archive's `.idx` sidecar as (offset, length) member entries —
-    * the shared parse for the record reader and the count reader.
+  /** The archive's `.idx` sidecar, one string per non-empty line —
+    * member entries plus optional `#`-prefixed metadata lines (the
+    * `#zmap` zone map). Shared by the record, count and zone readers so
+    * the sidecar is fetched once per task.
     */
-  def sidecarMembers(
+  def sidecarLines(
       fs: org.apache.hadoop.fs.FileSystem,
-      archive: org.apache.hadoop.fs.Path): Array[(Long, Long)] = {
+      archive: org.apache.hadoop.fs.Path): Array[String] = {
     val idxIn = fs.open(archive.suffix(".idx"))
     val idxBytes = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -82,8 +96,99 @@ object WarcGzSource {
     new String(idxBytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").iterator
       .filter(_.nonEmpty)
+      .toArray
+  }
+
+  /** Member (offset, length) entries from sidecar lines — `#` metadata
+    * lines are skipped, so zone-mapped and legacy sidecars parse alike.
+    */
+  def membersFrom(lines: Array[String]): Array[(Long, Long)] =
+    lines.iterator
+      .filter(!_.startsWith("#"))
       .map { l => val f = l.split(" "); (f(1).toLong, f(2).toLong) } // (off, len)
       .toArray
+
+  /** The archive's `.idx` sidecar as (offset, length) member entries —
+    * the shared parse for the record reader and the count reader.
+    */
+  def sidecarMembers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      archive: org.apache.hadoop.fs.Path): Array[(Long, Long)] =
+    membersFrom(sidecarLines(fs, archive))
+
+  /** Past this many distinct lang/source values the zone map stores `*`
+    * (unbounded) — dictionaries are a skip aid, not a column store.
+    */
+  val MaxZoneDict: Int = 16
+
+  /** Per-archive zone map (min/max of the integer header columns,
+    * bounded dictionaries of the string ones) carried as ONE `#zmap`
+    * comment line in the `.idx` sidecar. `langs`/`sources` = None means
+    * the dictionary overflowed (`*`): the column can't refute anything.
+    * Trust contract: like the member counts feeding the COUNT(*)
+    * pushdown, the zone map is the WRITER's word, committed atomically
+    * with the archive — a hand-edited archive with a stale sidecar can
+    * make a zone-skipped scan miss rows, exactly as it can mis-count.
+    */
+  final case class WarcZoneMap(
+      minId: Long, maxId: Long,
+      minChars: Long, maxChars: Long,
+      langs: Option[Set[String]], sources: Option[Set[String]])
+
+  /** Parse the `#zmap` line (if present and well-formed — a malformed
+    * line degrades to "no zone map", never to an error or a wrong skip).
+    * Line shape: `#zmap doc_id <min> <max> n_chars <min> <max> lang
+    * <dict|*> source <dict|*>` with dictionary values URL-encoded and
+    * comma-joined.
+    */
+  def zoneFrom(lines: Array[String]): Option[WarcZoneMap] =
+    lines.find(_.startsWith("#zmap ")).flatMap { l =>
+      try {
+        val f = l.split(" ")
+        def dict(s: String): Option[Set[String]] =
+          if (s == "*") None
+          else Some(s.split(",").iterator.filter(_.nonEmpty)
+            .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet)
+        if (f.length == 11 && f(1) == "doc_id" && f(4) == "n_chars" &&
+          f(7) == "lang" && f(9) == "source")
+          Some(WarcZoneMap(f(2).toLong, f(3).toLong, f(5).toLong, f(6).toLong,
+            dict(f(8)), dict(f(10))))
+        else None
+      } catch { case _: RuntimeException => None }
+    }
+
+  /** Accumulates one archive's zone map while its members are written. */
+  final class ZoneMapBuilder {
+    private var any = false
+    private var minId = Long.MaxValue
+    private var maxId = Long.MinValue
+    private var minChars = Long.MaxValue
+    private var maxChars = Long.MinValue
+    private val langs = scala.collection.mutable.HashSet.empty[String]
+    private val sources = scala.collection.mutable.HashSet.empty[String]
+    def add(id: Long, lang: String, source: String, nChars: Long): Unit = {
+      any = true
+      if (id < minId) minId = id
+      if (id > maxId) maxId = id
+      if (nChars < minChars) minChars = nChars
+      if (nChars > maxChars) maxChars = nChars
+      if (langs.size <= MaxZoneDict) langs += lang
+      if (sources.size <= MaxZoneDict) sources += source
+    }
+    def reset(): Unit = {
+      any = false
+      minId = Long.MaxValue; maxId = Long.MinValue
+      minChars = Long.MaxValue; maxChars = Long.MinValue
+      langs.clear(); sources.clear()
+    }
+    /** The `#zmap` sidecar line (empty string for an empty archive). */
+    def line: String = if (!any) "" else {
+      def dict(s: scala.collection.mutable.HashSet[String]): String =
+        if (s.size > MaxZoneDict) "*"
+        else s.toSeq.sorted.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+      s"#zmap doc_id $minId $maxId n_chars $minChars $maxChars " +
+        s"lang ${dict(langs)} source ${dict(sources)}\n"
+    }
   }
 }
 
@@ -169,7 +274,7 @@ final class WarcGzScanBuilder(path: String, options: CaseInsensitiveStringMap)
   * reader-dependent); And/Or never arrive at top level (Spark splits
   * conjuncts) and are left residual.
   */
-private[sources] object WarcGzFilters {
+private[graft] object WarcGzFilters {
   import org.apache.spark.sql.sources._
 
   private val cols = Set("doc_id", "lang", "source", "n_chars", "_ok")
@@ -217,6 +322,60 @@ private[sources] object WarcGzFilters {
     case IsNull(a) => get(a) == null
     case IsNotNull(a) => get(a) != null
     case _ => true
+  }
+
+  /** True when the archive's zone map PROVES no record in it can
+    * satisfy the pushed conjunction, so the reader may skip the whole
+    * archive without touching a data byte. Sound by construction:
+    *
+    *  - a refutation comes from ONE filter f over a zone-mapped column
+    *    (doc_id/n_chars min-max, lang/source dictionary) such that no
+    *    value inside the zone satisfies f — no healthy row passes f,
+    *    hence none passes the conjunction;
+    *  - damage MARKER rows carry null headers, and every refuting shape
+    *    below (equality, IN, ordered compare) fails on null (`cmp`'s
+    *    three-valued collapse) — so a skipped archive's hypothetical
+    *    markers would have been dropped by the same residual anyway.
+    *    IsNull/IsNotNull and `_ok` predicates never refute, keeping
+    *    that argument airtight.
+    *  - non-integral or foreign-typed comparison values never refute
+    *    (`lv` returns None → "might match").
+    */
+  def zoneRefutes(filters: Array[Filter], zm: WarcGzSource.WarcZoneMap): Boolean = {
+    def range(a: String): Option[(Long, Long)] = a match {
+      case "doc_id" => Some((zm.minId, zm.maxId))
+      case "n_chars" => Some((zm.minChars, zm.maxChars))
+      case _ => None
+    }
+    def dict(a: String): Option[Set[String]] = a match {
+      case "lang" => zm.langs
+      case "source" => zm.sources
+      case _ => None
+    }
+    def lv(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    def refutes(f: Filter): Boolean = f match {
+      case EqualTo(a, v) =>
+        range(a).exists { case (mn, mx) => lv(v).exists(x => x < mn || x > mx) } ||
+          (v.isInstanceOf[String] && dict(a).exists(d => !d(v.asInstanceOf[String])))
+      case In(a, vs) =>
+        vs.nonEmpty && (
+          range(a).exists { case (mn, mx) =>
+            vs.forall(v => lv(v).exists(x => x < mn || x > mx)) } ||
+          dict(a).exists(d =>
+            vs.forall(v => v.isInstanceOf[String] && !d(v.asInstanceOf[String]))))
+      case GreaterThan(a, v) => range(a).exists { case (_, mx) => lv(v).exists(mx <= _) }
+      case GreaterThanOrEqual(a, v) => range(a).exists { case (_, mx) => lv(v).exists(mx < _) }
+      case LessThan(a, v) => range(a).exists { case (mn, _) => lv(v).exists(mn >= _) }
+      case LessThanOrEqual(a, v) => range(a).exists { case (mn, _) => lv(v).exists(mn > _) }
+      case _ => false
+    }
+    filters.exists(refutes)
   }
 
   /** Conjunction of all pushed filters over (id, lang, source, nChars,
@@ -364,9 +523,20 @@ final class WarcGzPartitionReader(
     val p = new org.apache.hadoop.fs.Path(part.archive)
     val fs = p.getFileSystem(conf)
     // the task's member set: sidecar lines whose offset starts in-range
-    val mine = WarcGzSource.sidecarMembers(fs, p)
+    val lines = WarcGzSource.sidecarLines(fs, p)
+    val mine = WarcGzSource.membersFrom(lines)
       .filter { case (off, _) => off >= part.rangeStart && off < part.rangeEnd }
     if (mine.isEmpty) Iterator.empty
+    // zone-map skip: when the sidecar's #zmap line proves no record in
+    // this ARCHIVE can satisfy a pushed filter, the whole positioned
+    // read + inflate + header walk is skipped — a selective scan's cost
+    // scales with the archives TOUCHED, not the corpus (the same
+    // sidecar-only property the COUNT(*) pushdown has). Soundness:
+    // WarcGzFilters.zoneRefutes - only filter shapes that null-headers
+    // also fail can refute, so marker rows are never lost
+    else if (pushed.nonEmpty &&
+      WarcGzSource.zoneFrom(lines).exists(zm => WarcGzFilters.zoneRefutes(pushed, zm)))
+      Iterator.empty
     else {
       val start = mine.map(_._1).min
       val span = mine.map { case (o, l) => o + l }.max - start
@@ -517,6 +687,7 @@ final class WarcGzDataWriter(
   private var tmp: org.apache.hadoop.fs.Path = _
   private var out: java.io.OutputStream = _
   private val idx = new StringBuilder
+  private val zone = new WarcGzSource.ZoneMapBuilder
   private var memberOrd = 0L
   private var memberOff = 0L
 
@@ -548,6 +719,9 @@ final class WarcGzDataWriter(
     val bytes = Warc.gzipMember(rec)
     out.write(bytes)
     idx.append(memberOrd).append(' ').append(memberOff).append(' ').append(bytes.length).append('\n')
+    zone.add(
+      row.getLong(iDoc), row.getUTF8String(iLang).toString,
+      row.getUTF8String(iSource).toString, row.getLong(iNChars))
     memberOrd += 1L
     memberOff += bytes.length
   }
@@ -561,7 +735,7 @@ final class WarcGzDataWriter(
     val itmp = new org.apache.hadoop.fs.Path(dir, s".${idst.getName}.$taskId.tmp")
     try {
       val w = fs.create(itmp, true)
-      w.write(idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      w.write((zone.line + idx.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       w.close()
       rename(itmp, idst)
     } catch {

@@ -570,12 +570,19 @@ object MonitorStream {
     * that continues the profile's phase sequence) plus two
     * BROADCAST stream-static joins (per-key level/n0, per-(key, phase)
     * seasonal) — the profile is bounded by series × period, never the
-    * history length. Cold-start contract: series absent from the
-    * profile (or live phases the short history never exhibited) are
-    * NOT scored until the next profile refresh — inner joins, the
-    * same posture as calibratedThreshold's loud empty-history failure.
-    * TTL: an expired series restarts its ordinal at 0 on revival (the
-    * documented re-seed divergence, like the EMA monitor).
+    * history length. Cold-start contract, two modes: by default series
+    * absent from the profile (or live phases the short history never
+    * exhibited) are NOT scored until the next profile refresh — inner
+    * joins, the same posture as calibratedThreshold's loud
+    * empty-history failure. With `emitUnscored = true` the joins go
+    * left-outer and every live point surfaces with a `score_mode`
+    * verdict instead of vanishing: 'seasonal' (full profile hit),
+    * 'level_only' (key known, phase unseen in history — scored against
+    * the level-hold forecast alone), or 'unscored' (key absent —
+    * resid/dev/isAnomaly NULL, the explicit side output a production
+    * monitor alerts on). TTL: an expired series restarts its ordinal
+    * at 0 on revival (the documented re-seed divergence, like the EMA
+    * monitor).
     */
   def seasonalResidualStream(
       points: Dataset[TsSample],
@@ -583,23 +590,54 @@ object MonitorStream {
       period: Int,
       threshold: Double,
       watermarkDelay: String = "10 minutes",
-      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs): DataFrame = {
+      stateTtlMs: Long = Constants.DefaultStreamStateTtlMs,
+      emitUnscored: Boolean = false): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     val keySide = broadcast(
       profile.select(col("seriesKey"), col("level_fp"), col("n0")).distinct())
     val phaseSide = broadcast(
       profile.select(col("seriesKey"), col("phase").cast("long").as("phase"), col("seasonal_fp")))
-    statefulOrdinals(points, watermarkDelay, stateTtlMs).toDF()
-      .join(keySide, "seriesKey")
-      .withColumn("phase", (col("n0") + col("idx")) % period)
-      .join(phaseSide, Seq("seriesKey", "phase"))
-      .withColumn("value_fp", expr("CAST(round(value * 100, 0) AS BIGINT) * 100"))
-      .withColumn("resid_fp", col("value_fp") - col("level_fp") - col("seasonal_fp"))
-      .withColumn("dev", abs(col("resid_fp")) / 10000.0)
-      .withColumn("isAnomaly", col("dev") > threshold)
-      .select(
-        col("seriesKey"), col("tsMs"), col("value"), col("phase"),
-        col("resid_fp"), col("dev"), col("isAnomaly"))
+    val ords = statefulOrdinals(points, watermarkDelay, stateTtlMs).toDF()
+    if (!emitUnscored) {
+      ords
+        .join(keySide, "seriesKey")
+        .withColumn("phase", (col("n0") + col("idx")) % period)
+        .join(phaseSide, Seq("seriesKey", "phase"))
+        .withColumn("value_fp", expr("CAST(round(value * 100, 0) AS BIGINT) * 100"))
+        .withColumn("resid_fp", col("value_fp") - col("level_fp") - col("seasonal_fp"))
+        .withColumn("dev", abs(col("resid_fp")) / 10000.0)
+        .withColumn("isAnomaly", col("dev") > threshold)
+        .select(
+          col("seriesKey"), col("tsMs"), col("value"), col("phase"),
+          col("resid_fp"), col("dev"), col("isAnomaly"))
+    } else {
+      // left-outer joins: a NULL phase (key absent → no n0) can never
+      // equal a profile phase, so the phase join degrades to unscored
+      // naturally; stream-static left-outer needs no extra watermark
+      ords
+        .join(keySide, Seq("seriesKey"), "left")
+        .withColumn("phase", when(col("n0").isNotNull, (col("n0") + col("idx")) % period))
+        .join(phaseSide, Seq("seriesKey", "phase"), "left")
+        .withColumn("value_fp", expr("CAST(round(value * 100, 0) AS BIGINT) * 100"))
+        .withColumn(
+          "score_mode",
+          when(col("n0").isNull, lit("unscored"))
+            .when(col("seasonal_fp").isNull, lit("level_only"))
+            .otherwise(lit("seasonal")))
+        .withColumn(
+          "resid_fp",
+          when(col("score_mode") === "unscored", lit(null).cast("long"))
+            .when(col("score_mode") === "level_only", col("value_fp") - col("level_fp"))
+            .otherwise(col("value_fp") - col("level_fp") - col("seasonal_fp")))
+        .withColumn("dev", abs(col("resid_fp")) / 10000.0)
+        .withColumn(
+          "isAnomaly",
+          when(col("score_mode") === "unscored", lit(null).cast("boolean"))
+            .otherwise(col("dev") > threshold))
+        .select(
+          col("seriesKey"), col("tsMs"), col("value"), col("phase"),
+          col("score_mode"), col("resid_fp"), col("dev"), col("isAnomaly"))
+    }
   }
 
   /** Per-key arrival ordinals with the monitor family's watermark, TTL

@@ -104,14 +104,16 @@ object Replay {
       period: Int,
       threshold: Double,
       chunkKey: TsSample => Long,
-      stateTtlMs: Long = Long.MaxValue / 4): DataFrame = {
+      stateTtlMs: Long = Long.MaxValue / 4,
+      emitUnscored: Boolean = false): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val chunks = points.collect().groupBy(chunkKey).toSeq.sortBy(_._1).map(_._2.toSeq)
     val mem = MemoryStream[TsSample]
     val out = MonitorStream.seasonalResidualStream(
-      mem.toDS(), profile, period, threshold, stateTtlMs = stateTtlMs)
+      mem.toDS(), profile, period, threshold, stateTtlMs = stateTtlMs,
+      emitUnscored = emitUnscored)
     runSink(spark, out)(q => feedChunks(q, mem, chunks))
   }
 

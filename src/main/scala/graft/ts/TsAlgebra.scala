@@ -477,13 +477,34 @@ object TsAlgebra {
     * series, LSH-bucket the series embeddings first and correlate
     * within buckets (the `Similarity` machinery).
     */
+  /** Hard cap on the series count `pairwiseCorr` will self-join: the join
+    * materializes K²/2 rows PER SHARED BUCKET, so K past report size
+    * melts the shuffle quietly (10⁹ joined rows per bucket at K=50k).
+    * Failing loudly beats that — the scale path is [[topCorrelatedPairs]],
+    * which prunes candidates with a sign-sketch band join first.
+    */
+  val MaxCorrSeries: Long = 1000L
+
   def pairwiseCorr(
       df: DataFrame,
       keyCol: String,
       tsCol: String,
       valueCol: String,
       bucketMs: Long,
-      minBuckets: Long = 2): DataFrame = {
+      minBuckets: Long = 2,
+      maxSeries: Long = MaxCorrSeries): DataFrame = {
+    // early-stopping cardinality probe: LIMIT maxSeries+1 over the
+    // distinct keys — the guard job stops as soon as the cap is proven
+    // busted instead of counting every series
+    val over = df.select(col(keyCol)).distinct()
+      .limit(math.min(maxSeries + 1, Int.MaxValue.toLong).toInt).count() > maxSeries
+    require(
+      !over,
+      s"pairwiseCorr self-joins every series pair per bucket (> $maxSeries series = " +
+        s"> ${maxSeries * (maxSeries - 1) / 2} pairs x buckets shuffled): exact all-pairs " +
+        "correlation is a report-size kernel. For large series counts use " +
+        "TsAlgebra.topCorrelatedPairs (sign-sketch band candidates, then exact " +
+        "correlation on the candidates only).")
     val b = df
       .groupBy(col(keyCol), (col(tsCol) - (col(tsCol) % bucketMs)).as("bt"))
       .agg(avg(col(valueCol)).as("bv"))
@@ -503,6 +524,113 @@ object TsAlgebra {
         // to the negative zero on some engines) — same guard as emb_centroids
         (round(when(sx > 0 && sy > 0, cv / (sx * sy)), 4) + lit(0.0)).as("pearson_r"))
       .where(col("n_buckets") >= minBuckets)
+  }
+
+  /** Scale path for cross-series correlation: prune with a sign-sketch
+    * band join, then compute EXACT Pearson r only on the candidate pairs —
+    * the same candidates→verify funnel the dedup family uses (LSH bands →
+    * exact verify), so pair volume is output-bound instead of K².
+    *
+    * Sketch: per series, each time bucket contributes one sign bit —
+    * "bucket mean above the series' own mean" — computed entirely in
+    * integer arithmetic (centi-unit fixed point, cross-multiplied
+    * comparison) so the bit is deterministic on any engine and any
+    * aggregation order. Bucket ordinals are striped into `nBands` bands
+    * (ordinal mod nBands); a band's signature is an integer sum of
+    * signed per-ordinal weights, so two series share a band signature
+    * exactly when they have the same bucket set and the same sign
+    * pattern inside that band (hash collisions only ADD candidates —
+    * the exact-corr verify step keeps the output exact on its candidate
+    * set). Candidates = pairs sharing ≥ `minBandMatches` (band,
+    * signature, bucket-count) triples. Correlated series agree on most
+    * sign bits, so they match whole bands far more often than chance;
+    * recall is heuristic (a sketch, like MinHash), precision of the
+    * REPORTED r is exact.
+    *
+    * Skew guard: any (band, signature) group larger than `maxBucket`
+    * series is dropped before pairing — the LSH bucket-cap convention
+    * (flatlined/constant series all share one signature and would
+    * otherwise re-create the K² join this function exists to avoid).
+    *
+    * Plan shape: two bucket-grain aggregations (partial+final), one
+    * band-grain aggregation, a self-join on (band, sig, cnt) whose
+    * fan-out is occupancy-capped, then one join back to bucket rows per
+    * pair side and a final per-pair aggregate. Every stage is
+    * key-partitioned; nothing is quadratic in the series count.
+    */
+  def topCorrelatedPairs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketMs: Long,
+      minBuckets: Long = 2,
+      nBands: Int = 4,
+      minBandMatches: Int = 2,
+      minAbsR: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
+    require(nBands >= 1 && minBandMatches >= 1 && minBandMatches <= nBands,
+      s"need 1 <= minBandMatches ($minBandMatches) <= nBands ($nBands)")
+    // bucket grain: double mean for the exact-corr step, centi-integer
+    // sum+count for the deterministic sign bit
+    val b = df
+      .groupBy(col(keyCol), (col(tsCol) - (col(tsCol) % bucketMs)).as("bt"))
+      .agg(
+        avg(col(valueCol)).as("bv"),
+        sum(expr(s"CAST(round($valueCol * 100) AS BIGINT)")).as("svm"),
+        count(lit(1)).as("nvm"))
+      // round-half-away-from-zero bucket mean in centi-units (the repo's
+      // signed integer rounding idiom) — BIGINT, engine-independent
+      .withColumn(
+        "bvfp",
+        expr("CAST(sign(svm) AS BIGINT) * ((abs(svm) * 2 + nvm) DIV (2 * nvm))"))
+    // series grain: bucket count + bvfp total; the sign bit compares
+    // bvfp against the series mean by cross-multiplication (no division)
+    val m = b.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("nb"), sum(col("bvfp")).as("tot"))
+      .where(col("nb") >= minBuckets)
+    val omin = df.agg(min(col(tsCol) - (col(tsCol) % bucketMs)).as("omin"))
+    val bits = b
+      .join(m, Seq(keyCol))
+      .crossJoin(broadcast(omin))
+      .withColumn("orel", expr(s"(bt - omin) DIV $bucketMs"))
+      .withColumn("band", col("orel") % nBands)
+      .withColumn("w", expr(s"orel DIV $nBands") + lit(1L))
+      .withColumn(
+        "term",
+        when(col("bvfp") * col("nb") > col("tot"), col("w") * col("w") * 31L + col("w") * 7L + 1L)
+          .otherwise(-(col("w") * col("w") * 31L + col("w") * 7L + 1L)))
+    val bands = bits
+      .groupBy(col(keyCol), col("band"))
+      .agg(sum(col("term")).as("sig"), count(lit(1)).as("cnt"))
+    // occupancy cap per signature group, then pair within surviving groups
+    val capped = bands
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"), col("cnt"))))
+      .where(col("occ") <= maxBucket)
+    val cand = capped.as("x")
+      .join(
+        capped.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.cnt") === col("y.cnt") && col(s"x.$keyCol") < col(s"y.$keyCol"))
+      .groupBy(col(s"x.$keyCol").as("key_a"), col(s"y.$keyCol").as("key_b"))
+      .agg(count(lit(1)).as("band_matches"))
+      .where(col("band_matches") >= minBandMatches)
+    // exact Pearson on the candidates only — same guarded estimator and
+    // round(4) grid as pairwiseCorr, so a candidate pair's r is identical
+    // to what the exact all-pairs report would show for it
+    val sx = stddev_pop(col("x.bv"))
+    val sy = stddev_pop(col("y.bv"))
+    val cv = covar_pop(col("x.bv"), col("y.bv"))
+    cand
+      .join(b.as("x"), col("key_a") === col(s"x.$keyCol"))
+      .join(b.as("y"), col("key_b") === col(s"y.$keyCol") && col("x.bt") === col("y.bt"))
+      .groupBy(col("key_a"), col("key_b"), col("band_matches"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        (round(when(sx > 0 && sy > 0, cv / (sx * sy)), 4) + lit(0.0)).as("pearson_r"))
+      .where(col("n_buckets") >= minBuckets && abs(col("pearson_r")) >= minAbsR)
+      .select(col("key_a"), col("key_b"), col("band_matches"), col("n_buckets"), col("pearson_r"))
   }
 
   /** Exact per-series autocorrelation at lags 1..maxLag — the

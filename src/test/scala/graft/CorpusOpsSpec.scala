@@ -39,6 +39,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(12L) == ((0L, 0L)))
   }
 
+  test("fuzzyDecontamination catches a paraphrase that exact+bloom decontamination miss") {
+    // paraphrase: every ~3rd token of the eval item edited — exactly ONE
+    // verbatim trigram survives ("lazy dog in"), so exact n-gram
+    // decontamination at minShared=2 and the bloom variant both stay
+    // silent, while 5 of the probe's 13 bigrams survive (C = 0.3846)
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the sunny park today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "a quick brown wolf jumps over a lazy dog in a sunny park yesterday"), // paraphrased copy
+      (101L, "completely unrelated words about spark shuffles and parquet footers")
+    ).toDF("doc_id", "text")
+    // exact decontamination misses it (1 shared trigram < minShared 2)
+    assert(Dedup.contaminationPairs(train, probe, "doc_id", "text", n = 3, minShared = 2L)
+      .count() == 0L)
+    // bloom variant sees at most the same single verbatim trigram
+    val bloomHits = Dedup.bloomContamination(train, probe, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bloom_hits")).toMap
+    assert(bloomHits(100L) <= 1L, s"bloom should not clear minShared=2: $bloomHits")
+    // fuzzy containment at n=2 flags the paraphrase and only it
+    val led = Dedup.fuzzyDecontamination(
+      train, probe, "doc_id", "text", n = 2, tau = 0.3, minShingles = 4, maxDf = 100)
+      .collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Boolean]("contaminated"), r.getAs[String]("action"),
+          Option(r.getAs[java.lang.Long]("best_probe_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("max_containment")).map(_.toDouble)))
+      .toMap
+    assert(led(100L)._1 && led(100L)._2 == "drop" && led(100L)._3.contains(1L),
+      s"paraphrase must be dropped: ${led(100L)}")
+    assert(led(100L)._4.exists(c => c > 0.38 && c < 0.39), s"C(probe->train)=5/13: ${led(100L)}")
+    assert(!led(101L)._1 && led(101L)._2 == "keep" && led(101L)._3.isEmpty,
+      s"clean doc must keep: ${led(101L)}")
+  }
+
+  test("exciseExactSubstrings: corpus-first occurrence kept, later copies excised at token grain") {
+    val common = (1 to 12).map(i => s"c$i").mkString(" ") // 12-token duplicated run, w = 8
+    val docs = Seq(
+      (1L, s"a1 a2 $common a3"), // lexicographic first occurrence — the owner
+      (2L, s"b1 $common b2 b3"), // later copy — excised
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9") // unique, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseExactSubstrings(docs, "doc_id", "text", w = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_tokens_removed"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, s"a1 a2 $common a3")), s"owner keeps its copy: ${got(1L)}")
+    // doc 2's five duplicated 8-windows (pos 1..5) merge to [1, 12]:
+    // exactly the 12 copied tokens out, the unique frame kept
+    assert(got(2L) == ((1L, 12L, "b1 b2 b3")), s"later copy must excise: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")))
+  }
+
   test("duplicatePassages: cross-doc shared passage merges into one span per doc") {
     val common = (1 to 10).map(i => s"c$i").mkString(" ")
     val docs = Seq(

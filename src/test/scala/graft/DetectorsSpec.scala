@@ -242,6 +242,24 @@ class DetectorsSpec extends AnyFunSuite {
     assert(Detectors.esdOutliers(short).count() == 0)
   }
 
+  test("esdOutliers: exact duplicate (ts, value) rows fail LOUDLY; duplicate ts with different values still run") {
+    // duplicate (ts, vc): would co-deactivate on one candidate round
+    // while the running sums subtract one copy — the entry guard raises
+    // instead of silently skewing later rounds
+    val dup = pts(((1 to 20).map(i => (1L, i * 1000L, 10.0 + (i % 5) * 0.1))
+      :+ ((1L, 21000L, 500.0)) :+ ((1L, 21000L, 500.0))): _*)
+    val e = intercept[Exception] {
+      Detectors.esdOutliers(dup).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("unique-ts contract"),
+      s"guard must name the contract: ${e.getMessage}")
+    // duplicate ts with DIFFERENT values stays inside the (ts, vc) match
+    // fix — runs, and deactivates one row per round
+    val dupTs = pts(((1 to 20).map(i => (2L, i * 1000L, 10.0 + (i % 5) * 0.1))
+      :+ ((2L, 21000L, 500.0)) :+ ((2L, 21000L, 499.0))): _*)
+    assert(Detectors.esdOutliers(dupTs).count() >= 1)
+  }
+
   test("Tukey fences: hand-computed quartiles and fence distances; inliers score 0") {
     // 1..20 plus one far point; quartiles run over ALL 21 points (the
     // outlier participates): n=21 -> q1 = sorted[5] = 6, q3 = sorted[15]

@@ -2188,6 +2188,79 @@ class ExtSpec extends AnyFunSuite {
     assert(pushedCount == 47L, s"two lost members collapse to one marker row, got $pushedCount")
   }
 
+  test("warcgz COUNT pushdown trusts the sidecar on full-length archives: in-place corruption diverges (pinned)") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warccorrupt_spec").toString
+    val docs = (0L until 24L)
+      .map(i => (i, s"body $i", "en", "s0", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 1)
+    // zero a byte INSIDE a middle member's gzip payload without changing
+    // the archive's length: the length check cannot see it
+    val p0 = java.nio.file.Paths.get(dir, "archive-0.warc.gz")
+    val idxLines = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "archive-0.warc.gz.idx")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+    val (mOff, mLen) = { val f = idxLines(10).split(" "); (f(1).toLong, f(2).toLong) }
+    val bytes = java.nio.file.Files.readAllBytes(p0)
+    java.util.Arrays.fill(bytes, mOff.toInt + 12, (mOff + mLen).toInt - 12, 0.toByte)
+    java.nio.file.Files.write(p0, bytes)
+    val read = () => spark.read.format("warcgz").load(dir)
+    // record scan: survivors before the damage + one marker for the tail
+    val walked = read().collect()
+    val markers = walked.count(r => !r.getAs[Boolean]("_ok"))
+    assert(markers == 1 && walked.length < 24,
+      s"in-place damage must abort the walk into one marker: ${walked.length} rows, $markers markers")
+    // pushed count: the documented divergence — archive length covers
+    // the members, so the sidecar's word (24) is returned, NOT the
+    // walk's survivors+marker. Audit damage with the record scan.
+    assert(read().groupBy().count().head().getLong(0) == 24L,
+      "full-length in-place corruption is invisible to the pushed count (sidecar trust contract)")
+  }
+
+  test("warcgz zone maps: #zmap sidecar line skips refuted archives; results and markers stay exact") {
+    import spark.implicits._
+    import graft.sources.{Warc, WarcGzSource, WarcGzFilters}
+    val dir = java.nio.file.Files.createTempDirectory("warczmap_spec").toString
+    // archive a = doc_id pmod 2: archive-0 holds evens (ids 0..46, lang en),
+    // archive-1 holds odds (ids 1..47, lang fr)
+    val docs = (0L until 48L)
+      .map(i => (i, s"body $i", if (i % 2 == 0L) "en" else "fr", s"s${i % 3}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Warc.writeArchivesGz(docs, dir, nArchives = 2)
+    // the writer committed a parseable zone map per archive
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val l0 = WarcGzSource.sidecarLines(fs, new org.apache.hadoop.fs.Path(dir, "archive-0.warc.gz"))
+    val zm0 = WarcGzSource.zoneFrom(l0).get
+    assert(zm0.minId == 0L && zm0.maxId == 46L && zm0.minChars == 10L && zm0.maxChars == 56L)
+    assert(zm0.langs.contains(Set("en")) && zm0.sources.contains(Set("s0", "s1", "s2")), s"$zm0")
+    // members still parse with the metadata line present
+    assert(WarcGzSource.membersFrom(l0).length == 24)
+    // refutation: a lang=fr equality refutes archive-0's zone, not its own
+    import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan, IsNull}
+    assert(WarcGzFilters.zoneRefutes(Array(EqualTo("lang", "fr")), zm0))
+    assert(WarcGzFilters.zoneRefutes(Array(GreaterThan("doc_id", java.lang.Long.valueOf(46L))), zm0))
+    assert(WarcGzFilters.zoneRefutes(Array(In("n_chars", Array[Any](java.lang.Long.valueOf(2L)))), zm0))
+    assert(!WarcGzFilters.zoneRefutes(Array(EqualTo("lang", "en")), zm0))
+    // IsNull never refutes (markers carry nulls)
+    assert(!WarcGzFilters.zoneRefutes(Array(IsNull("doc_id")), zm0))
+    // end-to-end: selective scans return exactly the residual-filtered
+    // rows — the skip is invisible to results
+    val base = spark.read.format("warcgz").load(dir)
+    assert(base.where(col("lang") === "fr").count() == 24L)
+    assert(base.where(col("doc_id") > 46L).select("doc_id").head().getLong(0) == 47L)
+    assert(base.where(col("lang") === "de").count() == 0L)
+    // damaged archive + a filter whose zone skip covers it: identical to
+    // what the residual would produce (markers fail the filter anyway)
+    val p1 = java.nio.file.Paths.get(dir, "archive-1.warc.gz")
+    val b1 = java.nio.file.Files.readAllBytes(p1)
+    java.nio.file.Files.write(p1, b1.take(b1.length / 2))
+    assert(base.where(col("lang") === "en").count() == 24L,
+      "zone-skipping the damaged archive must equal residual filtering (markers fail lang='en')")
+  }
+
   test("warcgz DSv2 write: partition-per-archive commit, roundtrip parity, overwrite truncates, no tmp orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warcwrite_spec").toString

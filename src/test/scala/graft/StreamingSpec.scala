@@ -236,6 +236,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seasonal monitor emitUnscored mode: absent keys surface as 'unscored', unseen phases fall back to level-only, hits stay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val hist = (0L until 16L).map(i => TsSample("1", (i + 1) * 1000, 10.0 * (1 + (i % 4))))
+    val stl = graft.ts.TsAlgebra
+      .stlDecompose(hist.toDS().toDF(), "seriesKey", "tsMs", "value", period = 4)
+    val full = MonitorStream.seasonalProfileFrom(stl, "seriesKey", "tsMs")
+    // stale artifact: phase 2 never stored (the short-history case)
+    val profile = full.where(col("phase") =!= 2)
+    val prof = full.collect()
+      .map(r => r.getAs[Int]("phase").toLong ->
+        (r.getAs[Long]("seasonal_fp"), r.getAs[Long]("level_fp")))
+      .toMap
+    def vfp(v: Double): Long = math.round(v * 100) * 100
+    val mem = MemoryStream[TsSample]
+    val q = MonitorStream
+      .seasonalResidualStream(
+        mem.toDS(), profile, period = 4, threshold = 5.0,
+        watermarkDelay = "0 seconds", emitUnscored = true)
+      .writeStream.outputMode("append").format("memory").queryName("seas_cold").start()
+    try {
+      // key 1 phases (16+i)%4 = 0,1,2,3; key 7 has no profile at all
+      mem.addData(
+        TsSample("1", 17000, 10.0), TsSample("1", 18000, 20.0),
+        TsSample("1", 19000, 30.0), TsSample("1", 20000, 40.0),
+        TsSample("7", 21000, 42.0))
+      q.processAllAvailable()
+      val got = spark.table("seas_cold").collect()
+        .map { r =>
+          (r.getAs[String]("seriesKey"), r.getAs[Long]("tsMs")) ->
+            ((r.getAs[String]("score_mode"),
+              Option(r.getAs[java.lang.Long]("phase")).map(_.toLong),
+              Option(r.getAs[java.lang.Long]("resid_fp")).map(_.toLong),
+              Option(r.getAs[java.lang.Boolean]("isAnomaly")).map(_.booleanValue)))
+        }
+        .toMap
+      assert(got.size == 5, s"every live point must surface: $got")
+      // full-profile phases: identical arithmetic to the default mode
+      def expResid(phase: Long, v: Double): Long = vfp(v) - prof(phase)._2 - prof(phase)._1
+      assert(got(("1", 17000L)) ==
+        (("seasonal", Some(0L), Some(expResid(0L, 10.0)),
+          Some(math.abs(expResid(0L, 10.0)) / 10000.0 > 5.0))), s"${got(("1", 17000L))}")
+      // phase 2 missing from the stored profile → level-only fallback
+      assert(got(("1", 19000L))._1 == "level_only" && got(("1", 19000L))._2 == Some(2L) &&
+        got(("1", 19000L))._3 == Some(vfp(30.0) - prof(0L)._2),
+        s"level-only must score value - level: ${got(("1", 19000L))}")
+      // key 7 absent from the profile → explicit unscored side output
+      assert(got(("7", 21000L)) == (("unscored", None, None, None)), s"${got(("7", 21000L))}")
+    } finally q.stop()
+  }
+
   test("streaming Holt-Winters equals the batch detector across micro-batch boundaries; TTL restarts the profile") {
     implicit val sqlCtx = spark.sqlContext
     // period-4 pattern + ramp, split across micro-batches: the seasonal

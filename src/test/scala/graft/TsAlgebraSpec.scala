@@ -248,6 +248,46 @@ class TsAlgebraSpec extends AnyFunSuite {
     assert(flat.nonEmpty && flat.forall(_.isNullAt(flat.head.fieldIndex("pearson_r"))))
   }
 
+  test("pairwiseCorr fails loudly past maxSeries and points at the scale path") {
+    val rows = (0 until 12).flatMap { k =>
+      (0 until 4).map(i => (k.toLong, i * 10L, (k * i).toDouble))
+    }.toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ts.TsAlgebra.pairwiseCorr(rows, "k", "t", "v", bucketMs = 10L, maxSeries = 10L)
+    }
+    assert(e.getMessage.contains("topCorrelatedPairs"), e.getMessage)
+    // under the cap it still runs
+    assert(graft.ts.TsAlgebra.pairwiseCorr(
+      rows, "k", "t", "v", bucketMs = 10L, minBuckets = 3, maxSeries = 12L).count() > 0)
+  }
+
+  test("topCorrelatedPairs: candidate pairs carry EXACTLY pairwiseCorr's r; flatlines capped away") {
+    // series 1/2 perfectly correlated (identical sign pattern), series 3
+    // anti-correlated, 4..9 constant (one shared all-negative sketch — the
+    // occupancy cap path at maxBucket=2) — 8 buckets, 4 bands of 2
+    val rows = (0 until 8).flatMap { i =>
+      val v = if (i % 2 == 0) 1.0 else -1.0
+      Seq((1L, i * 10L, v * (i + 1)), (2L, i * 10L, 3 * v * (i + 1) + 7), (3L, i * 10L, -v * (i + 1))) ++
+        (4L to 9L).map(k => (k, i * 10L, 42.0))
+    }.toDF("k", "t", "v")
+    val pruned = graft.ts.TsAlgebra.topCorrelatedPairs(
+      rows, "k", "t", "v", bucketMs = 10L, minBuckets = 3,
+      nBands = 4, minBandMatches = 2, minAbsR = 0.5, maxBucket = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b")) -> r.getAs[Double]("pearson_r"))
+      .toMap
+    // matching sign patterns band-match; the anti-correlated pair can't
+    // (its every sign bit flips); flatlined 4..9 share one signature in
+    // every band (occ 6 > 2) and are capped away, not exploded
+    assert(pruned.keySet == Set((1L, 2L)), s"got $pruned")
+    val exact = graft.ts.TsAlgebra.pairwiseCorr(
+      rows.where($"k" <= 3L), "k", "t", "v", bucketMs = 10L, minBuckets = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b")) -> r.getAs[Double]("pearson_r"))
+      .toMap
+    assert(pruned((1L, 2L)) == exact((1L, 2L)), s"pruned r must equal exact r: $pruned vs $exact")
+  }
+
   test("gapFillLinear: gaps ramp between brackets; edges fall back; present buckets keep their value") {
     // buckets at 0,10,...: observed v=10 @0 and v=40 @30 → gaps at 10,20
     // interpolate 20, 30; leading/trailing grid is span-bounded

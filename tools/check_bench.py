@@ -14,6 +14,18 @@ all shared queries — the median is the ambient-load estimate (a real
 regression is one query moving; ambient load is all of them moving
 together). A sub-second floor absorbs scheduler jitter on tiny rows.
 
+Segment normalization (r14, automatic when the run carries "sentinel"
+records): Bench re-times a fixed anchored row (q1_agg) every ~20 queries.
+A load BURST that covers minutes 3-4 of the run inflates the rows in
+that window AND the sentinels bracketing them; each query's divisor is
+raised to its segment's sentinel ratio (relative to the sentinel run
+median), clamped to [ambient, ambient * SEG_CLAMP]. The divisor never
+drops below the global ambient, so a fast-jitter sentinel cannot
+tighten the gate, and the clamp keeps a slow sentinel from absorbing a
+real regression. Rows whose gate value came from the second window
+("windows" record, the in-run re-measure) are normalized against the
+pass-2 sentinels bracketing their re-measure position.
+
 Family normalization (--per-family, for LOADED-run gating): contention
 does not shift all rows equally — IO-bound families (artifact reads,
 persist-heavy dedup) amplify 2-3x while CPU rows barely move (the r11
@@ -24,9 +36,13 @@ FAMILY_CLAMP x ambient: a family uniformly 2.5x over ambient is NOT
 silently absorbed — the clamp leaves the excess visible, so a real
 family-wide regression still fails while family-correlated load
 sensitivity inside the clamp does not. Family medians are always
-printed as a diagnostic, gating or not.
+printed as a diagnostic, gating or not. Family and segment factors
+compose by MAX (both estimate the same thing — local ambient — so
+taking the larger, each already clamped, avoids double-absorbing).
 
-Exit codes: 0 = pass, 1 = at least one query over the gate, 2 = usage.
+Exit codes: 0 = pass, 1 = at least one query over the gate, 2 = usage
+or malformed baseline (schema violations are hard errors so the two
+re-anchor formats can never drift again).
 
 Usage:
   python3 tools/check_bench.py [bench_full.json] [--factor 2.0] [--update]
@@ -53,6 +69,14 @@ MATERIAL_SEC = 0.5
 # from hiding a genuine family-wide regression
 FAMILY_CLAMP = 1.5
 FAMILY_MIN = 4
+# a segment's sentinel may absorb at most this much beyond the global
+# ambient — a burst past 3x ambient is indistinguishable from a machine
+# that shouldn't be producing gate evidence at all
+SEG_CLAMP = 3.0
+
+# append-only baseline schema: ONE re-anchor format (VERDICT r13 ask #7).
+ENTRY_KEYS = {"sec", "first", "re_anchored"}
+REANCHOR_KEYS = {"date", "sec", "prior_sec", "reason"}
 
 
 def family_of(q):
@@ -60,6 +84,63 @@ def family_of(q):
     anomaly_*, ts_*, src_*, text_*, ...) — matches how the bench rows are
     named and how contention groups them (shared kernels + artifacts)."""
     return q.split("_", 1)[0]
+
+
+def validate_baseline(base):
+    """Reject unknown keys so a second re-anchor format can't creep in."""
+    errs = []
+    for q, e in base.items():
+        extra = set(e) - ENTRY_KEYS
+        if extra:
+            errs.append(f"{q}: unknown entry keys {sorted(extra)}")
+        if "sec" not in e or "first" not in e:
+            errs.append(f"{q}: missing required 'sec'/'first'")
+        for i, r in enumerate(e.get("re_anchored", [])):
+            extra = set(r) - REANCHOR_KEYS
+            if extra:
+                errs.append(f"{q}.re_anchored[{i}]: unknown keys {sorted(extra)}")
+            if "sec" not in r or "reason" not in r:
+                errs.append(f"{q}.re_anchored[{i}]: missing 'sec'/'reason'")
+    return errs
+
+
+def segment_factors(doc, cur, anchor_sec, sentinel_q):
+    """Per-query sentinel ratio (raw, un-normalized): for each shared
+    query, the max of the two pass-1 sentinel timings bracketing its run
+    position, as a ratio to the sentinel's anchor. Rows re-measured in
+    window 2 use the pass-2 sentinels bracketing their re-measure
+    position instead (that's the segment their gate value came from).
+    Returns {} when the run carries no sentinel records (pre-r14 runs)."""
+    sent = doc.get("sentinel") or []
+    if not sent or sentinel_q is None:
+        return {}
+    try:
+        s_anchor = anchor_sec(sentinel_q)
+    except KeyError:
+        return {}
+
+    def brackets(records, pos):
+        before = [r["sec"] for r in records if r["at"] <= pos]
+        after = [r["sec"] for r in records if r["at"] > pos]
+        vals = ([before[-1]] if before else []) + ([after[0]] if after else [])
+        return max(vals) / s_anchor if vals else None
+
+    p1 = sorted((r for r in sent if r.get("pass") == 1), key=lambda r: r["at"])
+    p2 = sorted((r for r in sent if r.get("pass") == 2), key=lambda r: r["at"])
+    # run order: Bench emits queries sorted by name; "windows" preserves
+    # the re-measure order (python dicts keep insertion order)
+    order = sorted(cur)
+    win2 = list(doc.get("windows") or {})
+    out = {}
+    for i, q in enumerate(order):
+        if q in win2 and cur[q] != (doc["windows"][q][0]):
+            # gate value came from the second window
+            f = brackets(p2, win2.index(q)) if p2 else None
+        else:
+            f = brackets(p1, i)
+        if f is not None:
+            out[q] = f
+    return out
 
 
 def main(argv):
@@ -84,12 +165,19 @@ def main(argv):
     per_family = "--per-family" in argv
 
     try:
-        cur = json.load(open(bench_path))["queries"]
+        doc = json.load(open(bench_path))
+        cur = doc["queries"]
     except Exception as e:
         print(f"cannot read bench run {bench_path}: {e}")
         return 2
     base_doc = json.load(open(BASELINE))
     base = base_doc["queries"]
+    schema_errs = validate_baseline(base)
+    if schema_errs:
+        print(f"MALFORMED baseline {BASELINE}:")
+        for e in schema_errs:
+            print(f"  {e}")
+        return 2
 
     # sanctioned re-anchor (BENCH_NOTES "Anchor policy"): an entry may
     # carry a "re_anchored" list of {date, sec, reason, prior_sec}
@@ -109,6 +197,19 @@ def main(argv):
         return 2
     ambient = statistics.median(ratios.values())
 
+    # segment factors from the in-run sentinel (raw sentinel ratios,
+    # normalized below by the sentinel run median so a uniformly-loaded
+    # run doesn't double-count ambient)
+    seg_raw = segment_factors(doc, cur, anchor_sec, doc.get("sentinel_q"))
+    seg_med = statistics.median(seg_raw.values()) if seg_raw else None
+    if seg_raw:
+        hi = max(seg_raw.values()) / seg_med
+        print(f"sentinel segments: {len([r for r in (doc.get('sentinel') or []) if r.get('pass') == 1])} pass-1 marks, "
+              f"median ratio {seg_med:.2f}, worst segment {hi:.2f}x median")
+    if doc.get("windows"):
+        parts = ", ".join(f"{q} {w[0]:.2f}->{w[1]:.2f}s" for q, w in sorted(doc["windows"].items()))
+        print(f"re-measured (second window, gate on better): {parts}")
+
     # family medians: diagnostic always, gating divisor under --per-family
     fams = {}
     for q in shared:
@@ -119,17 +220,24 @@ def main(argv):
         print(f"family medians (vs ambient): {parts}")
 
     def divisor(q):
-        if not per_family:
-            return ambient
-        m = fam_med.get(family_of(q))
-        if m is None:
-            return ambient
-        # absorb family-correlated CONTENTION only: family median above
-        # ambient, up to the clamp (a family uniformly past it keeps
-        # failing). A family median BELOW ambient never tightens the gate
-        # — half a family getting 10x faster (artifact routing) must not
-        # flag the family's live-compute rows as regressions.
-        return min(max(m, ambient), ambient * FAMILY_CLAMP)
+        d = ambient
+        if per_family:
+            m = fam_med.get(family_of(q))
+            if m is not None:
+                # absorb family-correlated CONTENTION only: family median
+                # above ambient, up to the clamp (a family uniformly past
+                # it keeps failing). A family median BELOW ambient never
+                # tightens the gate — half a family getting 10x faster
+                # (artifact routing) must not flag the family's
+                # live-compute rows as regressions.
+                d = max(d, min(max(m, ambient), ambient * FAMILY_CLAMP))
+        if seg_med and q in seg_raw:
+            # segment burst factor: this query's bracketing sentinels vs
+            # the sentinel run median; >1 only when ITS segment ran hotter
+            # than the run's typical segment. Never below ambient; clamped.
+            seg = ambient * (seg_raw[q] / seg_med)
+            d = max(d, min(max(seg, ambient), ambient * SEG_CLAMP))
+        return d
 
     failures = []
     for q in shared:
