@@ -2174,7 +2174,8 @@ class ExtSpec extends AnyFunSuite {
     val p0 = java.nio.file.Paths.get(dir, "archive-0.warc.gz")
     val idx0 = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "archive-0.warc.gz.idx")),
-      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+      java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
     val secondLastOff = idx0(idx0.length - 2).split(" ")(1).toLong
     val b0 = java.nio.file.Files.readAllBytes(p0)
     java.nio.file.Files.write(p0, b0.take(secondLastOff.toInt + 5))
@@ -2304,7 +2305,8 @@ class ExtSpec extends AnyFunSuite {
     for (a <- 0 to 1) {
       val f = new java.io.File(dir, s"archive-$a.warc.gz")
       val lines = scala.io.Source.fromFile(new java.io.File(dir, s"archive-$a.warc.gz.idx"))
-        .getLines().map(_.split(" ").map(_.toLong)).toVector
+        .getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split(" ").map(_.toLong)).toVector
       assert(lines.length == 32, s"one index line per member, got ${lines.length}")
       assert(lines.map(_(2)).sum == f.length(), "member lengths must tile the file")
       assert(lines.map(l => l(1) + l(2)).max == f.length(), "last member ends at EOF")

@@ -868,7 +868,8 @@ class StreamingSpec extends AnyFunSuite {
     // the per-sidecar span fold must out-parallelize the archive AND
     // agree exactly with the batch split table (shared grouping rule)
     val idxLines = scala.io.Source.fromFile(new java.io.File(dir, "archive-0.warc.gz.idx"))
-      .getLines().map { l => val f = l.split(" "); (f(0).toLong, f(1).toLong, f(2).toLong) }.toVector
+      .getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val f = l.split(" "); (f(0).toLong, f(1).toLong, f(2).toLong) }.toVector
     val bounds = Warc.gzSpanBounds(idxLines.iterator, membersPerSplit = 4, maxSplitBytes = 256L << 20)
     assert(bounds.length == 8, s"1 archive must become 8 member spans in the micro-batch, got ${bounds.length}")
     val batch = Warc.gzMemberSplits(spark, dir, membersPerSplit = 4).collect()
