@@ -355,9 +355,12 @@ object ScaleProbe {
           .where(c("doc_id") < selBound)
           .agg(fsum(length(c("text")))).head.getLong(0)}")
       }
-      timed("DSv2 selective+text NO pushdown (doc_id+0 defeats it — every body decoded)") {
+      // abs(doc_id) is unpushable (WarcGzFilters supports bare columns
+      // only) and Catalyst cannot fold it away — the old "+ 0L" idiom IS
+      // constant-folded in Spark 4 and silently measured a pushed read
+      timed("DSv2 selective+text NO pushdown (abs(doc_id) defeats it — every body decoded)") {
         println(s"[scaleprobe] dsv2_nopush_chars = ${dsv2
-          .where(c("doc_id") + 0L < selBound)
+          .where(abs(c("doc_id")) < selBound)
           .agg(fsum(length(c("text")))).head.getLong(0)}")
       }
       // zone-map skip: RANGE-partitioned archives (DSv2 writer, one
@@ -375,17 +378,35 @@ object ScaleProbe {
           .sortWithinPartitions("doc_id")
           .write.format("warcgz").mode("overwrite").save(zdir)
       }
+      // bytes-touched instrumentation: local[n] runs every reader in this
+      // JVM, so Hadoop's global "file"-scheme statistics sum exactly the
+      // positioned reads the tasks issue — the direct "archives touched"
+      // signal (wall at this corpus size is task-launch noise)
+      def fsBytesRead(): Long = {
+        var b = 0L
+        val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getScheme == "file") b = st.getLong("bytesRead")
+        }
+        b
+      }
       val zread = spark.read.format("warcgz").load(zdir)
+      val zb0 = fsBytesRead()
       timed(s"zone-selective read (doc_id < $selBound pushed — zones skip N-1 archives)") {
         println(s"[scaleprobe] zmap_selective_chars = ${zread
           .where(c("doc_id") < selBound)
           .agg(fsum(length(c("text")))).head.getLong(0)}")
       }
-      timed("zone-defeated read (doc_id+0 unpushable — every archive header-walked)") {
+      val zb1 = fsBytesRead()
+      timed("zone-defeated read (abs(doc_id) unpushable — every archive walked+decoded)") {
         println(s"[scaleprobe] zmap_defeated_chars = ${zread
-          .where(c("doc_id") + 0L < selBound)
+          .where(abs(c("doc_id")) < selBound)
           .agg(fsum(length(c("text")))).head.getLong(0)}")
       }
+      val zb2 = fsBytesRead()
+      println(f"[scaleprobe] zmap_bytes_selective = ${zb1 - zb0} vs defeated ${zb2 - zb1} " +
+        f"(${(zb2 - zb1).toDouble / math.max(1L, zb1 - zb0)}%.1fx fewer bytes touched)")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
       timed("readArchivesGzCounted (whole-file walk, the straggler baseline)") {
         val scan = graft.sources.Warc.readArchivesGzCounted(spark, gdir)
