@@ -209,6 +209,31 @@ object ScaleProbe {
         println(s"[scaleprobe] excise docs=${out.getLong(0)} chunks=${out.getLong(1)} " +
           s"kept=${out.getLong(2)} clean_chars=${out.getLong(3)}")
       }
+      // exact-substring excision at 1x and multx (arg 3, default 10):
+      // replication with fresh ids multiplies TRUE duplicated runs —
+      // every replica excises against the corpus-first copy, so removal
+      // volume is output-bound (~linear in corpus), never pair-shaped;
+      // the agg-min election keeps a 10^6-duplicated window one combined
+      // row per task. Sub-quadratic = multx wall far below mult^2.
+      val xmult = if (args.length > 2) args(2).toInt else 10
+      def xsub(d: org.apache.spark.sql.DataFrame, label: String): Unit =
+        timed(s"exciseExactSubstrings w=8 $label") {
+          val out = Dedup.exciseExactSubstrings(d, "doc_id", "text", w = 8)
+            .agg(
+              count(lit(1)).as("docs"), sum("n_spans").as("spans"),
+              sum("n_tokens_removed").as("removed"),
+              sum(length(col("clean_text"))).as("clean_chars"))
+            .head()
+          println(s"[scaleprobe] xsub_$label docs=${out.getLong(0)} spans=${out.getLong(1)} " +
+            s"removed=${out.getLong(2)} clean_chars=${out.getLong(3)}")
+        }
+      xsub(docs, "1x")
+      val repl = docs
+        .crossJoin(broadcast(spark.range(xmult.toLong).select(col("id").as("_rep"))))
+        .select(
+          (col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      xsub(repl, s"${xmult}x")
       spark.stop()
       return
     }

@@ -41,6 +41,8 @@ object ExtTableFunctions {
   val DedupExciseName = "dedup_excise"
   val TrianglesName = "triangles"
   val ContainmentPairsName = "containment_pairs"
+  val ExactSubstringName = "exact_substring_excise"
+  val FuzzyDecontamName = "fuzzy_decontaminate"
 
   /** Session-scoped artifact cache for the PAIR-GRAPH TVFs (minhash /
     * ppjoin) — the builders whose whole signature→candidate→verify
@@ -227,6 +229,46 @@ object ExtTableFunctions {
     }
   }
 
+  /** `exact_substring_excise(table[, w])` — Lee-et-al-style exact-
+    * substring dedup over a `(doc_id, text)` relation: every duplicated
+    * token run ≥ w (default 8) keeps only its corpus-first occurrence;
+    * rows are `(doc_id, n_spans, n_tokens_removed, clean_text)`. Routed
+    * through the artifact cache (once per (table, w) PER SESSION — the
+    * window-hash election is a corpus pass; mutated views need a fresh
+    * view name, the shared artifact contract).
+    */
+  def exactSubstringBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2, s"usage: $ExactSubstringName(table[, w])")
+    val table = FoldTableFunctions.stringArg(ExactSubstringName, args, 0)
+    val w = FoldTableFunctions.doubleArg(ExactSubstringName, args, 1, 8.0).toInt
+    val spark = SparkSession.active
+    cachedPlan(s"$ExactSubstringName:$table:$w:${spark.sparkContext.applicationId}") {
+      Dedup.exciseExactSubstrings(spark.table(table), "doc_id", "text", w)
+    }
+  }
+
+  /** `fuzzy_decontaminate(train_table, probe_table[, tau[, n]])` —
+    * containment-based eval-set decontamination ledger: every train doc
+    * with its verdict against the probe relation (C(probe→train) ≥ τ at
+    * n-gram grain, default τ=0.4, n=2). Same once-per-session artifact
+    * caching as the other pair-graph TVFs.
+    */
+  def fuzzyDecontamBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 5,
+      s"usage: $FuzzyDecontamName(train_table, probe_table[, tau[, n[, maxDf]]])")
+    val train = FoldTableFunctions.stringArg(FuzzyDecontamName, args, 0)
+    val probe = FoldTableFunctions.stringArg(FuzzyDecontamName, args, 1)
+    val tau = FoldTableFunctions.doubleArg(FuzzyDecontamName, args, 2, 0.4)
+    val n = FoldTableFunctions.doubleArg(FuzzyDecontamName, args, 3, 2.0).toInt
+    val maxDf = FoldTableFunctions.doubleArg(FuzzyDecontamName, args, 4, 100000.0).toInt
+    val spark = SparkSession.active
+    cachedPlan(s"$FuzzyDecontamName:$train:$probe:$tau:$n:$maxDf:${spark.sparkContext.applicationId}") {
+      Dedup.fuzzyDecontamination(
+        spark.table(train), spark.table(probe), "doc_id", "text",
+        n = n, tau = tau, maxDf = maxDf)
+    }
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -240,5 +282,7 @@ object ExtTableFunctions {
     SqlBridge.registerTableFunction(spark, DedupExciseName, dedupExciseBuilder)
     SqlBridge.registerTableFunction(spark, TrianglesName, trianglesBuilder)
     SqlBridge.registerTableFunction(spark, ContainmentPairsName, containmentPairsBuilder)
+    SqlBridge.registerTableFunction(spark, ExactSubstringName, exactSubstringBuilder)
+    SqlBridge.registerTableFunction(spark, FuzzyDecontamName, fuzzyDecontamBuilder)
   }
 }

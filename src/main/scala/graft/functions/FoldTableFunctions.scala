@@ -44,6 +44,7 @@ object FoldTableFunctions {
   val StlName = "stl_decompose"
   val SeasonalStrengthName = "seasonal_strength"
   val AsOfJoinName = "asof_join"
+  val TopCorrName = "top_corr_pairs"
 
   private[functions] def stringArg(fn: String, args: Seq[Expression], i: Int): String = args(i) match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -252,6 +253,29 @@ object FoldTableFunctions {
       graft.ts.AsOfJoin.join(spark.table(pt), spark.table(bt), dir, tol))
   }
 
+  /** `top_corr_pairs(table, bucketMs[, minBuckets[, nBands[,
+    * minBandMatches[, minAbsR]]]])` — the scale path for cross-series
+    * correlation over a `(seriesKey, tsMs, value)` relation: integer
+    * sign-sketch band candidates, occupancy-capped, then EXACT Pearson
+    * on the candidates only (`key_a, key_b, band_matches, n_buckets,
+    * pearson_r`). Sub-quadratic in the series count where the exact
+    * all-pairs `pairwiseCorr` is K² (and guarded).
+    */
+  def topCorrBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 6,
+      s"usage: $TopCorrName(table, bucketMs[, minBuckets[, nBands[, minBandMatches[, minAbsR]]]])")
+    val spark = SparkSession.active
+    graft.bridge.SqlBridge.analyzedPlan(
+      graft.ts.TsAlgebra.topCorrelatedPairs(
+        spark.table(stringArg(TopCorrName, args, 0)),
+        "seriesKey", "tsMs", "value",
+        bucketMs = doubleArg(TopCorrName, args, 1, Double.NaN).toLong,
+        minBuckets = doubleArg(TopCorrName, args, 2, 2.0).toLong,
+        nBands = doubleArg(TopCorrName, args, 3, 4.0).toInt,
+        minBandMatches = doubleArg(TopCorrName, args, 4, 2.0).toInt,
+        minAbsR = doubleArg(TopCorrName, args, 5, 0.5)))
+  }
+
   /** Runtime registration into a live session (the no-config twin of the
     * `spark.sql.extensions=graft.functions.GraftExtensions` path).
     */
@@ -266,6 +290,7 @@ object FoldTableFunctions {
     graft.bridge.SqlBridge.registerTableFunction(spark, StlName, stlBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, SeasonalStrengthName, seasonalStrengthBuilder)
     graft.bridge.SqlBridge.registerTableFunction(spark, AsOfJoinName, asofJoinBuilder)
+    graft.bridge.SqlBridge.registerTableFunction(spark, TopCorrName, topCorrBuilder)
     KeyedFoldPlan.ensureStrategy(spark) // the TVF plans need the fold strategy
   }
 }

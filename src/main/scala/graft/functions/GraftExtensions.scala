@@ -244,9 +244,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ExtTableFunctions.ContainmentPairsName,
           "containment_pairs(table[, tau]) - directed shingle-containment pairs " +
             "(inner_id, outer_id, n_inner, n_shared, containment, jaccard) over a " +
-            "(doc_id, text) relation",
+            "(doc_id, text) relation; result is cached once per (table, tau) per " +
+            "session - re-register a fresh view name after mutating the relation",
           ""),
         ExtTableFunctions.containmentPairsBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.ExactSubstringName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.ExactSubstringName,
+          "exact_substring_excise(table[, w]) - exact-substring dedup: every " +
+            "duplicated token run >= w keeps only its corpus-first occurrence " +
+            "(doc_id, n_spans, n_tokens_removed, clean_text); cached once per " +
+            "(table, w) per session",
+          ""),
+        ExtTableFunctions.exactSubstringBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(ExtTableFunctions.FuzzyDecontamName),
+        new ExpressionInfo(
+          ExtTableFunctions.getClass.getName,
+          null,
+          ExtTableFunctions.FuzzyDecontamName,
+          "fuzzy_decontaminate(train_table, probe_table[, tau[, n]]) - containment-" +
+            "based eval-set decontamination ledger (train_id, contaminated, " +
+            "n_probe_matches, best_probe_id, max_containment, action); cached once " +
+            "per (tables, tau, n) per session",
+          ""),
+        ExtTableFunctions.fuzzyDecontamBuilder))
+    extensions.injectTableFunction(
+      (
+        FunctionIdentifier(FoldTableFunctions.TopCorrName),
+        new ExpressionInfo(
+          FoldTableFunctions.getClass.getName,
+          null,
+          FoldTableFunctions.TopCorrName,
+          "top_corr_pairs(table, bucketMs[, minBuckets[, nBands[, minBandMatches[, " +
+            "minAbsR]]]]) - sub-quadratic cross-series correlation over a " +
+            "(seriesKey, tsMs, value) relation: sign-sketch band candidates, then " +
+            "exact Pearson r on candidates only",
+          ""),
+        FoldTableFunctions.topCorrBuilder))
     // whole-operator path: plans graft.plans.KeyedFoldNode (sequential
     // per-key folds) into its physical operator
     extensions.injectPlannerStrategy(_ => graft.plans.KeyedFoldStrategy)

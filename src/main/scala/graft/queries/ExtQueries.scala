@@ -14,6 +14,70 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
+  /** Shared by decontaminate_fuzzy and its TVF twin ext_sql_fuzzy. */
+  private val fuzzyDecontamOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)),
+             |         i -> concat_ws(' ', words[i], words[i+1])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |dfh AS (SELECT h, count(*) dfreq FROM hs GROUP BY 1),
+             |kept AS (SELECT doc_id, hs.h FROM hs JOIN dfh USING (h) WHERE dfreq <= 100),
+             |p AS (SELECT doc_id, h FROM kept WHERE doc_id < 20),
+             |t AS (SELECT doc_id, h FROM kept WHERE doc_id >= 20),
+             |np AS (SELECT doc_id, count(*) na FROM p GROUP BY 1 HAVING count(*) >= 4),
+             |ix AS (SELECT t.doc_id train_id, p.doc_id probe_id, count(*) i
+             |       FROM t JOIN p ON t.h = p.h GROUP BY 1, 2),
+             |c AS (SELECT train_id, probe_id, round(i * 1.0 / na, 4) containment
+             |      FROM ix JOIN np ON ix.probe_id = np.doc_id
+             |      WHERE round(i * 1.0 / na, 4) >= 0.4),
+             |r AS (SELECT train_id, probe_id, containment,
+             |        count(*) OVER (PARTITION BY train_id) n_probe_matches,
+             |        row_number() OVER (PARTITION BY train_id
+             |                           ORDER BY containment DESC, probe_id) rn
+             |      FROM c),
+             |b AS (SELECT train_id, n_probe_matches, probe_id best_probe_id,
+             |        containment max_containment FROM r WHERE rn = 1)
+             |SELECT d.doc_id AS train_id,
+             |  b.train_id IS NOT NULL AS contaminated,
+             |  coalesce(b.n_probe_matches, 0) AS n_probe_matches,
+             |  b.best_probe_id, b.max_containment,
+             |  CASE WHEN b.train_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
+             |LEFT JOIN b ON d.doc_id = b.train_id""".stripMargin
+
+  /** Shared by dedup_exact_substring and its TVF twin ext_sql_xsub. */
+  private val xsubOracleSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
+             |win AS (SELECT doc_id, unnest(range(1, len(words) - 6)) i, words FROM w),
+             |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+             |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
+             |      FROM win),
+             |rem AS (SELECT doc_id, pos FROM (
+             |          SELECT doc_id, pos,
+             |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
+             |                 count(*) OVER (PARTITION BY h) c
+             |          FROM h) WHERE c > 1 AND rn > 1),
+             |d AS (SELECT DISTINCT doc_id, pos FROM rem),
+             |l AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp FROM d),
+             |g AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN pp IS NULL OR pos - pp > 8 THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) grp FROM l),
+             |sp AS (SELECT doc_id, min(pos) s, max(pos) + 7 e FROM g GROUP BY doc_id, grp),
+             |agg AS (SELECT doc_id, count(*) n_spans,
+             |          CAST(sum(e - s + 1) AS BIGINT) n_tokens_removed FROM sp GROUP BY 1),
+             |tok AS (SELECT doc_id, CAST(unnest(range(1, len(words) + 1)) - 1 AS BIGINT) idx, words
+             |        FROM w),
+             |tk AS (SELECT doc_id, idx, words[CAST(idx + 1 AS INT)] tk FROM tok),
+             |keep AS (SELECT t.doc_id, t.idx, t.tk FROM tk t
+             |         WHERE NOT EXISTS (SELECT 1 FROM sp
+             |                           WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)),
+             |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) clean FROM keep GROUP BY 1)
+             |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.n_tokens_removed, 0) AS n_tokens_removed,
+             |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
+             |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin
+
+
   /** Per-table IVF index cache: the build (KMeans fit) is the offline step;
     * queries reuse it. Keyed by data dir — one fit per table per JVM.
     */
@@ -2191,6 +2255,36 @@ object ExtQueries {
           |  CAST(sum(clean_chars) AS BIGINT) AS clean_chars
           |FROM led GROUP BY source""".stripMargin)
     ),
+    // SQL TVF twin of dedup_exact_substring: the full token-grain
+    // excision from a SQL string; output identical to the Scala row, so
+    // the shared oracle hash-proves the TVF routing end to end.
+    Q(
+      "ext_sql_xsub",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """SELECT doc_id, n_spans, n_tokens_removed, clean_text
+            |FROM exact_substring_excise('graft_sql_docs', 8)""".stripMargin)
+      },
+      Some(xsubOracleSql)
+    ),
+    // SQL TVF twin of decontaminate_fuzzy: the containment-based
+    // decontamination ledger from a SQL string over two views.
+    Q(
+      "ext_sql_fuzzy",
+      (s, dir) => {
+        graft.functions.ExtTableFunctions.register(s)
+        val docs = Tables.documents(s, dir)
+        docs.where(col("doc_id") >= 20).createOrReplaceTempView("graft_sql_train")
+        docs.where(col("doc_id") < 20).createOrReplaceTempView("graft_sql_probe")
+        s.sql(
+          """SELECT train_id, contaminated, n_probe_matches, best_probe_id,
+            |       max_containment, action
+            |FROM fuzzy_decontaminate('graft_sql_train', 'graft_sql_probe', 0.4, 2, 100)""".stripMargin)
+      },
+      Some(fuzzyDecontamOracleSql)
+    ),
     // ---- deterministic sampling / splits / source mixing ----
     // All md5-keyed per doc id: reproducible across runs, cluster sizes
     // and engines; zero shuffles (narrow map/filter).
@@ -3090,34 +3184,7 @@ object ExtQueries {
           docs.where(col("doc_id") < 20),
           "doc_id", "text", n = 2, tau = 0.4, minShingles = 4, maxDf = 100)
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)),
-             |         i -> concat_ws(' ', words[i], words[i+1])))) g FROM w),
-             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
-             |dfh AS (SELECT h, count(*) dfreq FROM hs GROUP BY 1),
-             |kept AS (SELECT doc_id, hs.h FROM hs JOIN dfh USING (h) WHERE dfreq <= 100),
-             |p AS (SELECT doc_id, h FROM kept WHERE doc_id < 20),
-             |t AS (SELECT doc_id, h FROM kept WHERE doc_id >= 20),
-             |np AS (SELECT doc_id, count(*) na FROM p GROUP BY 1 HAVING count(*) >= 4),
-             |ix AS (SELECT t.doc_id train_id, p.doc_id probe_id, count(*) i
-             |       FROM t JOIN p ON t.h = p.h GROUP BY 1, 2),
-             |c AS (SELECT train_id, probe_id, round(i * 1.0 / na, 4) containment
-             |      FROM ix JOIN np ON ix.probe_id = np.doc_id
-             |      WHERE round(i * 1.0 / na, 4) >= 0.4),
-             |r AS (SELECT train_id, probe_id, containment,
-             |        count(*) OVER (PARTITION BY train_id) n_probe_matches,
-             |        row_number() OVER (PARTITION BY train_id
-             |                           ORDER BY containment DESC, probe_id) rn
-             |      FROM c),
-             |b AS (SELECT train_id, n_probe_matches, probe_id best_probe_id,
-             |        containment max_containment FROM r WHERE rn = 1)
-             |SELECT d.doc_id AS train_id,
-             |  b.train_id IS NOT NULL AS contaminated,
-             |  coalesce(b.n_probe_matches, 0) AS n_probe_matches,
-             |  b.best_probe_id, b.max_containment,
-             |  CASE WHEN b.train_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
-             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
-             |LEFT JOIN b ON d.doc_id = b.train_id""".stripMargin)
+      Some(fuzzyDecontamOracleSql)
     ),
     // Content-defined chunking: per-chunk rows with md5, plus cross-doc
     // chunk dedup. The oracle replays the identical windowed polynomial
@@ -3159,35 +3226,7 @@ object ExtQueries {
       "dedup_exact_substring",
       (s, dir) =>
         Dedup.exciseExactSubstrings(Tables.documents(s, dir), "doc_id", "text", w = 8),
-      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
-             |win AS (SELECT doc_id, unnest(range(1, len(words) - 6)) i, words FROM w),
-             |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
-             |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
-             |      FROM win),
-             |rem AS (SELECT doc_id, pos FROM (
-             |          SELECT doc_id, pos,
-             |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
-             |                 count(*) OVER (PARTITION BY h) c
-             |          FROM h) WHERE c > 1 AND rn > 1),
-             |d AS (SELECT DISTINCT doc_id, pos FROM rem),
-             |l AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp FROM d),
-             |g AS (SELECT doc_id, pos,
-             |        sum(CASE WHEN pp IS NULL OR pos - pp > 8 THEN 1 ELSE 0 END)
-             |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) grp FROM l),
-             |sp AS (SELECT doc_id, min(pos) s, max(pos) + 7 e FROM g GROUP BY doc_id, grp),
-             |agg AS (SELECT doc_id, count(*) n_spans,
-             |          CAST(sum(e - s + 1) AS BIGINT) n_tokens_removed FROM sp GROUP BY 1),
-             |tok AS (SELECT doc_id, CAST(unnest(range(1, len(words) + 1)) - 1 AS BIGINT) idx, words
-             |        FROM w),
-             |tk AS (SELECT doc_id, idx, words[CAST(idx + 1 AS INT)] tk FROM tok),
-             |keep AS (SELECT t.doc_id, t.idx, t.tk FROM tk t
-             |         WHERE NOT EXISTS (SELECT 1 FROM sp
-             |                           WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)),
-             |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) clean FROM keep GROUP BY 1)
-             |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
-             |  coalesce(a.n_tokens_removed, 0) AS n_tokens_removed,
-             |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
-             |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin)
+      Some(xsubOracleSql)
     ),
     Q(
       "dedup_excise",

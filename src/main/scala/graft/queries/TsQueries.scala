@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object TsQueries {
 
+  /** Shared by ts_top_corr_pairs and its TVF twin ts_sql_topcorr. */
+  private val topCorrOracleSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events WHERE user_id < 120),
+              |b AS (SELECT user_id, tm - tm % ${T.Day} AS bt, avg(value) bv,
+              |        sum(CAST(round(value * 100) AS BIGINT)) svm, count(*) nvm
+              |      FROM e GROUP BY 1, 2),
+              |b2 AS (SELECT *, CAST(sign(svm) AS BIGINT) * ((abs(svm) * 2 + nvm) // (2 * nvm)) AS bvfp
+              |       FROM b),
+              |m AS (SELECT user_id, count(*) nb, sum(bvfp) tot FROM b2 GROUP BY 1
+              |      HAVING count(*) >= 5),
+              |om AS (SELECT min(bt) omin FROM b2),
+              |t AS (SELECT b2.user_id,
+              |        ((b2.bt - om.omin) // ${T.Day}) % 10 AS band,
+              |        CASE WHEN b2.bvfp * m.nb > m.tot
+              |             THEN  (((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
+              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1)
+              |             ELSE -(((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
+              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1) END AS term
+              |      FROM b2 JOIN m USING (user_id) CROSS JOIN om),
+              |bands AS (SELECT user_id, band, sum(term) sig, count(*) cnt FROM t GROUP BY 1, 2),
+              |capped AS (SELECT * FROM (
+              |    SELECT *, count(*) OVER (PARTITION BY band, sig, cnt) occ FROM bands)
+              |  WHERE occ <= 200),
+              |cand AS (SELECT x.user_id key_a, y.user_id key_b, count(*) band_matches
+              |         FROM capped x JOIN capped y
+              |           ON x.band = y.band AND x.sig = y.sig AND x.cnt = y.cnt
+              |          AND x.user_id < y.user_id
+              |         GROUP BY 1, 2 HAVING count(*) >= 2),
+              |r AS (SELECT c.key_a, c.key_b, c.band_matches, count(*) n_buckets,
+              |        round(CASE WHEN stddev_pop(x.bv) > 0 AND stddev_pop(y.bv) > 0
+              |                   THEN covar_pop(x.bv, y.bv) / (stddev_pop(x.bv) * stddev_pop(y.bv))
+              |              END, 4) + 0.0 AS pearson_r
+              |      FROM cand c
+              |      JOIN b2 x ON c.key_a = x.user_id
+              |      JOIN b2 y ON c.key_b = y.user_id AND x.bt = y.bt
+              |      GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+              |SELECT key_a, key_b, band_matches, n_buckets, pearson_r
+              |FROM r WHERE abs(pearson_r) >= 0.3""".stripMargin
+
+
   private val cols = TsCols(key = "user_id", ts = "ts_ms", value = "value", seq = Some("event_id"))
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
@@ -486,42 +526,28 @@ object TsQueries {
           ev(s, dir).select(col("user_id"), col("ts_ms"), col("value")).where(col("user_id") < 120),
           "user_id", "ts_ms", "value", bucketMs = T.Day, minBuckets = 5,
           nBands = 10, minBandMatches = 2, minAbsR = 0.3, maxBucket = 200),
-      Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) tm, value FROM events WHERE user_id < 120),
-              |b AS (SELECT user_id, tm - tm % ${T.Day} AS bt, avg(value) bv,
-              |        sum(CAST(round(value * 100) AS BIGINT)) svm, count(*) nvm
-              |      FROM e GROUP BY 1, 2),
-              |b2 AS (SELECT *, CAST(sign(svm) AS BIGINT) * ((abs(svm) * 2 + nvm) // (2 * nvm)) AS bvfp
-              |       FROM b),
-              |m AS (SELECT user_id, count(*) nb, sum(bvfp) tot FROM b2 GROUP BY 1
-              |      HAVING count(*) >= 5),
-              |om AS (SELECT min(bt) omin FROM b2),
-              |t AS (SELECT b2.user_id,
-              |        ((b2.bt - om.omin) // ${T.Day}) % 10 AS band,
-              |        CASE WHEN b2.bvfp * m.nb > m.tot
-              |             THEN  (((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
-              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1)
-              |             ELSE -(((b2.bt - om.omin) // ${T.Day} // 10 + 1) * ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 31
-              |                    + ((b2.bt - om.omin) // ${T.Day} // 10 + 1) * 7 + 1) END AS term
-              |      FROM b2 JOIN m USING (user_id) CROSS JOIN om),
-              |bands AS (SELECT user_id, band, sum(term) sig, count(*) cnt FROM t GROUP BY 1, 2),
-              |capped AS (SELECT * FROM (
-              |    SELECT *, count(*) OVER (PARTITION BY band, sig, cnt) occ FROM bands)
-              |  WHERE occ <= 200),
-              |cand AS (SELECT x.user_id key_a, y.user_id key_b, count(*) band_matches
-              |         FROM capped x JOIN capped y
-              |           ON x.band = y.band AND x.sig = y.sig AND x.cnt = y.cnt
-              |          AND x.user_id < y.user_id
-              |         GROUP BY 1, 2 HAVING count(*) >= 2),
-              |r AS (SELECT c.key_a, c.key_b, c.band_matches, count(*) n_buckets,
-              |        round(CASE WHEN stddev_pop(x.bv) > 0 AND stddev_pop(y.bv) > 0
-              |                   THEN covar_pop(x.bv, y.bv) / (stddev_pop(x.bv) * stddev_pop(y.bv))
-              |              END, 4) + 0.0 AS pearson_r
-              |      FROM cand c
-              |      JOIN b2 x ON c.key_a = x.user_id
-              |      JOIN b2 y ON c.key_b = y.user_id AND x.bt = y.bt
-              |      GROUP BY 1, 2, 3 HAVING count(*) >= 5)
-              |SELECT key_a, key_b, band_matches, n_buckets, pearson_r
-              |FROM r WHERE abs(pearson_r) >= 0.3""".stripMargin)
+      Some(topCorrOracleSql)
+    ),
+    // SQL TVF twin of ts_top_corr_pairs: the whole sign-sketch funnel
+    // from a SQL string. Keys travel as ZERO-PADDED strings so the
+    // funnel's key_a < key_b tie-break keeps numeric order (bare CAST
+    // would flip pairs like ('100','2') lexicographically).
+    Q(
+      "ts_sql_topcorr",
+      (s, dir) => {
+        graft.functions.FoldTableFunctions.register(s)
+        ev(s, dir).where(col("user_id") < 120).createOrReplaceTempView("graft_sqlc_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW graft_sqlc_pts AS
+            |SELECT lpad(CAST(user_id AS STRING), 8, '0') AS seriesKey,
+            |       ts_ms AS tsMs, value
+            |FROM graft_sqlc_events""".stripMargin)
+        s.sql(
+          s"""SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
+             |       band_matches, n_buckets, pearson_r
+             |FROM top_corr_pairs('graft_sqlc_pts', ${T.Day}, 5, 10, 2, 0.3)""".stripMargin)
+      },
+      Some(topCorrOracleSql)
     ),
     // Gap-filled hourly grid with last-observation-carried-forward: no fp
     // arithmetic (max per bucket, values copied), so bit-exact on both
