@@ -409,7 +409,11 @@ object Detectors {
       .withColumn(
         "n0",
         when(
-          col("_dupN") > 1,
+          // only series the detector would actually SCORE raise: a dup in
+          // a sub-MinPoints series was silently dropped before the guard
+          // existed, and still is — the guard must not fail jobs on data
+          // the pipeline never consumes
+          col("_dupN") > 1 && col("n0") >= Constants.MinPoints,
           raise_error(concat(
             lit("esdCore: duplicate (tsMs, value) rows in series "), col("seriesKey"),
             lit(" at ts "), col("tsMs"),

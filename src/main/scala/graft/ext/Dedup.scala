@@ -268,28 +268,38 @@ object Dedup {
       .where(col("na") >= minShingles)
     val sizesT = keptT.groupBy(col("id")).agg(count(lit(1)).as("nb"))
     // probe-side rarest-first prefix: missing all of the first
-    // na − ⌈τ·na⌉ + 1 shingles bounds the intersection below ⌈τ·na⌉
+    // na − ⌈τ·na⌉ + 1 shingles bounds the intersection below ⌈τ·na⌉.
+    // The ceil runs on (na·τ − 1e-9): when the true product sits on an
+    // integer k, fp noise in na*τ can land a hair ABOVE k and a bare
+    // ceil would demand k+1 — pruning a pair the exact verify accepts.
+    // Subtracting the epsilon only ever LOWERS the bound (more
+    // candidates), so losslessness is unconditional.
+    val tauBound = s"CAST(ceil(na * $tau - 1e-9) AS BIGINT)"
     val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("h"))
     val prefixP = keptP.join(sizesP, "id")
       .withColumn("rn", row_number().over(byRarity))
-      .where(col("rn") <= col("na") - expr(s"CAST(ceil(na * $tau) AS BIGINT)") + 1)
+      .where(col("rn") <= col("na") - expr(tauBound) + 1)
       .select(col("id").as("probe_id"), col("h"), col("na"))
     val cand = prefixP
       .join(keptT.select(col("id").as("train_id"), col("h")), "h")
       .join(sizesT.select(col("id").as("train_id"), col("nb")), "train_id")
-      .where(col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
+      .where(col("nb") >= expr(tauBound))
       .select(col("probe_id"), col("train_id"))
       .distinct()
     val arrP = keptP.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("hsp"), count(lit(1)).as("na"))
     val arrT = keptT.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("hst"))
+    // verify on the RAW ratio (the containmentPairs convention): the
+    // rounded form would accept i just below τ·na that the lossless
+    // candidate bound correctly prunes — round(4) is for REPORTING only
     val hits = cand
       .join(arrP.select(col("id").as("probe_id"), col("hsp"), col("na")), "probe_id")
       .join(arrT.select(col("id").as("train_id"), col("hst")), "train_id")
       .withColumn("i", size(array_intersect(col("hsp"), col("hst"))).cast("long"))
-      .withColumn("containment", round(col("i").cast("double") / col("na"), 4))
-      .where(col("containment") >= tau)
+      .withColumn("c_raw", col("i").cast("double") / col("na"))
+      .where(col("c_raw") >= tau)
+      .withColumn("containment", round(col("c_raw"), 4))
     // ledger: every train doc, best match by (containment desc, probe asc)
     val best = hits
       .groupBy(col("train_id"))
@@ -319,6 +329,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      // fan out before hashing (the sibling shingle kernels' rule): a
+      // small corpus arriving as one parquet split would otherwise
+      // tokenize+md5 on a single core for all downstream consumers
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1683,7 +1697,12 @@ object Dedup {
     * window hash, the [[exciseDuplicateChunks]] election, computed by a
     * partial-aggregating groupBy — never a per-hash row_number sort, so
     * a boilerplate window duplicated 10⁸ times costs one combined row
-    * per task (the same skew argument as the chunk excision).
+    * per task (the same skew argument as the chunk excision). The kept
+    * occurrences' token ranges SHIELD their tokens from neighboring
+    * duplicates' removal ranges — otherwise two distinct duplicated
+    * runs abutting an owner window could excise the corpus-first copy
+    * itself and the content would survive nowhere (the keep-first
+    * guarantee is per TOKEN, not just per marked window).
     *
     * vs the siblings: [[duplicatePassages]] REPORTS duplicated spans
     * (no keep-first, no rewrite); [[exciseDuplicateChunks]] excises at
@@ -1726,12 +1745,26 @@ object Dedup {
         count(lit(1)).as("_c"),
         min(struct(col("id").as("oid"), col("pos").as("opos"))).as("owner"))
       .where(col("_c") > 1)
+    val owned = wins.join(owners, Seq("h"))
     // non-first occurrences of duplicated windows → removal ranges
-    val removed = wins
-      .join(owners, Seq("h"))
+    val removed = owned
       .where(!(col("id") === col("owner.oid") && col("pos") === col("owner.opos")))
       .select(col("id"), col("pos"))
       .distinct()
+    // the kept occurrences' token ranges SHIELD their tokens: without
+    // this, removal ranges from NEIGHBORING duplicated windows can eat
+    // the corpus-first copy's own tokens and the duplicated run would
+    // survive nowhere (doc1="a b c", doc2="a b z b c", doc3="q b z q"
+    // at w=2 — doc2 owns "b z" but its flanking "a b"/"b c" removals
+    // cover the owner's tokens). A token is excised iff a removal range
+    // covers it AND no owner range does.
+    val shields = owned
+      .where(col("id") === col("owner.oid") && col("pos") === col("owner.opos"))
+      .select(col("id"), col("pos"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        col("pos").as("span_s"), (col("pos") + lit(w - 1).cast("long")).as("span_e")))).as("sh"))
     // interval merge: ranges are all w long, so sorted by pos two ranges
     // chain iff pos − prev_pos ≤ w (prev end = prev_pos + w − 1)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -1747,24 +1780,31 @@ object Dedup {
       .groupBy(col("id"))
       .agg(
         sort_array(collect_list(struct(col("span_s"), col("span_e")))).as("spans"),
-        count(lit(1)).as("n_spans"),
-        sum(col("span_e") - col("span_s") + 1L).as("n_tokens_removed"))
+        count(lit(1)).as("n_spans"))
+    // a token (bound as `i`) is removed iff inside a removal span and
+    // outside every shield; the rewrite and the removed-count share it
+    val removedPred =
+      "exists(spans, sp -> i >= sp.span_s AND i <= sp.span_e) AND " +
+        "(sh IS NULL OR NOT exists(sh, sp -> i >= sp.span_s AND i <= sp.span_e))"
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
       .join(spans, Seq("id"), "left")
+      .join(shields, Seq("id"), "left")
       .select(
         col("id").as(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(expr(
+            s"CAST(size(filter(sequence(0, size(split(_text, ' ')) - 1), i -> $removedPred)) AS BIGINT)"))
+          .as("n_tokens_removed"),
         when(col("spans").isNull, col("_text"))
           .otherwise(expr(
-            """array_join(
-              |  filter(
-              |    zip_with(
-              |      split(_text, ' '),
-              |      sequence(0, size(split(_text, ' ')) - 1),
-              |      (tk, i) -> CASE WHEN exists(spans,
-              |          sp -> i >= sp.span_s AND i <= sp.span_e) THEN NULL ELSE tk END),
-              |    t -> t IS NOT NULL), ' ')""".stripMargin))
+            s"""array_join(
+               |  filter(
+               |    zip_with(
+               |      split(_text, ' '),
+               |      sequence(0, size(split(_text, ' ')) - 1),
+               |      (tk, i) -> CASE WHEN $removedPred THEN NULL ELSE tk END),
+               |    t -> t IS NOT NULL), ' ')""".stripMargin))
           .as("clean_text"))
   }
 

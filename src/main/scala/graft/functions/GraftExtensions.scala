@@ -268,10 +268,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ExtTableFunctions.getClass.getName,
           null,
           ExtTableFunctions.FuzzyDecontamName,
-          "fuzzy_decontaminate(train_table, probe_table[, tau[, n]]) - containment-" +
-            "based eval-set decontamination ledger (train_id, contaminated, " +
-            "n_probe_matches, best_probe_id, max_containment, action); cached once " +
-            "per (tables, tau, n) per session",
+          "fuzzy_decontaminate(train_table, probe_table[, tau[, n[, maxDf]]]) - " +
+            "containment-based eval-set decontamination ledger (train_id, " +
+            "contaminated, n_probe_matches, best_probe_id, max_containment, action); " +
+            "cached once per (tables, tau, n, maxDf) per session",
           ""),
         ExtTableFunctions.fuzzyDecontamBuilder))
     extensions.injectTableFunction(

@@ -29,7 +29,7 @@ object ExtQueries {
              |       FROM t JOIN p ON t.h = p.h GROUP BY 1, 2),
              |c AS (SELECT train_id, probe_id, round(i * 1.0 / na, 4) containment
              |      FROM ix JOIN np ON ix.probe_id = np.doc_id
-             |      WHERE round(i * 1.0 / na, 4) >= 0.4),
+             |      WHERE i * 1.0 / na >= 0.4),
              |r AS (SELECT train_id, probe_id, containment,
              |        count(*) OVER (PARTITION BY train_id) n_probe_matches,
              |        row_number() OVER (PARTITION BY train_id
@@ -52,30 +52,37 @@ object ExtQueries {
              |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
              |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
              |      FROM win),
-             |rem AS (SELECT doc_id, pos FROM (
-             |          SELECT doc_id, pos,
-             |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
-             |                 count(*) OVER (PARTITION BY h) c
-             |          FROM h) WHERE c > 1 AND rn > 1),
+             |rk AS (SELECT doc_id, pos,
+             |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
+             |         count(*) OVER (PARTITION BY h) c
+             |       FROM h),
+             |rem AS (SELECT doc_id, pos FROM rk WHERE c > 1 AND rn > 1),
+             |own AS (SELECT doc_id, pos FROM rk WHERE c > 1 AND rn = 1),
              |d AS (SELECT DISTINCT doc_id, pos FROM rem),
              |l AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp FROM d),
              |g AS (SELECT doc_id, pos,
              |        sum(CASE WHEN pp IS NULL OR pos - pp > 8 THEN 1 ELSE 0 END)
              |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) grp FROM l),
              |sp AS (SELECT doc_id, min(pos) s, max(pos) + 7 e FROM g GROUP BY doc_id, grp),
-             |agg AS (SELECT doc_id, count(*) n_spans,
-             |          CAST(sum(e - s + 1) AS BIGINT) n_tokens_removed FROM sp GROUP BY 1),
+             |agg AS (SELECT doc_id, count(*) n_spans FROM sp GROUP BY 1),
              |tok AS (SELECT doc_id, CAST(unnest(range(1, len(words) + 1)) - 1 AS BIGINT) idx, words
              |        FROM w),
              |tk AS (SELECT doc_id, idx, words[CAST(idx + 1 AS INT)] tk FROM tok),
+             |gone AS (SELECT t.doc_id, t.idx FROM tk t
+             |         WHERE EXISTS (SELECT 1 FROM sp
+             |                       WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)
+             |           AND NOT EXISTS (SELECT 1 FROM own o
+             |                           WHERE o.doc_id = t.doc_id AND t.idx BETWEEN o.pos AND o.pos + 7)),
+             |remtok AS (SELECT doc_id, count(*) n_removed FROM gone GROUP BY 1),
              |keep AS (SELECT t.doc_id, t.idx, t.tk FROM tk t
-             |         WHERE NOT EXISTS (SELECT 1 FROM sp
-             |                           WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)),
+             |         WHERE NOT EXISTS (SELECT 1 FROM gone g
+             |                           WHERE g.doc_id = t.doc_id AND g.idx = t.idx)),
              |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) clean FROM keep GROUP BY 1)
              |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
-             |  coalesce(a.n_tokens_removed, 0) AS n_tokens_removed,
+             |  coalesce(rt.n_removed, 0) AS n_tokens_removed,
              |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
-             |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |LEFT JOIN remtok rt USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin
 
 
   /** Per-table IVF index cache: the build (KMeans fit) is the offline step;

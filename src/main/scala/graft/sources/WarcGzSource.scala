@@ -181,10 +181,16 @@ object WarcGzSource {
       minChars = Long.MaxValue; maxChars = Long.MinValue
       langs.clear(); sources.clear()
     }
-    /** The `#zmap` sidecar line (empty string for an empty archive). */
+    /** The `#zmap` sidecar line (empty string for an empty archive).
+      * A dictionary containing the EMPTY string degrades to `*`: ""
+      * URL-encodes to itself and the comma-joined form can't carry it
+      * (the parser's nonEmpty split would drop it, and a dropped value
+      * would let `zoneRefutes` wrongly skip archives that contain it —
+      * silent row loss on `WHERE lang = ''`).
+      */
     def line: String = if (!any) "" else {
       def dict(s: scala.collection.mutable.HashSet[String]): String =
-        if (s.size > MaxZoneDict) "*"
+        if (s.size > MaxZoneDict || s.exists(_.isEmpty)) "*"
         else s.toSeq.sorted.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
       s"#zmap doc_id $minId $maxId n_chars $minChars $maxChars " +
         s"lang ${dict(langs)} source ${dict(sources)}\n"

@@ -94,6 +94,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")))
   }
 
+  test("exciseExactSubstrings: owner tokens are SHIELDED from neighboring duplicates' removal ranges") {
+    // doc2 owns "b z" but its flanking "a b"/"b c" windows duplicate
+    // doc1's — without the shield their removal ranges would excise the
+    // owner's own tokens and "b z" would survive nowhere in the corpus
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b z b c"),
+      (3L, "q b z q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseExactSubstrings(docs, "doc_id", "text", w = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((0L, "a b c")), s"doc1 owns its windows: ${got(1L)}")
+    assert(got(2L) == ((3L, "b z")), s"owner run survives, flanking dups excised: ${got(2L)}")
+    assert(got(3L) == ((2L, "q q")), s"doc3's copy of the owned run excises: ${got(3L)}")
+  }
+
   test("duplicatePassages: cross-doc shared passage merges into one span per doc") {
     val common = (1 to 10).map(i => s"c$i").mkString(" ")
     val docs = Seq(

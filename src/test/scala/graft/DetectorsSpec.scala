@@ -258,6 +258,12 @@ class DetectorsSpec extends AnyFunSuite {
     val dupTs = pts(((1 to 20).map(i => (2L, i * 1000L, 10.0 + (i % 5) * 0.1))
       :+ ((2L, 21000L, 500.0)) :+ ((2L, 21000L, 499.0))): _*)
     assert(Detectors.esdOutliers(dupTs).count() >= 1)
+    // a duplicate inside a sub-MinPoints series is IGNORED (the series
+    // was never scored before the guard existed and still isn't) — the
+    // guard must not fail jobs on data the detector never consumes
+    val shortDup = pts(((1 to 20).map(i => (3L, i * 1000L, 10.0 + (i % 5) * 0.1))
+      :+ ((4L, 1000L, 7.0)) :+ ((4L, 1000L, 7.0))): _*)
+    assert(Detectors.esdOutliers(shortDup).count() >= 0) // no raise
   }
 
   test("Tukey fences: hand-computed quartiles and fence distances; inliers score 0") {
