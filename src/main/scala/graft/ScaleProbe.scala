@@ -234,6 +234,29 @@ object ScaleProbe {
           (col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
       xsub(repl, s"${xmult}x")
+      // dense-span probe: one boilerplate-saturated doc with k DISJOINT
+      // duplicated 8-gram runs (unique separators block span merging).
+      // The per-token exists(spans, ...) lambda this kernel replaced was
+      // O(tokens x spans) — quadratic here (k=20k: ~3.6e9 span probes
+      // in one task); the merged sorted span-walk is O(tokens + spans),
+      // so 10x spans must cost ~10x, not 100x.
+      locally {
+        import spark.implicits._
+        def dense(k: Int): Unit = {
+          def mk(sep: String) = (0 until k).map(i =>
+            (0 until 8).map(j => s"ph${i}_$j").mkString(" ") + s" $sep$i").mkString(" ")
+          val sat = Seq((0L, mk("own")), (1L, mk("tgt"))).toDF("doc_id", "text")
+          timed(s"xsub dense-span k=$k") {
+            val out = Dedup.exciseExactSubstrings(sat, "doc_id", "text", w = 8)
+              .agg(sum("n_spans").as("spans"), sum("n_tokens_removed").as("removed"))
+              .head()
+            println(s"[scaleprobe] xsub_dense k=$k spans=${out.getLong(0)} " +
+              s"removed=${out.getLong(1)}")
+          }
+        }
+        dense(2000)
+        dense(20000)
+      }
       spark.stop()
       return
     }

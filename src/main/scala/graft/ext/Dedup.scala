@@ -1719,8 +1719,99 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int): DataFrame = {
-    require(w >= 2, s"window must be >= 2 tokens, got $w")
+      w: Int): DataFrame =
+    exciseExactSubstringsCascade(df, idCol, textCol, Seq(w))
+
+  /** Sorted-span element for the excision kernel: token range [s, e].
+    * `private[ext]` not `private`: encoder codegen (Janino) needs
+    * bytecode-public classes to new them in generated projections.
+    */
+  private[ext] final case class XsubSpan(s: Long, e: Long)
+
+  /** Per-doc excision input: source text + merged removal spans +
+    * (possibly overlapping) owner shield ranges, both sorted by (s, e).
+    */
+  private[ext] final case class XsubDoc(
+      id: Long,
+      text: String,
+      n_spans: Long,
+      spans: Seq[XsubSpan],
+      sh: Seq[XsubSpan])
+
+  /** Merge sorted-by-(s,e) ranges into disjoint intervals, chaining
+    * adjacent ones (s ≤ prev_e + 1). Linear in the range count.
+    */
+  private def mergeSortedSpans(xs: Seq[XsubSpan]): Array[Long] = {
+    // flat (s0, e0, s1, e1, ...) array — no per-interval allocation
+    if (xs == null || xs.isEmpty) Array.emptyLongArray
+    else {
+      val out = scala.collection.mutable.ArrayBuilder.make[Long]
+      var cs = xs.head.s
+      var ce = xs.head.e
+      xs.iterator.drop(1).foreach { sp =>
+        if (sp.s <= ce + 1) { if (sp.e > ce) ce = sp.e }
+        else { out += cs; out += ce; cs = sp.s; ce = sp.e }
+      }
+      out += cs; out += ce
+      out.result()
+    }
+  }
+
+  /** Multi-window exact-substring excision — the cascade approximation
+    * of Lee et al. 2022's suffix-array mode (maximal duplicates of any
+    * length ≥ min(ws), with true extents). All window sizes share ONE
+    * tokenize+md5 kernel pass; per grain (w, hash) the corpus-first
+    * occurrence (min (id, pos)) is elected owner; removal ranges from
+    * every grain are unioned before the interval merge, and owner
+    * ranges from every grain are unioned into the shields.
+    *
+    * Why more than one w: a duplicated w_min-window's removal set is a
+    * superset of every coarser grain's (a duplicated 64-run contains
+    * only duplicated 8-windows), so the EXCISION frontier is set by
+    * w_min alone — but OWNERSHIP is not. With w=8 only, a long
+    * duplicate's corpus-first copy can be shredded at the 8-gram grain
+    * when one of its sub-windows is boilerplate owned by an unrelated
+    * earlier doc: the long copy is nobody's owner there and its tokens
+    * have no shield. The coarser grains give the long duplicate's first
+    * occurrence its own ownership (and thus shields over its full
+    * extent), so maximal duplicates keep their first copy INTACT — the
+    * suffix-array semantics: each maximal duplicate's first occurrence
+    * survives whole, later occurrences are excised, and overlapping
+    * maximal duplicates each protect their own first copy.
+    *
+    * Destructive rewrites key on the FULL 128-bit md5 of the window
+    * (BinaryType — 16-byte shuffle key), the [[exciseDuplicateChunks]]
+    * precedent: 32-bit truncation expects ~n²/2³³ colliding window
+    * pairs (≈100 corrupted spans at 10⁶ windows), each silently excising
+    * unique text. Only non-destructive reporting kernels may use
+    * [[shingleHash32]].
+    *
+    * `n_spans` counts CANDIDATE removal spans (merged, pre-shield): a
+    * doc whose ranges are fully shielded reports n_spans > 0 with
+    * n_tokens_removed = 0 and unchanged text. Gate downstream drop
+    * decisions on `n_tokens_removed`, which is post-shield and
+    * authoritative for "did the rewrite change anything".
+    *
+    * Reconstruction is a typed kernel pass, O(tokens + spans) per doc:
+    * spans and shields arrive as sorted merged interval lists and a
+    * single cursor walk over the tokens advances both — a
+    * boilerplate-saturated doc with thousands of disjoint spans stays
+    * linear (the Catalyst `exists(spans, …)`-per-token formulation it
+    * replaces was O(tokens × spans) and re-evaluated `split()` per
+    * element). 100 TB shape otherwise unchanged: one persisted
+    * tokenize+hash pass, per-(w,hash) partial-agg election (map-side
+    * combine absorbs a window duplicated 10⁸ times), ownership join,
+    * interval merge as a per-doc window, document bodies moving exactly
+    * once in the final join.
+    */
+  def exciseExactSubstringsCascade(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ws: Seq[Int]): DataFrame = {
+    require(ws.nonEmpty, "at least one window size required")
+    ws.foreach(w => require(w >= 2, s"window must be >= 2 tokens, got $w"))
+    val grains = ws.distinct.sorted
     val spark = df.sparkSession
     import spark.implicits._
     val wins = df
@@ -1730,26 +1821,32 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val words = text.split(" ", -1)
-          (0 to words.length - w).iterator
-            .map(i => (id, i.toLong, shingleHash32(md, words.slice(i, i + w).mkString(" "))))
+          grains.iterator.flatMap { w =>
+            (0 to words.length - w).iterator.map { i =>
+              (id, i.toLong, w,
+                md.digest(words.slice(i, i + w).mkString(" ")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          }
         }
       }
-      .toDF("id", "pos", "h")
+      .toDF("id", "pos", "w", "h")
       // two consumers with different exchange children (owner election
       // + ownership join) — the duplicatePassages persist contract
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count()
     val owners = wins
-      .groupBy(col("h"))
+      .groupBy(col("w"), col("h"))
       .agg(
         count(lit(1)).as("_c"),
         min(struct(col("id").as("oid"), col("pos").as("opos"))).as("owner"))
       .where(col("_c") > 1)
-    val owned = wins.join(owners, Seq("h"))
+    val owned = wins.join(owners, Seq("w", "h"))
     // non-first occurrences of duplicated windows → removal ranges
+    // [pos, pos + w − 1], unioned across grains
     val removed = owned
       .where(!(col("id") === col("owner.oid") && col("pos") === col("owner.opos")))
-      .select(col("id"), col("pos"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + col("w") - 1).cast("long").as("e"))
       .distinct()
     // the kept occurrences' token ranges SHIELD their tokens: without
     // this, removal ranges from NEIGHBORING duplicated windows can eat
@@ -1760,52 +1857,65 @@ object Dedup {
     // covers it AND no owner range does.
     val shields = owned
       .where(col("id") === col("owner.oid") && col("pos") === col("owner.opos"))
-      .select(col("id"), col("pos"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + col("w") - 1).cast("long").as("e"))
       .distinct()
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(
-        col("pos").as("span_s"), (col("pos") + lit(w - 1).cast("long")).as("span_e")))).as("sh"))
-    // interval merge: ranges are all w long, so sorted by pos two ranges
-    // chain iff pos − prev_pos ≤ w (prev end = prev_pos + w − 1)
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sh"))
+    // interval merge over variable-length ranges: running max of e over
+    // the (s, e) sort — a range starts a new group iff it clears the
+    // furthest end seen so far by more than the adjacency gap
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val spans = removed
-      .withColumn(
-        "_new",
-        when(lag(col("pos"), 1).over(byDoc).isNull
-          || col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1L).otherwise(0L))
+      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("_grp", sum(col("_new")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("_grp"))
-      .agg(min(col("pos")).as("span_s"), (max(col("pos")) + lit(w - 1).cast("long")).as("span_e"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       .groupBy(col("id"))
       .agg(
-        sort_array(collect_list(struct(col("span_s"), col("span_e")))).as("spans"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
         count(lit(1)).as("n_spans"))
-    // a token (bound as `i`) is removed iff inside a removal span and
-    // outside every shield; the rewrite and the removed-count share it
-    val removedPred =
-      "exists(spans, sp -> i >= sp.span_s AND i <= sp.span_e) AND " +
-        "(sh IS NULL OR NOT exists(sh, sp -> i >= sp.span_s AND i <= sp.span_e))"
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .join(spans, Seq("id"), "left")
       .join(shields, Seq("id"), "left")
       .select(
-        col("id").as(idCol),
+        col("id"), col("text"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        when(col("spans").isNull, lit(0L))
-          .otherwise(expr(
-            s"CAST(size(filter(sequence(0, size(split(_text, ' ')) - 1), i -> $removedPred)) AS BIGINT)"))
-          .as("n_tokens_removed"),
-        when(col("spans").isNull, col("_text"))
-          .otherwise(expr(
-            s"""array_join(
-               |  filter(
-               |    zip_with(
-               |      split(_text, ' '),
-               |      sequence(0, size(split(_text, ' ')) - 1),
-               |      (tk, i) -> CASE WHEN $removedPred THEN NULL ELSE tk END),
-               |    t -> t IS NOT NULL), ' ')""".stripMargin))
-          .as("clean_text"))
+        col("spans"), col("sh"))
+      .as[XsubDoc]
+      .map { d =>
+        if (d.spans == null || d.spans.isEmpty) (d.id, 0L, 0L, d.text)
+        else {
+          val tokens = d.text.split(" ", -1)
+          val rem = mergeSortedSpans(d.spans)
+          val shm = mergeSortedSpans(d.sh)
+          // single cursor walk: spans/shields are disjoint sorted
+          // intervals and i is monotone, so both pointers advance
+          // amortized O(1) — O(tokens + spans) per document
+          var si = 0
+          var hi = 0
+          var removedCount = 0L
+          val sb = new java.lang.StringBuilder(d.text.length)
+          var first = true
+          var i = 0
+          while (i < tokens.length) {
+            while (si < rem.length && rem(si + 1) < i) si += 2
+            while (hi < shm.length && shm(hi + 1) < i) hi += 2
+            val gone = si < rem.length && rem(si) <= i &&
+              !(hi < shm.length && shm(hi) <= i)
+            if (gone) removedCount += 1
+            else {
+              if (!first) sb.append(' ')
+              sb.append(tokens(i))
+              first = false
+            }
+            i += 1
+          }
+          (d.id, d.n_spans, removedCount, sb.toString)
+        }
+      }
+      .toDF(idCol, "n_spans", "n_tokens_removed", "clean_text")
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {

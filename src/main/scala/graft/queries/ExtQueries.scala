@@ -45,12 +45,16 @@ object ExtQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
              |LEFT JOIN b ON d.doc_id = b.train_id""".stripMargin
 
-  /** Shared by dedup_exact_substring and its TVF twin ext_sql_xsub. */
+  /** Shared by dedup_exact_substring and its TVF twin ext_sql_xsub.
+    * Window hashes are the FULL md5 (collision-safe destructive-rewrite
+    * key, the exciseDuplicateChunks precedent) — the oracle groups on
+    * the same 128 bits as the Spark kernel's BinaryType key.
+    */
   private val xsubOracleSql: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
              |win AS (SELECT doc_id, unnest(range(1, len(words) - 6)) i, words FROM w),
              |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
-             |        ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 8))::BIGINT h
+             |        md5(array_to_string(words[i:i+7], ' ')) h
              |      FROM win),
              |rk AS (SELECT doc_id, pos,
              |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn,
@@ -83,6 +87,56 @@ object ExtQueries {
              |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |LEFT JOIN remtok rt USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin
+
+  /** Oracle for dedup_exact_substring_multi: the w ∈ {8,16,32,64}
+    * cascade — per-grain (w, md5) elections unioned into removal and
+    * shield RANGES, running-max interval merge over the variable-length
+    * ranges, then the identical token-grain reconstruction.
+    */
+  private val xsubMultiOracleSql: String = {
+    val grains = Seq(8, 16, 32, 64)
+    val perW = grains.map { w =>
+      s"""  SELECT doc_id, CAST(i - 1 AS BIGINT) pos, $w AS w,
+         |         md5(array_to_string(words[i:i+${w - 1}], ' ')) h
+         |  FROM (SELECT doc_id, unnest(range(1, len(words) - ${w - 2})) i, words FROM w0)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
+       |hw AS (
+       |$perW
+       |),
+       |rk AS (SELECT doc_id, pos, w,
+       |         row_number() OVER (PARTITION BY w, h ORDER BY doc_id, pos) rn,
+       |         count(*) OVER (PARTITION BY w, h) c
+       |       FROM hw),
+       |rem AS (SELECT DISTINCT doc_id, pos s, pos + w - 1 e FROM rk WHERE c > 1 AND rn > 1),
+       |own AS (SELECT DISTINCT doc_id, pos s, pos + w - 1 e FROM rk WHERE c > 1 AND rn = 1),
+       |l AS (SELECT doc_id, s, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm FROM rem),
+       |g AS (SELECT doc_id, s, e,
+       |        sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) grp FROM l),
+       |sp AS (SELECT doc_id, min(s) s, max(e) e FROM g GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, count(*) n_spans FROM sp GROUP BY 1),
+       |tok AS (SELECT doc_id, CAST(unnest(range(1, len(words) + 1)) - 1 AS BIGINT) idx, words
+       |        FROM w0),
+       |tk AS (SELECT doc_id, idx, words[CAST(idx + 1 AS INT)] tk FROM tok),
+       |gone AS (SELECT t.doc_id, t.idx FROM tk t
+       |         WHERE EXISTS (SELECT 1 FROM sp
+       |                       WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e)
+       |           AND NOT EXISTS (SELECT 1 FROM own o
+       |                           WHERE o.doc_id = t.doc_id AND t.idx BETWEEN o.s AND o.e)),
+       |remtok AS (SELECT doc_id, count(*) n_removed FROM gone GROUP BY 1),
+       |keep AS (SELECT t.doc_id, t.idx, t.tk FROM tk t
+       |         WHERE NOT EXISTS (SELECT 1 FROM gone g2
+       |                           WHERE g2.doc_id = t.doc_id AND g2.idx = t.idx)),
+       |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) clean FROM keep GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+       |  coalesce(rt.n_removed, 0) AS n_tokens_removed,
+       |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(ct.clean, '') END AS clean_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN remtok rt USING (doc_id) LEFT JOIN ct USING (doc_id)""".stripMargin
+  }
 
 
   /** Per-table IVF index cache: the build (KMeans fit) is the offline step;
@@ -3234,6 +3288,19 @@ object ExtQueries {
       (s, dir) =>
         Dedup.exciseExactSubstrings(Tables.documents(s, dir), "doc_id", "text", w = 8),
       Some(xsubOracleSql)
+    ),
+    // Multi-grain cascade (suffix-array approximation): same excision
+    // frontier as w=8, but coarse grains {16,32,64} give long duplicates
+    // their own ownership shields so a maximal duplicate's corpus-first
+    // copy survives INTACT even when its sub-windows are boilerplate
+    // owned elsewhere. Oracle replays all four grains' elections, the
+    // range union and the variable-length interval merge.
+    Q(
+      "dedup_exact_substring_multi",
+      (s, dir) =>
+        Dedup.exciseExactSubstringsCascade(
+          Tables.documents(s, dir), "doc_id", "text", Seq(8, 16, 32, 64)),
+      Some(xsubMultiOracleSql)
     ),
     Q(
       "dedup_excise",

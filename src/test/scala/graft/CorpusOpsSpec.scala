@@ -113,6 +113,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, "q q")), s"doc3's copy of the owned run excises: ${got(3L)}")
   }
 
+  test("exciseExactSubstringsCascade: a 100-token duplicate is one merged span, not 93 w=8 windows") {
+    val run = (1 to 100).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 $run a2"), // corpus-first — kept intact
+      (2L, s"b1 $run b2") // later copy — one span, all 100 tokens out
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseExactSubstringsCascade(docs, "doc_id", "text", Seq(8, 16, 32, 64))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_tokens_removed"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, s"a1 $run a2")), s"first copy intact: ${got(1L)}")
+    assert(got(2L) == ((1L, 100L, "b1 b2")),
+      s"100-token duplicate must report ONE merged span: ${got(2L)}")
+  }
+
+  test("exciseExactSubstringsCascade: coarse-grain ownership shields a long duplicate's first copy " +
+    "from boilerplate 8-gram ownership elsewhere (the suffix-array fidelity w=8 alone lacks)") {
+    // run R = 24 tokens; doc 0 (earliest id) contains only R's first
+    // 8-gram (boilerplate), so at w=8 doc 0 owns that hash and doc 1 —
+    // the corpus-first copy of the FULL run — has no shield over R's
+    // first token: single-grain excision shreds it. The w=16 grain gives
+    // doc 1 ownership (R duplicated only between docs 1 and 2), whose
+    // shields span the full extent — the first copy survives intact.
+    val r = (1 to 24).map(i => s"r$i").mkString(" ")
+    val gram = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"p1 p2 $gram p3"), // boilerplate owner of R's first 8-gram
+      (1L, s"a1 $r a2"), // corpus-first copy of the full 24-token run
+      (2L, s"b1 $r b2") // later copy of the run
+    ).toDF("doc_id", "text")
+    def collectClean(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => r0.getAs[Long]("doc_id") -> r0.getAs[String]("clean_text")).toMap
+    // single w=8: doc 1 loses R's first token (owned by doc 0's gram,
+    // unshielded) — the divergence the cascade exists to fix
+    val single = collectClean(Dedup.exciseExactSubstrings(docs, "doc_id", "text", w = 8))
+    assert(single(1L) == s"a1 ${(2 to 24).map(i => s"r$i").mkString(" ")} a2",
+      s"w=8 alone shreds the long duplicate's first copy: ${single(1L)}")
+    val multi = collectClean(
+      Dedup.exciseExactSubstringsCascade(docs, "doc_id", "text", Seq(8, 16, 32, 64)))
+    assert(multi(0L) == s"p1 p2 $gram p3", s"gram owner intact: ${multi(0L)}")
+    assert(multi(1L) == s"a1 $r a2",
+      s"cascade must keep the long duplicate's first copy INTACT: ${multi(1L)}")
+    assert(multi(2L) == "b1 b2", s"later copy fully excised: ${multi(2L)}")
+  }
+
   test("duplicatePassages: cross-doc shared passage merges into one span per doc") {
     val common = (1 to 10).map(i => s"c$i").mkString(" ")
     val docs = Seq(
