@@ -37,7 +37,7 @@ object Bench {
     // MemoryStream from the driver one micro-batch at a time, so their
     // wall time measures the replay harness, not a distributed operator —
     // excluded here (Verify still runs them)
-    val skip = Set("anomaly_stream_monitor", "anomaly_stream_calibrated", "anomaly_stream_cusum", "anomaly_stream_hw", "anomaly_stream_control", "anomaly_stream_seasonal", "anomaly_stream_seasonal_cold", "stream_dedup", "stream_neardup", "stream_sessions",
+    val skip = Set("anomaly_stream_monitor", "anomaly_stream_calibrated", "anomaly_stream_cusum", "anomaly_stream_hw", "anomaly_stream_control", "anomaly_stream_seasonal", "anomaly_stream_seasonal_cold", "stream_dedup", "stream_neardup", "stream_fuzzy_decontam", "stream_sessions",
       "stream_join", "stream_join_outer", "stream_join_right", "stream_join_full", "stream_enrich", "stream_kmv",
       "stream_scene_cuts", "stream_cms", "stream_drift")
     // optional subset (comma-separated names): targeted re-measurement of

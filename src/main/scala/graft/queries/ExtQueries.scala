@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Behavior, Compaction, Curation, Dedup, Integrity, Merge, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
-import graft.streaming.DedupStream
+import graft.streaming.{DedupStream, FuzzyDecontamStream}
 import org.apache.spark.sql.functions._
 
 /** Extension operators for LLM-training-data pipelines (builder brief):
@@ -2948,6 +2948,54 @@ object ExtQueries {
       Some(s"""WITH h AS (SELECT doc_id, ${T.From} + doc_id * 1000 AS ts_ms, md5(text) hash
               |          FROM documents)
               |SELECT hash, min(doc_id) AS doc_id, min(ts_ms) AS ts_ms FROM h GROUP BY hash""".stripMargin)
+    ),
+    // Streaming fuzzy decontamination: the ingest gate's containment
+    // verdicts per micro-batch against the broadcast probe index — same
+    // n/τ grain as decontaminate_fuzzy, probe-side df cap (the
+    // setup-decidable stream semantics; inert here, as in the batch
+    // row). Day-chunk replay; the oracle replays the identical
+    // probe-kept shingle join in SQL, so the whole index-build →
+    // broadcast → per-batch verdict chain is hash-proven.
+    Q(
+      "stream_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val arrivals = docs.where(col("doc_id") >= 20)
+          .select(col("doc_id"), (lit(T.From) + col("doc_id") * 1000L).as("ts_ms"), col("text"))
+          .collect()
+          .map(r => FuzzyDecontamStream.TrainArrival(r.getLong(0), r.getLong(1), r.getString(2)))
+        FuzzyDecontamStream.fuzzyDecontamReplay(
+          arrivals.toSeq, docs.where(col("doc_id") < 20), "doc_id", "text",
+          n = 2, tau = 0.4, minShingles = 4, maxDf = 100, s, chunks = 30)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)),
+             |         i -> concat_ws(' ', words[i], words[i+1])))) g FROM w),
+             |hs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT h FROM sh),
+             |pdf AS (SELECT h, count(*) dfreq FROM hs WHERE doc_id < 20 GROUP BY 1),
+             |keptp AS (SELECT doc_id, hs.h FROM hs JOIN pdf USING (h)
+             |          WHERE dfreq <= 100 AND doc_id < 20),
+             |np AS (SELECT doc_id, count(*) na FROM keptp GROUP BY 1 HAVING count(*) >= 4),
+             |ix AS (SELECT t.doc_id train_id, p.doc_id probe_id, count(*) i
+             |       FROM (SELECT doc_id, h FROM hs WHERE doc_id >= 20) t
+             |       JOIN keptp p ON t.h = p.h GROUP BY 1, 2),
+             |c AS (SELECT train_id, probe_id, round(i * 1.0 / na, 4) containment
+             |      FROM ix JOIN np ON ix.probe_id = np.doc_id
+             |      WHERE i * 1.0 / na >= 0.4),
+             |r AS (SELECT train_id, probe_id, containment,
+             |        count(*) OVER (PARTITION BY train_id) n_probe_matches,
+             |        row_number() OVER (PARTITION BY train_id
+             |                           ORDER BY containment DESC, probe_id) rn
+             |      FROM c),
+             |b AS (SELECT train_id, n_probe_matches, probe_id best_probe_id,
+             |        containment max_containment FROM r WHERE rn = 1)
+             |SELECT d.doc_id AS train_id,
+             |  b.train_id IS NOT NULL AS contaminated,
+             |  coalesce(b.n_probe_matches, 0) AS n_probe_matches,
+             |  b.best_probe_id, b.max_containment,
+             |  CASE WHEN b.train_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
+             |LEFT JOIN b ON d.doc_id = b.train_id""".stripMargin)
     ),
     // JSONL source round-trip: the documents table written as newline-
     // delimited JSON (the crawl/export wire format) and read back through

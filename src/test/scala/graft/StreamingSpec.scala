@@ -941,6 +941,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_ == "Y") == 1)
   }
 
+  test("streaming fuzzy decontam: ledger equals the batch kernel under an inert df cap, at any chunking") {
+    import graft.streaming.FuzzyDecontamStream
+    import graft.streaming.FuzzyDecontamStream.TrainArrival
+    import spark.implicits._
+    // the CorpusOpsSpec fuzzy fixture: train 100 paraphrases probe 1
+    // (every third token edited — no trigram survives, bigrams do),
+    // train 101 is clean
+    val probe = Seq((1L, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "the quick brown vulpine jumps over the weary dog again and never"),
+      (101L, "entirely unrelated text with none of the probe content present")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      TrainArrival(100L, 1000L, "the quick brown vulpine jumps over the weary dog again and never"),
+      TrainArrival(101L, 2000L, "entirely unrelated text with none of the probe content present"))
+    def ledger(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Boolean]("contaminated"), r.getAs[Long]("n_probe_matches"),
+          Option(r.getAs[java.lang.Long]("best_probe_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("max_containment")).map(_.toDouble),
+          r.getAs[String]("action"))))
+      .toMap
+    val batch = ledger(graft.ext.Dedup.fuzzyDecontamination(
+      train, probe, "doc_id", "text", n = 2, tau = 0.3, minShingles = 4, maxDf = 100))
+    // cap inert (1 probe, 2 train docs — no shingle near df 100), so the
+    // probe-side df map equals the batch union map and the ledgers match
+    val stream = ledger(FuzzyDecontamStream.fuzzyDecontamReplay(
+      arrivals, probe, "doc_id", "text", n = 2, tau = 0.3, minShingles = 4, maxDf = 100,
+      spark, chunks = 2))
+    assert(stream == batch, s"stream $stream != batch $batch")
+    assert(stream(100L)._1 && stream(100L)._5 == "drop", s"paraphrase must drop: ${stream(100L)}")
+    assert(!stream(101L)._1 && stream(101L)._5 == "keep")
+    // chunking invariance: one micro-batch, same ledger
+    val oneChunk = ledger(FuzzyDecontamStream.fuzzyDecontamReplay(
+      arrivals, probe, "doc_id", "text", n = 2, tau = 0.3, minShingles = 4, maxDf = 100,
+      spark, chunks = 1))
+    assert(oneChunk == batch)
+  }
+
+  test("streaming fuzzy decontam: re-delivered doc appends once per horizon; eviction re-emits (documented divergence)") {
+    import graft.streaming.{FuzzyDecontamStream, Replay}
+    import graft.streaming.FuzzyDecontamStream.TrainArrival
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val probe = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val idx = FuzzyDecontamStream.buildProbeIndex(
+      probe, "doc_id", "text", n = 2, tau = 0.3, minShingles = 4, maxDf = 100)
+    val contaminatedTxt = "alpha beta gamma delta epsilon zeta plus trailing tokens"
+    val cleanTxt = "nothing shared with the probe suite at all today"
+    val mem = MemoryStream[TrainArrival]
+    val out = FuzzyDecontamStream.fuzzyDecontamStream(
+      mem.toDS().select(
+        col("docId"), timestamp_millis(col("tsMs")).as("eventTime"), col("text")),
+      "docId", "eventTime", "text", idx, watermarkDelay = "1 second")
+    val sink = Replay.runSink(spark, out) { q =>
+      Seq(
+        Seq(TrainArrival(100L, 5000L, contaminatedTxt)), // enters state (expiry 6s)
+        Seq(TrainArrival(100L, 5500L, contaminatedTxt)), // re-delivery in horizon → suppressed
+        Seq(TrainArrival(101L, 200000L, cleanTxt)), // watermark advances to 199s at commit
+        Seq(TrainArrival(102L, 200000L, cleanTxt)), // runs under watermark → 100 evicted
+        Seq(TrainArrival(100L, 200001L, contaminatedTxt)) // post-eviction → re-emits
+      ).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    }
+    val rows = sink.collect().map(r =>
+      (r.getAs[Long]("train_id"), r.getAs[String]("action")))
+    assert(rows.count(_._1 == 100L) == 2,
+      s"one ledger row per horizon, re-emit after eviction: ${rows.toSeq}")
+    assert(rows.filter(_._1 == 100L).forall(_._2 == "drop"))
+    assert(rows.count(_._1 == 101L) == 1 && rows.count(_._1 == 102L) == 1)
+  }
+
   test("streaming near-dup: in-stream SimHash matches the batch kernel; signature dups collapse across batches") {
     import graft.streaming.NearDupStream
     import graft.streaming.NearDupStream.DocEvent
