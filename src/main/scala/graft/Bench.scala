@@ -72,24 +72,31 @@ object Bench {
       times(1)
     }
 
-    // ambient sentinel: single timing (its jitter is clamped downstream;
-    // check_bench never lets a segment divisor drop below the global
+    // ambient sentinels: one CPU-segment row (q1_agg) plus one IO-light
+    // micro row (sketch_cms) — the r11/r14 loaded runs showed the two
+    // classes amplify DIFFERENTLY under the same contention (sketch_*/
+    // sim_* micro rows 2-3x while CPU rows barely move), so check_bench
+    // picks the divisor per family class. Single timings (jitter is
+    // clamped downstream; a segment divisor never drops below the global
     // ambient, so a fast-jitter sentinel cannot tighten the gate)
     val SentinelName = "q1_agg"
+    val SentinelNames = Seq(SentinelName, "sketch_cms")
     val SentinelEvery = 20
-    val sentinelFn = SparkEntry.queries.get(SentinelName)
-    val sentinels = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
-    def sentinel(pass: Int, at: Int): Unit = sentinelFn.foreach { fn =>
+    val sentinelFns = SentinelNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val sentinels = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double)]()
+    def sentinel(pass: Int, at: Int): Unit = sentinelFns.foreach { case (n, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      sentinels += ((pass, at, (System.nanoTime() - t0) / 1e9))
+      sentinels += ((n, pass, at, (System.nanoTime() - t0) / 1e9))
       spark.catalog.clearCache(); System.gc()
     }
 
     // one untimed sentinel run first: the post-warm clearCache+GC leaves
     // the very first timed query ~3x slow (observed), which would loosen
     // the first segment's divisor for no reason
-    sentinelFn.foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+    sentinelFns.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     sentinel(1, 0)
     val window1: Seq[(String, Double)] = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t = median3(fn)
@@ -130,11 +137,13 @@ object Bench {
       .map { case (n, t1) => s"\"" + n + "\":[" + t1 + "," + w2(n) + "]" }
       .mkString("{", ",", "}")
     val sentinelJson = sentinels
-      .map { case (p, at, t) => s"""{"pass":$p,"at":$at,"sec":$t}""" }
+      .map { case (n, p, at, t) => s"""{"q":"$n","pass":$p,"at":$at,"sec":$t}""" }
       .mkString("[", ",", "]")
+    val sentinelQs = SentinelNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""windows":$windowsJson,"sentinel":$sentinelJson,"sentinel_q":"$SentinelName","sf":"$sfDir"}"""
+      s""""windows":$windowsJson,"sentinel":$sentinelJson,"sentinel_q":"$SentinelName",""" +
+      s""""sentinel_qs":$sentinelQs,"sf":"$sfDir"}"""
     println(line)
     // full per-query artifact: the driver's BENCH_r*.json keeps only a
     // truncated stdout tail, losing the first ~100 per-query numbers —
@@ -145,7 +154,7 @@ object Bench {
     // bench_full.json stays the "latest" pointer; the round-stamped copy
     // makes history append-only instead of a single mutable file
     // (bump Round per build round).
-    val Round = "r14"
+    val Round = "r15"
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Seq(_))
       .getOrElse(if (only.isEmpty) Seq("bench_full.json", s"bench_full_$Round.json") else Seq.empty)

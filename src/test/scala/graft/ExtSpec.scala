@@ -2292,6 +2292,60 @@ class ExtSpec extends AnyFunSuite {
     assert(err.getMessage.contains("lang"), err.getMessage)
   }
 
+  test("warcgz DSv2 write emits the same #zmap sidecar line as the function writer: reads skip refuted archives") {
+    import spark.implicits._
+    import graft.sources.{WarcGzSource, WarcGzFilters}
+    val dir = java.nio.file.Files.createTempDirectory("warczmap_w_spec").toString
+    // range partitioning gives each archive a disjoint doc_id zone and a
+    // single-lang dictionary — the layout real corpora get from
+    // crawl-date/source partitioning
+    val docs = (0L until 48L)
+      .map(i => (i, s"body $i", if (i < 24L) "en" else "fr", s"s${i % 3}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.format("warcgz").mode("overwrite").save(dir)
+    // both write surfaces run the shared ZoneMapBuilder — the DSv2
+    // sidecar must carry the identical parseable #zmap line shape
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val l1 = WarcGzSource.sidecarLines(fs, new org.apache.hadoop.fs.Path(dir, "part-1.warc.gz"))
+    val zm1 = WarcGzSource.zoneFrom(l1).getOrElse(
+      fail("DSv2-written sidecar must carry a parseable #zmap line"))
+    assert(zm1.minId == 24L && zm1.maxId == 47L && zm1.minChars == 34L && zm1.maxChars == 57L, s"$zm1")
+    assert(zm1.langs.contains(Set("fr")), s"$zm1")
+    assert(WarcGzSource.membersFrom(l1).length == 24, "members parse with the zone line present")
+    // a selective range predicate refutes part-1 from its zone alone
+    import org.apache.spark.sql.sources.LessThan
+    assert(WarcGzFilters.zoneRefutes(Array(LessThan("doc_id", java.lang.Long.valueOf(24L))), zm1))
+    // byte-level proof the refuted archive is never position-read: the
+    // pushed selective scan vs the same predicate arithmetically
+    // defeated (abs() is unpushable) — local[n] keeps all readers in
+    // this JVM, so the "file"-scheme global statistics sum their reads
+    def fsBytesRead(): Long = {
+      var b = 0L
+      val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getScheme == "file") b = st.getLong("bytesRead")
+      }
+      b
+    }
+    val read = spark.read.format("warcgz").load(dir)
+    val b0 = fsBytesRead()
+    val selective = read.where(col("doc_id") < 24L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b1 = fsBytesRead()
+    val defeated = read.where(abs(col("doc_id")) < 24L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b2 = fsBytesRead()
+    assert(selective == (0L until 24L).toSet && defeated == selective,
+      "zone skip must be invisible to results")
+    // both scans read every sidecar (the zone check lives there); the
+    // selective scan must save at least the refuted archive's data bytes
+    val a1Size = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, "part-1.warc.gz")).getLen
+    assert((b2 - b1) - (b1 - b0) >= a1Size / 2,
+      s"refuted archive must not be position-read: selective ${b1 - b0}B vs defeated ${b2 - b1}B, " +
+        s"archive-1 is ${a1Size}B")
+  }
+
   test("WARC indexed gz read: splits follow the record count; rows match the whole-file reader; split-tail damage = one reject") {
     import spark.implicits._
     import graft.sources.Warc

@@ -15,7 +15,7 @@ regression is one query moving; ambient load is all of them moving
 together). A sub-second floor absorbs scheduler jitter on tiny rows.
 
 Segment normalization (r14, automatic when the run carries "sentinel"
-records): Bench re-times a fixed anchored row (q1_agg) every ~20 queries.
+records): Bench re-times fixed anchored rows every ~20 queries.
 A load BURST that covers minutes 3-4 of the run inflates the rows in
 that window AND the sentinels bracketing them; each query's divisor is
 raised to its segment's sentinel ratio (relative to the sentinel run
@@ -25,6 +25,15 @@ tighten the gate, and the clamp keeps a slow sentinel from absorbing a
 real regression. Rows whose gate value came from the second window
 ("windows" record, the in-run re-measure) are normalized against the
 pass-2 sentinels bracketing their re-measure position.
+
+Two-sentinel runs (r15+): Bench interleaves a CPU sentinel (q1_agg) AND
+an IO-light micro sentinel (sketch_cms), tagging each record with "q".
+Contention amplifies the two classes differently (r11/r14 evidence:
+sketch_*/sim_* micro rows 2-3x over ambient while CPU rows barely
+move), so MICRO_FAMILIES rows gate against the micro sentinel's
+segments and everything else against the CPU sentinel's — each
+normalized by its own sentinel's run median, same clamps. Legacy
+single-sentinel runs (no "q"/"sentinel_qs") gate exactly as before.
 
 Family normalization (--per-family, for LOADED-run gating): contention
 does not shift all rows equally — IO-bound families (artifact reads,
@@ -104,43 +113,94 @@ def validate_baseline(base):
     return errs
 
 
-def segment_factors(doc, cur, anchor_sec, sentinel_q):
-    """Per-query sentinel ratio (raw, un-normalized): for each shared
-    query, the max of the two pass-1 sentinel timings bracketing its run
-    position, as a ratio to the sentinel's anchor. Rows re-measured in
-    window 2 use the pass-2 sentinels bracketing their re-measure
-    position instead (that's the segment their gate value came from).
-    Returns {} when the run carries no sentinel records (pre-r14 runs)."""
-    sent = doc.get("sentinel") or []
-    if not sent or sentinel_q is None:
-        return {}
-    try:
-        s_anchor = anchor_sec(sentinel_q)
-    except KeyError:
-        return {}
+# families whose rows are IO-light micro queries that amplify under
+# contention 2-3x while CPU rows barely move (the r11/r14 loaded-run
+# evidence: sketch_*/sim_* at 2.2-2.8x over ambient, src artifact reads
+# alongside) — these gate against the micro-class sentinel (sketch_cms)
+# when the run carries one; everything else against the CPU sentinel.
+MICRO_FAMILIES = {"sketch", "sim", "src"}
 
-    def brackets(records, pos):
+
+def sentinel_names(doc):
+    qs = doc.get("sentinel_qs")
+    if qs:
+        return list(qs)
+    q = doc.get("sentinel_q")
+    return [q] if q else []
+
+
+def sentinel_for(q, names):
+    """Pick the sentinel matching the query's family class: micro-family
+    rows use the first micro-family sentinel when the run has one
+    (two-sentinel runs, r15+); everything else — and every query in a
+    legacy single-sentinel run — uses the primary."""
+    if len(names) > 1 and family_of(q) in MICRO_FAMILIES:
+        for n in names[1:]:
+            if family_of(n) in MICRO_FAMILIES:
+                return n
+    return names[0] if names else None
+
+
+def segment_factors(doc, cur, anchor_sec):
+    """Per-query sentinel ratio (raw, un-normalized): for each shared
+    query, the max of the two pass-1 timings of ITS class sentinel
+    bracketing its run position, as a ratio to that sentinel's anchor.
+    Rows re-measured in window 2 use the pass-2 sentinels bracketing
+    their re-measure position instead (that's the segment their gate
+    value came from). Returns (factors {q: ratio}, assignment
+    {q: sentinel}, medians {sentinel: median factor}); all empty when
+    the run carries no usable sentinel records (pre-r14 runs)."""
+    sent = doc.get("sentinel") or []
+    names = sentinel_names(doc)
+    if not sent or not names:
+        return {}, {}, {}
+    default_q = names[0]
+    recs, anchors = {}, {}
+    for n in names:
+        rs = [r for r in sent if r.get("q", default_q) == n]
+        if not rs:
+            continue
+        try:
+            anchors[n] = anchor_sec(n)
+        except KeyError:
+            continue
+        recs[n] = {
+            1: sorted((r for r in rs if r.get("pass") == 1), key=lambda r: r["at"]),
+            2: sorted((r for r in rs if r.get("pass") == 2), key=lambda r: r["at"]),
+        }
+    usable = [n for n in names if n in recs]
+    if not usable:
+        return {}, {}, {}
+
+    def brackets(records, pos, s_anchor):
         before = [r["sec"] for r in records if r["at"] <= pos]
         after = [r["sec"] for r in records if r["at"] > pos]
         vals = ([before[-1]] if before else []) + ([after[0]] if after else [])
         return max(vals) / s_anchor if vals else None
 
-    p1 = sorted((r for r in sent if r.get("pass") == 1), key=lambda r: r["at"])
-    p2 = sorted((r for r in sent if r.get("pass") == 2), key=lambda r: r["at"])
     # run order: Bench emits queries sorted by name; "windows" preserves
     # the re-measure order (python dicts keep insertion order)
     order = sorted(cur)
     win2 = list(doc.get("windows") or {})
-    out = {}
+    out, assigned = {}, {}
     for i, q in enumerate(order):
+        sname = sentinel_for(q, usable)
+        if sname is None:
+            continue
         if q in win2 and cur[q] != (doc["windows"][q][0]):
             # gate value came from the second window
-            f = brackets(p2, win2.index(q)) if p2 else None
+            f = brackets(recs[sname][2], win2.index(q), anchors[sname]) if recs[sname][2] else None
         else:
-            f = brackets(p1, i)
+            f = brackets(recs[sname][1], i, anchors[sname])
         if f is not None:
             out[q] = f
-    return out
+            assigned[q] = sname
+    meds = {}
+    for n in usable:
+        fs = [out[q] for q in out if assigned[q] == n]
+        if fs:
+            meds[n] = statistics.median(fs)
+    return out, assigned, meds
 
 
 def main(argv):
@@ -197,15 +257,18 @@ def main(argv):
         return 2
     ambient = statistics.median(ratios.values())
 
-    # segment factors from the in-run sentinel (raw sentinel ratios,
-    # normalized below by the sentinel run median so a uniformly-loaded
-    # run doesn't double-count ambient)
-    seg_raw = segment_factors(doc, cur, anchor_sec, doc.get("sentinel_q"))
-    seg_med = statistics.median(seg_raw.values()) if seg_raw else None
+    # segment factors from the in-run sentinels (raw ratios, normalized
+    # below by EACH sentinel's own run median so a uniformly-loaded run
+    # doesn't double-count ambient; two-sentinel runs give micro-family
+    # rows the micro sentinel's segments)
+    seg_raw, seg_sent, seg_meds = segment_factors(doc, cur, anchor_sec)
     if seg_raw:
-        hi = max(seg_raw.values()) / seg_med
-        print(f"sentinel segments: {len([r for r in (doc.get('sentinel') or []) if r.get('pass') == 1])} pass-1 marks, "
-              f"median ratio {seg_med:.2f}, worst segment {hi:.2f}x median")
+        for n in sorted(seg_meds):
+            fs = [seg_raw[q] for q in seg_raw if seg_sent[q] == n]
+            marks = len([r for r in (doc.get("sentinel") or [])
+                         if r.get("q", sentinel_names(doc)[0]) == n and r.get("pass") == 1])
+            print(f"sentinel {n}: {marks} pass-1 marks, median ratio {seg_meds[n]:.2f}, "
+                  f"worst segment {max(fs)/seg_meds[n]:.2f}x median ({len(fs)} rows gated)")
     if doc.get("windows"):
         parts = ", ".join(f"{q} {w[0]:.2f}->{w[1]:.2f}s" for q, w in sorted(doc["windows"].items()))
         print(f"re-measured (second window, gate on better): {parts}")
@@ -231,12 +294,27 @@ def main(argv):
                 # (artifact routing) must not flag the family's
                 # live-compute rows as regressions.
                 d = max(d, min(max(m, ambient), ambient * FAMILY_CLAMP))
-        if seg_med and q in seg_raw:
-            # segment burst factor: this query's bracketing sentinels vs
-            # the sentinel run median; >1 only when ITS segment ran hotter
-            # than the run's typical segment. Never below ambient; clamped.
-            seg = ambient * (seg_raw[q] / seg_med)
-            d = max(d, min(max(seg, ambient), ambient * SEG_CLAMP))
+        if q in seg_raw:
+            sname = seg_sent[q]
+            if family_of(sname) in MICRO_FAMILIES:
+                # micro-class rows: the micro sentinel's ABSOLUTE ratio
+                # to its anchor is the class-ambient estimate — global
+                # ambient (CPU-row-dominated) under-reads this class's
+                # contention response, and a burst-relative divisor
+                # would absorb nothing when the whole class is uniformly
+                # elevated. Non-circular: the sentinel is an untouched
+                # anchored row. Never below ambient; clamped, so a real
+                # class-wide regression past 3x ambient still fails.
+                seg = seg_raw[q]
+            else:
+                # CPU rows: burst-relative — this query's bracketing
+                # sentinels vs the sentinel run median; >1 only when ITS
+                # segment ran hotter than the run's typical segment
+                # (global ambient already carries the class level).
+                m = seg_meds.get(sname)
+                seg = ambient * (seg_raw[q] / m) if m else None
+            if seg is not None:
+                d = max(d, min(max(seg, ambient), ambient * SEG_CLAMP))
         return d
 
     failures = []
