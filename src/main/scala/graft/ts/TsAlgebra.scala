@@ -476,6 +476,15 @@ object TsAlgebra {
     * that fit a report (dashboards, cohort panels) — at millions of
     * series, LSH-bucket the series embeddings first and correlate
     * within buckets (the `Similarity` machinery).
+    *
+    * NOT a pure plan builder: calling this runs one EAGER Spark job (a
+    * LIMIT-bounded distinct-key cardinality probe) and THROWS past
+    * `maxSeries` (default [[MaxCorrSeries]] = 1000) — including in
+    * explain/plan-only contexts. The eager guard is deliberate: the
+    * self-join materializes K²/2 rows per shared bucket, and failing at
+    * call time beats melting the shuffle at execution. Callers above
+    * the cap route to [[topCorrelatedPairs]] (the pruned scale path) or
+    * raise `maxSeries` explicitly, accepting the quadratic join.
     */
   /** Hard cap on the series count `pairwiseCorr` will self-join: the join
     * materializes K²/2 rows PER SHARED BUCKET, so K past report size
