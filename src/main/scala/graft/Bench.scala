@@ -76,19 +76,20 @@ object Bench {
     // micro row (sketch_cms) — the r11/r14 loaded runs showed the two
     // classes amplify DIFFERENTLY under the same contention (sketch_*/
     // sim_* micro rows 2-3x while CPU rows barely move), so check_bench
-    // picks the divisor per family class. Single timings (jitter is
-    // clamped downstream; a segment divisor never drops below the global
-    // ambient, so a fast-jitter sentinel cannot tighten the gate)
+    // picks the divisor per family class. Sentinels are measured
+    // median-of-3 EXACTLY like the rows they calibrate: a single cold
+    // shot reads the cache-sensitive micro class ~3x above the rows'
+    // warm medians (observed 5.5x vs 1.9x), which would over-loosen the
+    // micro divisor. Jitter beyond that is clamped downstream; a
+    // divisor never drops below ambient, so a fast sentinel cannot
+    // tighten the gate.
     val SentinelName = "q1_agg"
     val SentinelNames = Seq(SentinelName, "sketch_cms")
     val SentinelEvery = 20
     val sentinelFns = SentinelNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val sentinels = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double)]()
     def sentinel(pass: Int, at: Int): Unit = sentinelFns.foreach { case (n, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      sentinels += ((n, pass, at, (System.nanoTime() - t0) / 1e9))
-      spark.catalog.clearCache(); System.gc()
+      sentinels += ((n, pass, at, median3(fn)))
     }
 
     // one untimed sentinel run first: the post-warm clearCache+GC leaves

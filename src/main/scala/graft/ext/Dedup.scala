@@ -1728,14 +1728,14 @@ object Dedup {
     */
   private[ext] final case class XsubSpan(s: Long, e: Long)
 
-  /** Per-doc excision input: source text + merged removal spans +
-    * (possibly overlapping) owner shield ranges, both sorted by (s, e).
+  /** Per-doc excision input: source text + UNMERGED removal ranges +
+    * (possibly overlapping) owner shield ranges, both sorted by (s, e);
+    * the kernel merges both linearly.
     */
   private[ext] final case class XsubDoc(
       id: Long,
       text: String,
-      n_spans: Long,
-      spans: Seq[XsubSpan],
+      rem: Seq[XsubSpan],
       sh: Seq[XsubSpan])
 
   /** Merge sorted-by-(s,e) ranges into disjoint intervals, chaining
@@ -1780,11 +1780,11 @@ object Dedup {
     * maximal duplicates each protect their own first copy.
     *
     * Destructive rewrites key on the FULL 128-bit md5 of the window
-    * (BinaryType — 16-byte shuffle key), the [[exciseDuplicateChunks]]
-    * precedent: 32-bit truncation expects ~n²/2³³ colliding window
-    * pairs (≈100 corrupted spans at 10⁶ windows), each silently excising
-    * unique text. Only non-destructive reporting kernels may use
-    * [[shingleHash32]].
+    * (packed as two fixed-width longs — flat shuffle rows, word-sized
+    * comparisons), the [[exciseDuplicateChunks]] precedent: 32-bit
+    * truncation expects ~n²/2³³ colliding window pairs (≈100 corrupted
+    * spans at 10⁶ windows), each silently excising unique text. Only
+    * non-destructive reporting kernels may use [[shingleHash32]].
     *
     * `n_spans` counts CANDIDATE removal spans (merged, pre-shield): a
     * doc whose ranges are fully shielded reports n_spans > 0 with
@@ -1793,16 +1793,21 @@ object Dedup {
     * authoritative for "did the rewrite change anything".
     *
     * Reconstruction is a typed kernel pass, O(tokens + spans) per doc:
-    * spans and shields arrive as sorted merged interval lists and a
-    * single cursor walk over the tokens advances both — a
-    * boilerplate-saturated doc with thousands of disjoint spans stays
-    * linear (the Catalyst `exists(spans, …)`-per-token formulation it
-    * replaces was O(tokens × spans) and re-evaluated `split()` per
-    * element). 100 TB shape otherwise unchanged: one persisted
-    * tokenize+hash pass, per-(w,hash) partial-agg election (map-side
-    * combine absorbs a window duplicated 10⁸ times), ownership join,
-    * interval merge as a per-doc window, document bodies moving exactly
-    * once in the final join.
+    * removal and shield ranges arrive as sorted lists, the kernel
+    * merges each linearly (adjacency-chained) and a single cursor walk
+    * over the tokens advances both — a boilerplate-saturated doc with
+    * thousands of disjoint spans stays linear (the Catalyst
+    * `exists(spans, …)`-per-token formulation it replaces was
+    * O(tokens × spans) and re-evaluated `split()` per element).
+    *
+    * 100 TB shape: one persisted tokenize+hash pass; per-hash
+    * partial-agg election (map-side combine absorbs a window duplicated
+    * 10⁸ times); ONE ownership join whose output feeds ONE per-doc
+    * aggregation collecting removal and shield ranges together
+    * (collect_list sizes are output-bound — ≤ the doc's own window
+    * count); the interval merge runs in the kernel, not as window
+    * functions, so the whole post-election tail is a single shuffle by
+    * doc id; document bodies move exactly once in the final join.
     */
   def exciseExactSubstringsCascade(
       df: DataFrame,
@@ -1823,74 +1828,64 @@ object Dedup {
           val words = text.split(" ", -1)
           grains.iterator.flatMap { w =>
             (0 to words.length - w).iterator.map { i =>
-              (id, i.toLong, w,
-                md.digest(words.slice(i, i + w).mkString(" ")
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              val d = md.digest(words.slice(i, i + w).mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // the 128 bits packed as TWO fixed-width longs, not a
+              // 16-byte binary: fixed-width group/join keys keep the
+              // rows flat (no var-length field per row) and the
+              // comparisons word-sized — a binary key measured 5x on
+              // the bench row for identical semantics. The grain needs
+              // no key column: distinct w ⇒ distinct window text ⇒
+              // distinct md5 (collision odds are the 128-bit ones)
+              var h1 = 0L
+              var h2 = 0L
+              var j = 0
+              while (j < 8) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+              while (j < 16) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+              (id, i.toLong, i + w - 1L, h1, h2)
             }
           }
         }
       }
-      .toDF("id", "pos", "w", "h")
+      .toDF("id", "pos", "e", "h1", "h2")
       // two consumers with different exchange children (owner election
       // + ownership join) — the duplicatePassages persist contract
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count()
     val owners = wins
-      .groupBy(col("w"), col("h"))
+      .groupBy(col("h1"), col("h2"))
       .agg(
         count(lit(1)).as("_c"),
         min(struct(col("id").as("oid"), col("pos").as("opos"))).as("owner"))
       .where(col("_c") > 1)
-    val owned = wins.join(owners, Seq("w", "h"))
-    // non-first occurrences of duplicated windows → removal ranges
-    // [pos, pos + w − 1], unioned across grains
-    val removed = owned
-      .where(!(col("id") === col("owner.oid") && col("pos") === col("owner.opos")))
-      .select(col("id"), col("pos").as("s"), (col("pos") + col("w") - 1).cast("long").as("e"))
-      .distinct()
-    // the kept occurrences' token ranges SHIELD their tokens: without
-    // this, removal ranges from NEIGHBORING duplicated windows can eat
-    // the corpus-first copy's own tokens and the duplicated run would
+    // ONE ownership join; each occurrence of a duplicated window is
+    // either the corpus-first owner (its range SHIELDS its tokens) or a
+    // later copy (its range is a removal candidate). Without shields,
+    // removal ranges from NEIGHBORING duplicated windows could eat the
+    // corpus-first copy's own tokens and the duplicated run would
     // survive nowhere (doc1="a b c", doc2="a b z b c", doc3="q b z q"
     // at w=2 — doc2 owns "b z" but its flanking "a b"/"b c" removals
     // cover the owner's tokens). A token is excised iff a removal range
-    // covers it AND no owner range does.
-    val shields = owned
-      .where(col("id") === col("owner.oid") && col("pos") === col("owner.opos"))
-      .select(col("id"), col("pos").as("s"), (col("pos") + col("w") - 1).cast("long").as("e"))
-      .distinct()
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sh"))
-    // interval merge over variable-length ranges: running max of e over
-    // the (s, e) sort — a range starts a new group iff it clears the
-    // furthest end seen so far by more than the adjacency gap
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
-    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = removed
-      .withColumn("_new", when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
-      .withColumn("_grp", sum(col("_new")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("id"), col("_grp"))
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // covers it AND no owner range does. (w, id, pos) is unique in
+    // `wins`, so no distinct is needed on either branch; collect_list
+    // drops the other branch's nulls.
+    val kept = col("id") === col("owner.oid") && col("pos") === col("owner.opos")
+    val perDoc = wins.join(owners, Seq("h1", "h2"))
       .groupBy(col("id"))
       .agg(
-        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
-        count(lit(1)).as("n_spans"))
+        sort_array(collect_list(when(!kept, struct(col("pos").as("s"), col("e"))))).as("rem"),
+        sort_array(collect_list(when(kept, struct(col("pos").as("s"), col("e"))))).as("sh"))
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .join(spans, Seq("id"), "left")
-      .join(shields, Seq("id"), "left")
-      .select(
-        col("id"), col("text"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("spans"), col("sh"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("text"), col("rem"), col("sh"))
       .as[XsubDoc]
       .map { d =>
-        if (d.spans == null || d.spans.isEmpty) (d.id, 0L, 0L, d.text)
+        if (d.rem == null || d.rem.isEmpty) (d.id, 0L, 0L, d.text)
         else {
           val tokens = d.text.split(" ", -1)
-          val rem = mergeSortedSpans(d.spans)
+          val rem = mergeSortedSpans(d.rem)
           val shm = mergeSortedSpans(d.sh)
-          // single cursor walk: spans/shields are disjoint sorted
+          // single cursor walk: the merged ranges are disjoint sorted
           // intervals and i is monotone, so both pointers advance
           // amortized O(1) — O(tokens + spans) per document
           var si = 0
@@ -1912,7 +1907,7 @@ object Dedup {
             }
             i += 1
           }
-          (d.id, d.n_spans, removedCount, sb.toString)
+          (d.id, rem.length / 2L, removedCount, sb.toString)
         }
       }
       .toDF(idCol, "n_spans", "n_tokens_removed", "clean_text")
