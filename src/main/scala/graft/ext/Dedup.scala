@@ -83,13 +83,9 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, b, text) =>
-          val words = text.split(" ", -1)
-          val hs = (0 to words.length - n).iterator
-            .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String]
-            .map(g => shingleHash32(md, g))
-            .toArray
-          (id, b, hs)
+          // byte-range kernel: sorted is a superset of the old unsorted
+          // contract (downstream is explode + size, order-free)
+          (id, b, sortedDistinctShingleHash32(md, tokenBytes(text), n))
         }
       }
       .toDF("id", "blk", "hs")
@@ -379,14 +375,7 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val words = text.split(" ", -1)
-          val hs = (0 to words.length - n).iterator
-            .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String]
-            .map(g => shingleHash32(md, g))
-            .toArray
-          java.util.Arrays.sort(hs)
-          (id, hs)
+          (id, sortedDistinctShingleHash32(md, tokenBytes(text), n))
         }
       }
       .toDF("id", "hs")
@@ -488,10 +477,33 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val words = text.split(" ", -1)
-          (0 to words.length - n).iterator
-            .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String].iterator.map(g => (id, shingleHash32(md, g)))
+          // byte-range kernel; dedupe on the FULL 128-bit digest, not
+          // the emitted 32-bit value: this kernel's contract is
+          // distinct GRAMS (two distinct grams colliding in the 32-bit
+          // prefix must still emit two rows, as the string-set
+          // formulation did) — distinct md5 ≡ distinct gram text, the
+          // repo's excision-key equivalence
+          val tb = tokenBytes(text)
+          val nW = tb.nTok - n + 1
+          if (nW <= 0) Iterator.empty
+          else {
+            val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var i = 0
+            while (i < nW) {
+              md.reset()
+              md.update(tb.bytes, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
+              val d = md.digest()
+              var h1 = 0L
+              var h2 = 0L
+              var j = 0
+              while (j < 8) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+              while (j < 16) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+              if (seen.add((h1, h2))) out += ((id, h1 >>> 32))
+              i += 1
+            }
+            out.iterator
+          }
         }
       }
       .toDF("id", "h")
@@ -516,6 +528,15 @@ object Dedup {
     val bSh = baseSh.select(col("id"), col("h"))
     val dSh = containmentShingles(delta, idCol, textCol, n)
     val bDf = bSh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    // NOT persisted (measured, r15 optimization round): the bK/dK/bDf
+    // subtrees repeat in the plan (170 nodes, 32 scans for one ingest
+    // check) but their repeats sit under IDENTICAL exchanges, which
+    // ReuseExchange already dedupes at runtime — adding
+    // persist+eager-count here measured 2.38 s -> 3.41 s (bK+dK+bDf
+    // cached) and 2.93 s (dK+bDf) on the bench row: the InMemoryRelation
+    // materialization costs more than the reuse saves. Contrast
+    // Graph.triangles, where the repeated input subtree sits under
+    // DIFFERENT exchange keys and the persist measured 2.5 s -> 1.15 s.
     val bK = bSh.join(bDf.where(col("dfreq") <= maxDf).select(col("h")), Seq("h"))
     val dK = dSh.join(bDf, Seq("h"), "left")
       .where(coalesce(col("dfreq"), lit(0L)) <= maxDf)
@@ -600,14 +621,7 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val words = text.split(" ", -1)
-          val hs = (0 to words.length - n).iterator
-            .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String]
-            .map(g => shingleHash32(md, g))
-            .toArray
-          java.util.Arrays.sort(hs)
-          (id, hs)
+          (id, sortedDistinctShingleHash32(md, tokenBytes(text), n))
         }
       }
       .toDF("id", "hs")
@@ -701,6 +715,72 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** One UTF-8 encoding of a doc plus the byte offsets of its
+    * single-space tokens: token i spans [starts(i), ends(i)). Because
+    * `split(" ", -1)` splits on single spaces, any n-gram
+    * `words.slice(i, i+n).mkString(" ")` is exactly the byte range
+    * [starts(i), ends(i+n−1)) — UTF-8 is context-free and the space
+    * byte never occurs inside a multi-byte sequence — so shingle
+    * kernels can md5 byte ranges directly instead of re-allocating and
+    * re-encoding every token n times per window (guide §1.2 per-task
+    * work; the same device as the excision kernel).
+    */
+  private[ext] final class TokenBytes(val bytes: Array[Byte], val starts: Array[Int], val ends: Array[Int]) {
+    def nTok: Int = starts.length
+  }
+
+  private[ext] def tokenBytes(text: String): TokenBytes = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var nTok = 1
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' '.toByte) nTok += 1; p += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' '.toByte) { ends(t) = p; t += 1; starts(t) = p + 1 }
+      p += 1
+    }
+    ends(t) = bytes.length
+    new TokenBytes(bytes, starts, ends)
+  }
+
+  /** SORTED DISTINCT 32-bit hashes of a doc's n-gram shingles — the
+    * byte-range formulation of `.toSet[String].map(shingleHash32)`
+    * (distinct strings mapped to 32-bit hashes IS the distinct set of
+    * 32-bit values, so deduping on the hash is exact, not approximate).
+    * Sort-then-dedupe instead of a hash set: no boxing, and both
+    * consumers (ppjoin, MinHash signatures) want the sorted array
+    * anyway.
+    */
+  private[ext] def sortedDistinctShingleHash32(
+      md: java.security.MessageDigest, tb: TokenBytes, n: Int): Array[Long] = {
+    val nW = tb.nTok - n + 1
+    if (nW <= 0) Array.emptyLongArray
+    else {
+      val hs = new Array[Long](nW)
+      var i = 0
+      while (i < nW) {
+        md.reset()
+        md.update(tb.bytes, tb.starts(i), tb.ends(i + n - 1) - tb.starts(i))
+        val d = md.digest()
+        hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var w = 0
+      var r = 0
+      while (r < nW) {
+        if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+        r += 1
+      }
+      if (w == nW) hs else java.util.Arrays.copyOf(hs, w)
+    }
+  }
+
   /** One typed pass per document: distinct md5 shingle hashes + the
     * MinHash signature over them. Signatures are `perms` universal-hash
     * permutations h_k(x) = (a_k·x + b_k) mod (2³¹−1). Typed mapPartitions
@@ -717,16 +797,21 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val words = text.split(" ", -1)
-          val xs = (0 to words.length - n).iterator
-            .map(i => words.slice(i, i + n).mkString(" "))
-            .toSet[String]
-            .map(g => shingleHash32(md, g))
-            .toArray
-          java.util.Arrays.sort(xs)
-          val sig = Array.tabulate(perms) { k =>
-            if (xs.isEmpty) 0L
-            else xs.foldLeft(Long.MaxValue)((m, x) => math.min(m, (x * (k * 2 + 3) + (k * 5 + 7)) % HashP))
+          val xs = sortedDistinctShingleHash32(md, tokenBytes(text), n)
+          val sig = new Array[Long](perms)
+          if (xs.nonEmpty) {
+            var k = 0
+            while (k < perms) {
+              var m = Long.MaxValue
+              var j = 0
+              while (j < xs.length) {
+                val v = (xs(j) * (k * 2 + 3) + (k * 5 + 7)) % HashP
+                if (v < m) m = v
+                j += 1
+              }
+              sig(k) = m
+              k += 1
+            }
           }
           (id, xs, sig)
         }
@@ -1825,11 +1910,36 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val words = text.split(" ", -1)
+          // windows are hashed as BYTE RANGES of the one UTF-8 encoding
+          // of the doc: `split(" ", -1)` splits on single spaces, so
+          // `words.slice(i, i+w).mkString(" ")` is exactly the substring
+          // from word i's start to word i+w−1's end, and UTF-8 encoding
+          // is context-free, so its bytes are exactly that slice of the
+          // doc's bytes (a space byte never occurs inside a multi-byte
+          // sequence). The previous slice+mkString+getBytes per window
+          // re-allocated and re-encoded every token w times per grain —
+          // the dominant cost of the md5 keying (guide §1.2 per-task
+          // work; measured on the bench row below).
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // token i spans [starts(i), ends(i)) in bytes
+          var nTok = 1
+          var p = 0
+          while (p < bytes.length) { if (bytes(p) == ' '.toByte) nTok += 1; p += 1 }
+          val starts = new Array[Int](nTok)
+          val ends = new Array[Int](nTok)
+          var t = 0
+          starts(0) = 0
+          p = 0
+          while (p < bytes.length) {
+            if (bytes(p) == ' '.toByte) { ends(t) = p; t += 1; starts(t) = p + 1 }
+            p += 1
+          }
+          ends(t) = bytes.length
           grains.iterator.flatMap { w =>
-            (0 to words.length - w).iterator.map { i =>
-              val d = md.digest(words.slice(i, i + w).mkString(" ")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (0 to nTok - w).iterator.map { i =>
+              md.reset()
+              md.update(bytes, starts(i), ends(i + w - 1) - starts(i))
+              val d = md.digest()
               // the 128 bits packed as TWO fixed-width longs, not a
               // 16-byte binary: fixed-width group/join keys keep the
               // rows flat (no var-length field per row) and the

@@ -126,14 +126,30 @@ object Graph {
     * canonical distinct (least, greatest) pass absorbs all three.
     */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Multi-consumer persists (the `exciseDuplicateChunks` cache
+    // contract: LRU owns eviction, an evicted block recomputes
+    // deterministically). Without them the INPUT subtree is inlined once
+    // per consumer — `e` feeds deg (twice, via the union) + the two rank
+    // joins, `deg` has three consumers, `oriented` three — so an edge
+    // list derived from a non-trivial query (the co-purchase pair join
+    // here) re-planned and re-scanned its source ~17x: the measured
+    // pre-fix plan was 948 nodes / 410 Exchanges / 136 parquet scans of
+    // `events` for ONE triangle count (plans/r15/
+    // graph_triangles_before.txt). All three cached frames are
+    // metadata-sized (edges and degrees, never payloads).
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager: parallel first-consumers would race the fill
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("deg"))
+      // lazy persist: materialized as a side effect of oriented.count()
+      // below, cached for the final output join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (deg, node) rank is a total order: equal-degree endpoints of one
     // edge still differ on node. src = lower rank, dst = higher.
     val ranked = e
@@ -147,6 +163,8 @@ object Graph {
       when(aLower, rA).otherwise(rB).as("srcR"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"),
       when(aLower, rB).otherwise(rA).as("dstR"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    oriented.count() // also materializes deg through the rank joins
     // wedges at u: unordered out-neighbor pairs, canonicalized by rank so
     // the closing edge (if present) is oriented exactly v→w
     val w1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dstR").as("vR"))

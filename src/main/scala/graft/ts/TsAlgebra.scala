@@ -593,6 +593,14 @@ object TsAlgebra {
       .withColumn(
         "bvfp",
         expr("CAST(sign(svm) AS BIGINT) * ((abs(svm) * 2 + nvm) DIV (2 * nvm))"))
+      // NOT persisted (measured, r15 optimization round): b has four
+      // consumers under different partitionings (116-node plan, 16
+      // scans), but the repeated subtree is one cheap partial-agg over
+      // the source scan — persisting it measured 0.65 s -> 1.55 s
+      // (lazy) and 1.54 s (eager count) on the bench row: InMemoryRelation
+      // write + columnar-cache read cost more than the recompute.
+      // Contrast Graph.triangles, where the repeated input is a
+      // multi-join subquery and the same persist measured 2.5 -> 1.15 s.
     // series grain: bucket count + bvfp total; the sign bit compares
     // bvfp against the series mean by cross-multiplication (no division)
     val m = b.groupBy(col(keyCol))
