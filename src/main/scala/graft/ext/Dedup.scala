@@ -1739,19 +1739,28 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val words = text.split(" ", -1)
-          (0 to words.length - w).iterator
-            .map(i => (id, i.toLong, shingleHash32(md, words.slice(i, i + w).mkString(" "))))
+          // byte-range window hashing (one encode per doc, the
+          // excision-kernel device)
+          val tb = tokenBytes(text)
+          (0 to tb.nTok - w).iterator.map { i =>
+            md.reset()
+            md.update(tb.bytes, tb.starts(i), tb.ends(i + w - 1) - tb.starts(i))
+            val d = md.digest()
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            (id, i.toLong, h)
+          }
         }
       }
       .toDF(idCol, "pos", "h")
-      // two consumers (dup aggregation + the semi-join's probe side) with
-      // DIFFERENT exchange children — ReuseExchange cannot dedupe them, so
-      // without the persist the tokenize+md5 kernel pass runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count()
+    // UNPERSISTED two-consumer kernel + SHUFFLE_HASH dup side — the
+    // exciseExactSubstringsCascade shape, same measured reasoning: the
+    // kernel runs twice (the dup side's exchange child carries a
+    // partial agg — not reusable) but each pass pipelines into its
+    // shuffle write; two cheap passes beat materializing every window
+    // row through the block manager plus an eager count job.
     val dup = wins.groupBy("h").agg(count(lit(1)).as("_c")).where(col("_c") > 1).select("h")
-    val flagged = wins.join(dup, Seq("h"), "left_semi")
+    val flagged = wins.join(dup.hint("SHUFFLE_HASH"), Seq("h"), "left_semi")
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
     flagged
       .withColumn("_new", when(lag(col("pos"), 1).over(win).isNull
@@ -1958,10 +1967,6 @@ object Dedup {
         }
       }
       .toDF("id", "pos", "e", "h1", "h2")
-      // two consumers with different exchange children (owner election
-      // + ownership join) — the duplicatePassages persist contract
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count()
     val owners = wins
       .groupBy(col("h1"), col("h2"))
       .agg(
@@ -1980,7 +1985,22 @@ object Dedup {
     // `wins`, so no distinct is needed on either branch; collect_list
     // drops the other branch's nulls.
     val kept = col("id") === col("owner.oid") && col("pos") === col("owner.opos")
-    val perDoc = wins.join(owners, Seq("h1", "h2"))
+    // No persist of `wins` + SHUFFLE_HASH on the (aggregated, smaller)
+    // owners side (r15 optimization round, measured). The old shape
+    // persisted the whole window table (4x-corpus rows through the
+    // block manager, plus an eager count job) so its two consumers
+    // shared one kernel pass; unpersisted, the tokenize+md5 kernel runs
+    // TWICE (the election's exchange child carries a partial agg, the
+    // join side's doesn't — not reusable), but each pass PIPELINES
+    // straight into its shuffle write without ever materializing window
+    // rows, and the byte-range kernel is cheap enough that two passes
+    // beat one pass + corpus-scale cache write+read: 1.07/2.47 s
+    // (persist) → 0.88/1.67 s (this shape) on the two bench rows, 10x
+    // probe band unchanged. SHUFFLE_HASH (not broadcast) keeps the join
+    // partitioned by (h1, h2) with no sort — measured 2.14 s → 1.67 s on
+    // the cascade row vs the broadcast plan, and at 100 TB the
+    // duplicated-hash table outgrows a broadcast anyway.
+    val perDoc = wins.join(owners.hint("SHUFFLE_HASH"), Seq("h1", "h2"))
       .groupBy(col("id"))
       .agg(
         sort_array(collect_list(when(!kept, struct(col("pos").as("s"), col("e"))))).as("rem"),
