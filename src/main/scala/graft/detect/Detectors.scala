@@ -387,120 +387,66 @@ object Detectors {
   private def esdCore(points: DataFrame, k: Int, cut: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
     require(cut >= 1, s"cut must be >= 1, got $cut")
-    val dec = "decimal(38,0)"
-    // hot path stays LONG (the acf lesson: per-row DECIMAL(38) ops are
-    // interpreted BigDecimal — measured multi-second at bench scale);
-    // sums are exact while they fit 2⁶³ and fail LOUDLY (ANSI) past it.
-    // Only the per-round estimator algebra (squares and n·Q − S²)
-    // widens to DECIMAL(38,0).
-    // unique-(ts, vc) contract enforced LOUDLY at entry (the
-    // minPointsGuard posture): exact duplicate rows would co-deactivate
-    // on a shared candidate round while s_c/q_c subtract one copy,
-    // silently skewing every later round. The dup-count window
-    // partitions by (key, ts, vc) — a SUBSET-compatible clustering with
-    // the byKey hash partitioning, so it adds one local sort, never a
-    // second exchange (the family's one-exchange shape holds).
-    var df = points
-      .repartition(col("seriesKey"))
-      .withColumn(
-        "_dupN",
-        count(lit(1)).over(Window.partitionBy(col("seriesKey"), col("tsMs"), col("vc"))))
-      .withColumn("n0", count(lit(1)).over(byKey))
-      .withColumn(
-        "n0",
-        when(
-          // only series the detector would actually SCORE raise: a dup in
-          // a sub-MinPoints series was silently dropped before the guard
-          // existed, and still is — the guard must not fail jobs on data
-          // the pipeline never consumes
-          col("_dupN") > 1 && col("n0") >= Constants.MinPoints,
-          raise_error(concat(
-            lit("esdCore: duplicate (tsMs, value) rows in series "), col("seriesKey"),
-            lit(" at ts "), col("tsMs"),
-            lit(" violate the unique-ts contract - de-duplicate at entry (TsAlgebra.latest)"))))
-          .otherwise(col("n0")))
-      .drop("_dupN")
-      .where(col("n0") >= Constants.MinPoints)
-      // running sums over the ACTIVE set, maintained by subtraction
-      .withColumn("s_c", sum(col("vc")).over(byKey))
-      .withColumn("q_c", sum(col("vc") * col("vc")).over(byKey))
-      .withColumn("act", lit(true))
-    for (i <- 1 to k) {
-      val nI = col("n0") - lit(i - 1)
-      // the argmax is a max_by over (dev, −ts) — no per-round SORT; all
-      // three window aggregates share one spec, so each round is ONE
-      // window pass. num/den/test are partition-constant closed forms
-      // (the candidate's dev IS max(dev)), so the verdict needs no
-      // second pass either.
-      val argKey = struct(col("devI"), (-col("tsMs")).as("nt"))
-      df = df
-        // inactive / under-guard rows sink below every real |dev| >= 0
-        .withColumn(
-          "devI",
-          when(
-            col("act") && nI >= Constants.MinPoints,
-            abs(nI * col("vc") - col("s_c")))
-            .otherwise(lit(-1L)))
-        .withColumn("candTs", max_by(col("tsMs"), argKey).over(byKey))
-        .withColumn("candVc", max_by(col("vc"), argKey).over(byKey))
-        .withColumn("maxDev", max(col("devI")).over(byKey))
-        // the candidate is matched on (ts, vc), not ts alone: a series
-        // carrying duplicate timestamps with DIFFERENT values must not
-        // deactivate both rows while s_c/q_c subtract only one (exact
-        // duplicate (ts, vc) rows can't reach here — the entry guard
-        // raises on them before round 1)
-        .withColumn(
-          s"cand$i",
-          col("tsMs") === col("candTs") && col("vc") === col("candVc") && col("devI") >= 0)
-        .withColumn(s"num$i", col("maxDev").cast(dec) * col("maxDev").cast(dec))
-        .withColumn(
-          s"den$i",
-          nI.cast(dec) * col("q_c").cast(dec) - col("s_c").cast(dec) * col("s_c").cast(dec))
-        .withColumn(
-          s"test$i",
-          when(
-            col("maxDev") >= 0 && col(s"den$i") > 0 &&
-              col(s"num$i") > lit(cut * cut) * col(s"den$i"),
-            lit(1)).otherwise(lit(0)))
-        .withColumn("s_c", when(col("maxDev") >= 0, col("s_c") - col("candVc")).otherwise(col("s_c")))
-        .withColumn(
-          "q_c",
-          when(col("maxDev") >= 0, col("q_c") - col("candVc") * col("candVc")).otherwise(col("q_c")))
-        .withColumn("act", col("act") && !col(s"cand$i"))
+    // ONE typed per-key pass (r16; the r15 form was a k-round WINDOW
+    // CHAIN — one exchange but k+2 full WindowExec buffer passes over
+    // every row, 10 Window ops in the plan at k = 3). The key insight
+    // that makes the fold's state BOUNDED (the StreamKernel contract):
+    // each round's candidate — argmax |n·vc − S| over the active set —
+    // is always a VALUE EXTREME of the active set (|vc − mean| is
+    // maximized at the min or max value), and rounds remove one point
+    // each, so every candidate across k rounds lies within the k
+    // largest or k smallest points by (vc, ts). The kernel keeps those
+    // two k-bounded lists plus (n, Σvc, Σvc²) and replays the k rounds
+    // at series end in closed form — same election, same tie-breaks
+    // ((dev, −ts) max ≡ rarest side then min ts), same integer algebra.
+    //
+    // Arithmetic parity with the window form: the hot accumulators stay
+    // LONG and fail LOUDLY on overflow (Math.*Exact — the kernel twin
+    // of ANSI); the per-round estimator algebra (dev², n·Q − S²) runs
+    // in BigInteger, the kernel twin of the DECIMAL(38,0) widening (k
+    // BigInteger ops per SERIES, not per row). The unique-(ts, vc)
+    // contract raises at series end with the same message; a duplicate
+    // inside a sub-MinPoints series is still ignored (the series is
+    // never scored).
+    val keyT = points.schema("seriesKey").dataType
+    val tsT = points.schema("tsMs").dataType
+    val valT = points.schema("value").dataType
+    // the kernel runs on (string key, long ts, long vc) with the value
+    // carried opaquely (double or long shape); key/ts/value are cast to
+    // the kernel type and CAST BACK on output — exact round-trips for
+    // the string/long/int keys and double/long/int values the detector
+    // family actually carries
+    import org.apache.spark.sql.types._
+    val norm = points.select(
+      col("seriesKey").cast("string").as("seriesKey"),
+      col("tsMs").cast("long").as("tsMs"),
+      (valT match {
+        case DoubleType | FloatType => col("value").cast("double")
+        case LongType | IntegerType | ShortType | ByteType => col("value").cast("long")
+        case other => sys.error(s"esdCore: unsupported value type $other")
+      }).as("value"),
+      col("vc").cast("long").as("vc"))
+    val spark = points.sparkSession
+    import spark.implicits._
+    val folded: DataFrame = valT match {
+      case DoubleType | FloatType =>
+        KeyedFold.foldOnExec[EsdPtD, EsdResD, String](
+          norm.as[EsdPtD], "seriesKey", "tsMs", _.seriesKey)(() =>
+          new EsdKernel[EsdPtD, EsdResD](
+            k, cut, _.seriesKey, _.tsMs, _.vc,
+            (p, it, r2) => EsdResD(p.seriesKey, p.tsMs, p.value, it, r2))).toDF()
+      case _ =>
+        KeyedFold.foldOnExec[EsdPtL, EsdResL, String](
+          norm.as[EsdPtL], "seriesKey", "tsMs", _.seriesKey)(() =>
+          new EsdKernel[EsdPtL, EsdResL](
+            k, cut, _.seriesKey, _.tsMs, _.vc,
+            (p, it, r2) => EsdResL(p.seriesKey, p.tsMs, p.value, it, r2))).toDF()
     }
-    val iterCol = (k to 1 by -1).foldLeft(lit(null).cast("int")) {
-      case (acc, i) => when(col(s"cand$i"), lit(i)).otherwise(acc)
-    }
-    val r2Col = (k to 1 by -1).foldLeft(lit(null).cast("long")) {
-      case (acc, i) =>
-        when(
-          col(s"cand$i"),
-          // two equal-valued paths behind one cheap guard: the
-          // single-multiply form while num·10⁶ provably fits
-          // DECIMAL(38,0) (num < 9.9e31, compared as double — ulp slack
-          // ~1e16 against the 10³² ceiling; virtually all real data),
-          // divide-before-scale past it, which moves the overflow
-          // ceiling to den ≤ 10³². Equal exactly: for num = q·den + r,
-          // (num·10⁶) DIV den = q·10⁶ + (r·10⁶) DIV den on the
-          // non-negative operands here. (The guard reads num$i, not
-          // maxDev — that column is per-round and already overwritten.)
-          when(
-            col(s"den$i") > 0,
-            when(
-              expr(s"num$i < 9.9e31"),
-              expr(s"(num$i * 1000000) DIV den$i"))
-              .otherwise(
-                expr(s"(num$i DIV den$i) * 1000000 + ((num$i % den$i) * 1000000) DIV den$i")))
-            .otherwise(lit(0L)))
-          .otherwise(acc)
-    }
-    val maxI = greatest(
-      (1 to k).map(i => when(col(s"test$i") === 1, lit(i)).otherwise(lit(0))): _*)
-    df.withColumn("iter", iterCol)
-      .withColumn("r2_micro", r2Col)
-      .withColumn("max_i", maxI)
-      .where(col("iter").isNotNull && col("iter") <= col("max_i"))
-      .select(col("seriesKey"), col("tsMs"), col("value"), col("iter"), col("r2_micro"))
+    folded.select(
+      col("seriesKey").cast(keyT).as("seriesKey"),
+      col("tsMs").cast(tsT).as("tsMs"),
+      col("value").cast(valT).as("value"),
+      col("iter"), col("r2_micro"))
   }
 
   /** D6 absolute_threshold: score = how far the value sits outside the
