@@ -528,41 +528,56 @@ object Dedup {
     val bSh = baseSh.select(col("id"), col("h"))
     val dSh = containmentShingles(delta, idCol, textCol, n)
     val bDf = bSh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    // NOT persisted (measured, r15 optimization round): the bK/dK/bDf
-    // subtrees repeat in the plan (170 nodes, 32 scans for one ingest
-    // check) but their repeats sit under IDENTICAL exchanges, which
-    // ReuseExchange already dedupes at runtime — adding
-    // persist+eager-count here measured 2.38 s -> 3.41 s (bK+dK+bDf
-    // cached) and 2.93 s (dK+bDf) on the bench row: the InMemoryRelation
-    // materialization costs more than the reuse saves. Contrast
-    // Graph.triangles, where the repeated input subtree sits under
-    // DIFFERENT exchange keys and the persist measured 2.5 s -> 1.15 s.
+    // NOT persisted (measured, r15 optimization round: persist+eager
+    // count measured 2.38 s -> 3.41 s — InMemoryRelation write+read
+    // loses to recompute here). RESTRUCTURED instead (r16, guide §2.4):
+    // the old shape consumed the kept-shingle row tables through FOUR
+    // separate id-keyed operators per side (size agg, size join, prefix
+    // window, verify-array agg), re-planning the kernel+df-join subtree
+    // under each — 170 plan nodes / 32 scans for one ingest check, with
+    // runtime reuse resting entirely on ReuseExchange matching the
+    // repeats. Now each side is aggregated ONCE per doc id — the delta
+    // side into a rarity-sorted (dfreq, h) struct array, the base side
+    // into its sorted hash array — and the size floor, the rarest-first
+    // prefix (a `slice` of the rarity order), the candidate join side
+    // (an `explode`), and the verify arrays all DERIVE from that one
+    // aggregate: one exchange per side where the old plan asked for
+    // four, robust to however AQE re-plans at scale.
     val bK = bSh.join(bDf.where(col("dfreq") <= maxDf).select(col("h")), Seq("h"))
     val dK = dSh.join(bDf, Seq("h"), "left")
       .where(coalesce(col("dfreq"), lit(0L)) <= maxDf)
       .select(col("id"), col("h"), coalesce(col("dfreq"), lit(0L)).as("dfreq"))
-    val bSz = bK.groupBy(col("id")).agg(count(lit(1)).as("nb")).where(col("nb") >= minShingles)
-    val dSz = dK.groupBy(col("id")).agg(count(lit(1)).as("na")).where(col("na") >= minShingles)
-    val dKf = dK.join(dSz, "id")
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("h"))
-    val prefix = dKf
-      .withColumn("rn", row_number().over(byRarity))
-      .where(col("rn") <= col("na") - expr(s"CAST(ceil(na * $tau) AS BIGINT)") + 1)
-      .select(col("id").as("da"), col("h"), col("na"))
+    // rh = the doc's kept shingles in GLOBAL rarity order (dfreq asc,
+    // h asc — the old window's exact orderBy; equal (dfreq, h) rows are
+    // interchangeable, so the multiset slice is order-stable)
+    val dA = dK.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("h")))).as("rh"))
+      .withColumn("na", size(col("rh")).cast("long"))
+      .where(col("na") >= minShingles)
+    val bA = bK.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("bh"))
+      .withColumn("nb", size(col("bh")).cast("long"))
+      .where(col("nb") >= minShingles)
+    val prefix = dA
+      .select(
+        col("id").as("da"), col("na"),
+        explode(expr(s"slice(rh, 1, CAST(na - CAST(ceil(na * $tau) AS BIGINT) + 1 AS INT))"))
+          .as("p"))
+      .select(col("da"), col("p.h").as("h"), col("na"))
     val cand = prefix
-      .join(bK.join(bSz, "id").select(col("id").as("db"), col("h"), col("nb")), "h")
+      .join(bA.select(col("id").as("db"), explode(col("bh")).as("h"), col("nb")), "h")
       // a doc id present in BOTH the stored base index and the delta
       // batch (a re-ingest) must not self-pair at containment 1.0
       .where(col("da") =!= col("db") &&
         col("nb") >= expr(s"CAST(ceil(na * $tau) AS BIGINT)"))
       .select(col("da"), col("db")).distinct()
-    val dArr = dKf.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("ah"), first(col("na")).as("na"))
-    val bArr = bK.join(bSz, "id").groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("bh"), first(col("nb")).as("nb"))
     cand
-      .join(dArr.select(col("id").as("da"), col("ah"), col("na")), "da")
-      .join(bArr.select(col("id").as("db"), col("bh"), col("nb")), "db")
+      .join(
+        dA.select(
+          col("id").as("da"),
+          expr("array_sort(transform(rh, x -> x.h))").as("ah"), col("na")),
+        "da")
+      .join(bA.select(col("id").as("db"), col("bh"), col("nb")), "db")
       .withColumn("i", size(array_intersect(col("ah"), col("bh"))).cast("long"))
       .withColumn("c_raw", col("i").cast("double") / col("na"))
       .where(col("c_raw") >= tau)
@@ -634,12 +649,35 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .join(hashed.select(col("id"), size(col("hs")).cast("long").as("n")), "id")
       .where(col("rn") <= col("n") - expr(s"CAST(ceil(n * $tau) AS BIGINT)") + 1)
-      .select(col("id"), col("h"), col("n"))
+      .select(col("id"), col("h"), col("n"), col("rn"))
+    // POSITIONAL filter (Xiao et al. §4, r16): every doc's set is sorted
+    // by the same GLOBAL (dfh, h) total order, so for a pair the shared
+    // prefix token with min rn in a has min rn in b too, and — because a
+    // shared token globally smaller than it would itself sit inside both
+    // prefixes (its per-doc position precedes a prefix position) — it is
+    // the pair's globally FIRST shared token overall. Overlap is then
+    // bounded by U = 1 + min(na − i, nb − j) at that token's positions
+    // (i, j): nothing is shared before it, and at most min of the two
+    // suffixes after it. LOSSLESS: true overlap o ≤ U and
+    // o/(na+nb−o) is monotone in o — in IEEE doubles too (division is
+    // monotone on positive operands), and the filter reuses the verify's
+    // own o/(na+nb−o) ≥ τ form, so any pair verify would keep survives.
+    // The groupBy replaces the old distinct() — same exchange, same
+    // dedup — and the min() aggregates ride it for free; measured on the
+    // sf0.1 funnel: candidates 310,161 → see plans/r16/
+    // ppjoin_funnel_after.txt, verified_pairs unchanged.
+    val posU = lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"), col("a.n").as("na"), col("b.n").as("nb"))
+      .select(
+        col("a.id").as("da"), col("b.id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
       .where(expr(s"least(na, nb) >= CAST(ceil(greatest(na, nb) * $tau) AS BIGINT)"))
-      .distinct()
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(min(col("ra")).as("ra"), min(col("rb")).as("rb"))
+      .where(posU.cast("double") / (col("na") + col("nb") - posU) >= tau)
+      .select(col("da"), col("db"), col("na"), col("nb"))
     (hashed, prefix, cand)
   }
 
@@ -1759,6 +1797,17 @@ object Dedup {
     // partial agg — not reusable) but each pass pipelines into its
     // shuffle write; two cheap passes beat materializing every window
     // row through the block manager plus an eager count job.
+    // Two contract notes (r15 advice): (1) the two kernel passes must
+    // agree — DETERMINISTIC input required; a nondeterministic source
+    // (sampling, monotonically_increasing_id, shuffle-order-dependent
+    // ids) can make the dup stats and the flag join disagree — persist
+    // upstream in that case. (2) SHUFFLE_HASH builds the dup/owner side
+    // as an in-memory per-partition hash map that cannot spill; the
+    // build side here is the AGGREGATED duplicated-hash table (one row
+    // per duplicated value), orders of magnitude smaller than the
+    // window table — if a corpus ever inverts that (virtually all
+    // windows duplicated under distinct hashes), drop the hint and let
+    // sort-merge degrade gracefully.
     val dup = wins.groupBy("h").agg(count(lit(1)).as("_c")).where(col("_c") > 1).select("h")
     val flagged = wins.join(dup.hint("SHUFFLE_HASH"), Seq("h"), "left_semi")
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -1808,6 +1857,15 @@ object Dedup {
     * count ≤ duplicated-window count, output-bound), and reconstruction
     * that moves (start, end) token spans — document bodies travel only
     * in the final join back to the source, exactly once.
+    *
+    * DETERMINISTIC-INPUT requirement (the repo's "recomputes
+    * deterministically" contract): the unpersisted window kernel is
+    * evaluated independently for the election side and the ownership
+    * join side, so `df` must produce the same rows on re-evaluation —
+    * a nondeterministic source (sampling, monotonically_increasing_id,
+    * shuffle-order-dependent ids) can make the two passes disagree and
+    * the election elect a row the join never sees. Persist upstream
+    * when feeding such a source.
     */
   def exciseExactSubstrings(
       df: DataFrame,
@@ -1819,8 +1877,13 @@ object Dedup {
   /** Sorted-span element for the excision kernel: token range [s, e].
     * `private[ext]` not `private`: encoder codegen (Janino) needs
     * bytecode-public classes to new them in generated projections.
+    * INT positions (r16, guide §2.3 narrower types): token indices are
+    * bounded by a document's token count, far under 2³¹ for any real
+    * document. Measured cost-neutral on the bench rows (UnsafeRow's
+    * 8-byte field slots keep shuffle rows the same size); kept as the
+    * honest type — the narrowing pays wherever spans land columnar.
     */
-  private[ext] final case class XsubSpan(s: Long, e: Long)
+  private[ext] final case class XsubSpan(s: Int, e: Int)
 
   /** Per-doc excision input: source text + UNMERGED removal ranges +
     * (possibly overlapping) owner shield ranges, both sorted by (s, e);
@@ -1835,11 +1898,11 @@ object Dedup {
   /** Merge sorted-by-(s,e) ranges into disjoint intervals, chaining
     * adjacent ones (s ≤ prev_e + 1). Linear in the range count.
     */
-  private def mergeSortedSpans(xs: Seq[XsubSpan]): Array[Long] = {
+  private def mergeSortedSpans(xs: Seq[XsubSpan]): Array[Int] = {
     // flat (s0, e0, s1, e1, ...) array — no per-interval allocation
-    if (xs == null || xs.isEmpty) Array.emptyLongArray
+    if (xs == null || xs.isEmpty) Array.emptyIntArray
     else {
-      val out = scala.collection.mutable.ArrayBuilder.make[Long]
+      val out = scala.collection.mutable.ArrayBuilder.make[Int]
       var cs = xs.head.s
       var ce = xs.head.e
       xs.iterator.drop(1).foreach { sp =>
@@ -1920,34 +1983,20 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           // windows are hashed as BYTE RANGES of the one UTF-8 encoding
-          // of the doc: `split(" ", -1)` splits on single spaces, so
-          // `words.slice(i, i+w).mkString(" ")` is exactly the substring
-          // from word i's start to word i+w−1's end, and UTF-8 encoding
-          // is context-free, so its bytes are exactly that slice of the
-          // doc's bytes (a space byte never occurs inside a multi-byte
-          // sequence). The previous slice+mkString+getBytes per window
-          // re-allocated and re-encoded every token w times per grain —
-          // the dominant cost of the md5 keying (guide §1.2 per-task
-          // work; measured on the bench row below).
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          // token i spans [starts(i), ends(i)) in bytes
-          var nTok = 1
-          var p = 0
-          while (p < bytes.length) { if (bytes(p) == ' '.toByte) nTok += 1; p += 1 }
-          val starts = new Array[Int](nTok)
-          val ends = new Array[Int](nTok)
-          var t = 0
-          starts(0) = 0
-          p = 0
-          while (p < bytes.length) {
-            if (bytes(p) == ' '.toByte) { ends(t) = p; t += 1; starts(t) = p + 1 }
-            p += 1
-          }
-          ends(t) = bytes.length
+          // of the doc (`tokenBytes`): `split(" ", -1)` splits on single
+          // spaces, so `words.slice(i, i+w).mkString(" ")` is exactly
+          // the byte range [starts(i), ends(i+w−1)) — UTF-8 is
+          // context-free and the space byte never occurs inside a
+          // multi-byte sequence. One encode per doc; the previous
+          // slice+mkString+getBytes per window re-allocated and
+          // re-encoded every token w times per grain (guide §1.2
+          // per-task work; measured on the bench row below).
+          val tb = tokenBytes(text)
+          val nTok = tb.nTok
           grains.iterator.flatMap { w =>
             (0 to nTok - w).iterator.map { i =>
               md.reset()
-              md.update(bytes, starts(i), ends(i + w - 1) - starts(i))
+              md.update(tb.bytes, tb.starts(i), tb.ends(i + w - 1) - tb.starts(i))
               val d = md.digest()
               // the 128 bits packed as TWO fixed-width longs, not a
               // 16-byte binary: fixed-width group/join keys keep the
@@ -1955,13 +2004,20 @@ object Dedup {
               // comparisons word-sized — a binary key measured 5x on
               // the bench row for identical semantics. The grain needs
               // no key column: distinct w ⇒ distinct window text ⇒
-              // distinct md5 (collision odds are the 128-bit ones)
+              // distinct md5 (collision odds are the 128-bit ones).
+              // pos/e are INT (guide §2.3 narrower types) — measured
+              // COST-NEUTRAL here (1.24/2.22 s INT vs 1.30/2.34 s LONG,
+              // same session): UnsafeRow stores every fixed-width field
+              // in an 8-byte slot, so the in-flight shuffle rows do not
+              // shrink; the narrowing still pays wherever the spans land
+              // columnar (cache, parquet artifacts) and is kept as the
+              // honest type for a token index.
               var h1 = 0L
               var h2 = 0L
               var j = 0
               while (j < 8) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
               while (j < 16) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
-              (id, i.toLong, i + w - 1L, h1, h2)
+              (id, i, i + w - 1, h1, h2)
             }
           }
         }
