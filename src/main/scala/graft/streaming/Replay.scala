@@ -30,8 +30,27 @@ object Replay {
   def runSink(spark: org.apache.spark.sql.SparkSession, out: DataFrame)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val table = s"replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
-    try feed(q) finally q.stop()
+    // SCOPE the replay's shuffle/state partitioning down to 1 (r15
+    // verdict #8): a streaming query pins its state-store partition
+    // count from spark.sql.shuffle.partitions at start, and every
+    // micro-batch then pays one state-store commit PER PARTITION per
+    // stateful operator — ~30 replay batches × cpus partitions of
+    // fixed cost for driver-fed verification-scale inputs (stream_cms
+    // measured minutes of Verify wall at sf0.001). Partition count
+    // never changes WHAT a stateful query computes (hash-partitioned
+    // aggregations/joins/dedup are partition-count-independent); the
+    // session value is restored when the stream stops, so batch plans
+    // around the replay are untouched. Production streams never pass
+    // through here (readStream sources size their own state).
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val q = out.writeStream.outputMode("append").format("memory").queryName(table).start()
+      try feed(q) finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
     spark.table(table)
   }
 
