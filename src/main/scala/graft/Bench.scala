@@ -155,7 +155,7 @@ object Bench {
     // bench_full.json stays the "latest" pointer; the round-stamped copy
     // makes history append-only instead of a single mutable file
     // (bump Round per build round).
-    val Round = "r15"
+    val Round = "r16"
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Seq(_))
       .getOrElse(if (only.isEmpty) Seq("bench_full.json", s"bench_full_$Round.json") else Seq.empty)
