@@ -77,8 +77,17 @@ object Dedup {
     val hashed = df
       .select(col(idCol).cast("long").as("id"), blk.as("blk"), col(textCol).as("text"))
       // a small corpus arrives as one parquet split; fan out so hashing,
-      // the probe side, and the pair aggregation parallelize
-      .repartition(spark.sparkContext.defaultParallelism)
+      // the probe side, and the pair aggregation parallelize. HASH by id,
+      // not round-robin (r16, every kernel fan-out in this file): a
+      // keyless repartition sorts its input per map task first
+      // (spark.sql.execution.sortBeforeRepartition, needed for retry
+      // determinism of round-robin) — on a single-split corpus that is a
+      // SERIAL sort of the full document text (measured as one ~10 s
+      // CPU-bound task at the 100x probe, the whole anti-scaling wall of
+      // corpus_source_sim); unique-id hash needs no sort and is
+      // deterministic under task retries outright (guide §2.5 /
+      // SPARK-38388).
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -328,7 +337,7 @@ object Dedup {
       // fan out before hashing (the sibling shingle kernels' rule): a
       // small corpus arriving as one parquet split would otherwise
       // tokenize+md5 on a single core for all downstream consumers
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -370,7 +379,7 @@ object Dedup {
     // and both verify branches (the ppjoinCandidates pattern)
     val hashed = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -472,7 +481,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -631,7 +640,7 @@ object Dedup {
     // md5 kernel recomputes per branch
     val hashed = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -961,7 +970,7 @@ object Dedup {
     // consumed four times below (bucket sizes, both candidate sides, the
     // verify sets) — materialize it once, the standard minhash practice
     val docs = shingleHashesAndSig(
-      df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
+      df.repartition(spark.sparkContext.defaultParallelism, col(idCol)), idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Force the persist before the fan-out: otherwise the four consumers
     // race to compute the same partitions concurrently (observed as
@@ -1015,7 +1024,7 @@ object Dedup {
     val spark = df.sparkSession
     val rows = perms / bands
     val docs = shingleHashesAndSig(
-      df.repartition(spark.sparkContext.defaultParallelism), idCol, textCol, n, perms)
+      df.repartition(spark.sparkContext.defaultParallelism, col(idCol)), idCol, textCol, n, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
     val cap = if (maxBucket > 0) maxBucket else maxBucketFor(nDocs)

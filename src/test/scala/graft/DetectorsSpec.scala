@@ -242,6 +242,48 @@ class DetectorsSpec extends AnyFunSuite {
     assert(Detectors.esdOutliers(short).count() == 0)
   }
 
+  test("ESD fold: duplicated extremes, alternating sides and the n-floor stop match the reference replica") {
+    // focused on the r16 bounded-state kernel internals: candidates must
+    // come off the two k-bounded extreme lists in the right order even
+    // when (a) the extreme VALUE is duplicated (ts tie-break within a
+    // side), (b) rounds alternate between the max and min side, and
+    // (c) the per-round n >= 4 re-guard stops testing mid-cascade
+    def refEsd(rows: Seq[(Long, Double)], k: Int, cut: Int): Seq[(Long, Int)] = {
+      var active = rows.map { case (t, v) => (t, BigInt(math.round(v * 100))) }
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Boolean)]
+      for (i <- 1 to k if active.size >= 4) {
+        val n = BigInt(active.size)
+        val s1 = active.map(_._2).sum
+        val q = active.map(x => x._2 * x._2).sum
+        val cand = active.minBy { case (t, vc) => (-(n * vc - s1).abs, t) }
+        val num = (n * cand._2 - s1).pow(2)
+        val den = n * q - s1 * s1
+        cands += ((cand._1, i, den > 0 && num > cut * cut * den))
+        active = active.filterNot(_ == cand)
+      }
+      val maxI = (0 +: cands.filter(_._3).map(_._2).toSeq).max
+      cands.filter(_._2 <= maxI).map(c => (c._1, c._2)).toSeq
+    }
+    def run(key: Long, rows: Seq[(Long, Double)], cut: Int) = Detectors
+      .esdOutliers(pts(rows.map { case (t, v) => (key, t, v) }: _*), k = 3, cut = cut)
+      .collect().map(r => (r.getAs[Long]("tsMs"), r.getAs[Int]("iter"))).toSeq.sorted
+    // (a) the max value planted THREE times: rounds remove the copies in
+    // ascending-ts order (the within-side (vc, ts) tie-break)
+    val dupMax = (1 to 20).map(i => (i * 1000L, 10.0 + (i % 5) * 0.1)) ++
+      Seq((23000L, 400.0), (21000L, 400.0), (22000L, 400.0))
+    assert(run(31L, dupMax, 3) == refEsd(dupMax, 3, 3).sorted)
+    // (b) extremes on BOTH sides: the cross-side dev comparison decides
+    val altSides = (1 to 20).map(i => (i * 1000L, 50.0 + (i % 5) * 0.1)) ++
+      Seq((21000L, 500.0), (22000L, -400.0), (23000L, 350.0))
+    assert(run(32L, altSides, 3) == refEsd(altSides, 3, 3).sorted)
+    assert(run(32L, altSides, 3).nonEmpty)
+    // (c) n0 = 5 with k = 3: round 3 would drop the active set below the
+    // MinPoints floor and must not run (cut = 1 so the small-n z-cap
+    // still lets the tests fire)
+    val shortStop = Seq((1000L, 1.0), (2000L, 1.2), (3000L, 0.9), (4000L, 1.1), (5000L, 99.0))
+    assert(run(33L, shortStop, 1) == refEsd(shortStop, 3, 1).sorted)
+  }
+
   test("esdOutliers: exact duplicate (ts, value) rows fail LOUDLY; duplicate ts with different values still run") {
     // duplicate (ts, vc): would co-deactivate on one candidate round
     // while the running sums subtract one copy — the entry guard raises

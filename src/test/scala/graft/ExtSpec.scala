@@ -140,6 +140,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got == ref, s"prefix-filtered (${got.size}) != naive (${ref.size})")
   }
 
+  test("ppjoin positional filter: a pair EXACTLY at tau with the tight positional bound survives") {
+    // r16 positional filter boundary: A="a b c d e" and B="x b c d e"
+    // have 3 distinct 3-grams each sharing exactly 2 -> J = 2/4 = 0.5,
+    // exactly tau. Prefix length = 3 - ceil(1.5) + 1 = 2; the df-1 grams
+    // (abc / xbc) rank first, so the pair's FIRST shared prefix token
+    // sits at position 2 in BOTH docs: U = 1 + min(3-2, 3-2) = 2 = the
+    // true overlap, and U/(na+nb-U) = 0.5 — the bound is TIGHT. A
+    // strict-inequality (or otherwise off-by-one) positional filter
+    // would drop this qualifying pair.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d e"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == Set((1L, 2L, 0.5)), s"tight-bound pair must survive exactly: $got")
+  }
+
   test("ppjoin: prefix filtering is LOSSLESS — output equals the exact unblocked Jaccard join") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
